@@ -1,0 +1,13 @@
+"""ariadne-spark — a PySpark-native file-level index engine for data
+lakes, built from scratch with the query and data-processing
+capabilities of the reference system cjfravel-dev/ariadne (see
+SURVEY.md), plus large-scale training-data pipeline operators
+(dedup, similarity search, text analysis, multimodal columns).
+"""
+
+from . import catalog
+from .context import AriadneConf
+from .index import Index
+
+__all__ = ["Index", "AriadneConf", "catalog"]
+__version__ = "0.1.0"

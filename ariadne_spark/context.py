@@ -1,0 +1,82 @@
+"""Session + configuration access.
+
+All engine configuration lives under ``spark.ariadne.*`` Spark confs,
+the same surface the reference exposes (reference:
+src/main/scala/dev/cjfravel/ariadne/AriadneContext.scala:18-30, with
+identical key names and defaults). Read lazily so tests can flip confs
+between operations.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from .exceptions import StoragePathNotSetError
+
+_PREFIX = "spark.ariadne."
+
+
+def get_spark() -> SparkSession:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("No active SparkSession; create one first")
+    return spark
+
+
+def _conf(spark: SparkSession, key: str, default: str | None = None) -> str | None:
+    try:
+        return spark.conf.get(_PREFIX + key)
+    except Exception:
+        return default
+
+
+@dataclass(frozen=True)
+class AriadneConf:
+    """Snapshot of the spark.ariadne.* configuration surface."""
+
+    storage_path: str
+    large_index_limit: int = 500_000
+    staging_consolidation_threshold: int = 50
+    index_repartition_count: int | None = None
+    debug: bool = False
+    repartition_data_files: bool = False
+    lock_timeout: int = 1800
+    lock_retry_interval: int = 60
+    lock_max_wait: int = 3600
+    auto_compact_threshold: int | None = None
+    auto_bloom_fpr: float = 0.01
+    broadcast_threshold: int = 50_000_000
+
+    @staticmethod
+    def load(spark: SparkSession) -> "AriadneConf":
+        storage = _conf(spark, "storagePath")
+        if not storage:
+            raise StoragePathNotSetError(
+                "set spark.conf spark.ariadne.storagePath before using indexes"
+            )
+
+        def _int(key: str, default: int | None) -> int | None:
+            raw = _conf(spark, key)
+            return int(raw) if raw is not None else default
+
+        def _bool(key: str, default: bool) -> bool:
+            raw = _conf(spark, key)
+            return raw.lower() == "true" if raw is not None else default
+
+        raw_fpr = _conf(spark, "autoBloomFpr")
+        return AriadneConf(
+            storage_path=storage.rstrip("/"),
+            large_index_limit=_int("largeIndexLimit", 500_000),
+            staging_consolidation_threshold=_int("stagingConsolidationThreshold", 50),
+            index_repartition_count=_int("indexRepartitionCount", None),
+            debug=_bool("debug", False),
+            repartition_data_files=_bool("repartitionDataFiles", False),
+            lock_timeout=_int("lockTimeout", 1800),
+            lock_retry_interval=_int("lockRetryInterval", 60),
+            lock_max_wait=_int("lockMaxWait", 3600),
+            auto_compact_threshold=_int("autoCompactThreshold", None),
+            auto_bloom_fpr=float(raw_fpr) if raw_fpr is not None else 0.01,
+            broadcast_threshold=_int("broadcastThreshold", 50_000_000),
+        )

@@ -1,0 +1,582 @@
+"""The public ``Index`` API.
+
+An Index is a named collection of per-file summaries over a set of
+registered data-lake files (csv/json/parquet), supporting six index
+types (regular, computed, exploded, bloom, temporal, range — one type
+per column), incremental batched builds, file-level pruning queries,
+and index-accelerated joins of any Spark join type (reference public
+surface: src/main/scala/dev/cjfravel/ariadne/Index.scala:34-1279 and
+the trait stack documented in SURVEY §0).
+
+Usage::
+
+    spark.conf.set("spark.ariadne.storagePath", "/tmp/ariadne")
+    idx = Index.for_name("orders", schema=schema, format="parquet")
+    idx.add_index("o_custkey")
+    idx.add_range_index("o_totalprice")
+    idx.add_files(["/lake/orders/day1.parquet", ...])
+    idx.update()
+    result = idx.join(customers_df, on=["o_custkey"])   # pruned join
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import context
+from .exceptions import (
+    ColumnNotFoundError,
+    ColumnNotIndexedError,
+    FormatMismatchError,
+    IndexNotFoundError,
+    IndexTypeConflictError,
+    MissingFormatError,
+    NotArrayColumnError,
+    NotTopLevelColumnError,
+    SchemaMismatchError,
+    SchemaNotProvidedError,
+    UnsupportedFormatError,
+)
+from .operators.build import build_index_rows, split_large_indexes
+from .operators.join import apply_temporal_dedup, log_prune_metrics
+from .plans.batching import analyze_files, create_batches
+from .plans.locate import locate_files as _locate
+from .sources.files import (
+    FILENAME_COL,
+    SUPPORTED_FORMATS,
+    normalize_path,
+    nested_root,
+    read_pipeline,
+)
+from .storage.filelist import FileList
+from .storage.lock import IndexLock
+from .storage.metadata import (
+    BLOOM,
+    COMPUTED,
+    EXPLODED,
+    RANGE,
+    REGULAR,
+    TEMPORAL,
+    IndexConfig,
+    IndexMetadata,
+    load_metadata,
+    save_metadata,
+)
+from .storage.paths import IndexPaths
+from .storage.table import ParquetTable
+
+log = logging.getLogger("ariadne")
+
+
+class Index:
+    """Handle to one named index under ``spark.ariadne.storagePath``."""
+
+    # ------------------------------------------------------------ create
+
+    def __init__(self, spark: SparkSession, meta: IndexMetadata, paths: IndexPaths):
+        self.spark = spark
+        self.meta = meta
+        self.paths = paths
+        self.filelist = FileList(spark, paths.filelist)
+        self.table = ParquetTable(spark, paths.index, key_cols=("filename",))
+        self._selection: list[str] | None = None
+
+    @classmethod
+    def for_name(
+        cls,
+        name: str,
+        schema: T.StructType | str | None = None,
+        format: str | None = None,
+        read_options: dict | None = None,
+        allow_schema_mismatch: bool = False,
+        spark: SparkSession | None = None,
+    ) -> "Index":
+        """Open or create an index (reference factory:
+        Index.scala:1149-1279 with identical schema/format rules)."""
+        spark = spark or context.get_spark()
+        conf = context.AriadneConf.load(spark)
+        paths = IndexPaths(conf.storage_path, name)
+        if isinstance(schema, str):
+            schema = T.StructType.fromJson(json.loads(schema))
+
+        existing = load_metadata(paths.metadata, name)
+        if existing is None:
+            if schema is None:
+                raise SchemaNotProvidedError(name)
+            if format is None:
+                raise MissingFormatError(name)
+            if format not in SUPPORTED_FORMATS:
+                raise UnsupportedFormatError(format)
+            meta = IndexMetadata(
+                name=name,
+                format=format,
+                schema_json=schema.json(),
+                read_options=dict(read_options or {}),
+            )
+            save_metadata(paths.metadata, meta)
+            return cls(spark, meta, paths)
+
+        if format is not None and format != existing.format:
+            raise FormatMismatchError(f"{existing.format} != {format}")
+        if schema is not None and json.loads(schema.json()) != json.loads(
+            existing.schema_json
+        ):
+            if not allow_schema_mismatch:
+                raise SchemaMismatchError(name)
+            new_fields = {f.name for f in schema.fields}
+            for cfg in existing.indexes:
+                needed = cfg.source_column if cfg.type == EXPLODED else cfg.column
+                if cfg.type != COMPUTED and needed not in new_fields:
+                    raise SchemaMismatchError(
+                        f"indexed column {needed} missing from new schema"
+                    )
+            existing.schema_json = schema.json()
+        if read_options:
+            existing.read_options = {**existing.read_options, **read_options}
+        save_metadata(paths.metadata, existing)
+        return cls(spark, existing, paths)
+
+    @classmethod
+    def exists(cls, name: str, spark: SparkSession | None = None) -> bool:
+        spark = spark or context.get_spark()
+        conf = context.AriadneConf.load(spark)
+        return load_metadata(IndexPaths(conf.storage_path, name).metadata, name) is not None
+
+    # ------------------------------------------------------------ config
+
+    @property
+    def conf(self) -> context.AriadneConf:
+        return context.AriadneConf.load(self.spark)
+
+    @property
+    def name(self) -> str:
+        return self.meta.name
+
+    def _schema_fields(self) -> dict[str, T.StructField]:
+        return {f.name: f for f in self.meta.schema.fields}
+
+    def _require_top_level(self, column: str) -> None:
+        if "." in column:
+            raise NotTopLevelColumnError(column)
+
+    def _require_source_column(self, column: str) -> T.StructField:
+        fields = self._schema_fields()
+        if column not in fields:
+            raise ColumnNotFoundError(column)
+        return fields[column]
+
+    def _virtual_columns(self) -> set[str]:
+        return {
+            c.column for c in self.meta.indexes if c.type in (COMPUTED, EXPLODED)
+        }
+
+    def _register(self, cfg: IndexConfig) -> None:
+        current = self.meta.config_for(cfg.column)
+        if current is not None:
+            if current.to_dict() == cfg.to_dict():
+                return  # idempotent re-register
+            raise IndexTypeConflictError(
+                f"column {cfg.column!r} already has a {current.type} index"
+            )
+        if cfg.type in (REGULAR, BLOOM, TEMPORAL, RANGE):
+            self._require_top_level(cfg.column)
+            self._require_source_column(cfg.column)
+        if cfg.type in (COMPUTED, EXPLODED) and (
+            cfg.column in self._schema_fields() or "." in cfg.column
+        ):
+            raise IndexTypeConflictError(
+                f"alias {cfg.column!r} collides with a source column"
+            )
+        if cfg.type == TEMPORAL:
+            self._require_source_column(nested_root(cfg.timestamp_column))
+        if cfg.type == EXPLODED:
+            f = self._require_source_column(cfg.source_column)
+            if not isinstance(f.dataType, T.ArrayType):
+                raise NotArrayColumnError(cfg.source_column)
+        self.meta.indexes.append(cfg)
+        save_metadata(self.paths.metadata, self.meta)
+
+    def add_index(self, column: str) -> "Index":
+        self._register(IndexConfig(REGULAR, column))
+        return self
+
+    def add_computed_index(self, column: str, expression: str) -> "Index":
+        self._register(IndexConfig(COMPUTED, column, expression=expression))
+        return self
+
+    def add_exploded_index(
+        self, source_column: str, as_column: str, field: str | None = None
+    ) -> "Index":
+        self._register(
+            IndexConfig(EXPLODED, as_column, source_column=source_column, field=field)
+        )
+        return self
+
+    def add_bloom_index(self, column: str, fpr: float = 0.01) -> "Index":
+        self._register(IndexConfig(BLOOM, column, fpr=fpr))
+        return self
+
+    def add_temporal_index(self, column: str, timestamp_column: str) -> "Index":
+        self._register(
+            IndexConfig(TEMPORAL, column, timestamp_column=timestamp_column)
+        )
+        return self
+
+    def add_range_index(self, column: str) -> "Index":
+        self._register(IndexConfig(RANGE, column))
+        return self
+
+    # ------------------------------------------------------------ files
+
+    def add_file(self, path: str) -> "Index":
+        return self.add_files([path])
+
+    def add_files(self, paths: list[str]) -> "Index":
+        self.filelist.add([normalize_path(p) for p in paths])
+        return self
+
+    @property
+    def files(self) -> DataFrame:
+        return self.filelist.files
+
+    @property
+    def index_df(self) -> DataFrame | None:
+        return self.table.read()
+
+    def large_df(self, column: str) -> DataFrame | None:
+        t = ParquetTable(
+            self.spark, self.paths.large_index(column), key_cols=("filename",)
+        )
+        if not t.exists:
+            return None
+        df = t.read()
+        if df is None:
+            return None
+        # A large row is live only while the main row's array is nulled
+        # (re-indexing a file back under the limit supersedes its spill
+        # rows without needing a delete — SURVEY S9's MERGE-delete analog).
+        idx = self.index_df
+        if idx is not None and column in idx.columns:
+            df = df.join(
+                idx.where(F.col(column).isNull()).select("filename"),
+                "filename",
+                "left_semi",
+            )
+        return df
+
+    def unindexed_files(self) -> list[str]:
+        """FileList ∖ index (reference J1: Index.scala:166-183)."""
+        files = self.filelist.files.select("filename")
+        idx = self.index_df
+        if idx is None:
+            return [r[0] for r in files.collect()]
+        missing = files.join(idx.select("filename"), "filename", "left_anti")
+        return [r[0] for r in missing.collect()]
+
+    def _files_needing_column_update(self) -> list[str]:
+        """Column backfill: if a newly-registered index column is absent
+        from the stored table, every file must be re-indexed for it
+        (reference: Index.scala:194-212)."""
+        idx = self.index_df
+        if idx is None:
+            return []
+        expected = {c.stored_column for c in self.meta.indexes}
+        if expected - set(idx.columns):
+            return self.filelist.filenames()
+        return []
+
+    # ------------------------------------------------------------ build
+
+    def update(self) -> "Index":
+        """Bring the index up to date with the FileList (reference
+        orchestration: Index.scala:635-693). Batched so per-batch
+        collect_set state stays under largeIndexLimit; every batch
+        commit is atomic, so a crashed update resumes where it left
+        off (unindexed files are recomputed from FileList ∖ index)."""
+        conf = self.conf
+        lock = IndexLock(
+            self.paths.locks,
+            "update",
+            timeout=conf.lock_timeout,
+            retry_interval=conf.lock_retry_interval,
+            max_wait=conf.lock_max_wait,
+        )
+        with lock:
+            todo = set(self.unindexed_files()) | set(
+                self._files_needing_column_update()
+            )
+            if not todo:
+                return self
+            analyses = analyze_files(
+                self.spark, self.meta, sorted(todo), self.meta.indexes
+            )
+            batches = create_batches(analyses, conf.large_index_limit)
+            log.info(
+                "index %s: updating %d files in %d batches",
+                self.name, len(todo), len(batches),
+            )
+            array_cols = [
+                c.column
+                for c in self.meta.indexes
+                if c.type in (REGULAR, COMPUTED, EXPLODED)
+            ]
+            for i, batch in enumerate(batches):
+                rows = build_index_rows(self.spark, self.meta, batch)
+                rows = rows.cache()
+                try:
+                    main_rows, large = split_large_indexes(
+                        self.spark,
+                        rows,
+                        array_cols,
+                        conf.large_index_limit,
+                        conf.auto_bloom_fpr,
+                    )
+                    for col, ldf in large.items():
+                        ParquetTable(
+                            self.spark,
+                            self.paths.large_index(col),
+                            key_cols=("filename",),
+                        ).append(ldf)
+                    self.table.append(main_rows)
+                finally:
+                    rows.unpersist()
+                self.meta.batches_since_compact += 1
+                lock.refresh()
+                if (
+                    self.meta.batches_since_compact
+                    >= conf.staging_consolidation_threshold
+                ):
+                    self._compact_tables()
+                    self.meta.batches_since_compact = 0
+            self.meta.update_count += 1
+            if (
+                conf.auto_compact_threshold is not None
+                and self.meta.batches_since_compact >= conf.auto_compact_threshold
+            ):
+                self._compact_tables()
+                self.meta.batches_since_compact = 0
+            save_metadata(self.paths.metadata, self.meta)
+        return self
+
+    # ------------------------------------------------------------ query
+
+    def _large_tables(self, columns: list[str]) -> dict[str, DataFrame | None]:
+        out: dict[str, DataFrame | None] = {}
+        for col in columns:
+            cfg = self.meta.config_for(col)
+            if cfg is not None and cfg.type in (REGULAR, COMPUTED, EXPLODED, TEMPORAL):
+                out[col] = self.large_df(col)
+        return out
+
+    def locate_files(self, query: "dict | DataFrame", columns: list[str] | None = None) -> list[str]:
+        """Candidate files whose contents can match ``query``
+        ({column: values} or a DataFrame of join keys). AND semantics
+        across columns."""
+        files, _ = _locate(
+            self.spark,
+            self.meta,
+            self.index_df,
+            self._large_tables(list(query.keys()) if isinstance(query, dict) else list(columns or [])),
+            query,
+            columns,
+        )
+        return sorted(files)
+
+    def select(self, *columns: str) -> "Index":
+        """Restrict subsequent reads/joins to these columns (validated
+        against source schema + virtual columns; reference P1)."""
+        known = set(self._schema_fields()) | self._virtual_columns()
+        for c in columns:
+            if c not in known:
+                raise ColumnNotFoundError(c)
+        self._selection = list(columns) if columns else None
+        return self
+
+    def _applicable_temporal(self, available: set[str]) -> list[IndexConfig]:
+        return [
+            c
+            for c in self.meta.indexes
+            if c.type == TEMPORAL
+            and c.column in available
+        ]
+
+    def read_files(
+        self, files: list[str], extra_columns: list[str] | None = None
+    ) -> DataFrame:
+        """Read a specific file subset through the full pipeline
+        (computed + exploded columns, selection, temporal dedup)."""
+        selection = list(self._selection) if self._selection else None
+        extra = list(extra_columns or [])
+        virtuals = [
+            c for c in self.meta.indexes if c.type in (COMPUTED, EXPLODED)
+        ]
+        ts_roots: list[str] = []
+        if selection is not None:
+            needed = set(selection) | set(extra)
+            # transparently include temporal timestamp roots so dedup
+            # can run, then drop them (reference IndexJoinOperations.scala:247-271)
+            for cfg in self._applicable_temporal(needed):
+                root = nested_root(cfg.timestamp_column)
+                if root not in needed:
+                    ts_roots.append(root)
+            selection = list(dict.fromkeys(selection + extra + ts_roots))
+            virtuals = [v for v in virtuals if v.column in set(selection)]
+        df = read_pipeline(
+            self.spark,
+            self.meta,
+            files,
+            virtual_configs=virtuals,
+            selection=selection,
+            explode_rows=True,
+        )
+        df = apply_temporal_dedup(df, self._applicable_temporal(set(df.columns)))
+        if ts_roots:
+            df = df.drop(*ts_roots)
+        return df
+
+    def read_all(self) -> DataFrame:
+        return self.read_files(self.filelist.filenames())
+
+    def read_matching(self, values: dict, filter_rows: bool = True) -> DataFrame:
+        """Pruned read: only files that can match ``values``; with
+        ``filter_rows`` also re-apply the predicates row-level (file
+        pruning alone is coarse — reference P8 returns all filters to
+        Spark for post-scan application)."""
+        for col in values:
+            if self.meta.config_for(col) is None:
+                raise ColumnNotIndexedError(col)
+        files = self.locate_files(values)
+        self._last_metrics = log_prune_metrics(self.index_df, files)
+        df = self.read_files(files, extra_columns=list(values.keys()))
+        if filter_rows:
+            for col, vals in values.items():
+                df = df.where(F.col(col).isin(list(vals)))
+        return df
+
+    def join(
+        self,
+        other: DataFrame,
+        on: list[str] | str,
+        how: str = "inner",
+    ) -> DataFrame:
+        """Index-accelerated equi-join (USING-style): prune files by the
+        other side's key values, read only those, temporal-dedup, then
+        plain Spark join (reference J7:
+        IndexJoinOperations.scala:373-400; join columns must be
+        indexed, :129-137)."""
+        cols = [on] if isinstance(on, str) else list(on)
+        for c in cols:
+            if self.meta.config_for(c) is None:
+                raise ColumnNotIndexedError(c)
+            if c not in other.columns:
+                raise ColumnNotFoundError(f"{c} not in other DataFrame")
+        values_df = other.select(*cols)
+        files, _ = _locate(
+            self.spark,
+            self.meta,
+            self.index_df,
+            self._large_tables(cols),
+            values_df,
+            cols,
+        )
+        self._last_metrics = log_prune_metrics(self.index_df, files)
+        data = self.read_files(sorted(files), extra_columns=cols)
+        return data.join(other, cols, how)
+
+    # ------------------------------------------------------------ stats
+
+    def stats(self) -> DataFrame:
+        """Per-index-column diagnostics (reference A8:
+        IndexQueryOperations.scala:911-972)."""
+        idx = self.index_df
+        rows = []
+        schema = T.StructType(
+            [
+                T.StructField("column", T.StringType()),
+                T.StructField("type", T.StringType()),
+                T.StructField("files", T.LongType()),
+                T.StructField("min_values", T.LongType()),
+                T.StructField("max_values", T.LongType()),
+                T.StructField("avg_values", T.DoubleType()),
+                T.StructField("stddev_values", T.DoubleType()),
+                T.StructField("median_values", T.DoubleType()),
+            ]
+        )
+        if idx is None:
+            return self.spark.createDataFrame([], schema)
+        for cfg in self.meta.indexes:
+            sc = cfg.stored_column
+            if sc not in idx.columns:
+                continue
+            if cfg.type in (REGULAR, COMPUTED, EXPLODED, TEMPORAL):
+                size = F.size(F.col(sc))
+                agg = idx.where(F.col(sc).isNotNull()).agg(
+                    F.count("*").alias("files"),
+                    F.min(size).alias("mn"),
+                    F.max(size).alias("mx"),
+                    F.avg(size).alias("av"),
+                    F.stddev(size).alias("sd"),
+                    F.percentile_approx(size, 0.5).alias("md"),
+                ).collect()[0]
+                rows.append(
+                    (cfg.column, cfg.type, agg["files"], agg["mn"], agg["mx"],
+                     agg["av"], agg["sd"], float(agg["md"]) if agg["md"] is not None else None)
+                )
+            else:
+                n = idx.where(F.col(sc).isNotNull()).count()
+                rows.append((cfg.column, cfg.type, n, None, None, None, None, None))
+        return self.spark.createDataFrame(rows, schema)
+
+    # ------------------------------------------------------------ lifecycle
+
+    def delete_files(self, paths: list[str]) -> "Index":
+        """Remove files from the index + FileList (reference:
+        Index.scala:532-616)."""
+        names = [normalize_path(p) for p in paths]
+        cond = F.col("filename").isin(names)
+        if self.table.exists:
+            self.table.delete_where(cond)
+        for cfg in self.meta.indexes:
+            t = ParquetTable(
+                self.spark, self.paths.large_index(cfg.column), key_cols=("filename",)
+            )
+            if t.exists:
+                t.delete_where(cond)
+        self.filelist.remove(names)
+        return self
+
+    def _compact_tables(self) -> None:
+        self.table.compact()
+        for cfg in self.meta.indexes:
+            t = ParquetTable(
+                self.spark, self.paths.large_index(cfg.column), key_cols=("filename",)
+            )
+            if t.exists:
+                t.compact()
+
+    def compact(self) -> "Index":
+        self._compact_tables()
+        self.meta.batches_since_compact = 0
+        save_metadata(self.paths.metadata, self.meta)
+        return self
+
+    def vacuum(self) -> "Index":
+        self.table.vacuum()
+        for cfg in self.meta.indexes:
+            t = ParquetTable(
+                self.spark, self.paths.large_index(cfg.column), key_cols=("filename",)
+            )
+            if t.exists:
+                t.vacuum()
+        self.filelist.table.vacuum()
+        return self
+
+    def drop_storage(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.paths.root, ignore_errors=True)

@@ -1,0 +1,196 @@
+"""Index build pipeline.
+
+Computes, per source file, one row of index summaries: distinct-value
+arrays (regular/computed/exploded), bloom binaries, min/max range
+structs, per-value latest-timestamp arrays (temporal), and file_size
+(reference build code:
+src/main/scala/dev/cjfravel/ariadne/IndexBuildOperations.scala:821-947,
+bloom at BloomFilterOperations.scala:95-173, file_size at
+Index.scala:861-908).
+
+Spark-first design difference from the reference: instead of building
+one frame per index type and full-outer-joining them on filename
+(reference J2, SURVEY §2.3), every per-file aggregate that shares row
+multiplicity is computed in a SINGLE ``groupBy(filename)`` — one
+shuffle for regular + computed + exploded + bloom + range. Exploded
+columns avoid a row-multiplying ``explode`` entirely by aggregating
+``array_distinct(flatten(collect_set(arr)))``. Only the temporal
+index needs its own two-level aggregation (max ts per (file, value),
+then pack per file), joined back on filename.
+
+At 100 TB the shuffle width is bounded by the batch planner
+(plans/batching.py): each batch's total distinct-value volume is
+capped by largeIndexLimit, so collect_set state stays executor-sized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import bloom as bloomfn
+from ..sources.files import (
+    FILENAME_COL,
+    apply_virtual_columns,
+    normalize_path,
+    read_base,
+    with_filename,
+)
+from ..storage.metadata import (
+    BLOOM,
+    COMPUTED,
+    EXPLODED,
+    RANGE,
+    REGULAR,
+    TEMPORAL,
+    IndexConfig,
+    IndexMetadata,
+)
+
+FILE_SIZE_COL = "file_size"
+
+
+def _bloom_udf(fpr: float):
+    import pandas as pd
+
+    @F.pandas_udf(T.BinaryType())
+    def make_bloom(vals: pd.Series) -> pd.Series:
+        return vals.map(lambda v: bloomfn.build(v, fpr) if v is not None else None)
+
+    return make_bloom
+
+
+def _distinct_array_agg(cfg: IndexConfig):
+    """Aggregate expression producing the distinct-value array for one
+    array-shaped index column (no explode => no row blow-up)."""
+    if cfg.type == EXPLODED:
+        collected = F.collect_set(F.col(cfg.column))
+        merged = F.array_distinct(F.flatten(collected))
+        return F.filter(merged, lambda x: x.isNotNull()).alias(cfg.column)
+    return F.collect_set(F.col(cfg.column)).alias(cfg.column)
+
+
+def _temporal_frame(base: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """array<struct<value,max_ts>> per file for one temporal config.
+
+    Two-level aggregation (max ts per (file,value), then pack) — the
+    second shuffle runs over already-aggregated rows. Null values are
+    excluded (they can never match a join key); null timestamps are
+    legal and rank last at query time."""
+    value = F.col(cfg.column)
+    ts = F.col(cfg.timestamp_column)
+    per_value = (
+        base.where(value.isNotNull())
+        .groupBy(FILENAME_COL, cfg.column)
+        .agg(F.max(ts).alias("_max_ts"))
+    )
+    return per_value.groupBy(FILENAME_COL).agg(
+        F.collect_set(
+            F.struct(F.col(cfg.column).alias("value"), F.col("_max_ts").alias("max_ts"))
+        ).alias(cfg.column)
+    )
+
+
+def build_index_rows(
+    spark: SparkSession,
+    meta: IndexMetadata,
+    files: list[str],
+    configs: list[IndexConfig] | None = None,
+) -> DataFrame:
+    """One index row per file in ``files`` covering ``configs``
+    (default: all configured indexes). Always emits a row per file —
+    even empty files — so re-index detection converges."""
+    configs = meta.indexes if configs is None else configs
+    norm = [normalize_path(f) for f in files]
+
+    df = read_base(spark, files, meta.format, meta.schema, meta.read_options)
+    df = with_filename(df, files)
+    df = apply_virtual_columns(df, configs, explode_rows=False)
+
+    aggs = []
+    bloom_tmp: list[tuple[IndexConfig, str]] = []
+    for cfg in configs:
+        if cfg.type in (REGULAR, COMPUTED, EXPLODED):
+            aggs.append(_distinct_array_agg(cfg))
+        elif cfg.type == RANGE:
+            aggs.append(
+                F.struct(
+                    F.min(cfg.column).alias("min"), F.max(cfg.column).alias("max")
+                ).alias(cfg.stored_column)
+            )
+        elif cfg.type == BLOOM:
+            tmp = f"__bloom_vals_{cfg.column}"
+            aggs.append(F.collect_set(F.col(cfg.column)).alias(tmp))
+            bloom_tmp.append((cfg, tmp))
+
+    if aggs:
+        agg_df = df.groupBy(FILENAME_COL).agg(*aggs)
+    else:
+        agg_df = df.select(FILENAME_COL).distinct()
+
+    for cfg, tmp in bloom_tmp:
+        agg_df = agg_df.withColumn(
+            cfg.stored_column, _bloom_udf(cfg.fpr or 0.01)(F.col(tmp))
+        ).drop(tmp)
+
+    for cfg in configs:
+        if cfg.type == TEMPORAL:
+            agg_df = agg_df.join(_temporal_frame(df, cfg), FILENAME_COL, "full_outer")
+
+    sizes = [(p, int(os.path.getsize(p)) if os.path.exists(p) else 0) for p in norm]
+    files_df = spark.createDataFrame(
+        sizes,
+        T.StructType(
+            [
+                T.StructField("filename", T.StringType(), False),
+                T.StructField(FILE_SIZE_COL, T.LongType(), False),
+            ]
+        ),
+    )
+    # left join from the authoritative file list => empty files still
+    # get an index row (otherwise they'd be re-indexed forever)
+    return files_df.join(
+        agg_df.withColumnRenamed(FILENAME_COL, "filename"), "filename", "left"
+    )
+
+
+def split_large_indexes(
+    spark: SparkSession,
+    indexed: DataFrame,
+    array_cols: list[str],
+    limit: int,
+    auto_bloom_fpr: float,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """Large-index separation + auto-bloom
+    (reference: IndexBuildOperations.scala:1022-1074, 1131-1189).
+
+    For any distinct-array column whose per-file cardinality reaches
+    ``limit``: spill the values to an exploded ``(filename, value)``
+    side table, keep a compact ``auto_bloom_{col}`` binary in the main
+    row, and null the in-row array. Returns the rewritten main frame
+    and the per-column spill frames. ``indexed`` should be cached by
+    the caller (double pass)."""
+    if not array_cols:
+        return indexed, {}
+    maxes = indexed.agg(
+        *[F.max(F.size(F.col(c))).alias(c) for c in array_cols]
+    ).collect()[0]
+    over = [c for c in array_cols if (maxes[c] or 0) >= limit]
+    if not over:
+        return indexed, {}
+    large: dict[str, DataFrame] = {}
+    out = indexed
+    bloom_udf = _bloom_udf(auto_bloom_fpr)
+    for c in over:
+        big = F.size(F.col(c)) >= limit
+        large[c] = (
+            out.where(big)
+            .select("filename", F.explode(F.col(c)).alias("value"))
+        )
+        out = out.withColumn(
+            f"auto_bloom_{c}", F.when(big, bloom_udf(F.col(c)))
+        ).withColumn(c, F.when(~big, F.col(c)))
+    return out, large

@@ -1,0 +1,80 @@
+"""Index-accelerated join orchestration helpers.
+
+The join path (reference:
+src/main/scala/dev/cjfravel/ariadne/IndexJoinOperations.scala:79-400):
+validate join columns → locate candidate files from the other side's
+key values → read only those files → apply temporal latest-version
+deduplication → hand off to a plain Spark join of any type. The final
+join itself is ordinary ``DataFrame.join`` — Catalyst/AQE pick
+broadcast vs shuffle strategy.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..storage.metadata import TEMPORAL, IndexConfig
+
+log = logging.getLogger("ariadne")
+
+
+def apply_temporal_dedup(df: DataFrame, configs: list[IndexConfig]) -> DataFrame:
+    """W1: keep, per temporal value column, only each key's latest row
+    (timestamp desc, nulls last). All rank columns are computed against
+    the ORIGINAL rows, then filtered conjunctively — the multi-temporal
+    semantics pinned by the reference
+    (IndexJoinOperations.scala:303-337, CHANGELOG 0.1.5/0.1.8)."""
+    applicable = [
+        c
+        for c in configs
+        if c.type == TEMPORAL
+        and c.column in df.columns
+    ]
+    if not applicable:
+        return df
+    rank_cols = []
+    out = df
+    for i, cfg in enumerate(applicable):
+        w = Window.partitionBy(F.col(cfg.column)).orderBy(
+            F.col(cfg.timestamp_column).desc_nulls_last()
+        )
+        rc = f"__ariadne_rank_{i}"
+        out = out.withColumn(rc, F.row_number().over(w))
+        rank_cols.append(rc)
+    cond = F.lit(True)
+    for rc in rank_cols:
+        cond = cond & (F.col(rc) == 1)
+    return out.where(cond).drop(*rank_cols)
+
+
+def log_prune_metrics(index_df: DataFrame | None, selected: list[str]) -> dict:
+    """The reference's only quantified performance signal: the
+    'loaded N of M files (X of Y bytes) — P% pruned' line
+    (IndexJoinOperations.scala:176-185). Returns the numbers too so
+    callers/tests can assert on them."""
+    if index_df is None:
+        return {}
+    totals = index_df.agg(
+        F.count("*").alias("files"), F.sum("file_size").alias("bytes")
+    ).collect()[0]
+    sel = index_df.where(F.col("filename").isin(selected or [""])).agg(
+        F.count("*").alias("files"), F.sum("file_size").alias("bytes")
+    ).collect()[0]
+    total_b = totals["bytes"] or 0
+    sel_b = sel["bytes"] or 0
+    pct = 100.0 * (1 - sel_b / total_b) if total_b else 0.0
+    metrics = {
+        "total_files": totals["files"],
+        "selected_files": sel["files"],
+        "total_bytes": total_b,
+        "selected_bytes": sel_b,
+        "pruned_pct": pct,
+    }
+    log.info(
+        "loaded %d of %d files (%d of %d bytes) — %.1f%% data pruned",
+        sel["files"], totals["files"], sel_b, total_b, pct,
+    )
+    return metrics

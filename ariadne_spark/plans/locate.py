@@ -1,0 +1,274 @@
+"""File-location planner — the core pruning engine.
+
+Given query values (a literal set or a DataFrame of join keys) for one
+or more indexed columns, compute the minimal candidate file set whose
+contents can possibly match. Per-column candidate sets are
+intersected (AND semantics across columns and index types), matching
+the reference's planner (reference:
+src/main/scala/dev/cjfravel/ariadne/IndexQueryOperations.scala:623-751;
+AND-intersection :725-745; per-type probes :484-599, :769-885;
+auto-bloom pre-filter :387-468; bounding-box degradation :845-868).
+
+Scale-driven departures from the reference:
+
+* Bloom probing is DISTRIBUTED: query values are hashed once on the
+  driver (k small sha256 pairs), shipped in a pandas-UDF closure, and
+  probed against each file's serialized filter executor-side. The
+  reference collects every file's filter bytes to the driver and
+  notes the OOM hazard in-code (BloomFilterOperations.scala:240-247).
+* Candidate intersection happens as DataFrame inner joins on
+  filename; only the final pruned *file list* (O(matching files), not
+  O(values)) is collected — it must be, to construct the pruned read.
+* The values side of regular-index semi-joins stays a DataFrame
+  (no collect), so join-key sets of any size work.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..exceptions import ColumnNotIndexedError
+from ..functions import bloom as bloomfn
+from ..storage.metadata import (
+    BLOOM,
+    COMPUTED,
+    EXPLODED,
+    RANGE,
+    REGULAR,
+    TEMPORAL,
+    IndexMetadata,
+)
+
+log = logging.getLogger("ariadne")
+
+# reference caps: range collects ≤10k values, degrades to a bounding
+# box beyond 1k (IndexQueryOperations.scala:831-868); bloom needs the
+# literal values driver-side to hash them.
+RANGE_COLLECT_CAP = 10_000
+RANGE_BBOX_THRESHOLD = 1_000
+BLOOM_COLLECT_CAP = 100_000
+
+_VAL = "__ariadne_value"
+
+
+@dataclass
+class LocateStats:
+    per_column: dict = field(default_factory=dict)
+
+
+def _values_df(spark: SparkSession, source, column: str) -> DataFrame | None:
+    """Distinct non-null query values as a 1-column frame.
+
+    DataFrame sources stay distributed (no collect); literal lists
+    become a tiny broadcast frame. Returns None for an empty literal
+    list (caller short-circuits to an empty candidate set)."""
+    if isinstance(source, DataFrame):
+        return (
+            source.select(F.col(column).alias(_VAL))
+            .where(F.col(_VAL).isNotNull())
+            .distinct()
+        )
+    vals = sorted({v for v in source if v is not None}, key=str)
+    if not vals:
+        return None
+    return F.broadcast(spark.createDataFrame([(v,) for v in vals], [_VAL]))
+
+
+def _collect_values(values_df: DataFrame, cap: int) -> list | None:
+    """Collect distinct values up to ``cap``; None if over the cap."""
+    rows = values_df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return None
+    return [r[0] for r in rows]
+
+
+def _probe_udf(hash_pairs: list[tuple[int, int]]):
+    import pandas as pd
+
+    @F.pandas_udf(T.BooleanType())
+    def probe(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: bloomfn.might_contain_any(b, hash_pairs))
+
+    return probe
+
+
+def _regular_candidates(
+    index_df: DataFrame,
+    large_df: DataFrame | None,
+    auto_bloom_col: str | None,
+    values_df: DataFrame,
+    column: str,
+) -> DataFrame:
+    """Exploded-array semi-join (+ large-table union, with auto-bloom
+    pre-filter shrinking the large scan)."""
+    small = (
+        index_df.where(F.col(column).isNotNull())
+        .select("filename", F.explode(F.col(column)).alias(_VAL))
+    )
+    parts = [small]
+    if large_df is not None:
+        large = large_df.select("filename", F.col("value").alias(_VAL))
+        if auto_bloom_col is not None:
+            vals = _collect_values(values_df, BLOOM_COLLECT_CAP)
+            if vals is not None:
+                probe = _probe_udf(bloomfn.hash_values(vals))
+                keep = (
+                    index_df.where(F.col(auto_bloom_col).isNotNull())
+                    .where(probe(F.col(auto_bloom_col)))
+                    .select("filename")
+                )
+                large = large.join(F.broadcast(keep), "filename", "left_semi")
+        parts.append(large)
+    union = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        union.join(values_df, _VAL, "left_semi").select("filename").distinct()
+    )
+
+
+def _bloom_candidates(
+    index_df: DataFrame, stored_col: str, values: list
+) -> DataFrame:
+    """Distributed probe: files whose filter may contain ANY query value.
+    Files with a null filter (e.g. empty) are conservatively included."""
+    probe = _probe_udf(bloomfn.hash_values(values))
+    return (
+        index_df.where(F.col(stored_col).isNull() | probe(F.col(stored_col)))
+        .select("filename")
+    )
+
+
+def _range_candidates(
+    index_df: DataFrame, stored_col: str, values_df: DataFrame
+) -> DataFrame:
+    """Interval containment per value; beyond RANGE_BBOX_THRESHOLD
+    distinct values degrade to one bounding box (false positives OK —
+    pruning must only be conservative)."""
+    lo = F.col(stored_col).getField("min")
+    hi = F.col(stored_col).getField("max")
+    vals = _collect_values(values_df, RANGE_COLLECT_CAP)
+    if vals is not None and len(vals) <= RANGE_BBOX_THRESHOLD:
+        if not vals:
+            return index_df.select("filename").limit(0)
+        pred = reduce(
+            lambda a, b: a | b,
+            [(lo <= F.lit(v)) & (hi >= F.lit(v)) for v in vals],
+        )
+    else:
+        bounds = values_df.agg(
+            F.min(_VAL).alias("lo"), F.max(_VAL).alias("hi")
+        ).collect()[0]
+        pred = (hi >= F.lit(bounds["lo"])) & (lo <= F.lit(bounds["hi"]))
+    return index_df.where(pred).select("filename")
+
+
+def _temporal_candidates(
+    index_df: DataFrame,
+    large_df: DataFrame | None,
+    column: str,
+    values_df: DataFrame,
+) -> DataFrame:
+    """Keep only the file holding the LATEST version of each query value
+    (reference W2: IndexQueryOperations.scala:546-554, 784-791)."""
+    pairs = (
+        index_df.where(F.col(column).isNotNull())
+        .select("filename", F.explode(F.col(column)).alias("__s"))
+        .select(
+            "filename",
+            F.col("__s").getField("value").alias(_VAL),
+            F.col("__s").getField("max_ts").alias("__ts"),
+        )
+    )
+    if large_df is not None:
+        pairs = pairs.unionByName(
+            large_df.select(
+                "filename", F.col("value").alias(_VAL), F.col("max_ts").alias("__ts")
+            )
+        )
+    matched = pairs.join(values_df, _VAL, "left_semi")
+    w = Window.partitionBy(_VAL).orderBy(
+        F.col("__ts").desc_nulls_last(), F.col("filename")
+    )
+    return (
+        matched.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("filename")
+        .distinct()
+    )
+
+
+def locate_files(
+    spark: SparkSession,
+    meta: IndexMetadata,
+    index_df: DataFrame | None,
+    large_tables: dict[str, DataFrame | None],
+    query: "DataFrame | dict",
+    columns: list[str] | None = None,
+) -> tuple[list[str], LocateStats]:
+    """Candidate files for ``query``.
+
+    ``query`` is either a DataFrame whose ``columns`` are join keys, or
+    a dict {column: [values]}. All queried columns must be indexed;
+    their candidate sets are AND-intersected."""
+    stats = LocateStats()
+    if index_df is None:
+        return [], stats
+    if isinstance(query, dict):
+        cols = list(query.keys())
+    else:
+        cols = list(columns or [])
+
+    candidate_dfs: list[DataFrame] = []
+    for col in cols:
+        cfg = meta.config_for(col)
+        if cfg is None:
+            raise ColumnNotIndexedError(col)
+        source = query[col] if isinstance(query, dict) else query
+        values_df = _values_df(spark, source, col)
+        if values_df is None:
+            candidate_dfs.append(index_df.select("filename").limit(0))
+            continue
+        if cfg.type in (REGULAR, COMPUTED, EXPLODED):
+            auto_col = f"auto_bloom_{col}"
+            cand = _regular_candidates(
+                index_df,
+                large_tables.get(col),
+                auto_col if auto_col in index_df.columns else None,
+                values_df,
+                col,
+            )
+        elif cfg.type == BLOOM:
+            vals = _collect_values(values_df, BLOOM_COLLECT_CAP)
+            if vals is None:
+                log.warning(
+                    "bloom column %s: > %d distinct query values; skipping prune",
+                    col,
+                    BLOOM_COLLECT_CAP,
+                )
+                continue
+            if not vals:
+                cand = index_df.select("filename").limit(0)
+            else:
+                cand = _bloom_candidates(index_df, cfg.stored_column, vals)
+        elif cfg.type == RANGE:
+            cand = _range_candidates(index_df, cfg.stored_column, values_df)
+        elif cfg.type == TEMPORAL:
+            cand = _temporal_candidates(
+                index_df, large_tables.get(col), col, values_df
+            )
+        else:  # pragma: no cover
+            raise ColumnNotIndexedError(col)
+        candidate_dfs.append(cand.distinct())
+
+    if not candidate_dfs:
+        files = [r[0] for r in index_df.select("filename").collect()]
+        return files, stats
+
+    intersected = reduce(lambda a, b: a.join(b, "filename", "inner"), candidate_dfs)
+    files = [r[0] for r in intersected.select("filename").distinct().collect()]
+    return files, stats

@@ -1,0 +1,117 @@
+"""File-based advisory locks for index writers.
+
+Same protocol as the reference (reference:
+src/main/scala/dev/cjfravel/ariadne/IndexLock.scala:29,99-246,396-411):
+a JSON lock file created atomically (O_CREAT|O_EXCL); stale locks
+(lastRefreshedAt older than lockTimeout) are healed by deleting and
+retrying; acquisition backs off exponentially up to lockMaxWait;
+holders may refresh a heartbeat during long operations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from ..exceptions import LockAcquisitionError, LockNotHeldError
+
+
+class IndexLock:
+    def __init__(
+        self,
+        lock_dir: str,
+        name: str = "update",
+        timeout: float = 1800.0,
+        retry_interval: float = 60.0,
+        max_wait: float = 3600.0,
+    ) -> None:
+        self.path = os.path.join(lock_dir, f"{name}.lock")
+        self.timeout = timeout
+        self.retry_interval = retry_interval
+        self.max_wait = max_wait
+        self.correlation_id: str | None = None
+
+    # ------------------------------------------------------------------
+
+    def _read(self) -> dict | None:
+        try:
+            with open(self.path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+        except (json.JSONDecodeError, OSError):
+            # corrupt lock file: treat as stale immediately
+            return {"lastRefreshedAt": 0.0, "corrupt": True}
+
+    def _try_create(self, doc: dict) -> bool:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            json.dump(doc, fh)
+        return True
+
+    def acquire(self) -> str:
+        corr = uuid.uuid4().hex
+        start = time.monotonic()
+        wait = min(1.0, self.retry_interval)
+        while True:
+            now = time.time()
+            doc = {
+                "correlationId": corr,
+                "acquiredAt": now,
+                "lastRefreshedAt": now,
+                "owner": f"pid-{os.getpid()}",
+            }
+            if self._try_create(doc):
+                self.correlation_id = corr
+                return corr
+            existing = self._read()
+            if existing is not None and (
+                time.time() - float(existing.get("lastRefreshedAt", 0.0))
+                > self.timeout
+            ):
+                # stale-heal: delete and retry immediately
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() - start > self.max_wait:
+                raise LockAcquisitionError(self.path)
+            time.sleep(wait)
+            wait = min(wait * 2, 60.0, self.retry_interval)
+
+    def refresh(self) -> None:
+        if self.correlation_id is None:
+            raise LockNotHeldError(self.path)
+        doc = self._read()
+        if doc is None or doc.get("correlationId") != self.correlation_id:
+            raise LockNotHeldError(self.path)
+        doc["lastRefreshedAt"] = time.time()
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, self.path)
+
+    def release(self) -> None:
+        if self.correlation_id is None:
+            return
+        doc = self._read()
+        if doc is not None and doc.get("correlationId") == self.correlation_id:
+            try:
+                os.remove(self.path)
+            except FileNotFoundError:
+                pass
+        self.correlation_id = None
+
+    def __enter__(self) -> "IndexLock":
+        self.acquire()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()

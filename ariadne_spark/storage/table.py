@@ -1,0 +1,238 @@
+"""Manifest-based versioned parquet tables.
+
+The reference stores its index state in Delta tables and leans on
+Delta MERGE for upsert/delete and OPTIMIZE/VACUUM for maintenance
+(reference: src/main/scala/dev/cjfravel/ariadne/IndexBuildOperations.scala:1319-1373,
+Index.scala:724-778). delta-spark is not available in this
+environment, so this module provides the minimal transactional table
+the engine needs, built on plain parquet + an atomic JSON manifest:
+
+* A table directory holds immutable parquet *segments* (one directory
+  per commit) plus ``_manifest/v{N}.json`` files. The manifest with
+  the highest N is the current table state; commits are atomic via
+  ``O_CREAT|O_EXCL`` manifest creation (same primitive the reference
+  uses for its lock files, IndexLock.scala:396-411).
+* Writes are LSM-style appends: a new segment with a higher sequence
+  number. Readers resolve upserts by keeping, per key, only the rows
+  of the newest segment containing that key — the read-time analog of
+  ``MERGE ... whenMatchedUpdateAll`` with replace-per-key semantics.
+* ``compact()`` folds all segments into one (the analog of staging
+  consolidation + OPTIMIZE); ``vacuum()`` deletes unreferenced files.
+
+Scale note: the per-key dedup is a single hash-partitioned window on
+the key columns; index tables are O(files + distinct values), orders
+of magnitude smaller than the data lake they describe, and the
+single-segment fast path (the common state after compaction) skips
+the shuffle entirely.
+
+Local/NFS filesystems only: on object stores the manifest commit
+would need a conditional-put (S3 if-none-match) instead of O_EXCL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..exceptions import TableCommitConflictError
+
+_MANIFEST_DIR = "_manifest"
+_SEQ_COL = "_ariadne_seq"
+
+
+def _local(path: str) -> str:
+    """Strip a file: scheme; reject remote schemes (see module note)."""
+    if path.startswith("file://"):
+        return path[len("file://"):]
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    if "://" in path:
+        raise NotImplementedError(
+            "ParquetTable manifest commits need a local/posix filesystem; "
+            "object-store support requires conditional-put commits"
+        )
+    return path
+
+
+class ParquetTable:
+    """A versioned parquet table with replace-per-key append semantics.
+
+    ``key_cols`` define the replacement key: an append whose rows share
+    a key with older segments supersedes *all* older rows of that key
+    (``dedup='last'``) or is ignored in favor of them (``dedup='first'``,
+    the insert-if-absent semantics the FileList needs).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols: tuple[str, ...] = (),
+        dedup: str = "last",
+    ) -> None:
+        self.spark = spark
+        self.path = _local(path)
+        self.key_cols = tuple(key_cols)
+        assert dedup in ("last", "first")
+        self.dedup = dedup
+
+    # ------------------------------------------------------------ manifest
+
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR)
+
+    def _latest_version(self) -> int | None:
+        d = self._manifest_dir()
+        if not os.path.isdir(d):
+            return None
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def _read_manifest(self) -> dict | None:
+        v = self._latest_version()
+        if v is None:
+            return None
+        with open(os.path.join(self._manifest_dir(), f"v{v:020d}.json")) as fh:
+            m = json.load(fh)
+        m["version"] = v
+        return m
+
+    def _commit(self, build_segments, retries: int = 20) -> None:
+        """Optimistically commit: recompute segments from the latest
+        manifest, write v+1 with O_EXCL, retry on collision."""
+        os.makedirs(self._manifest_dir(), exist_ok=True)
+        for _ in range(retries):
+            current = self._read_manifest()
+            version = (current["version"] if current else 0) + 1
+            segments = build_segments(current["segments"] if current else [])
+            doc = json.dumps({"segments": segments}, indent=0)
+            target = os.path.join(self._manifest_dir(), f"v{version:020d}.json")
+            try:
+                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                continue
+            with os.fdopen(fd, "w") as fh:
+                fh.write(doc)
+            return
+        raise TableCommitConflictError(self.path)
+
+    # ------------------------------------------------------------ reads
+
+    @property
+    def exists(self) -> bool:
+        return self._latest_version() is not None
+
+    def read(self) -> DataFrame | None:
+        """Current table state, or None if the table doesn't exist."""
+        m = self._read_manifest()
+        if m is None:
+            return None
+        segments = m["segments"]
+        if not segments:
+            return None
+        if len(segments) == 1 or not self.key_cols:
+            dfs = [
+                self.spark.read.parquet(os.path.join(self.path, s["dir"]))
+                for s in segments
+            ]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            return out
+        dfs = [
+            self.spark.read.parquet(os.path.join(self.path, s["dir"]))
+            .withColumn(_SEQ_COL, F.lit(s["seq"]))
+            for s in segments
+        ]
+        union = dfs[0]
+        for d in dfs[1:]:
+            union = union.unionByName(d, allowMissingColumns=True)
+        w = Window.partitionBy(*[F.col(c) for c in self.key_cols])
+        pick = F.max(_SEQ_COL) if self.dedup == "last" else F.min(_SEQ_COL)
+        return (
+            union.withColumn("_ariadne_pick", pick.over(w))
+            .where(F.col(_SEQ_COL) == F.col("_ariadne_pick"))
+            .drop(_SEQ_COL, "_ariadne_pick")
+        )
+
+    # ------------------------------------------------------------ writes
+
+    def _write_segment(self, df: DataFrame) -> str:
+        seg = f"data/seg-{uuid.uuid4().hex}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, seg))
+        return seg
+
+    def append(self, df: DataFrame) -> None:
+        """Append a segment; per-key replacement resolves at read time."""
+        seg = self._write_segment(df)
+
+        def build(old):
+            next_seq = max([s["seq"] for s in old], default=0) + 1
+            return old + [{"seq": next_seq, "dir": seg}]
+
+        self._commit(build)
+
+    # upsert IS append under replace-per-key read semantics
+    upsert = append
+
+    def overwrite(self, df: DataFrame) -> None:
+        seg = self._write_segment(df)
+        self._commit(lambda old: [{"seq": 1, "dir": seg}])
+
+    def delete_where(self, condition) -> None:
+        """Rewrite the table without rows matching ``condition``.
+
+        Index tables are small relative to the lake (per-file summaries),
+        so a filtered rewrite is the simple, safe choice — the analog of
+        the reference's MERGE whenMatchedDelete."""
+        df = self.read()
+        if df is None:
+            return
+        self.overwrite(df.where(~condition))
+
+    def compact(self) -> None:
+        """Fold all segments into one (OPTIMIZE analog)."""
+        m = self._read_manifest()
+        if m is None or len(m["segments"]) <= 1:
+            return
+        df = self.read()
+        self.overwrite(df)
+
+    def vacuum(self, keep_manifests: int = 3) -> None:
+        """Delete segment dirs unreferenced by the latest manifest and
+        trim old manifests."""
+        m = self._read_manifest()
+        if m is None:
+            return
+        live = {s["dir"].split("/", 1)[1] for s in m["segments"]}
+        data_dir = os.path.join(self.path, "data")
+        if os.path.isdir(data_dir):
+            for entry in os.listdir(data_dir):
+                if entry not in live:
+                    shutil.rmtree(os.path.join(data_dir, entry), ignore_errors=True)
+        d = self._manifest_dir()
+        versions = sorted(
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        )
+        for v in versions[:-keep_manifests]:
+            try:
+                os.remove(os.path.join(d, f"v{v:020d}.json"))
+            except OSError:
+                pass
+
+    def drop(self) -> None:
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    @property
+    def num_segments(self) -> int:
+        m = self._read_manifest()
+        return len(m["segments"]) if m else 0
