@@ -56,11 +56,11 @@ FILE_SIZE_COL = "file_size"
 def _bloom_udf(fpr: float):
     import pandas as pd
 
-    @F.pandas_udf(T.BinaryType())
     def make_bloom(vals: pd.Series) -> pd.Series:
         return vals.map(lambda v: bloomfn.build(v, fpr) if v is not None else None)
 
-    return make_bloom
+    make_bloom.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    return F.pandas_udf(make_bloom, T.BinaryType())
 
 
 def _distinct_array_agg(cfg: IndexConfig):

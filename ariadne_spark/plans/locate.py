@@ -91,11 +91,11 @@ def _collect_values(values_df: DataFrame, cap: int) -> list | None:
 def _probe_udf(hash_pairs: list[tuple[int, int]]):
     import pandas as pd
 
-    @F.pandas_udf(T.BooleanType())
     def probe(blobs: pd.Series) -> pd.Series:
         return blobs.map(lambda b: bloomfn.might_contain_any(b, hash_pairs))
 
-    return probe
+    probe.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(probe, T.BooleanType())
 
 
 def _regular_candidates(

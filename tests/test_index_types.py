@@ -1,0 +1,178 @@
+"""Per-index-type build + locate + join correctness against plain
+Spark answers (reference categories: IndexBuildOperationsTests,
+RangeIndexTests, TemporalIndexTests, BloomFilterOperationsTests,
+MultiColumnIntersectTests, IndexTypeExclusivityTests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ariadne_spark import Index
+from ariadne_spark.exceptions import IndexTypeConflictError, NotArrayColumnError
+from ariadne_spark.functions import bloom as bloomfn
+from ariadne_spark.sources.files import normalize_path
+
+from .conftest import assert_same_rows
+
+
+def _files_containing(df, files, col, values):
+    """Ground truth: which files actually hold rows with col ∈ values."""
+    out = set()
+    for f in files:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(f, columns=[col])
+        have = set(tbl[col].to_pylist())
+        if have & set(values):
+            out.add(normalize_path(f))
+    return out
+
+
+def test_regular_index_locates_exactly(spark, storage, orders_files):
+    df, files = orders_files
+    idx = Index.for_name("o_reg", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_orderkey").add_files(files).update()
+    values = [1, 7, 3000]
+    located = set(idx.locate_files({"o_orderkey": values}))
+    truth = _files_containing(df, files, "o_orderkey", values)
+    assert located == truth
+    assert len(located) < len(files)  # actually pruned something
+
+
+def test_computed_index(spark, storage, orders_files):
+    df, files = orders_files
+    idx = Index.for_name("o_comp", schema=df.schema, format="parquet", spark=spark)
+    idx.add_computed_index("order_month", "month(o_orderdate)")
+    idx.add_files(files).update()
+    res = idx.read_matching({"order_month": [3]})
+    expected = df.withColumn("order_month", F.expr("month(o_orderdate)")).where(
+        F.col("order_month") == 3
+    )
+    assert_same_rows(res.select("o_orderkey"), expected.select("o_orderkey"))
+
+
+def test_range_index_prunes_and_matches(spark, storage, orders_files):
+    df, files = orders_files
+    idx = Index.for_name("o_rng", schema=df.schema, format="parquet", spark=spark)
+    idx.add_range_index("o_orderkey").add_files(files).update()
+    values = [5, 6, 7]
+    located = set(idx.locate_files({"o_orderkey": values}))
+    # files are split by contiguous orderkey range => exactly one file
+    # can contain keys 5..7
+    assert len(located) == 1
+    res = idx.read_matching({"o_orderkey": values})
+    assert_same_rows(
+        res.select("o_orderkey"),
+        df.where(F.col("o_orderkey").isin(values)).select("o_orderkey"),
+    )
+
+
+def test_range_bounding_box_degradation(spark, storage, orders_files):
+    """>1000 distinct values degrade to a min/max bounding box —
+    conservative (may admit files) but never loses a match."""
+    df, files = orders_files
+    idx = Index.for_name("o_rng2", schema=df.schema, format="parquet", spark=spark)
+    idx.add_range_index("o_orderkey").add_files(files).update()
+    values = list(range(0, 1300))
+    located = set(idx.locate_files({"o_orderkey": values}))
+    truth = _files_containing(df, files, "o_orderkey", values)
+    assert located >= truth
+
+
+def test_bloom_index_join(spark, storage, orders_files):
+    df, files = orders_files
+    idx = Index.for_name("o_blm", schema=df.schema, format="parquet", spark=spark)
+    idx.add_bloom_index("o_orderkey", fpr=0.01).add_files(files).update()
+    keys = spark.createDataFrame([(5,), (6,), (2999,)], ["o_orderkey"])
+    res = idx.join(keys, on=["o_orderkey"])
+    expected = df.join(keys, ["o_orderkey"])
+    assert_same_rows(res, expected)
+    # bloom pruning located a strict subset (keys live in ≤2 of 4 files)
+    located = idx.locate_files(keys, columns=["o_orderkey"])
+    assert len(located) < len(files)
+
+
+def test_bloom_fpr_acceptable():
+    """Empirical FPR stays near target (reference:
+    BloomFilterOperationsTests.scala:219)."""
+    blob = bloomfn.build(list(range(5000)), fpr=0.01)
+    false_pos = sum(
+        1 for v in range(5000, 15000) if bloomfn.might_contain(blob, v)
+    )
+    assert false_pos / 10000 < 0.03
+    # no false negatives, ever
+    assert all(bloomfn.might_contain(blob, v) for v in range(0, 5000, 97))
+
+
+def test_temporal_index_latest_version(spark, storage, events_files):
+    df, files = events_files
+    idx = Index.for_name("ev_tmp", schema=df.schema, format="parquet", spark=spark)
+    idx.add_temporal_index("user_id", "ts").add_files(files).update()
+    users = spark.createDataFrame([(i,) for i in range(0, 10)], ["user_id"])
+    res = idx.join(users, on=["user_id"])
+    # oracle: latest event per user, computed on the full data
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc_nulls_last())
+    expected = (
+        df.join(users, ["user_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .drop("rn")
+    )
+    assert_same_rows(res, expected)
+    # temporal pruning: only files holding the latest version per user
+    located = idx.locate_files(users, columns=["user_id"])
+    assert len(located) < len(files)
+
+
+def test_exploded_index(spark, storage, tagged_files):
+    df, files = tagged_files
+    idx = Index.for_name("tags", schema=df.schema, format="parquet", spark=spark)
+    idx.add_exploded_index("tags", as_column="tag_key", field="k")
+    idx.add_files(files).update()
+    res = idx.read_matching({"tag_key": ["key3"]})
+    expected = (
+        df.withColumn("tag_key", F.explode(F.transform("tags", lambda x: x["k"])))
+        .where(F.col("tag_key") == "key3")
+    )
+    assert_same_rows(res.select("id", "tag_key"), expected.select("id", "tag_key"))
+
+
+def test_multi_column_and_intersection(spark, storage, orders_files):
+    """AND semantics across columns and index types (reference:
+    MultiColumnIntersectTests, MixedIndexIntersectionTests)."""
+    df, files = orders_files
+    idx = Index.for_name("o_multi", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey").add_range_index("o_orderkey")
+    idx.add_files(files).update()
+    some = df.limit(5).collect()
+    q = {
+        "o_custkey": [r["o_custkey"] for r in some],
+        "o_orderkey": [r["o_orderkey"] for r in some],
+    }
+    located = set(idx.locate_files(q))
+    t1 = _files_containing(df, files, "o_custkey", q["o_custkey"])
+    t2 = _files_containing(df, files, "o_orderkey", q["o_orderkey"])
+    assert located <= (t1 & t2)
+    res = idx.read_matching(q)
+    expected = df.where(
+        F.col("o_custkey").isin(q["o_custkey"])
+        & F.col("o_orderkey").isin(q["o_orderkey"])
+    )
+    assert_same_rows(res, expected)
+
+
+def test_index_type_exclusivity(spark, storage, orders_files):
+    df, _ = orders_files
+    idx = Index.for_name("o_excl", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey")
+    with pytest.raises(IndexTypeConflictError):
+        idx.add_bloom_index("o_custkey")
+    with pytest.raises(IndexTypeConflictError):
+        idx.add_range_index("o_custkey")
+    idx.add_index("o_custkey")  # same registration is idempotent
+    with pytest.raises(NotArrayColumnError):
+        idx.add_exploded_index("o_orderstatus", as_column="x")
+    with pytest.raises(IndexTypeConflictError):
+        idx.add_computed_index("o_totalprice", "1+1")  # collides with source col

@@ -1,0 +1,169 @@
+"""Join types, empty-result schema stability, selection, large-index
++ auto-bloom, delete/backfill/compaction lifecycle (reference
+categories: IndexJoinOperationsTests, EmptyResultSchemaTests,
+AutoBloomLargeIndexTests, DeleteFilesTests, ColumnBackfillTests,
+CompactionTests, BatchedIndexUpdateTests)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark import Index, catalog
+from ariadne_spark.plans.batching import FileAnalysis, create_batches
+from ariadne_spark.storage.table import ParquetTable
+
+from .conftest import assert_same_rows, rows_set
+
+
+@pytest.fixture()
+def orders_idx(spark, storage, orders_files):
+    df, files = orders_files
+    idx = Index.for_name("orders", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey").add_files(files).update()
+    return df, files, idx
+
+
+def _cust(spark, df):
+    return (
+        df.select(F.col("o_custkey")).distinct().limit(20)
+        .withColumn("extra", F.col("o_custkey") * 2)
+    )
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "full_outer"])
+def test_join_types_match_plain_spark(spark, orders_idx, how):
+    df, files, idx = orders_idx
+    other = _cust(spark, df)
+    res = idx.join(other, on=["o_custkey"], how=how)
+    expected = df.join(other, ["o_custkey"], how)
+    assert_same_rows(res, expected)
+
+
+def test_join_no_match_keeps_schema(spark, orders_idx):
+    df, files, idx = orders_idx
+    none = spark.createDataFrame([(-1, -2)], ["o_custkey", "extra"])
+    res = idx.join(none, on=["o_custkey"])
+    assert res.count() == 0
+    some = idx.join(_cust(spark, df), on=["o_custkey"])
+    assert res.schema == some.schema
+
+
+def test_selection_restricts_columns(spark, orders_idx):
+    df, files, idx = orders_idx
+    idx.select("o_orderkey", "o_custkey")
+    res = idx.join(_cust(spark, df).select("o_custkey"), on=["o_custkey"])
+    assert set(res.columns) == {"o_orderkey", "o_custkey"}
+    idx.select()  # reset
+
+
+def test_large_index_and_auto_bloom(spark, storage, orders_files):
+    """With largeIndexLimit lowered, value arrays spill to the large
+    table, an auto_bloom column appears, and queries still answer
+    exactly (reference: AutoBloomLargeIndexTests.scala:36-144)."""
+    df, files = orders_files
+    spark.conf.set("spark.ariadne.largeIndexLimit", "50")
+    try:
+        idx = Index.for_name("o_large", schema=df.schema, format="parquet", spark=spark)
+        idx.add_index("o_orderkey").add_files(files).update()
+        main = idx.index_df
+        assert "auto_bloom_o_orderkey" in main.columns
+        # every file is over the 50-distinct limit => all arrays nulled
+        assert main.where(F.col("o_orderkey").isNotNull()).count() == 0
+        assert idx.large_df("o_orderkey").count() > 0
+        values = [5, 6, 7, 2999]
+        res = idx.read_matching({"o_orderkey": values})
+        assert_same_rows(
+            res.select("o_orderkey"),
+            df.where(F.col("o_orderkey").isin(values)).select("o_orderkey"),
+        )
+    finally:
+        spark.conf.unset("spark.ariadne.largeIndexLimit")
+
+
+def test_large_index_superseded_when_file_shrinks(spark, storage, orders_files):
+    """A file re-indexed under the limit must stop serving large rows
+    (the delete-analog via main-row validity)."""
+    df, files = orders_files
+    spark.conf.set("spark.ariadne.largeIndexLimit", "50")
+    idx = Index.for_name("o_shrink", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_orderkey").add_files(files[:1]).update()
+    assert idx.large_df("o_orderkey").count() > 0
+    spark.conf.set("spark.ariadne.largeIndexLimit", "1000000")
+    try:
+        idx.delete_files(files[:1])
+        idx.add_files(files[:1]).update()
+        large = idx.large_df("o_orderkey")
+        assert large is None or large.count() == 0
+    finally:
+        spark.conf.unset("spark.ariadne.largeIndexLimit")
+
+
+def test_delete_files(spark, storage, orders_files):
+    df, files = orders_files
+    idx = Index.for_name("o_del", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey").add_files(files).update()
+    assert idx.index_df.count() == len(files)
+    idx.delete_files(files[:2])
+    assert idx.index_df.count() == len(files) - 2
+    assert set(idx.filelist.filenames()) == {f for f in map(str, files[2:])}
+    # deleted files' data no longer appears
+    res = idx.read_all()
+    expected = spark.read.parquet(*files[2:])
+    assert res.count() == expected.count()
+
+
+def test_column_backfill(spark, storage, orders_files):
+    """Registering a new index on an existing index re-indexes all
+    files on the next update (reference: ColumnBackfillTests)."""
+    df, files = orders_files
+    idx = Index.for_name("o_back", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey").add_files(files).update()
+    assert "range_o_totalprice" not in idx.index_df.columns
+    idx.add_range_index("o_totalprice")
+    assert idx._files_needing_column_update() == idx.filelist.filenames()
+    idx.update()
+    main = idx.index_df
+    assert "range_o_totalprice" in main.columns
+    assert main.where(F.col("range_o_totalprice").isNotNull()).count() == len(files)
+    assert idx._files_needing_column_update() == []
+
+
+def test_compaction_folds_segments(spark, storage, orders_files):
+    df, files = orders_files
+    idx = Index.for_name("o_cmp", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey")
+    for f in files:  # one update per file => multiple segments
+        idx.add_files([f]).update()
+    assert idx.table.num_segments > 1
+    idx.compact()
+    assert idx.table.num_segments == 1
+    assert idx.index_df.count() == len(files)
+
+
+def test_batch_packing_properties():
+    """Greedy FFD packing: budget respected, oversize isolated, all
+    files placed exactly once (reference: BatchedIndexUpdateTests)."""
+    analyses = [FileAnalysis(f"f{i}", c) for i, c in enumerate([1500, 900, 500, 400, 300, 200, 100, 50])]
+    batches = create_batches(analyses, budget=1000)
+    placed = [f for b in batches for f in b]
+    assert sorted(placed) == sorted(a.filename for a in analyses)
+    counts = {a.filename: a.max_distinct for a in analyses}
+    for b in batches:
+        if len(b) > 1:
+            assert sum(counts[f] for f in b) <= 1000
+    assert ["f0"] in batches  # oversize (1500 ≥ budget) is isolated
+
+
+def test_catalog_and_stats(spark, storage, orders_files):
+    df, files = orders_files
+    idx = Index.for_name("o_cat", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey").add_range_index("o_totalprice")
+    idx.add_files(files).update()
+    assert "o_cat" in catalog.list_indexes(spark)
+    assert catalog.find_indexes("o_custkey", spark) == ["o_cat"]
+    st = {r["column"]: r for r in idx.stats().collect()}
+    assert st["o_custkey"]["files"] == len(files)
+    assert st["o_custkey"]["max_values"] >= st["o_custkey"]["min_values"]
+    catalog.remove("o_cat", spark)
+    assert "o_cat" not in catalog.list_indexes(spark)

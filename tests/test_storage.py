@@ -1,0 +1,162 @@
+"""ParquetTable / FileList / lock / metadata / path validation tests
+(reference categories: FileListTests, IndexLockTests,
+IndexMetadataOperationsTests, IndexPathUtilsTests)."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark.exceptions import InvalidIndexNameError, LockAcquisitionError
+from ariadne_spark.storage.filelist import FileList
+from ariadne_spark.storage.lock import IndexLock
+from ariadne_spark.storage.metadata import (
+    IndexConfig,
+    IndexMetadata,
+    load_metadata,
+    save_metadata,
+)
+from ariadne_spark.storage.paths import IndexPaths, validate_index_name
+from ariadne_spark.storage.table import ParquetTable
+
+from .conftest import rows_set
+
+
+def test_table_append_and_upsert(spark, storage):
+    t = ParquetTable(spark, f"{storage}/t1", key_cols=("k",))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    t.append(spark.createDataFrame([(2, "B"), (3, "c")], ["k", "v"]))
+    assert rows_set(t.read()) == {(1, "a"), (2, "B"), (3, "c")}
+    assert t.num_segments == 2
+    t.compact()
+    assert t.num_segments == 1
+    assert rows_set(t.read()) == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_table_replace_all_rows_per_key(spark, storage):
+    """Group-keyed replacement: a new segment's rows for key k replace
+    ALL older rows of k (large-index semantics)."""
+    t = ParquetTable(spark, f"{storage}/t2", key_cols=("k",))
+    t.append(spark.createDataFrame([(1, 10), (1, 11), (2, 20)], ["k", "v"]))
+    t.append(spark.createDataFrame([(1, 12)], ["k", "v"]))
+    assert rows_set(t.read()) == {(1, 12), (2, 20)}
+
+
+def test_table_first_wins_dedup(spark, storage):
+    t = ParquetTable(spark, f"{storage}/t3", key_cols=("k",), dedup="first")
+    t.append(spark.createDataFrame([(1, "orig")], ["k", "v"]))
+    t.append(spark.createDataFrame([(1, "dupe"), (2, "new")], ["k", "v"]))
+    assert rows_set(t.read()) == {(1, "orig"), (2, "new")}
+
+
+def test_table_schema_evolution(spark, storage):
+    t = ParquetTable(spark, f"{storage}/t4", key_cols=("k",))
+    t.append(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.append(spark.createDataFrame([(2, "b", 9)], ["k", "v", "extra"]))
+    rows = rows_set(t.read())
+    assert rows == {(1, "a", None), (2, "b", 9)}
+
+
+def test_table_delete_where_and_vacuum(spark, storage):
+    t = ParquetTable(spark, f"{storage}/t5", key_cols=("k",))
+    t.append(spark.createDataFrame([(i, i * 2) for i in range(10)], ["k", "v"]))
+    t.delete_where(F.col("k") >= 5)
+    assert rows_set(t.read()) == {(i, i * 2) for i in range(5)}
+    t.vacuum(keep_manifests=1)
+    assert rows_set(t.read()) == {(i, i * 2) for i in range(5)}
+    data_dirs = os.listdir(os.path.join(t.path, "data"))
+    assert len(data_dirs) == 1  # unreferenced segments removed
+
+
+def test_filelist_dedup_keeps_original(spark, storage):
+    fl = FileList(spark, f"{storage}/fl")
+    fl.add(["/a", "/b"])
+    first = {r[0]: r[1] for r in fl.files.collect()}
+    time.sleep(0.01)
+    fl.add(["/b", "/c"])
+    again = {r[0]: r[1] for r in fl.files.collect()}
+    assert set(again) == {"/a", "/b", "/c"}
+    assert again["/b"] == first["/b"]  # added_at preserved
+    fl.remove(["/a"])
+    assert set(fl.filenames()) == {"/b", "/c"}
+    assert fl.contains("/c") and not fl.contains("/a")
+
+
+def test_lock_mutual_exclusion(storage):
+    a = IndexLock(f"{storage}/locks", max_wait=0.5, retry_interval=0.1)
+    b = IndexLock(f"{storage}/locks", max_wait=0.5, retry_interval=0.1)
+    a.acquire()
+    with pytest.raises(LockAcquisitionError):
+        b.acquire()
+    a.release()
+    b.acquire()
+    b.release()
+
+
+def test_lock_stale_heal(storage):
+    a = IndexLock(f"{storage}/locks", timeout=0.2, max_wait=5, retry_interval=0.1)
+    a.acquire()
+    time.sleep(0.3)  # let the holder go stale
+    b = IndexLock(f"{storage}/locks", timeout=0.2, max_wait=5, retry_interval=0.1)
+    b.acquire()  # heals the stale lock instead of waiting forever
+    b.release()
+
+
+def test_lock_refresh_keeps_alive(storage):
+    a = IndexLock(f"{storage}/locks", timeout=0.4, max_wait=0.3, retry_interval=0.1)
+    a.acquire()
+    stop = threading.Event()
+
+    def beat():
+        while not stop.is_set():
+            a.refresh()
+            time.sleep(0.1)
+
+    t = threading.Thread(target=beat, daemon=True)
+    t.start()
+    time.sleep(0.6)
+    b = IndexLock(f"{storage}/locks", timeout=0.4, max_wait=0.3, retry_interval=0.1)
+    with pytest.raises(LockAcquisitionError):
+        b.acquire()  # refreshed lock is not stale
+    stop.set()
+    t.join()
+    a.release()
+
+
+def test_metadata_roundtrip(storage):
+    meta = IndexMetadata(
+        name="m1",
+        format="parquet",
+        schema_json=json.dumps(
+            {"type": "struct", "fields": [
+                {"name": "a", "type": "long", "nullable": True, "metadata": {}}]}
+        ),
+        indexes=[
+            IndexConfig("regular", "a"),
+            IndexConfig("bloom", "b", fpr=0.05),
+            IndexConfig("temporal", "c", timestamp_column="meta.updatedAt"),
+        ],
+        read_options={"header": "true"},
+    )
+    path = f"{storage}/meta/metadata.json"
+    save_metadata(path, meta)
+    back = load_metadata(path, "m1")
+    assert back.format == "parquet"
+    assert [c.to_dict() for c in back.indexes] == [c.to_dict() for c in meta.indexes]
+    assert back.read_options == {"header": "true"}
+    assert back.config_for("b").fpr == 0.05
+    assert back.config_for("b").stored_column == "bloom_b"
+
+
+def test_index_name_validation():
+    validate_index_name("good_name-1.x")
+    for bad in ["../etc", "a/b", "", ".hidden", "a" * 300]:
+        with pytest.raises(InvalidIndexNameError):
+            validate_index_name(bad)
+    with pytest.raises(InvalidIndexNameError):
+        IndexPaths("/tmp/s", "../oops")
