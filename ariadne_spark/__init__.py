@@ -8,6 +8,7 @@ SURVEY.md), plus large-scale training-data pipeline operators
 from . import catalog
 from .context import AriadneConf
 from .index import Index
+from .sql.surface import register_views, sql
 
-__all__ = ["Index", "AriadneConf", "catalog"]
+__all__ = ["Index", "AriadneConf", "catalog", "sql", "register_views"]
 __version__ = "0.1.0"

@@ -85,6 +85,8 @@ class Index:
         self.filelist = FileList(spark, paths.filelist)
         self.table = ParquetTable(spark, paths.index, key_cols=("filename",))
         self._selection: list[str] | None = None
+        self._index_df_cache: DataFrame | None = None
+        self._index_df_cached = False
 
     @classmethod
     def for_name(
@@ -246,7 +248,17 @@ class Index:
 
     @property
     def index_df(self) -> DataFrame | None:
-        return self.table.read()
+        """Current main-index frame; the DataFrame object is reused
+        across locate/metrics/join steps of one operation so Spark
+        analyzes the lineage once (invalidated by any write)."""
+        if not self._index_df_cached:
+            self._index_df_cache = self.table.read()
+            self._index_df_cached = True
+        return self._index_df_cache
+
+    def _invalidate(self) -> None:
+        self._index_df_cache = None
+        self._index_df_cached = False
 
     def large_df(self, column: str) -> DataFrame | None:
         t = ParquetTable(
@@ -343,6 +355,7 @@ class Index:
                             key_cols=("filename",),
                         ).append(ldf)
                     self.table.append(main_rows)
+                    self._invalidate()
                 finally:
                     rows.unpersist()
                 self.meta.batches_since_compact += 1
@@ -455,7 +468,14 @@ class Index:
         df = self.read_files(files, extra_columns=list(values.keys()))
         if filter_rows:
             for col, vals in values.items():
-                df = df.where(F.col(col).isin(list(vals)))
+                vlist = [v for v in vals if v is not None]
+                if len(vlist) <= 64:
+                    df = df.where(F.col(col).isin(vlist))
+                else:
+                    # big literal IN-lists blow codegen; broadcast
+                    # semi-join keeps the filter JVM-side and compact
+                    vdf = self.spark.createDataFrame([(v,) for v in vlist], [col])
+                    df = df.join(F.broadcast(vdf), col, "left_semi")
         return df
 
     def join(
@@ -541,6 +561,7 @@ class Index:
         cond = F.col("filename").isin(names)
         if self.table.exists:
             self.table.delete_where(cond)
+        self._invalidate()
         for cfg in self.meta.indexes:
             t = ParquetTable(
                 self.spark, self.paths.large_index(cfg.column), key_cols=("filename",)
@@ -552,6 +573,7 @@ class Index:
 
     def _compact_tables(self) -> None:
         self.table.compact()
+        self._invalidate()
         for cfg in self.meta.indexes:
             t = ParquetTable(
                 self.spark, self.paths.large_index(cfg.column), key_cols=("filename",)

@@ -54,27 +54,39 @@ def log_prune_metrics(index_df: DataFrame | None, selected: list[str]) -> dict:
     """The reference's only quantified performance signal: the
     'loaded N of M files (X of Y bytes) — P% pruned' line
     (IndexJoinOperations.scala:176-185). Returns the numbers too so
-    callers/tests can assert on them."""
+    callers/tests can assert on them. One aggregation job: totals and
+    selected-subset sums are conditional aggregates over a single
+    pass of the index table (big literal isin lists are avoided via a
+    broadcast flag join when the selected set is large)."""
     if index_df is None:
         return {}
-    totals = index_df.agg(
-        F.count("*").alias("files"), F.sum("file_size").alias("bytes")
+    selected = list(selected or [])
+    if len(selected) <= 1000:
+        sel_pred = F.col("filename").isin(selected) if selected else F.lit(False)
+        df = index_df
+    else:
+        spark = index_df.sparkSession
+        flags = spark.createDataFrame([(f, 1) for f in selected], ["filename", "__sel"])
+        df = index_df.join(F.broadcast(flags), "filename", "left")
+        sel_pred = F.col("__sel").isNotNull()
+    row = df.agg(
+        F.count("*").alias("files"),
+        F.sum("file_size").alias("bytes"),
+        F.count(F.when(sel_pred, 1)).alias("sel_files"),
+        F.sum(F.when(sel_pred, F.col("file_size"))).alias("sel_bytes"),
     ).collect()[0]
-    sel = index_df.where(F.col("filename").isin(selected or [""])).agg(
-        F.count("*").alias("files"), F.sum("file_size").alias("bytes")
-    ).collect()[0]
-    total_b = totals["bytes"] or 0
-    sel_b = sel["bytes"] or 0
+    total_b = row["bytes"] or 0
+    sel_b = row["sel_bytes"] or 0
     pct = 100.0 * (1 - sel_b / total_b) if total_b else 0.0
     metrics = {
-        "total_files": totals["files"],
-        "selected_files": sel["files"],
+        "total_files": row["files"],
+        "selected_files": row["sel_files"],
         "total_bytes": total_b,
         "selected_bytes": sel_b,
         "pruned_pct": pct,
     }
     log.info(
         "loaded %d of %d files (%d of %d bytes) — %.1f%% data pruned",
-        sel["files"], totals["files"], sel_b, total_b, pct,
+        row["sel_files"], row["files"], sel_b, total_b, pct,
     )
     return metrics

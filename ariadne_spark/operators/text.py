@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM
+whole-stage codegen, no Python round-trips), so they run at scan
+speed over 100 TB of documents. Each operator also has an ANSI-SQL
+twin used as a DuckDB oracle by the correctness harness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small: language ID here is a deterministic,
+# cheap heuristic, not a model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "es": ["el", "los", "que", "las", "una"],
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens (split on runs of whitespace, trimmed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def word_tokens(col: str | Column) -> Column:
+    """BPE-ish word pieces: runs of letters/digits or single
+    punctuation — a cheap proxy for subword token counting."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[^\p{L}\p{N}]+", " ")
+    return F.split(F.trim(stripped), r"\s+")
+
+
+def char_ngrams(col: str | Column, n: int = 3) -> Column:
+    """All character n-grams (with duplicates, in order); empty array
+    for strings shorter than n (sequence() would run descending)."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (n - 1)),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality-scoring features per document: lengths,
+    word stats, punctuation/uppercase/digit ratios — the standard
+    cheap pre-filters of an LLM data pipeline."""
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_words = token_count(text_col)
+    punct = (n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).cast("bigint")
+    digits = (n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("bigint")
+    upper = (n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_words.alias("n_words"),
+        F.round(n_chars / F.greatest(n_words, F.lit(1)), 4).alias("avg_word_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
+        F.round(digits / F.greatest(n_chars, F.lit(1)), 4).alias("digit_ratio"),
+        F.round(upper / F.greatest(n_chars, F.lit(1)), 4).alias("upper_ratio"),
+    )
+
+
+def _marker_hits(text_col: str, words: list[str]) -> Column:
+    """Count of marker-word occurrences, counted on ' '-padded lowered
+    text so word boundaries need no regex (expressible identically in
+    DuckDB for the oracle)."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        needle = f" {w} "
+        occ = (F.length(padded) - F.length(F.regexp_replace(padded, needle, ""))) / len(needle)
+        total = total + occ
+    return total.cast("bigint")
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language heuristic: the language whose marker
+    words occur most; ties and zero-evidence fall back to 'und'
+    (undetermined). Deterministic tie-break by language code order."""
+    hits = {lang: _marker_hits(text_col, words) for lang, words in LANG_MARKERS.items()}
+    best_lang = F.lit("und")
+    best_hits = F.lit(0).cast("bigint")
+    for lang in sorted(LANG_MARKERS):  # later code wins only on strictly more hits
+        h = hits[lang]
+        take = h > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, h).otherwise(best_hits)
+    cols = [F.col(id_col), best_lang.alias("lang_guess"), best_hits.alias("marker_hits")]
+    return df.select(*cols)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowered
+    text — a deterministic content identity for exact-dedup joins."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).cast("bigint").alias("norm_len"),
+    )

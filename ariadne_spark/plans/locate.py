@@ -146,24 +146,28 @@ def _bloom_candidates(
 def _range_candidates(
     index_df: DataFrame, stored_col: str, values_df: DataFrame
 ) -> DataFrame:
-    """Interval containment per value; beyond RANGE_BBOX_THRESHOLD
-    distinct values degrade to one bounding box (false positives OK —
-    pruning must only be conservative)."""
+    """Interval containment per value. Up to RANGE_BBOX_THRESHOLD
+    distinct values: an exact broadcast theta semi-join of the file
+    intervals against the value set (NOT an OR-fold of literal
+    predicates — thousands of nested Column nodes overflow the
+    Catalyst stack and blow codegen past 64 KB). Beyond the
+    threshold: degrade to one min/max bounding box (false positives
+    OK — pruning must only be conservative)."""
     lo = F.col(stored_col).getField("min")
     hi = F.col(stored_col).getField("max")
-    vals = _collect_values(values_df, RANGE_COLLECT_CAP)
-    if vals is not None and len(vals) <= RANGE_BBOX_THRESHOLD:
+    vals = _collect_values(values_df, RANGE_BBOX_THRESHOLD)
+    if vals is not None:
         if not vals:
             return index_df.select("filename").limit(0)
-        pred = reduce(
-            lambda a, b: a | b,
-            [(lo <= F.lit(v)) & (hi >= F.lit(v)) for v in vals],
-        )
-    else:
-        bounds = values_df.agg(
-            F.min(_VAL).alias("lo"), F.max(_VAL).alias("hi")
-        ).collect()[0]
-        pred = (hi >= F.lit(bounds["lo"])) & (lo <= F.lit(bounds["hi"]))
+        return index_df.join(
+            F.broadcast(values_df),
+            (lo <= F.col(_VAL)) & (hi >= F.col(_VAL)),
+            "left_semi",
+        ).select("filename")
+    bounds = values_df.agg(
+        F.min(_VAL).alias("lo"), F.max(_VAL).alias("hi")
+    ).collect()[0]
+    pred = (hi >= F.lit(bounds["lo"])) & (lo <= F.lit(bounds["hi"]))
     return index_df.where(pred).select("filename")
 
 

@@ -1,0 +1,268 @@
+"""SQL surface: every index as a queryable view + transparent
+file-pruning rewrite for SELECTs and equi-JOINs.
+
+The reference exposes indexes through a DataSourceV2 catalog with a
+custom Catalyst optimizer rule that rewrites INNER equi-joins to
+pre-pruned reads and pushes EqualTo/In filters down to file-grain
+pruning (reference:
+src/main/scala/dev/cjfravel/ariadne/catalog/AriadneCatalog.scala:45,
+catalog/AriadneJoinRule.scala:65-250, catalog/AriadneScan.scala:50-60).
+Python cannot inject Catalyst rules, so this module reproduces the
+rule's *semantics* at the API boundary (SURVEY §7.1 strategy):
+
+* ``register_views`` — each index becomes a temp view over the lazy
+  full-file read (with temporal dedup, which the reference applies to
+  ALL catalog reads — AriadneScan.scala:279-283).
+* ``sql(query)`` — parses the query with Spark's own SQL parser
+  (through py4j, no third-party parser), walks the unresolved plan
+  for (a) WHERE conjuncts ``col = lit`` / ``col IN (lits)`` on
+  indexed columns of an index view and (b) equi-join conditions
+  between an index view and another subtree. Matching index views
+  are temporarily replaced with file-pruned reads (the join's other
+  side is executed to collect join-key values — the same
+  execute-during-optimization cost the reference accepts,
+  AriadneJoinRule.scala:43-45), the query runs, and the full views
+  are restored. Any parse/extraction surprise falls back to running
+  the unmodified query — exactly the reference rule's fallback.
+
+Correctness note: pruning is file-grain and conservative; the
+unmodified query text re-applies all row-level predicates on top of
+the pruned scan (reference P8 returns ALL filters to Spark).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import catalog as _catalog
+from ..index import Index
+
+log = logging.getLogger("ariadne")
+
+
+# ------------------------------------------------------------ plan helpers
+
+def _cls(node) -> str:
+    return node.getClass().getSimpleName()
+
+
+def _children(node):
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _walk(node):
+    yield node
+    for c in _children(node):
+        yield from _walk(c)
+
+
+def _seq_to_list(seq):
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _relation_name(node) -> str | None:
+    if _cls(node) != "UnresolvedRelation":
+        return None
+    parts = _seq_to_list(node.multipartIdentifier())
+    return ".".join(str(p) for p in parts)
+
+
+def _split_conjuncts(expr):
+    if _cls(expr) == "And":
+        yield from _split_conjuncts(expr.left())
+        yield from _split_conjuncts(expr.right())
+    else:
+        yield expr
+
+
+def _attr_name(expr) -> str | None:
+    """Last name part of an UnresolvedAttribute (strips table alias)."""
+    if _cls(expr) != "UnresolvedAttribute":
+        return None
+    parts = _seq_to_list(expr.nameParts())
+    return str(parts[-1]) if parts else None
+
+
+def _literal_value(expr):
+    if _cls(expr) != "Literal":
+        return None
+    # Literal.toString gives Spark SQL literal text; use value() + sql
+    v = expr.value()
+    if v is None:
+        return None
+    cname = v.getClass().getSimpleName() if hasattr(v, "getClass") else type(v).__name__
+    if cname == "UTF8String":
+        return str(v.toString())
+    return v
+
+
+def _equality_filters(cond, indexed: set[str]) -> dict[str, list]:
+    """{col: [values]} from EqualTo/In conjuncts on indexed columns."""
+    out: dict[str, list] = {}
+    for c in _split_conjuncts(cond):
+        k = _cls(c)
+        if k == "EqualTo":
+            for a, b in ((c.left(), c.right()), (c.right(), c.left())):
+                name = _attr_name(a)
+                if name in indexed:
+                    v = _literal_value(b)
+                    if v is not None:
+                        out.setdefault(name, []).append(v)
+        elif k == "In":
+            name = _attr_name(c.value())
+            if name in indexed:
+                vals = [_literal_value(e) for e in _seq_to_list(c.list())]
+                if all(v is not None for v in vals):
+                    out.setdefault(name, []).extend(vals)
+    return out
+
+
+def _join_equi_cols(cond, indexed: set[str]) -> list[tuple[str, str]]:
+    """(index_col, other_col) pairs from equi conjuncts; index side
+    recognized by membership in ``indexed``."""
+    pairs = []
+    for c in _split_conjuncts(cond):
+        if _cls(c) != "EqualTo":
+            continue
+        ln, rn = _attr_name(c.left()), _attr_name(c.right())
+        if ln in indexed and rn is not None:
+            pairs.append((ln, rn))
+        elif rn in indexed and ln is not None:
+            pairs.append((rn, ln))
+    return pairs
+
+
+# ------------------------------------------------------------ public api
+
+def register_views(
+    spark: SparkSession, names: list[str] | None = None
+) -> list[str]:
+    """Create one temp view per index over its (lazy) full read."""
+    names = names if names is not None else _catalog.list_indexes(spark)
+    for name in names:
+        idx = Index.for_name(name, spark=spark)
+        idx.read_all().createOrReplaceTempView(name)
+    return list(names)
+
+
+class _ViewSwap:
+    """Temporarily replace index views with pruned reads."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.swapped: list[str] = []
+
+    def swap(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+        self.swapped.append(name)
+
+    def restore(self) -> None:
+        for name in self.swapped:
+            idx = Index.for_name(name, spark=self.spark)
+            idx.read_all().createOrReplaceTempView(name)
+        self.swapped = []
+
+
+def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
+    """Run ``query`` with transparent index-based file pruning; falls
+    back to the unmodified query on any extraction surprise."""
+    from .. import context
+
+    spark = spark or context.get_spark()
+    index_names = set(register_views(spark))
+    swap = _ViewSwap(spark)
+    try:
+        try:
+            _plan_and_swap(spark, query, index_names, swap)
+        except Exception as e:  # fallback = run unmodified (rule parity)
+            log.info("ariadne.sql: no rewrite (%s: %s)", type(e).__name__, e)
+        return spark.sql(query)
+    finally:
+        swap.restore()
+
+
+def _plan_and_swap(
+    spark: SparkSession, query: str, index_names: set[str], swap: _ViewSwap
+) -> None:
+    jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
+
+    metas = {n: Index.for_name(n, spark=spark) for n in index_names}
+    indexed_cols = {
+        n: {c.column for c in idx.meta.indexes} for n, idx in metas.items()
+    }
+
+    # (a) WHERE pushdown: Filter over a subtree containing exactly one
+    # index relation -> prune that index's files by the literal filters
+    pruned_values: dict[str, dict[str, list]] = {}
+    for node in _walk(jplan):
+        if _cls(node) != "Filter":
+            continue
+        rels = [
+            r
+            for c in _children(node)
+            for r in (_relation_name(x) for x in _walk(c))
+            if r in index_names
+        ]
+        if len(rels) != 1:
+            continue
+        name = rels[0]
+        flt = _equality_filters(node.condition(), indexed_cols[name])
+        if flt:
+            cur = pruned_values.setdefault(name, {})
+            for col, vals in flt.items():
+                cur.setdefault(col, []).extend(vals)
+
+    # (b) join rewrite: Join(cond has indexcol = othercol) where exactly
+    # one side holds exactly one index relation -> execute the OTHER
+    # side, collect its join-key values as the pruning query
+    for node in _walk(jplan):
+        if _cls(node) != "Join" or node.condition().isEmpty():
+            continue
+        # INNER only — pruning an outer join's preserved side would drop
+        # rows (the reference rule has the same constraint,
+        # AriadneJoinRule.scala:134-155)
+        if str(node.joinType().sql()).upper() != "INNER":
+            continue
+        cond = node.condition().get()
+        left, right = _children(node)[0], _children(node)[1]
+        l_rels = [r for r in (_relation_name(x) for x in _walk(left)) if r in index_names]
+        r_rels = [r for r in (_relation_name(x) for x in _walk(right)) if r in index_names]
+        for idx_side, other_side, rels, other_rels in (
+            (left, right, l_rels, r_rels),
+            (right, left, r_rels, l_rels),
+        ):
+            if len(rels) != 1 or other_rels:
+                continue
+            name = rels[0]
+            pairs = _join_equi_cols(cond, indexed_cols[name])
+            if not pairs:
+                continue
+            jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                spark._jsparkSession, other_side
+            )
+            other_df = DataFrame(jdf, spark)
+            idx = metas[name]
+            for icol, ocol in pairs:
+                if ocol not in other_df.columns:
+                    continue
+                vals = [
+                    r[0]
+                    for r in other_df.select(ocol).distinct().limit(100_001).collect()
+                ]
+                if len(vals) > 100_000:
+                    continue  # too many keys to treat as a value probe
+                cur = pruned_values.setdefault(name, {})
+                cur.setdefault(icol, []).extend(vals)
+
+    for name, filters in pruned_values.items():
+        idx = metas[name]
+        files = idx.locate_files(filters)
+        pruned = idx.read_files(files)
+        swap.swap(name, pruned)
+        log.info(
+            "ariadne.sql: pruned view %s to %d files via %s",
+            name, len(files), sorted(filters),
+        )

@@ -1,0 +1,142 @@
+"""Structured Streaming integration.
+
+The reference is batch-only (``BATCH_READ`` is its sole table
+capability — reference: catalog/AriadneTable.scala:64-68; SURVEY §2.9
+marks streaming as an optional extension). This module supplies the
+streaming surface a lake-index engine needs in production:
+
+* ``attach_index_maintenance`` — keep an index up to date from a
+  streaming source via ``foreachBatch``: each micro-batch's new files
+  are registered and indexed (the pattern SURVEY §2.9 prescribes:
+  ``index.add_files(...); index.update()``).
+* ``index_file_sink`` — same, driven by a stream of file paths.
+* ``streaming_latest_version`` — the temporal index's latest-version
+  semantics as a stateful streaming operator
+  (``applyInPandasWithState``): emits, per key, the row with the
+  greatest timestamp seen so far.
+* ``streaming_exact_dedup`` — watermarked ``dropDuplicates`` for
+  exactly-once-ish event dedup with bounded state.
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+log = logging.getLogger("ariadne")
+
+
+def attach_index_maintenance(
+    stream_df: DataFrame,
+    index_name: str,
+    path_glob: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+):
+    """Start a query that, per micro-batch, registers any new files
+    matching ``path_glob`` with the index and updates it. The stream
+    itself is only the clock; file discovery is glob-based so the
+    index converges even if batches are empty."""
+    from ..index import Index
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        idx = Index.for_name(index_name, spark=batch_df.sparkSession)
+        files = sorted(glob.glob(path_glob))
+        if files:
+            idx.add_files(files)
+        idx.update()
+        log.info("index %s maintained at batch %d (%d files)", index_name, batch_id, len(files))
+
+    writer = stream_df.writeStream.foreachBatch(do_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def index_file_sink(
+    paths_stream: DataFrame,
+    index_name: str,
+    checkpoint: str,
+    path_col: str = "path",
+    trigger: dict | None = None,
+):
+    """Maintain an index from a stream whose rows carry file paths."""
+    from ..index import Index
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        paths = [r[0] for r in batch_df.select(path_col).distinct().collect()]
+        if not paths:
+            return
+        idx = Index.for_name(index_name, spark=batch_df.sparkSession)
+        idx.add_files(paths).update()
+        log.info("index %s: batch %d added %d files", index_name, batch_id, len(paths))
+
+    writer = paths_stream.writeStream.foreachBatch(do_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def streaming_latest_version(
+    stream_df: DataFrame,
+    key_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Stateful latest-version-per-key: for every input batch, emit
+    the current winner row (greatest ``ts_col``; first-seen wins
+    ties) for each updated key. State per key is one row — bounded by
+    key cardinality, not stream length. Output mode: update."""
+    fields = stream_df.schema.fields
+    out_schema = T.StructType(fields)
+    state_schema = T.StructType(fields)
+    names = [f.name for f in fields]
+    ts_i = names.index(ts_col)
+
+    def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        best = None
+        if state.exists:
+            best = list(state.get)
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                row = list(row)
+                if best is None or (
+                    row[ts_i] is not None
+                    and (best[ts_i] is None or row[ts_i] > best[ts_i])
+                ):
+                    best = row
+        if best is not None:
+            state.update(tuple(best))
+            yield pd.DataFrame([best], columns=names)
+
+    return stream_df.groupBy(F.col(key_col)).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    event_time_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked exact dedup: duplicates within the watermark window
+    are dropped; state is bounded by the watermark horizon."""
+    return stream_df.withWatermark(event_time_col, watermark).dropDuplicates(
+        keys + [event_time_col]
+    )

@@ -1,0 +1,94 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "build_sec": ...}
+
+Index/materialization build time is reported separately
+(``build_sec``) — it's the amortized cost the index pays once, while
+``queries`` measure the steady-state query path. Each query is forced
+with ``df.count()`` (full execution, no driver-side row transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BENCH_QUERIES = [
+    "idx_join_regular",
+    "idx_join_bloom",
+    "idx_join_temporal",
+    "idx_filter_range",
+    "idx_multi_and",
+    "idx_exploded_token",
+    "dedup_exact",
+    "dedup_ngramset",
+    "dedup_minhash",
+    "dedup_simhash",
+    "text_quality",
+    "text_lang_id",
+    "sim_topk",
+    "sim_ann_lsh",
+    "multimodal_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", "16g")
+        .appName("ariadne-bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    t0 = time.time()
+    entry._prepare(spark, sf_dir)
+    build_sec = round(time.time() - t0, 3)
+
+    qs = entry.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_num,
+                "build_sec": build_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

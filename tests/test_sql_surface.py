@@ -1,0 +1,84 @@
+"""SQL surface equivalence tests (reference category:
+AriadneCatalogTests — SQL results must match the programmatic API,
+fallback correctness for non-equi / outer / partially-indexed)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark import Index
+from ariadne_spark.sql import surface
+
+from .conftest import assert_same_rows
+
+
+@pytest.fixture()
+def orders_view(spark, storage, orders_files):
+    df, files = orders_files
+    idx = Index.for_name("orders_sql", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey").add_range_index("o_orderkey")
+    idx.add_files(files).update()
+    surface.register_views(spark, ["orders_sql"])
+    return df
+
+
+def test_sql_select_matches_plain(spark, orders_view):
+    df = orders_view
+    res = surface.sql(
+        "SELECT o_orderkey, o_custkey FROM orders_sql WHERE o_custkey IN (5, 6, 7)",
+        spark,
+    )
+    assert_same_rows(
+        res, df.where(F.col("o_custkey").isin([5, 6, 7])).select("o_orderkey", "o_custkey")
+    )
+
+
+def test_sql_join_rewrite_matches(spark, orders_view):
+    df = orders_view
+    keys = df.select("o_custkey").distinct().limit(10)
+    keys.createOrReplaceTempView("some_keys")
+    res = surface.sql(
+        "SELECT o.o_orderkey, o.o_custkey FROM orders_sql o "
+        "JOIN some_keys k ON o.o_custkey = k.o_custkey",
+        spark,
+    )
+    expected = df.join(keys, "o_custkey").select("o_orderkey", "o_custkey")
+    assert_same_rows(res, expected)
+
+
+def test_sql_left_join_not_pruned(spark, orders_view):
+    df = orders_view
+    spark.createDataFrame([(1,), (99999,)], ["k"]).createOrReplaceTempView("lk")
+    res = surface.sql(
+        "SELECT lk.k, o.o_orderkey FROM lk LEFT JOIN orders_sql o ON o.o_custkey = lk.k",
+        spark,
+    )
+    expected = (
+        spark.table("lk")
+        .join(df, F.col("k") == F.col("o_custkey"), "left")
+        .select("k", "o_orderkey")
+    )
+    assert_same_rows(res, expected)
+
+
+def test_sql_fallback_non_equi(spark, orders_view):
+    df = orders_view
+    res = surface.sql(
+        "SELECT count(*) AS n FROM orders_sql WHERE o_totalprice > 1000 OR o_custkey = 3",
+        spark,
+    )
+    exp = df.where((F.col("o_totalprice") > 1000) | (F.col("o_custkey") == 3)).count()
+    assert res.collect()[0]["n"] == exp
+
+
+def test_sql_temporal_view_applies_dedup(spark, storage, events_files):
+    """SELECT * on a temporal index applies latest-version dedup even
+    without WHERE (reference: AriadneCatalogTests)."""
+    df, files = events_files
+    idx = Index.for_name("events_sql", schema=df.schema, format="parquet", spark=spark)
+    idx.add_temporal_index("user_id", "ts").add_files(files).update()
+    surface.register_views(spark, ["events_sql"])
+    res = surface.sql("SELECT user_id, ts FROM events_sql", spark)
+    per_user = res.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_user == 1  # one (latest) row per user
