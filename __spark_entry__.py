@@ -366,6 +366,61 @@ def q_multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General SQL delegation through the engine's SQL surface
+    (decimal casts keep double-sum results engine-exact)."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "lineitem")).createOrReplaceTempView("lineitem_v")
+    return ariadne_spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS count_order,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS sum_disc_price
+        FROM lineitem_v WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        spark,
+    )
+
+
+def q_sql_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-flavored join THROUGH the SQL surface: the orders
+    side is an index view, so the equi-join against filtered
+    customers is rewritten to a file-pruned read."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("customer_v")
+    return ariadne_spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_d
+        FROM orders o
+        JOIN customer_v c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'MACHINERY' AND o.o_orderstatus = 'F'
+        """,
+        spark,
+    )
+
+
+def q_idx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 stats() diagnostics (engine-internal shape: rows-only)."""
+    idx = _index(spark, sf_dir, "orders")
+    return idx.stats()
+
+
+def q_idx_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-location planner output as data (rows-only: filenames are
+    environment paths)."""
+    idx = _index(spark, sf_dir, "orders")
+    files = idx.locate_files({"o_custkey": CUST_KEYS})
+    return spark.createDataFrame([(f,) for f in sorted(files)] or [("",)], ["filename"])
+
+
 # ------------------------------------------------------------------ contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -397,6 +452,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
+        "sql_tpch_q1": q_sql_tpch_q1,
+        "sql_join_pruned": q_sql_join_pruned,
+        "idx_stats": q_idx_stats,
+        "idx_locate": q_idx_locate,
     }
 
 
@@ -545,5 +604,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS content_hash,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "sql_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS count_order,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS sum_disc_price
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "sql_join_pruned": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_d
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'MACHINERY' AND o.o_orderstatus = 'F'
         """,
     }

@@ -1,0 +1,79 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels:
+bloom filters, batch packing, name validation. These run without a
+SparkSession, so they're fast enough for wide input sweeps."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ariadne_spark.functions import bloom as bloomfn
+from ariadne_spark.plans.batching import FileAnalysis, create_batches
+from ariadne_spark.storage.paths import validate_index_name
+from ariadne_spark.exceptions import InvalidIndexNameError
+
+values_strategy = st.lists(
+    st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(max_size=40),
+        st.floats(allow_nan=False, allow_infinity=False),
+    ),
+    max_size=300,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(values_strategy)
+def test_bloom_never_false_negative(vals):
+    blob = bloomfn.build(vals, fpr=0.01)
+    assert all(bloomfn.might_contain(blob, v) for v in vals)
+
+
+@settings(max_examples=100, deadline=None)
+@given(values_strategy, values_strategy)
+def test_bloom_probe_any_consistency(vals, probes):
+    """might_contain_any(hash_values(P)) is True iff some p∈P probes
+    positive individually — the batched probe is exactly the OR."""
+    blob = bloomfn.build(vals, fpr=0.01)
+    pairs = bloomfn.hash_values(probes)
+    batched = bloomfn.might_contain_any(blob, pairs)
+    single = any(bloomfn.might_contain(blob, p) for p in probes if p is not None)
+    assert batched == single
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=10**7)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(min_value=10, max_value=10**6),
+)
+def test_packing_invariants(sizes, budget):
+    analyses = [FileAnalysis(f"f{i}", s[0]) for i, s in enumerate(sizes)]
+    batches = create_batches(analyses, budget)
+    placed = sorted(f for b in batches for f in b)
+    assert placed == sorted(a.filename for a in analyses)  # exactly once
+    counts = {a.filename: a.max_distinct for a in analyses}
+    for b in batches:
+        assert b, "no empty batches"
+        if len(b) > 1:
+            assert sum(counts[f] for f in b) <= budget
+        else:
+            pass  # singleton batches may exceed budget (oversize isolation)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=64))
+def test_name_validation_never_escapes(name):
+    """Any accepted name stays inside the indexes/ directory."""
+    import os
+
+    try:
+        validate_index_name(name)
+    except InvalidIndexNameError:
+        return
+    path = os.path.normpath(os.path.join("/store/indexes", name))
+    assert path.startswith("/store/indexes/")
+    assert "/" not in name and "\\" not in name
