@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "sim_topk",
     "sim_ann_lsh",
     "multimodal_fingerprint",
+    "sql_tpch_q1",
+    "sql_join_pruned",
 ]
 
 

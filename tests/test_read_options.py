@@ -1,0 +1,80 @@
+"""Persisted read options + format behaviors (reference category:
+IndexFileOperationsTests — formats, read options)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark import Index
+from ariadne_spark.exceptions import (
+    FormatMismatchError,
+    MissingFormatError,
+    SchemaNotProvidedError,
+    UnsupportedFormatError,
+)
+
+from .conftest import WORK, assert_same_rows
+
+
+@pytest.fixture(scope="module")
+def piped_csv(spark):
+    """Nation as pipe-delimited headerless csv, two files."""
+    out = f"{WORK}/nation_piped"
+    df = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    if not os.path.isdir(out):
+        for i in range(2):
+            (
+                df.where((F.col("n_nationkey") % 2) == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .option("header", "false")
+                .option("delimiter", "|")
+                .csv(f"{out}/part{i}")
+            )
+    return df, sorted(glob.glob(f"{out}/part*/*.csv"))
+
+
+def test_csv_delimiter_options_persisted(spark, storage, piped_csv):
+    df, files = piped_csv
+    idx = Index.for_name(
+        "nation_piped",
+        schema=df.schema,
+        format="csv",
+        read_options={"header": "false", "delimiter": "|"},
+        spark=spark,
+    )
+    idx.add_index("n_regionkey").add_files(files).update()
+    # reconnect WITHOUT options: they must come from metadata
+    idx2 = Index.for_name("nation_piped", spark=spark)
+    assert idx2.meta.read_options == {"header": "false", "delimiter": "|"}
+    res = idx2.read_matching({"n_regionkey": [1]})
+    assert_same_rows(res, df.where(F.col("n_regionkey") == 1))
+
+
+def test_read_options_merge_new_wins(spark, storage, piped_csv):
+    df, files = piped_csv
+    Index.for_name(
+        "nation_opts", schema=df.schema, format="csv",
+        read_options={"header": "false", "delimiter": "|"}, spark=spark,
+    )
+    idx = Index.for_name(
+        "nation_opts", read_options={"delimiter": ","}, spark=spark
+    )
+    assert idx.meta.read_options == {"header": "false", "delimiter": ","}
+
+
+def test_format_rules(spark, storage, piped_csv):
+    df, _ = piped_csv
+    with pytest.raises(SchemaNotProvidedError):
+        Index.for_name("brand_new", spark=spark)
+    with pytest.raises(MissingFormatError):
+        Index.for_name("brand_new", schema=df.schema, spark=spark)
+    with pytest.raises(UnsupportedFormatError):
+        Index.for_name("brand_new", schema=df.schema, format="avro", spark=spark)
+    Index.for_name("fmt_fixed", schema=df.schema, format="csv", spark=spark)
+    with pytest.raises(FormatMismatchError):
+        Index.for_name("fmt_fixed", format="parquet", spark=spark)
