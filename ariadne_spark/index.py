@@ -337,6 +337,9 @@ class Index:
                 for c in self.meta.indexes
                 if c.type in (REGULAR, COMPUTED, EXPLODED)
             ]
+            temporal_cols = [
+                c.column for c in self.meta.indexes if c.type == TEMPORAL
+            ]
             for i, batch in enumerate(batches):
                 rows = build_index_rows(self.spark, self.meta, batch)
                 rows = rows.cache()
@@ -347,6 +350,7 @@ class Index:
                         array_cols,
                         conf.large_index_limit,
                         conf.auto_bloom_fpr,
+                        temporal_cols=temporal_cols,
                     )
                     for col, ldf in large.items():
                         ParquetTable(
@@ -397,6 +401,7 @@ class Index:
             self._large_tables(list(query.keys()) if isinstance(query, dict) else list(columns or [])),
             query,
             columns,
+            repartition=self.conf.index_repartition_count,
         )
         return sorted(files)
 
@@ -447,6 +452,14 @@ class Index:
             selection=selection,
             explode_rows=True,
         )
+        conf = self.conf
+        if conf.repartition_data_files and files:
+            # spread a skewed pruned read (few large files) across the
+            # cluster before downstream joins/windows
+            df = df.repartition(
+                conf.index_repartition_count
+                or self.spark.sparkContext.defaultParallelism
+            )
         df = apply_temporal_dedup(df, self._applicable_temporal(set(df.columns)))
         if ts_roots:
             df = df.drop(*ts_roots)
@@ -503,6 +516,7 @@ class Index:
             self._large_tables(cols),
             values_df,
             cols,
+            repartition=self.conf.index_repartition_count,
         )
         self._last_metrics = log_prune_metrics(self.index_df, files)
         data = self.read_files(sorted(files), extra_columns=cols)

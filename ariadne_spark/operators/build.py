@@ -163,6 +163,7 @@ def split_large_indexes(
     array_cols: list[str],
     limit: int,
     auto_bloom_fpr: float,
+    temporal_cols: list[str] | None = None,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Large-index separation + auto-bloom
     (reference: IndexBuildOperations.scala:1022-1074, 1131-1189).
@@ -170,15 +171,19 @@ def split_large_indexes(
     For any distinct-array column whose per-file cardinality reaches
     ``limit``: spill the values to an exploded ``(filename, value)``
     side table, keep a compact ``auto_bloom_{col}`` binary in the main
-    row, and null the in-row array. Returns the rewritten main frame
-    and the per-column spill frames. ``indexed`` should be cached by
-    the caller (double pass)."""
-    if not array_cols:
+    row, and null the in-row array. Temporal struct arrays spill to
+    ``(filename, value, max_ts)`` rows (no auto-bloom — the reference
+    auto-blooms only value-array types). Returns the rewritten main
+    frame and the per-column spill frames. ``indexed`` should be
+    cached by the caller (double pass)."""
+    temporal_cols = temporal_cols or []
+    all_cols = list(array_cols) + list(temporal_cols)
+    if not all_cols:
         return indexed, {}
     maxes = indexed.agg(
-        *[F.max(F.size(F.col(c))).alias(c) for c in array_cols]
+        *[F.max(F.size(F.col(c))).alias(c) for c in all_cols]
     ).collect()[0]
-    over = [c for c in array_cols if (maxes[c] or 0) >= limit]
+    over = [c for c in all_cols if (maxes[c] or 0) >= limit]
     if not over:
         return indexed, {}
     large: dict[str, DataFrame] = {}
@@ -186,11 +191,23 @@ def split_large_indexes(
     bloom_udf = _bloom_udf(auto_bloom_fpr)
     for c in over:
         big = F.size(F.col(c)) >= limit
-        large[c] = (
-            out.where(big)
-            .select("filename", F.explode(F.col(c)).alias("value"))
-        )
-        out = out.withColumn(
-            f"auto_bloom_{c}", F.when(big, bloom_udf(F.col(c)))
-        ).withColumn(c, F.when(~big, F.col(c)))
+        if c in temporal_cols:
+            large[c] = (
+                out.where(big)
+                .select("filename", F.explode(F.col(c)).alias("__s"))
+                .select(
+                    "filename",
+                    F.col("__s").getField("value").alias("value"),
+                    F.col("__s").getField("max_ts").alias("max_ts"),
+                )
+            )
+            out = out.withColumn(c, F.when(~big, F.col(c)))
+        else:
+            large[c] = (
+                out.where(big)
+                .select("filename", F.explode(F.col(c)).alias("value"))
+            )
+            out = out.withColumn(
+                f"auto_bloom_{c}", F.when(big, bloom_udf(F.col(c)))
+            ).withColumn(c, F.when(~big, F.col(c)))
     return out, large

@@ -213,15 +213,21 @@ def locate_files(
     large_tables: dict[str, DataFrame | None],
     query: "DataFrame | dict",
     columns: list[str] | None = None,
+    repartition: int | None = None,
 ) -> tuple[list[str], LocateStats]:
     """Candidate files for ``query``.
 
     ``query`` is either a DataFrame whose ``columns`` are join keys, or
     a dict {column: [values]}. All queried columns must be indexed;
-    their candidate sets are AND-intersected."""
+    their candidate sets are AND-intersected. ``repartition`` (the
+    indexRepartitionCount conf) optionally spreads the index frame
+    before the explode — useful when few files hold huge value arrays
+    and the default partitioning leaves executors idle."""
     stats = LocateStats()
     if index_df is None:
         return [], stats
+    if repartition:
+        index_df = index_df.repartition(repartition)
     if isinstance(query, dict):
         cols = list(query.keys())
     else:

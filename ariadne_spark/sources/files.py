@@ -31,11 +31,19 @@ FILENAME_COL = "_ariadne_filename"
 
 
 def normalize_path(path: str) -> str:
-    """Canonical filename key: scheme-less absolute path."""
+    """Canonical filename key: scheme-less, URI-decoded absolute path.
+
+    ``input_file_name()`` returns URI-encoded paths (spaces become
+    %20), so both registration and tagging normalize through the same
+    decoder or files with special characters would never match."""
     if path.startswith("file://"):
         path = path[len("file://"):]
     elif path.startswith("file:"):
         path = path[len("file:"):]
+    if "%" in path:
+        from urllib.parse import unquote
+
+        path = unquote(path)
     return path
 
 
@@ -60,8 +68,12 @@ def with_filename(df: DataFrame, files: list[str]) -> DataFrame:
     driver-local single-file plans; fall back to the lone path."""
     if not files:
         return df.withColumn(FILENAME_COL, F.lit(None).cast("string"))
+    # input_file_name() URI-encodes (space→%20, %→%25; literal '+'
+    # stays '+'). Pre-escape '+' so url_decode (which maps '+'→' ')
+    # round-trips exactly, then strip the scheme — values must match
+    # registered normalize_path() names byte-for-byte.
     expr = F.input_file_name()
-    # strip uri scheme so values match registered (normalized) paths
+    expr = F.url_decode(F.regexp_replace(expr, r"\+", "%2B"))
     expr = F.regexp_replace(expr, "^file:/*", "/")
     if len(files) == 1:
         expr = F.when(F.length(expr) == 0, F.lit(normalize_path(files[0]))).otherwise(expr)

@@ -65,6 +65,14 @@ def main() -> None:
     build_sec = round(time.time() - t0, 3)
 
     qs = entry.queries()
+    # Warmup pass: first execution pays JVM codegen compilation and
+    # Python-worker spin-up (~1-6 s per distinct plan shape) that a
+    # long-lived cluster session never sees again; the metric reports
+    # the steady-state query path. Disable with SPARK_GRAFT_WARMUP=0.
+    if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+        for name in BENCH_QUERIES:
+            qs[name](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]

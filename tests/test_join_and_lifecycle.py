@@ -167,3 +167,33 @@ def test_catalog_and_stats(spark, storage, orders_files):
     assert st["o_custkey"]["max_values"] >= st["o_custkey"]["min_values"]
     catalog.remove("o_cat", spark)
     assert "o_cat" not in catalog.list_indexes(spark)
+
+
+def test_temporal_large_index_spill(spark, storage, events_files):
+    """Temporal struct arrays spill to (filename, value, max_ts) rows
+    when per-file cardinality crosses the limit; latest-version joins
+    still answer exactly from the spilled form."""
+    from pyspark.sql import Window
+
+    df, files = events_files
+    spark.conf.set("spark.ariadne.largeIndexLimit", "5")
+    try:
+        idx = Index.for_name("ev_large", schema=df.schema, format="parquet", spark=spark)
+        idx.add_temporal_index("user_id", "ts").add_files(files).update()
+        main = idx.index_df
+        assert main.where(F.col("user_id").isNotNull()).count() == 0  # all spilled
+        large = idx.large_df("user_id")
+        assert set(large.columns) == {"filename", "value", "max_ts"}
+        assert large.count() > 0
+        users = spark.createDataFrame([(i,) for i in range(0, 8)], ["user_id"])
+        res = idx.join(users, on=["user_id"])
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc_nulls_last())
+        expected = (
+            df.join(users, ["user_id"])
+            .withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .drop("rn")
+        )
+        assert_same_rows(res, expected)
+    finally:
+        spark.conf.unset("spark.ariadne.largeIndexLimit")

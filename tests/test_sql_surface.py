@@ -82,3 +82,23 @@ def test_sql_temporal_view_applies_dedup(spark, storage, events_files):
     res = surface.sql("SELECT user_id, ts FROM events_sql", spark)
     per_user = res.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
     assert per_user == 1  # one (latest) row per user
+
+
+def test_sql_cte_and_aggregation(spark, orders_view):
+    df = orders_view
+    r = surface.sql(
+        "WITH x AS (SELECT * FROM orders_sql WHERE o_custkey IN (5, 6, 7)) "
+        "SELECT count(*) AS n FROM x",
+        spark,
+    )
+    assert r.collect()[0]["n"] == df.where(F.col("o_custkey").isin([5, 6, 7])).count()
+    r2 = surface.sql(
+        "SELECT o_orderstatus, count(*) AS n FROM orders_sql "
+        "WHERE o_custkey = 5 GROUP BY o_orderstatus",
+        spark,
+    )
+    exp = {
+        (x["o_orderstatus"], x["count"])
+        for x in df.where("o_custkey = 5").groupBy("o_orderstatus").count().collect()
+    }
+    assert {(x["o_orderstatus"], x["n"]) for x in r2.collect()} == exp
