@@ -424,14 +424,30 @@ class Index:
         ]
 
     def read_files(
-        self, files: list[str], extra_columns: list[str] | None = None
+        self,
+        files: list[str],
+        extra_columns: list[str] | None = None,
+        include_all_virtuals: bool = False,
     ) -> DataFrame:
         """Read a specific file subset through the full pipeline
-        (computed + exploded columns, selection, temporal dedup)."""
+        (computed + exploded columns, selection, temporal dedup).
+
+        Exploded aliases MULTIPLY rows (inner explode), so they are
+        applied only when actually requested — via the selection, the
+        join/extra columns, or ``include_all_virtuals`` (the SQL-view
+        surface, where the alias is part of the exposed schema).
+        Computed columns are row-preserving and always available."""
         selection = list(self._selection) if self._selection else None
         extra = list(extra_columns or [])
+        requested = set(extra) | set(selection or [])
         virtuals = [
-            c for c in self.meta.indexes if c.type in (COMPUTED, EXPLODED)
+            c
+            for c in self.meta.indexes
+            if c.type == COMPUTED
+            or (
+                c.type == EXPLODED
+                and (include_all_virtuals or c.column in requested)
+            )
         ]
         ts_roots: list[str] = []
         if selection is not None:
@@ -466,7 +482,11 @@ class Index:
         return df
 
     def read_all(self) -> DataFrame:
-        return self.read_files(self.filelist.filenames())
+        """Full (unpruned) read exposing every virtual column — the
+        frame behind the SQL views."""
+        return self.read_files(
+            self.filelist.filenames(), include_all_virtuals=True
+        )
 
     def read_matching(self, values: dict, filter_rows: bool = True) -> DataFrame:
         """Pruned read: only files that can match ``values``; with

@@ -163,7 +163,29 @@ def near_dup_minhash(
     sh = shingle_rows(df, text_col, id_col, shingle_len)
     sigs = minhash_signatures(sh, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
-    verified = verify_jaccard(cands, sh)
+    # Estimate-prefilter: the fraction of agreeing minhashes is an
+    # unbiased Jaccard estimate; drop candidates clearly below the
+    # threshold BEFORE the expensive exact-verify shingle join (on a
+    # shared-vocabulary corpus banding alone lets through many
+    # mid-similarity pairs whose shingle join dominates runtime).
+    # Margin 3σ ≈ 3·sqrt(t(1-t)/k) keeps true positives.
+    import math
+
+    margin = 3 * math.sqrt(threshold * (1 - threshold) / num_hashes)
+    agree = sum(
+        F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    l = sigs.alias("l")
+    r = sigs.alias("r")
+    est = (
+        cands.join(l, F.col("l.__id") == F.col("id_a"))
+        .join(r, F.col("r.__id") == F.col("id_b"))
+        .withColumn("__est", agree / F.lit(num_hashes))
+        .where(F.col("__est") >= threshold - margin)
+        .select("id_a", "id_b")
+    )
+    verified = verify_jaccard(est, sh)
     return verified.where(F.col("jaccard") >= threshold)
 
 
@@ -249,9 +271,12 @@ def ngram_set_dedup(
 ) -> DataFrame:
     """Documents whose sorted distinct n-gram SETS are identical are
     duplicates (robust to shuffled word order / repeated content);
-    keep the smallest id per set. Groups directly BY the sorted array
-    — no driver-side state, one shuffle."""
-    key = F.sort_array(F.array_distinct(char_ngrams(F.lower(F.col(text_col)), n)))
+    keep the smallest id per set. Groups by a 256-bit hash of the
+    sorted set — shuffling a 32-byte key instead of the full gram
+    array (hundreds of strings per row) cuts shuffle volume ~50×;
+    sha2 collisions are negligible against any realistic corpus."""
+    grams = F.sort_array(F.array_distinct(char_ngrams(F.lower(F.col(text_col)), n)))
+    key = F.sha2(F.concat_ws(" ", grams), 256)
     w = Window.partitionBy("__key").orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__key", key)

@@ -137,14 +137,44 @@ def _join_equi_cols(cond, indexed: set[str]) -> list[tuple[str, str]]:
 
 # ------------------------------------------------------------ public api
 
+_VIEW_CACHE: dict[tuple, tuple] = {}
+
+
+def _view_fingerprint(idx: Index) -> tuple:
+    import os
+
+    try:
+        meta_m = os.path.getmtime(idx.paths.metadata)
+    except OSError:
+        meta_m = 0
+    return (
+        idx.table._latest_version(),
+        idx.filelist.table._latest_version(),
+        meta_m,
+    )
+
+
 def register_views(
-    spark: SparkSession, names: list[str] | None = None
+    spark: SparkSession, names: list[str] | None = None, force: bool = False
 ) -> list[str]:
-    """Create one temp view per index over its (lazy) full read."""
+    """Create one temp view per index over its (lazy) full read.
+
+    Registration collects the index's file list, so unchanged indexes
+    are skipped via a manifest-version fingerprint — repeated
+    ``sql()`` calls don't re-pay a per-index Spark job."""
     names = names if names is not None else _catalog.list_indexes(spark)
     for name in names:
         idx = Index.for_name(name, spark=spark)
+        key = (id(spark), name)
+        fp = _view_fingerprint(idx)
+        if (
+            not force
+            and _VIEW_CACHE.get(key) == fp
+            and spark.catalog.tableExists(name)
+        ):
+            continue
         idx.read_all().createOrReplaceTempView(name)
+        _VIEW_CACHE[key] = fp
     return list(names)
 
 

@@ -176,3 +176,94 @@ def test_index_type_exclusivity(spark, storage, orders_files):
         idx.add_exploded_index("o_orderstatus", as_column="x")
     with pytest.raises(IndexTypeConflictError):
         idx.add_computed_index("o_totalprice", "1+1")  # collides with source col
+
+
+def test_exploded_index_does_not_multiply_other_joins(spark, storage, tagged_files):
+    """An index carrying an exploded config must NOT explode (and so
+    duplicate) rows when the query targets a different column."""
+    df, files = tagged_files
+    idx = Index.for_name("tags_mix", schema=df.schema, format="parquet", spark=spark)
+    idx.add_exploded_index("tags", as_column="tag_key", field="k")
+    idx.add_index("id")
+    idx.add_files(files).update()
+    keys = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    res = idx.join(keys, on=["id"])
+    assert "tag_key" not in res.columns  # alias not materialized
+    assert res.count() == 10  # one row per id — no explode blow-up
+    # but the exploded alias still answers its own queries
+    r2 = idx.read_matching({"tag_key": ["key3"]})
+    assert r2.where(F.col("tag_key") != "key3").count() == 0 and r2.count() > 0
+
+
+def test_two_exploded_fields_same_array_no_collision(spark, storage, tagged_files):
+    """Two exploded-field indexes from the SAME array column must not
+    collide (reference regression BugFixTests H2)."""
+    df, files = tagged_files
+    idx = Index.for_name("tags_two", schema=df.schema, format="parquet", spark=spark)
+    idx.add_exploded_index("tags", as_column="tag_key", field="k")
+    idx.add_exploded_index("tags", as_column="tag_val", field="v")
+    idx.add_files(files).update()
+    main = idx.index_df
+    assert "tag_key" in main.columns and "tag_val" in main.columns
+    rk = idx.read_matching({"tag_key": ["key1"]})
+    rv = idx.read_matching({"tag_val": [2]})
+    expected_k = df.withColumn(
+        "tag_key", F.explode(F.transform("tags", lambda x: x["k"]))
+    ).where("tag_key = 'key1'")
+    expected_v = df.withColumn(
+        "tag_val", F.explode(F.transform("tags", lambda x: x["v"]))
+    ).where("tag_val = 2")
+    assert_same_rows(rk.select("id", "tag_key"), expected_k.select("id", "tag_key"))
+    assert_same_rows(rv.select("id", "tag_val"), expected_v.select("id", "tag_val"))
+
+
+def test_temporal_null_timestamps_rank_last(spark, storage):
+    """Rows with null timestamps lose to any timestamped row
+    (reference: TemporalIndexTests.scala:295)."""
+    import glob as _glob
+
+    rows = [
+        (1, 100.0, "2024-01-15 10:00:00"),
+        (1, 200.0, None),
+        (2, 300.0, None),
+    ]
+    df = spark.createDataFrame(rows, "Id int, Value double, UpdatedAt string").select(
+        "Id", "Value", F.col("UpdatedAt").cast("timestamp").alias("UpdatedAt")
+    )
+    base = f"{storage}/tnull"
+    for i in range(2):
+        df.where((F.col("Id") % 2) == i).coalesce(1).write.mode("overwrite").parquet(f"{base}/p{i}")
+    files = sorted(_glob.glob(f"{base}/p*/*.parquet"))
+    idx = Index.for_name("tnull", schema=df.schema, format="parquet", spark=spark)
+    idx.add_temporal_index("Id", "UpdatedAt").add_files(files).update()
+    res = idx.join(spark.createDataFrame([(1,), (2,)], ["Id"]), on=["Id"])
+    got = {(r["Id"], r["Value"]) for r in res.collect()}
+    # Id=1: timestamped row wins over null; Id=2: null-only row still returned
+    assert got == {(1, 100.0), (2, 300.0)}
+
+
+def test_temporal_nested_timestamp_column(spark, storage):
+    """Temporal timestamp columns may be nested (e.g. meta.updatedAt —
+    reference: Index.scala:443-470)."""
+    import glob as _glob
+
+    rows = [
+        (1, 10.0, ("2024-01-01 00:00:00",)),
+        (1, 20.0, ("2024-02-01 00:00:00",)),
+        (2, 30.0, ("2024-03-01 00:00:00",)),
+    ]
+    df = spark.createDataFrame(
+        rows, "Id int, Value double, meta struct<updatedAt: string>"
+    ).select(
+        "Id", "Value",
+        F.struct(F.col("meta.updatedAt").cast("timestamp").alias("updatedAt")).alias("meta"),
+    )
+    base = f"{storage}/tnested"
+    for i in range(2):
+        df.where((F.col("Id") % 2) == i).coalesce(1).write.mode("overwrite").parquet(f"{base}/p{i}")
+    files = sorted(_glob.glob(f"{base}/p*/*.parquet"))
+    idx = Index.for_name("tnested", schema=df.schema, format="parquet", spark=spark)
+    idx.add_temporal_index("Id", "meta.updatedAt").add_files(files).update()
+    res = idx.join(spark.createDataFrame([(1,), (2,)], ["Id"]), on=["Id"])
+    got = {(r["Id"], r["Value"]) for r in res.collect()}
+    assert got == {(1, 20.0), (2, 30.0)}
