@@ -56,14 +56,13 @@ def shingle_rows(
 ) -> DataFrame:
     """(id, shingle) distinct rows — the exploded form used by both
     signature building and exact-Jaccard verification."""
-    return (
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(char_ngrams(F.lower(F.col(text_col)), shingle_len)).alias(
-                "__shingle"
-            ),
-        )
-        .distinct()
+    # per-row array_distinct makes (id, shingle) pairs unique without a
+    # global distinct() shuffle — ids differ across rows by definition
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(char_ngrams(F.lower(F.col(text_col)), shingle_len))
+        ).alias("__shingle"),
     )
 
 
@@ -77,6 +76,70 @@ def minhash_signatures(
         for i in range(num_hashes)
     ]
     return shingles.groupBy("__id").agg(*aggs)
+
+
+def _minhash_fast_udf(num_hashes: int, shingle_len: int):
+    """Vectorized minhash: numpy sliding-window shingling + one
+    polynomial gram hash + k affine permutations (uint64 wraparound
+    arithmetic), Arrow-batched. This is the 'UDFs are the slow path —
+    except when the built-in expression tree is slower' case: the
+    equivalent Catalyst pipeline (transform+substring per gram, or
+    explode+groupBy with k aggregates) evaluates tens of millions of
+    per-element expressions; one numpy matmul-min does it in-core.
+    Constants derive from sha256 so results are deterministic
+    everywhere."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def _const(tag: str, i: int) -> int:
+        d = hashlib.sha256(f"ariadne-minhash:{tag}:{i}".encode()).digest()
+        return int.from_bytes(d[:8], "little") | 1  # odd
+
+    A = np.array([_const("a", i) for i in range(num_hashes)], dtype=np.uint64)
+    B = np.array([_const("b", i) for i in range(num_hashes)], dtype=np.uint64)
+    R = np.uint64(1099511628211)  # FNV-ish odd multiplier
+
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                cp = np.frombuffer(
+                    t.lower().encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.uint64)
+                if len(cp) < shingle_len:
+                    out.append([0] * num_hashes)
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(cp, shingle_len)
+                g = np.zeros(win.shape[0], dtype=np.uint64)
+                for j in range(shingle_len):  # polynomial hash, wraps mod 2^64
+                    g = g * R + win[:, j]
+                g = np.unique(g)
+                h = (A[:, None] * g[None, :] + B[:, None]).min(axis=1)
+                out.append([int(x) - (1 << 63) for x in h])  # to signed long
+        return pd.Series(out)
+
+    sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sig, "array<long>")
+
+
+def minhash_signatures_fast(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """Zero-shuffle minhash signatures straight from the text column;
+    columns __id, h0..h{k-1} (same shape as minhash_signatures)."""
+    arr = _minhash_fast_udf(num_hashes, shingle_len)(F.col(text_col))
+    sig = df.select(F.col(id_col).alias("__id"), arr.alias("__sig"))
+    cols = [F.element_at("__sig", i + 1).alias(f"h{i}") for i in range(num_hashes)]
+    return sig.select("__id", *cols)
 
 
 def lsh_candidate_pairs(
@@ -160,8 +223,11 @@ def near_dup_minhash(
     join with low-similarity candidates (a 16×4 geometry on a
     shared-vocabulary corpus produced 100× more candidates than true
     pairs)."""
-    sh = shingle_rows(df, text_col, id_col, shingle_len)
-    sigs = minhash_signatures(sh, num_hashes)
+    # signatures feed the band self-join AND both sides of the
+    # estimate join — cache them or the UDF runs 4×
+    sigs = minhash_signatures_fast(
+        df, text_col, id_col, num_hashes, shingle_len
+    ).cache()
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     # Estimate-prefilter: the fraction of agreeing minhashes is an
     # unbiased Jaccard estimate; drop candidates clearly below the
@@ -184,6 +250,21 @@ def near_dup_minhash(
         .withColumn("__est", agree / F.lit(num_hashes))
         .where(F.col("__est") >= threshold - margin)
         .select("id_a", "id_b")
+    ).cache()
+    # exact verify touches ONLY surviving candidates' shingles: filter
+    # the (id, shingle) rows to candidate ids before the verify join
+    ids = (
+        est.select(F.col("id_a").alias("__id"))
+        .union(est.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = shingle_rows(
+        df.join(
+            F.broadcast(ids.withColumnRenamed("__id", id_col)), id_col, "left_semi"
+        ),
+        text_col,
+        id_col,
+        shingle_len,
     )
     verified = verify_jaccard(est, sh)
     return verified.where(F.col("jaccard") >= threshold)
