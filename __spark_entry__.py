@@ -48,6 +48,11 @@ def _set_session(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.ariadne.storagePath", f"{WORK}/{_tag(sf_dir)}/store")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:  # a 200-partition default just adds scheduling overhead at these SFs
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
 
 
 def _split_ranges(spark, df, col, n, out_dir) -> list[str]:
