@@ -8,7 +8,15 @@ SURVEY.md), plus large-scale training-data pipeline operators
 from . import catalog
 from .context import AriadneConf
 from .index import Index
+from .sources.datasource import register as register_data_source
 from .sql.surface import register_views, sql
 
-__all__ = ["Index", "AriadneConf", "catalog", "sql", "register_views"]
+__all__ = [
+    "Index",
+    "AriadneConf",
+    "catalog",
+    "sql",
+    "register_views",
+    "register_data_source",
+]
 __version__ = "0.1.0"

@@ -1,0 +1,69 @@
+"""Spark 4 Python Data Source integration tests (S7 analog)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark import Index
+from ariadne_spark.plans.locate_local import list_filenames, locate_files_local
+from ariadne_spark.sources.datasource import register
+
+from .conftest import assert_same_rows
+
+
+@pytest.fixture()
+def ds_index(spark, storage, orders_files):
+    df, files = orders_files
+    idx = Index.for_name("orders_ds", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey").add_range_index("o_orderkey")
+    idx.add_files(files).update()
+    register(spark)
+    return df, files, idx, storage
+
+
+def _load(spark, storage, name="orders_ds"):
+    return (
+        spark.read.format("ariadne")
+        .option("name", name)
+        .option("storagePath", storage)
+        .load()
+    )
+
+
+def test_datasource_full_scan(spark, ds_index):
+    df, files, idx, storage = ds_index
+    got = _load(spark, storage)
+    assert got.count() == df.count()
+    assert got.schema == df.schema
+
+
+def test_datasource_filter_pushdown_prunes_and_matches(spark, ds_index):
+    df, files, idx, storage = ds_index
+    got = _load(spark, storage).where(F.col("o_custkey").isin([5, 6, 7]))
+    exp = df.where(F.col("o_custkey").isin([5, 6, 7]))
+    assert_same_rows(got, exp)
+    # range pushdown: equality on the range-indexed column
+    got2 = _load(spark, storage).where(F.col("o_orderkey") == 5)
+    exp2 = df.where(F.col("o_orderkey") == 5)
+    assert_same_rows(got2, exp2)
+
+
+def test_local_planner_matches_spark_planner(spark, ds_index):
+    """The JVM-free pyarrow planner must locate a superset-equal file
+    set vs the Spark planner (both conservative, same index state)."""
+    df, files, idx, storage = ds_index
+    q = {"o_custkey": [5, 6, 7]}
+    local = set(locate_files_local(idx.paths.index, idx.meta, q))
+    via_spark = set(idx.locate_files(q))
+    assert local == via_spark
+    assert set(list_filenames(idx.paths.filelist)) == set(idx.filelist.filenames())
+
+
+def test_datasource_refuses_temporal(spark, storage, events_files):
+    df, files = events_files
+    idx = Index.for_name("ev_ds", schema=df.schema, format="parquet", spark=spark)
+    idx.add_temporal_index("user_id", "ts").add_files(files).update()
+    register(spark)
+    with pytest.raises(Exception, match="temporal"):
+        _load(spark, storage, "ev_ds").count()
