@@ -412,6 +412,24 @@ def q_sql_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datasource_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 native path: spark.read.format('ariadne') with pushFilters
+    file pruning planned JVM-free from on-disk index state."""
+    from ariadne_spark import register_data_source
+
+    _prepare(spark, sf_dir)
+    register_data_source(spark)
+    df = (
+        spark.read.format("ariadne")
+        .option("name", "orders")
+        .option("storagePath", f"{WORK}/{_tag(sf_dir)}/store")
+        .load()
+    )
+    return df.where(F.col("o_custkey").isin(CUST_KEYS)).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 def q_idx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 stats() diagnostics (engine-internal shape: rows-only)."""
     idx = _index(spark, sf_dir, "orders")
@@ -459,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
+        "datasource_filter": q_datasource_filter,
         "idx_stats": q_idx_stats,
         "idx_locate": q_idx_locate,
     }
@@ -625,5 +644,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'MACHINERY' AND o.o_orderstatus = 'F'
+        """,
+        "datasource_filter": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_custkey IN ({_sql_list(CUST_KEYS)})
         """,
     }

@@ -75,6 +75,14 @@ class AriadneDataSource(DataSource):
                 "cross-file window the data source cannot apply — use the "
                 "SQL view or Index API surfaces"
             )
+        if (
+            meta.format == "json"
+            and str(meta.read_options.get("multiLine", "false")).lower() == "true"
+        ):
+            raise NotImplementedError(
+                "multiLine JSON is not supported by the pyarrow-backed data "
+                "source reader — use the SQL view or Index API surfaces"
+            )
         return paths, meta
 
     def schema(self) -> StructType:
@@ -166,6 +174,11 @@ class AriadneReader(DataSourceReader):
         elif partition.fmt == "json":
             import pyarrow.json as pajson
 
+            if partition.options.get("multiline", "false").lower() == "true":
+                raise NotImplementedError(
+                    "multiLine JSON is not supported by the pyarrow-backed "
+                    "data source reader — use the SQL view or Index API"
+                )
             table = pajson.read_json(partition.path)
         else:  # pragma: no cover
             raise ValueError(f"unsupported format {partition.fmt}")

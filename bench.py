@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "multimodal_fingerprint",
     "sql_tpch_q1",
     "sql_join_pruned",
+    "datasource_filter",
 ]
 
 
