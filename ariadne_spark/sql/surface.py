@@ -35,6 +35,7 @@ from __future__ import annotations
 import logging
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import catalog as _catalog
 from ..index import Index
@@ -227,6 +228,7 @@ def _plan_and_swap(
     # (a) WHERE pushdown: Filter over a subtree containing exactly one
     # index relation -> prune that index's files by the literal filters
     pruned_values: dict[str, dict[str, list]] = {}
+    pruned_frames: dict[str, dict[str, DataFrame]] = {}
     for node in _walk(jplan):
         if _cls(node) != "Filter":
             continue
@@ -274,25 +276,27 @@ def _plan_and_swap(
                 spark._jsparkSession, other_side
             )
             other_df = DataFrame(jdf, spark)
-            idx = metas[name]
             for icol, ocol in pairs:
                 if ocol not in other_df.columns:
                     continue
-                vals = [
-                    r[0]
-                    for r in other_df.select(ocol).distinct().limit(100_001).collect()
-                ]
-                if len(vals) > 100_000:
-                    continue  # too many keys to treat as a value probe
-                cur = pruned_values.setdefault(name, {})
-                cur.setdefault(icol, []).extend(vals)
+                # keep the key set DISTRIBUTED: locate's regular path
+                # semi-joins against the frame, so any key cardinality
+                # works without a driver collect
+                cur = pruned_frames.setdefault(name, {})
+                frame = other_df.select(F.col(ocol).alias(icol))
+                cur[icol] = frame if icol not in cur else cur[icol].unionByName(frame)
 
-    for name, filters in pruned_values.items():
+    for name in set(pruned_values) | set(pruned_frames):
         idx = metas[name]
-        files = idx.locate_files(filters)
-        pruned = idx.read_files(files)
+        query_map: dict = dict(pruned_values.get(name, {}))
+        for icol, frame in pruned_frames.get(name, {}).items():
+            # a literal constraint on the same column already bounds the
+            # candidate set; the frame would only widen it
+            query_map.setdefault(icol, frame)
+        files = idx.locate_files(query_map)
+        pruned = idx.read_files(files, include_all_virtuals=True)
         swap.swap(name, pruned)
         log.info(
             "ariadne.sql: pruned view %s to %d files via %s",
-            name, len(files), sorted(filters),
+            name, len(files), sorted(query_map),
         )
