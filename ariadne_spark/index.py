@@ -318,7 +318,7 @@ class Index:
             retry_interval=conf.lock_retry_interval,
             max_wait=conf.lock_max_wait,
         )
-        with lock:
+        with lock, lock.heartbeat():
             todo = set(self.unindexed_files()) | set(
                 self._files_needing_column_update()
             )

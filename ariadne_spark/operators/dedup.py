@@ -251,6 +251,8 @@ def near_dup_minhash(
         .where(F.col("__est") >= threshold - margin)
         .select("id_a", "id_b")
     ).cache()
+    est.count()  # materialize candidates so the signature cache can go
+    sigs.unpersist()
     # exact verify touches ONLY surviving candidates' shingles: filter
     # the (id, shingle) rows to candidate ids before the verify join
     ids = (

@@ -109,9 +109,40 @@ class IndexLock:
                 pass
         self.correlation_id = None
 
+    def heartbeat(self) -> "_Heartbeat":
+        """Background refresher so a long-running holder never goes
+        stale mid-operation (the reference runs the same thread during
+        long builds/migrations, IndexBuildOperations.scala:328-373)."""
+        return _Heartbeat(self)
+
     def __enter__(self) -> "IndexLock":
         self.acquire()
         return self
 
     def __exit__(self, *exc) -> None:
         self.release()
+
+
+class _Heartbeat:
+    def __init__(self, lock: IndexLock, interval: float | None = None):
+        import threading
+
+        self.lock = lock
+        self.interval = interval if interval is not None else max(lock.timeout / 3, 0.05)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.wait(self.interval):
+            try:
+                self.lock.refresh()
+            except LockNotHeldError:
+                return  # released/lost: stop beating, holder will notice
+
+    def __enter__(self) -> "_Heartbeat":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
