@@ -78,3 +78,37 @@ def test_format_rules(spark, storage, piped_csv):
     Index.for_name("fmt_fixed", schema=df.schema, format="csv", spark=spark)
     with pytest.raises(FormatMismatchError):
         Index.for_name("fmt_fixed", format="parquet", spark=spark)
+
+
+def test_multiline_json_exploded_array(spark, storage):
+    """multiLine JSON with array<struct> + exploded-field index
+    (reference fixtures: array_test.json with multiLine=true)."""
+    import json as _json
+
+    data = [
+        {"event_id": "e1", "users": [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]},
+        {"event_id": "e2", "users": [{"id": 2, "name": "b"}, {"id": 3, "name": "c"}]},
+        {"event_id": "e3", "users": [{"id": 9, "name": "z"}]},
+    ]
+    os.makedirs(f"{WORK}/mljson", exist_ok=True)
+    files = []
+    for i, chunk in enumerate([data[:2], data[2:]]):
+        p = f"{WORK}/mljson/part{i}.json"
+        with open(p, "w") as fh:
+            _json.dump(chunk, fh, indent=2)
+        files.append(p)
+    schema = (
+        "event_id string, users array<struct<id: bigint, name: string>>"
+    )
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    idx = Index.for_name(
+        "mljson", schema=st, format="json",
+        read_options={"multiLine": "true"}, spark=spark,
+    )
+    idx.add_exploded_index("users", as_column="user_id", field="id")
+    idx.add_files(files).update()
+    res = idx.read_matching({"user_id": [2]})
+    assert {r["event_id"] for r in res.collect()} == {"e1", "e2"}
+    assert set(idx.locate_files({"user_id": [9]})) == {files[1]}
