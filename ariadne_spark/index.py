@@ -371,6 +371,7 @@ class Index:
                     self._compact_tables()
                     self.meta.batches_since_compact = 0
             self.meta.update_count += 1
+            self._refresh_size_accounting()
             if (
                 conf.auto_compact_threshold is not None
                 and self.meta.batches_since_compact >= conf.auto_compact_threshold
@@ -603,7 +604,22 @@ class Index:
             if t.exists:
                 t.delete_where(cond)
         self.filelist.remove(names)
+        self._refresh_size_accounting()
+        save_metadata(self.paths.metadata, self.meta)
         return self
+
+    def _refresh_size_accounting(self) -> None:
+        """Persisted total of indexed source bytes (the reference keeps
+        the same counter for its pruning metrics and size reporting —
+        metadata v9's total_indexed_file_size). Recomputed exactly from
+        the index table: one tiny aggregation beats incremental
+        bookkeeping that can drift."""
+        idx = self.index_df
+        if idx is None:
+            self.meta.total_indexed_bytes = 0
+            return
+        row = idx.agg(F.sum("file_size")).collect()[0]
+        self.meta.total_indexed_bytes = int(row[0] or 0)
 
     def _compact_tables(self) -> None:
         self.table.compact()

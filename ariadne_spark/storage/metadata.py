@@ -84,6 +84,7 @@ class IndexMetadata:
     read_options: dict = field(default_factory=dict)
     update_count: int = 0
     batches_since_compact: int = 0
+    total_indexed_bytes: int = 0
     metadata_version: int = METADATA_VERSION
     storage_format_version: int = STORAGE_FORMAT_VERSION
 
@@ -107,6 +108,7 @@ class IndexMetadata:
                 "read_options": self.read_options,
                 "update_count": self.update_count,
                 "batches_since_compact": self.batches_since_compact,
+                "total_indexed_bytes": self.total_indexed_bytes,
                 "metadata_version": self.metadata_version,
                 "storage_format_version": self.storage_format_version,
             },
@@ -125,6 +127,7 @@ class IndexMetadata:
             read_options=d.get("read_options", {}),
             update_count=d.get("update_count", 0),
             batches_since_compact=d.get("batches_since_compact", 0),
+            total_indexed_bytes=d.get("total_indexed_bytes", 0),
             metadata_version=d.get("metadata_version", METADATA_VERSION),
             storage_format_version=d.get(
                 "storage_format_version", STORAGE_FORMAT_VERSION

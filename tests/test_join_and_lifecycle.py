@@ -197,3 +197,19 @@ def test_temporal_large_index_spill(spark, storage, events_files):
         assert_same_rows(res, expected)
     finally:
         spark.conf.unset("spark.ariadne.largeIndexLimit")
+
+
+def test_size_accounting(spark, storage, orders_files):
+    """total_indexed_bytes tracks the sum of indexed file sizes and
+    shrinks on delete (reference metadata v9: total_indexed_file_size)."""
+    import os as _os
+
+    df, files = orders_files
+    idx = Index.for_name("o_size", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey").add_files(files).update()
+    expected = sum(_os.path.getsize(f) for f in files)
+    reloaded = Index.for_name("o_size", spark=spark)
+    assert reloaded.meta.total_indexed_bytes == expected
+    reloaded.delete_files(files[:1])
+    again = Index.for_name("o_size", spark=spark)
+    assert again.meta.total_indexed_bytes == expected - _os.path.getsize(files[0])
