@@ -281,11 +281,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-pairs (hash-dependent: rows-only check)."""
-    from ariadne_spark.operators.dedup import simhash, simhash_near_pairs
+    """SimHash near-pairs (hash-dependent: rows-only check).
+
+    Uses the zero-shuffle vectorized signature path: at lake scale the
+    explode+64-aggregate form shuffles every token; this shuffles
+    nothing for signatures (blocking join is pairs-proportional)."""
+    from ariadne_spark.operators.dedup import simhash_fast, simhash_near_pairs
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    return simhash_near_pairs(simhash(docs, "text", "doc_id"), "doc_id", max_hamming=3)
+    return simhash_near_pairs(
+        simhash_fast(docs, "text", "doc_id"), "doc_id", max_hamming=3
+    )
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -274,6 +274,65 @@ def near_dup_minhash(
 
 # ------------------------------------------------------------------ simhash
 
+def _simhash_fast_udf(bits: int = 64):
+    """Vectorized SimHash: split to word tokens, hash each token via a
+    padded-matrix polynomial (numpy matmul in uint64 wraparound, token
+    length mixed in), unpack hash bits, sum ±1 per bit position, sign
+    → signature. One Arrow batch in, one int64 out — no explode, no
+    64-aggregate groupBy."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    assert bits == 64
+    PAD = 16
+    R = np.uint64(1099511628211)
+    powers = np.array([R ** np.uint64(PAD - 1 - i) for i in range(PAD)], dtype=np.uint64)
+    LEN_MIX = np.uint64(0x9E3779B97F4A7C15)
+    token_re = re.compile(r"[^\W_]+", re.UNICODE)
+
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = token_re.findall(t.lower())
+                if not toks:
+                    out.append(0)
+                    continue
+                mat = np.zeros((len(toks), PAD), dtype=np.uint64)
+                lens = np.empty(len(toks), dtype=np.uint64)
+                for i, tok in enumerate(toks):
+                    cp = np.frombuffer(
+                        tok[:PAD].encode("utf-32-le"), dtype=np.uint32
+                    )
+                    mat[i, : len(cp)] = cp
+                    lens[i] = len(tok)
+                h = (mat * powers[None, :]).sum(axis=1) + lens * LEN_MIX
+                # per-bit ±1 sums over token-hash bits
+                bytes_view = h.view(np.uint8).reshape(len(toks), 8)
+                bit_matrix = np.unpackbits(bytes_view, axis=1, bitorder="little")
+                sums = bit_matrix.astype(np.int32).sum(axis=0) * 2 - len(toks)
+                sig_bits = (sums > 0).astype(np.uint8)
+                val = int(np.packbits(sig_bits, bitorder="little").view(np.uint64)[0])
+                out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out, dtype="object")
+
+    sig.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sig, "long")
+
+
+def simhash_fast(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Zero-shuffle SimHash signatures (same output shape as
+    ``simhash``; different — but deterministic — hash family)."""
+    return df.select(
+        F.col(id_col), _simhash_fast_udf()(F.col(text_col)).alias("simhash")
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str, id_col: str, bits: int = 64
 ) -> DataFrame:
