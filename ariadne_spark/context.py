@@ -25,11 +25,15 @@ def get_spark() -> SparkSession:
     return spark
 
 
+# Sentinel default so unset keys return instead of raising: the raise
+# path costs a py4j exception conversion (~25 ms per key), which
+# multiplies across the 12-key snapshot on every Index open.
+_UNSET = "\x00unset\x00"
+
+
 def _conf(spark: SparkSession, key: str, default: str | None = None) -> str | None:
-    try:
-        return spark.conf.get(_PREFIX + key)
-    except Exception:
-        return default
+    raw = spark.conf.get(_PREFIX + key, _UNSET)
+    return default if raw == _UNSET else raw
 
 
 @dataclass(frozen=True)

@@ -125,6 +125,7 @@ class Index:
 
         if format is not None and format != existing.format:
             raise FormatMismatchError(f"{existing.format} != {format}")
+        changed = False
         if schema is not None and json.loads(schema.json()) != json.loads(
             existing.schema_json
         ):
@@ -138,9 +139,16 @@ class Index:
                         f"indexed column {needed} missing from new schema"
                     )
             existing.schema_json = schema.json()
+            changed = True
         if read_options:
-            existing.read_options = {**existing.read_options, **read_options}
-        save_metadata(paths.metadata, existing)
+            merged = {**existing.read_options, **read_options}
+            if merged != existing.read_options:
+                existing.read_options = merged
+                changed = True
+        if changed:
+            # reconnect is read-only unless schema/options actually merge
+            # (new-wins merge semantics: reference Index.scala:1256-1273)
+            save_metadata(paths.metadata, existing)
         return cls(spark, existing, paths)
 
     @classmethod
