@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import char_ngrams, word_tokens
+from .util import ensure_parallelism as _ensure_parallelism
 
 
 # ------------------------------------------------------------------ exact
@@ -136,6 +137,7 @@ def minhash_signatures_fast(
 ) -> DataFrame:
     """Zero-shuffle minhash signatures straight from the text column;
     columns __id, h0..h{k-1} (same shape as minhash_signatures)."""
+    df = _ensure_parallelism(df)
     arr = _minhash_fast_udf(num_hashes, shingle_len)(F.col(text_col))
     sig = df.select(F.col(id_col).alias("__id"), arr.alias("__sig"))
     cols = [F.element_at("__sig", i + 1).alias(f"h{i}") for i in range(num_hashes)]
@@ -260,16 +262,43 @@ def near_dup_minhash(
         .union(est.select(F.col("id_b").alias("__id")))
         .distinct()
     )
-    sh = shingle_rows(
+    # Exact verify on candidate docs only, as per-doc gram ARRAYS +
+    # array_intersect: two broadcast joins over |candidates| rows
+    # instead of a 4-join shingle-row plan (the row form re-explodes
+    # the candidate texts once per join branch). Grams per doc are
+    # bounded by text length, so rows stay narrow.
+    grams = (
         df.join(
             F.broadcast(ids.withColumnRenamed("__id", id_col)), id_col, "left_semi"
-        ),
-        text_col,
-        id_col,
-        shingle_len,
+        )
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(
+                char_ngrams(F.lower(F.col(text_col)), shingle_len)
+            ).alias("__grams"),
+        )
+        .cache()
     )
-    verified = verify_jaccard(est, sh)
-    return verified.where(F.col("jaccard") >= threshold)
+    a = grams.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"))
+    b = grams.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"))
+    inter = F.size(F.array_intersect("__ga", "__gb"))
+    verified = (
+        est.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter / (F.size("__ga") + F.size("__gb") - inter), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .cache()
+    )
+    verified.count()
+    grams.unpersist()
+    est.unpersist()
+    return verified
 
 
 # ------------------------------------------------------------------ simhash
@@ -328,6 +357,7 @@ def _simhash_fast_udf(bits: int = 64):
 def simhash_fast(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Zero-shuffle SimHash signatures (same output shape as
     ``simhash``; different — but deterministic — hash family)."""
+    df = _ensure_parallelism(df)
     return df.select(
         F.col(id_col), _simhash_fast_udf()(F.col(text_col)).alias("simhash")
     )
@@ -365,7 +395,14 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Candidate pairs by 16-bit chunk blocking (pigeonhole: hamming ≤ 3
     ⇒ at least one of four 16-bit chunks equal), then exact hamming
-    filter via bit_count(xor)."""
+    filter via bit_count(xor).
+
+    Signatures are cached for the self-join: both join sides (and the
+    broadcast build) would otherwise recompute the signature UDF from
+    the raw text — 16 bytes/doc cached vs N full text scans. The
+    small pairs result is materialized so the cache releases before
+    returning."""
+    sig_df = sig_df.cache()
     chunks = [
         ((F.shiftrightunsigned(F.col("simhash"), 16 * c)).bitwiseAND(F.lit(0xFFFF))).alias(
             f"c{c}"
@@ -399,11 +436,14 @@ def simhash_near_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
+    out = (
         pairs.withColumn("hamming", hamming.cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
-    )
+    ).cache()
+    out.count()  # pairs are candidate-proportional (small); free the sigs
+    sig_df.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------ n-gram set dedup
@@ -455,7 +495,7 @@ def ngram_set_dedup(
     key = _gram_set_key_udf(n)(F.col(text_col))
     w = Window.partitionBy("__key").orderBy(F.col(id_col).asc())
     return (
-        df.withColumn("__key", key)
+        _ensure_parallelism(df).withColumn("__key", key)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__key", "__rn")

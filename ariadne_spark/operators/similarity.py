@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .util import ensure_parallelism as _ensure_parallelism
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -138,7 +140,9 @@ def add_lsh_buckets(
         first = df.select(F.size(F.col(vec_col))).first()
         dim = first[0] if first else 0
     planes = _planes(dim, n_planes, seed)
-    return df.withColumn("lsh_bucket", _signature_udf(planes)(F.col(vec_col)))
+    return _ensure_parallelism(df).withColumn(
+        "lsh_bucket", _signature_udf(planes)(F.col(vec_col))
+    )
 
 
 def lsh_ann_topk(
@@ -158,7 +162,7 @@ def lsh_ann_topk(
     dim = first[0] if first else 0
     planes = _planes(dim, n_planes, "ariadne-lsh")
     sig = _signature_udf(planes)
-    c = corpus.withColumn("__bucket", sig(F.col(vec_col)))
+    c = _ensure_parallelism(corpus).withColumn("__bucket", sig(F.col(vec_col)))
     q = queries.withColumn("__bucket0", sig(F.col(vec_col)))
     # multiprobe: original bucket + each 1-bit flip
     probes = F.array(
@@ -199,8 +203,11 @@ def embedding_near_dup(
     n_planes: int = 10,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs
-    sharing a bucket with cosine ≥ threshold (id_a < id_b)."""
-    with_b = add_lsh_buckets(df, vec_col, n_planes=n_planes)
+    sharing a bucket with cosine ≥ threshold (id_a < id_b).
+
+    The bucketed frame is cached: both sides of the self-join would
+    otherwise recompute the signature UDF over the full corpus."""
+    with_b = add_lsh_buckets(df, vec_col, n_planes=n_planes).cache()
     l = with_b.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "lsh_bucket"
     )
@@ -210,10 +217,13 @@ def embedding_near_dup(
     sim = _dot(F.col("__va"), F.col("__vb")) / (
         _norm(F.col("__va")) * _norm(F.col("__vb"))
     )
-    return (
+    out = (
         l.join(r, "lsh_bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .distinct()
-    )
+    ).cache()
+    out.count()  # pair-proportional (small); free the bucketed corpus
+    with_b.unpersist()
+    return out
