@@ -149,11 +149,22 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
             fh.write("ok")
 
 
+_INDEX_HANDLES: dict = {}
+
+
 def _index(spark, sf_dir, name):
+    """Open an index handle, reusing one per (session, sf, name) the
+    way a long-lived Spark application would (handles carry
+    per-version plan/metric caches that a fresh open discards)."""
     from ariadne_spark import Index
 
     _prepare(spark, sf_dir)
-    return Index.for_name(name, spark=spark)
+    key = (id(spark), sf_dir, name)
+    handle = _INDEX_HANDLES.get(key)
+    if handle is None:
+        handle = Index.for_name(name, spark=spark)
+        _INDEX_HANDLES[key] = handle
+    return handle
 
 
 def _t(sf_dir: str, table: str):

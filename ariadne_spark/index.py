@@ -43,8 +43,9 @@ from .exceptions import (
     UnsupportedFormatError,
 )
 from .operators.build import build_index_rows, split_large_indexes
-from .operators.join import apply_temporal_dedup, log_prune_metrics
+from .operators.join import apply_temporal_dedup, prune_metrics_local
 from .plans.batching import analyze_files, create_batches
+from .plans.locate import LocateStats
 from .plans.locate import locate_files as _locate
 from .sources.files import (
     FILENAME_COL,
@@ -87,6 +88,8 @@ class Index:
         self._selection: list[str] | None = None
         self._index_df_cache: DataFrame | None = None
         self._index_df_cached = False
+        self._totals_cache: tuple[int, int] | None = None
+        self._last_locate_stats = LocateStats()
 
     @classmethod
     def for_name(
@@ -267,6 +270,23 @@ class Index:
     def _invalidate(self) -> None:
         self._index_df_cache = None
         self._index_df_cached = False
+        self._totals_cache = None
+
+    def _index_totals(self) -> tuple[int, int]:
+        """(total_files, total_bytes) of the index — one agg job,
+        cached until the next write (query-path metrics reuse it)."""
+        if self._totals_cache is None:
+            idx = self.index_df
+            if idx is None:
+                self._totals_cache = (0, 0)
+            elif "file_size" in idx.columns:
+                row = idx.agg(
+                    F.count("*").alias("f"), F.sum("file_size").alias("b")
+                ).collect()[0]
+                self._totals_cache = (row["f"], row["b"] or 0)
+            else:
+                self._totals_cache = (idx.count(), 0)
+        return self._totals_cache
 
     def large_df(self, column: str) -> DataFrame | None:
         t = ParquetTable(
@@ -403,7 +423,7 @@ class Index:
         """Candidate files whose contents can match ``query``
         ({column: values} or a DataFrame of join keys). AND semantics
         across columns."""
-        files, _ = _locate(
+        files, stats = _locate(
             self.spark,
             self.meta,
             self.index_df,
@@ -412,6 +432,7 @@ class Index:
             columns,
             repartition=self.conf.index_repartition_count,
         )
+        self._last_locate_stats = stats
         return sorted(files)
 
     def select(self, *columns: str) -> "Index":
@@ -506,7 +527,9 @@ class Index:
             if self.meta.config_for(col) is None:
                 raise ColumnNotIndexedError(col)
         files = self.locate_files(values)
-        self._last_metrics = log_prune_metrics(self.index_df, files)
+        self._last_metrics = prune_metrics_local(
+            self._last_locate_stats.sizes, self._index_totals()
+        )
         df = self.read_files(files, extra_columns=list(values.keys()))
         if filter_rows:
             for col, vals in values.items():
@@ -538,7 +561,7 @@ class Index:
             if c not in other.columns:
                 raise ColumnNotFoundError(f"{c} not in other DataFrame")
         values_df = other.select(*cols)
-        files, _ = _locate(
+        files, stats = _locate(
             self.spark,
             self.meta,
             self.index_df,
@@ -547,7 +570,10 @@ class Index:
             cols,
             repartition=self.conf.index_repartition_count,
         )
-        self._last_metrics = log_prune_metrics(self.index_df, files)
+        self._last_locate_stats = stats
+        self._last_metrics = prune_metrics_local(
+            stats.sizes, self._index_totals()
+        )
         data = self.read_files(sorted(files), extra_columns=cols)
         return data.join(other, cols, how)
 

@@ -50,6 +50,30 @@ def apply_temporal_dedup(df: DataFrame, configs: list[IndexConfig]) -> DataFrame
     return out.where(cond).drop(*rank_cols)
 
 
+def prune_metrics_local(
+    selected_sizes: dict, totals: tuple[int, int] | None
+) -> dict:
+    """Same metric dict/log line as ``log_prune_metrics``, computed
+    driver-side from the sizes captured during the locate collect plus
+    the index's cached (total_files, total_bytes) — zero extra Spark
+    jobs on the query path."""
+    total_files, total_b = totals or (0, 0)
+    sel_b = sum(v or 0 for v in selected_sizes.values())
+    pct = 100.0 * (1 - sel_b / total_b) if total_b else 0.0
+    metrics = {
+        "total_files": total_files,
+        "selected_files": len(selected_sizes),
+        "total_bytes": total_b,
+        "selected_bytes": sel_b,
+        "pruned_pct": pct,
+    }
+    log.info(
+        "loaded %d of %d files (%d of %d bytes) — %.1f%% data pruned",
+        len(selected_sizes), total_files, sel_b, total_b, pct,
+    )
+    return metrics
+
+
 def log_prune_metrics(index_df: DataFrame | None, selected: list[str]) -> dict:
     """The reference's only quantified performance signal: the
     'loaded N of M files (X of Y bytes) — P% pruned' line

@@ -60,6 +60,10 @@ _VAL = "__ariadne_value"
 @dataclass
 class LocateStats:
     per_column: dict = field(default_factory=dict)
+    # {filename: file_size} for the candidate set, captured in the same
+    # collect that fetches the filenames — pruning metrics then need no
+    # extra Spark job
+    sizes: dict = field(default_factory=dict)
 
 
 def _values_df(spark: SparkSession, source, column: str) -> DataFrame | None:
@@ -80,8 +84,13 @@ def _values_df(spark: SparkSession, source, column: str) -> DataFrame | None:
     return F.broadcast(spark.createDataFrame([(v,) for v in vals], [_VAL]))
 
 
-def _collect_values(values_df: DataFrame, cap: int) -> list | None:
-    """Collect distinct values up to ``cap``; None if over the cap."""
+def _collect_values(source, values_df: DataFrame, cap: int) -> list | None:
+    """Distinct values up to ``cap``; None if over the cap. Literal
+    sources resolve driver-side (zero Spark jobs); DataFrame sources
+    pay one capped collect."""
+    if not isinstance(source, DataFrame):
+        vals = sorted({v for v in source if v is not None}, key=str)
+        return vals if len(vals) <= cap else None
     rows = values_df.limit(cap + 1).collect()
     if len(rows) > cap:
         return None
@@ -102,6 +111,7 @@ def _regular_candidates(
     index_df: DataFrame,
     large_df: DataFrame | None,
     auto_bloom_col: str | None,
+    source,
     values_df: DataFrame,
     column: str,
 ) -> DataFrame:
@@ -115,7 +125,7 @@ def _regular_candidates(
     if large_df is not None:
         large = large_df.select("filename", F.col("value").alias(_VAL))
         if auto_bloom_col is not None:
-            vals = _collect_values(values_df, BLOOM_COLLECT_CAP)
+            vals = _collect_values(source, values_df, BLOOM_COLLECT_CAP)
             if vals is not None:
                 probe = _probe_udf(bloomfn.hash_values(vals))
                 keep = (
@@ -144,7 +154,7 @@ def _bloom_candidates(
 
 
 def _range_candidates(
-    index_df: DataFrame, stored_col: str, values_df: DataFrame
+    index_df: DataFrame, stored_col: str, source, values_df: DataFrame
 ) -> DataFrame:
     """Interval containment per value. Up to RANGE_BBOX_THRESHOLD
     distinct values: an exact broadcast theta semi-join of the file
@@ -155,7 +165,7 @@ def _range_candidates(
     OK — pruning must only be conservative)."""
     lo = F.col(stored_col).getField("min")
     hi = F.col(stored_col).getField("max")
-    vals = _collect_values(values_df, RANGE_BBOX_THRESHOLD)
+    vals = _collect_values(source, values_df, RANGE_BBOX_THRESHOLD)
     if vals is not None:
         if not vals:
             return index_df.select("filename").limit(0)
@@ -164,9 +174,13 @@ def _range_candidates(
             (lo <= F.col(_VAL)) & (hi >= F.col(_VAL)),
             "left_semi",
         ).select("filename")
-    bounds = values_df.agg(
-        F.min(_VAL).alias("lo"), F.max(_VAL).alias("hi")
-    ).collect()[0]
+    if not isinstance(source, DataFrame):
+        vs = [v for v in source if v is not None]
+        bounds = {"lo": min(vs), "hi": max(vs)}
+    else:
+        bounds = values_df.agg(
+            F.min(_VAL).alias("lo"), F.max(_VAL).alias("hi")
+        ).collect()[0]
     pred = (hi >= F.lit(bounds["lo"])) & (lo <= F.lit(bounds["hi"]))
     return index_df.where(pred).select("filename")
 
@@ -249,11 +263,12 @@ def locate_files(
                 index_df,
                 large_tables.get(col),
                 auto_col if auto_col in index_df.columns else None,
+                source,
                 values_df,
                 col,
             )
         elif cfg.type == BLOOM:
-            vals = _collect_values(values_df, BLOOM_COLLECT_CAP)
+            vals = _collect_values(source, values_df, BLOOM_COLLECT_CAP)
             if vals is None:
                 log.warning(
                     "bloom column %s: > %d distinct query values; skipping prune",
@@ -266,7 +281,9 @@ def locate_files(
             else:
                 cand = _bloom_candidates(index_df, cfg.stored_column, vals)
         elif cfg.type == RANGE:
-            cand = _range_candidates(index_df, cfg.stored_column, values_df)
+            cand = _range_candidates(
+                index_df, cfg.stored_column, source, values_df
+            )
         elif cfg.type == TEMPORAL:
             cand = _temporal_candidates(
                 index_df, large_tables.get(col), col, values_df
@@ -275,10 +292,24 @@ def locate_files(
             raise ColumnNotIndexedError(col)
         candidate_dfs.append(cand.distinct())
 
-    if not candidate_dfs:
-        files = [r[0] for r in index_df.select("filename").collect()]
-        return files, stats
+    has_size = "file_size" in index_df.columns
 
-    intersected = reduce(lambda a, b: a.join(b, "filename", "inner"), candidate_dfs)
-    files = [r[0] for r in intersected.select("filename").distinct().collect()]
+    if not candidate_dfs:
+        cols_sel = ["filename", "file_size"] if has_size else ["filename"]
+        rows = index_df.select(*cols_sel).collect()
+        stats.sizes = {r[0]: (r[1] if has_size else None) for r in rows}
+        return [r[0] for r in rows], stats
+
+    intersected = reduce(
+        lambda a, b: a.join(b, "filename", "inner"), candidate_dfs
+    ).distinct()
+    if has_size:
+        intersected = intersected.join(
+            index_df.select("filename", "file_size"), "filename", "left"
+        )
+        rows = intersected.collect()
+        stats.sizes = {r[0]: r[1] for r in rows}
+        return [r[0] for r in rows], stats
+    files = [r[0] for r in intersected.collect()]
+    stats.sizes = {f: None for f in files}
     return files, stats
