@@ -354,6 +354,28 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, queries, k=5)
 
 
+def q_sim_ann_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH approximate top-k (hash-dependent: rows-only)."""
+    from ariadne_spark.operators.similarity import lsh_ann_topk_banded
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_ann_topk_banded(emb, queries, k=5)
+
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (hash-dependent: rows-only)."""
+    from ariadne_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_ann_topk(emb, queries, k=5)
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-bucketed: rows-only).
 
@@ -490,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_banded": q_sim_ann_banded,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "sql_tpch_q1": q_sql_tpch_q1,

@@ -195,6 +195,175 @@ def lsh_ann_topk(
     )
 
 
+def _band_signature_udf(planes_stack: np.ndarray, bands: int, per_band: int):
+    """All ``bands`` signatures in ONE corpus scan: a single
+    (bands*per_band, dim) matmul per vector, bits packed per band into
+    an array<long>."""
+    import pandas as pd
+
+    def sig(vecs: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            bits = (planes_stack @ np.asarray(v, dtype=np.float64)) > 0
+            out = []
+            for b in range(bands):
+                chunk = bits[b * per_band : (b + 1) * per_band]
+                out.append(int(sum(1 << i for i, s in enumerate(chunk) if s)))
+            return out
+
+        return vecs.map(one)
+
+    sig.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sig, T.ArrayType(T.LongType()))
+
+
+def lsh_ann_topk_banded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    bands: int = 8,
+    planes_per_band: int = 10,
+) -> DataFrame:
+    """Approximate top-k with banded OR-amplification: ``bands``
+    independent signatures; a corpus vector is a candidate if it
+    collides with the query in ANY band. Collision probability per
+    band is (1 - θ/π)^planes_per_band, OR-ed across bands — the same
+    S-curve control minhash LSH banding gives Jaccard, here for
+    cosine. Better recall/candidate trade-off than single-signature
+    multiprobe on weakly-correlated corpora (NOTES round-1 gap #3).
+
+    One UDF scan per side computes all band signatures; candidates
+    come from a (band, sig) equi-join; exact cosine re-ranks."""
+    first = corpus.select(F.size(F.col(vec_col))).first()
+    dim = first[0] if first else 0
+    stack = np.vstack(
+        [
+            _planes(dim, planes_per_band, f"ariadne-lsh-band{b}")
+            for b in range(bands)
+        ]
+    )
+    sig = _band_signature_udf(stack, bands, planes_per_band)
+    c = (
+        _ensure_parallelism(corpus)
+        .select(F.col(corpus_id), F.col(vec_col).alias("__cv"), sig(F.col(vec_col)).alias("__sigs"))
+        .select(corpus_id, "__cv", F.posexplode("__sigs").alias("__band", "__sig"))
+    )
+    q = (
+        queries.select(F.col(query_id), F.col(vec_col).alias("__qv"), sig(F.col(vec_col)).alias("__sigs"))
+        .select(query_id, "__qv", F.posexplode("__sigs").alias("__band", "__sig"))
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+    )
+    scored = (
+        c.join(F.broadcast(q), ["__band", "__sig"])
+        .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
+        .groupBy(query_id, corpus_id)
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+# ------------------------------------------------------------------ IVF
+
+def _centroids(corpus: DataFrame, corpus_id: str, vec_col: str, n: int) -> np.ndarray:
+    """Deterministic centroid pick: the n corpus vectors with the
+    smallest xxhash64(id) — a uniform pseudo-random sample that needs
+    no RNG state and no iterative k-means (collect is n×dim floats,
+    driver-bounded)."""
+    rows = (
+        corpus.select(F.col(corpus_id).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
+        .limit(n)
+        .collect()
+    )
+    return np.array([r["__v"] for r in rows], dtype=np.float64)
+
+
+def _nearest_centroids_udf(cents: np.ndarray, n_probe: int):
+    """Top-``n_probe`` centroid ids by cosine for each vector."""
+    import pandas as pd
+
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0] = 1.0
+
+    def probe(vecs: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            a = np.asarray(v, dtype=np.float64)
+            na = np.linalg.norm(a) or 1.0
+            cos = (cents @ a) / (norms * na)
+            top = np.argsort(-cos)[:n_probe]
+            return [int(i) for i in top]
+
+        return vecs.map(one)
+
+    probe.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(probe, T.ArrayType(T.IntegerType()))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus vectors are assigned to
+    their nearest centroid (one UDF scan — the inverted-file lists);
+    each query probes its ``n_probe`` nearest centroids and re-ranks
+    exactly inside them. Scan fraction ≈ n_probe/n_centroids.
+
+    At lake scale, write the assignment out and cluster/partition the
+    table by ``ivf_cell`` (or put a regular index on it) — the probe
+    then prunes FILES, composing with the engine's locate path."""
+    cents = _centroids(corpus, corpus_id, vec_col, n_centroids)
+    assign = _nearest_centroids_udf(cents, 1)
+    probe = _nearest_centroids_udf(cents, n_probe)
+    c = _ensure_parallelism(corpus).select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("__cv"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("__cell"),
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe(F.col(vec_col))).alias("__cell"),
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
+        .groupBy(query_id, corpus_id)
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "text_lang_id",
     "sim_topk",
     "sim_ann_lsh",
+    "sim_ann_banded",
+    "sim_ann_ivf",
     "multimodal_fingerprint",
     "sql_tpch_q1",
     "sql_join_pruned",

@@ -103,6 +103,33 @@ def test_lsh_ann_finds_strong_neighbors(spark, emb):
         assert (q, q + 10000) in a  # planted strong neighbor recovered
 
 
+def test_banded_lsh_and_ivf_recover_strong_neighbors(spark, emb):
+    """Banded OR-amplification and IVF probing must recover planted
+    strong neighbors like the single-signature path does (round-1 gap:
+    multiprobe-only recall)."""
+    planted = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for fn in (
+        lambda: similarity.lsh_ann_topk_banded(corpus, queries, k=3),
+        lambda: similarity.ivf_ann_topk(
+            corpus, queries, k=3, n_centroids=16, n_probe=4
+        ),
+    ):
+        a = {(r["query_id"], r["vec_id"]) for r in fn().collect()}
+        for q in range(5):
+            assert (q, q) in a  # self
+            assert (q, q + 10000) in a  # planted strong neighbor
+
+
 def test_text_features_deterministic(spark, docs):
     q = text.quality_features(docs, "text", "doc_id")
     row = q.where("doc_id = 0").collect()[0]
