@@ -451,6 +451,50 @@ def q_sql_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 through the SQL surface: a three-table join tree where
+    TWO relations are index views. The (customer x orders) inner join
+    rewrites to a file-pruned orders read; the outer join against
+    lineitem keeps the full view (both sides hold index relations —
+    the reference rule skips those too) and stays correct via the
+    unmodified query text."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("customer_v")
+    return ariadne_spark.sql(
+        """
+        SELECT o.o_orderkey,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS revenue,
+               o.o_orderdate
+        FROM customer_v c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        """,
+        spark,
+    )
+
+
+def q_sql_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE-path file pruning through SQL on a JSON-format index
+    view (IN-list on the indexed column)."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    return ariadne_spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier_json WHERE s_nationkey IN (1, 2)
+        """,
+        spark,
+    )
+
+
 def q_datasource_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 native path: spark.read.format('ariadne') with pushFilters
     file pruning planned JVM-free from on-disk index state."""
@@ -518,6 +562,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
+        "sql_tpch_q3": q_sql_tpch_q3,
+        "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
         "idx_stats": q_idx_stats,
         "idx_locate": q_idx_locate,
@@ -685,6 +731,23 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'MACHINERY' AND o.o_orderstatus = 'F'
+        """,
+        "sql_tpch_q3": """
+            SELECT o.o_orderkey,
+                   sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS revenue,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o.o_orderkey, o.o_orderdate
+        """,
+        "sql_json_filter": """
+            SELECT s_suppkey, s_name, s_nationkey
+            FROM supplier WHERE s_nationkey IN (1, 2)
         """,
         "datasource_filter": f"""
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "multimodal_fingerprint",
     "sql_tpch_q1",
     "sql_join_pruned",
+    "sql_tpch_q3",
     "datasource_filter",
 ]
 
