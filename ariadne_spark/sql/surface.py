@@ -247,49 +247,13 @@ def _plan_and_swap(
             for col, vals in flt.items():
                 cur.setdefault(col, []).extend(vals)
 
-    # (b) join rewrite: Join(cond has indexcol = othercol) where exactly
-    # one side holds exactly one index relation -> execute the OTHER
-    # side, collect its join-key values as the pruning query
-    for node in _walk(jplan):
-        if _cls(node) != "Join" or node.condition().isEmpty():
-            continue
-        # INNER only — pruning an outer join's preserved side would drop
-        # rows (the reference rule has the same constraint,
-        # AriadneJoinRule.scala:134-155)
-        if str(node.joinType().sql()).upper() != "INNER":
-            continue
-        cond = node.condition().get()
-        left, right = _children(node)[0], _children(node)[1]
-        l_rels = [r for r in (_relation_name(x) for x in _walk(left)) if r in index_names]
-        r_rels = [r for r in (_relation_name(x) for x in _walk(right)) if r in index_names]
-        for idx_side, other_side, rels, other_rels in (
-            (left, right, l_rels, r_rels),
-            (right, left, r_rels, l_rels),
-        ):
-            if len(rels) != 1 or other_rels:
-                continue
-            name = rels[0]
-            pairs = _join_equi_cols(cond, indexed_cols[name])
-            if not pairs:
-                continue
-            jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-                spark._jsparkSession, other_side
-            )
-            other_df = DataFrame(jdf, spark)
-            for icol, ocol in pairs:
-                if ocol not in other_df.columns:
-                    continue
-                # keep the key set DISTRIBUTED: locate's regular path
-                # semi-joins against the frame, so any key cardinality
-                # works without a driver collect
-                cur = pruned_frames.setdefault(name, {})
-                frame = other_df.select(F.col(ocol).alias(icol))
-                cur[icol] = frame if icol not in cur else cur[icol].unionByName(frame)
-
-    for name in set(pruned_values) | set(pruned_frames):
+    # accumulated join-key frames per view; swapping is monotone
+    # refinement (every re-swap only ADDS constraints, and file
+    # pruning is conservative, so intermediate states stay correct)
+    def _swap_with(name: str, frames: dict[str, DataFrame]) -> None:
         idx = metas[name]
         query_map: dict = dict(pruned_values.get(name, {}))
-        for icol, frame in pruned_frames.get(name, {}).items():
+        for icol, frame in frames.items():
             # a literal constraint on the same column already bounds the
             # candidate set; the frame would only widen it
             query_map.setdefault(icol, frame)
@@ -300,3 +264,83 @@ def _plan_and_swap(
             "ariadne.sql: pruned view %s to %d files via %s",
             name, len(files), sorted(query_map),
         )
+
+    for name in pruned_values:
+        _swap_with(name, pruned_frames.setdefault(name, {}))
+    swapped: set[str] = set(pruned_values)
+
+    # (b) join rewrites, cascaded to fixpoint: Join(cond has
+    # indexcol = othercol) prunes its index side by executing the
+    # OTHER side and collecting its join-key values (the reference's
+    # execute-during-optimization cost, AriadneJoinRule.scala:43-45).
+    # A join qualifies once the other side references no index view
+    # that is still unpruned — so pruning one view can unlock pruning
+    # the next (the reference rule skips index-index joins outright;
+    # the cascade is a strict improvement with the same fallback).
+    joins = [
+        n
+        for n in _walk(jplan)
+        if _cls(n) == "Join"
+        and not n.condition().isEmpty()
+        # INNER only — pruning an outer join's preserved side would
+        # drop rows (reference constraint, AriadneJoinRule.scala:134-155)
+        and str(n.joinType().sql()).upper() == "INNER"
+    ]
+    done: set[int] = set()
+    progress = True
+    while progress:
+        progress = False
+        for i, node in enumerate(joins):
+            if i in done:
+                continue
+            cond = node.condition().get()
+            left, right = _children(node)[0], _children(node)[1]
+            sides = []
+            for idx_side, other_side in ((left, right), (right, left)):
+                rels = [
+                    r
+                    for r in (_relation_name(x) for x in _walk(idx_side))
+                    if r in index_names
+                ]
+                other_rels = [
+                    r
+                    for r in (_relation_name(x) for x in _walk(other_side))
+                    if r in index_names
+                ]
+                if len(rels) != 1 or any(r not in swapped for r in other_rels):
+                    continue
+                sides.append((rels[0], other_side))
+            # prefer pruning a still-unpruned view over refining one
+            sides.sort(key=lambda s: s[0] in swapped)
+            for name, other_side in sides:
+                pairs = _join_equi_cols(cond, indexed_cols[name])
+                if not pairs:
+                    continue
+                # resolves against the CURRENT temp views, so an
+                # already-pruned other side executes its pruned read
+                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+                    spark._jsparkSession, other_side
+                )
+                other_df = DataFrame(jdf, spark)
+                frames = pruned_frames.setdefault(name, {})
+                added = False
+                for icol, ocol in pairs:
+                    if ocol not in other_df.columns:
+                        continue
+                    # keep the key set DISTRIBUTED: locate's regular
+                    # path semi-joins against the frame, so any key
+                    # cardinality works without a driver collect
+                    frame = other_df.select(F.col(ocol).alias(icol))
+                    frames[icol] = (
+                        frame
+                        if icol not in frames
+                        else frames[icol].unionByName(frame)
+                    )
+                    added = True
+                if not added:
+                    continue
+                _swap_with(name, frames)
+                swapped.add(name)
+                done.add(i)
+                progress = True
+                break

@@ -84,6 +84,46 @@ def test_sql_temporal_view_applies_dedup(spark, storage, events_files):
     assert per_user == 1  # one (latest) row per user
 
 
+def test_sql_cascaded_join_pruning(spark, storage, orders_files, caplog):
+    """Pruning one view unlocks pruning the next: in
+    dim ⋈ A ⋈ B, A prunes from dim's literal keys, then B prunes from
+    the (dim ⋈ pruned-A) join keys — the reference rule skips joins
+    whose other side holds an index relation; the cascade handles
+    them with the same conservative semantics."""
+    import logging
+
+    df, files = orders_files
+    a = Index.for_name("casc_a", schema=df.schema, format="parquet", spark=spark)
+    a.add_range_index("o_orderkey").add_files(files).update()
+    b = Index.for_name("casc_b", schema=df.schema, format="parquet", spark=spark)
+    b.add_range_index("o_orderkey").add_files(files).update()
+    surface.register_views(spark, ["casc_a", "casc_b"])
+    # keys confined to one file's o_orderkey range
+    keys = [r[0] for r in df.select("o_orderkey").orderBy("o_orderkey").limit(3).collect()]
+    spark.createDataFrame([(k,) for k in keys], ["k"]).createOrReplaceTempView("casc_dim")
+    with caplog.at_level(logging.INFO, logger="ariadne"):
+        res = surface.sql(
+            "SELECT a.o_orderkey, b.o_custkey FROM casc_dim d "
+            "JOIN casc_a a ON a.o_orderkey = d.k "
+            "JOIN casc_b b ON b.o_orderkey = a.o_orderkey",
+            spark,
+        )
+        expected = (
+            df.where(F.col("o_orderkey").isin(keys))
+            .alias("a")
+            .join(df.alias("b"), "o_orderkey")
+            .select("o_orderkey", F.col("b.o_custkey"))
+        )
+        assert_same_rows(res, expected)
+    pruned = {
+        m.split()[3]: int(m.split()[5])
+        for m in caplog.messages
+        if m.startswith("ariadne.sql: pruned view casc_")
+    }
+    assert pruned.get("casc_a") == 1, pruned
+    assert pruned.get("casc_b") == 1, pruned  # cascade reached B
+
+
 def test_sql_cte_and_aggregation(spark, orders_view):
     df = orders_view
     r = surface.sql(
