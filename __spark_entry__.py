@@ -454,10 +454,11 @@ def q_sql_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 through the SQL surface: a three-table join tree where
     TWO relations are index views. The (customer x orders) inner join
-    rewrites to a file-pruned orders read; the outer join against
-    lineitem keeps the full view (both sides hold index relations —
-    the reference rule skips those too) and stays correct via the
-    unmodified query text."""
+    rewrites to a file-pruned orders read; the cascade then prunes
+    lineitem from the pruned (customer x orders) join keys via its
+    bloom index — the reference rule skips joins whose other side
+    holds an index relation, so this is strictly wider coverage with
+    the same conservative fallback."""
     import ariadne_spark
 
     _prepare(spark, sf_dir)
@@ -579,27 +580,22 @@ def _sql_list(vals) -> str:
 def _lang_id_sql() -> str:
     from ariadne_spark.operators.text import LANG_MARKERS
 
-    hit_exprs = {}
-    for lang, words in LANG_MARKERS.items():
-        parts = []
-        for w in words:
-            needle = f" {w} "
-            parts.append(
-                f"(length(' ' || lower(text) || ' ') - "
-                f"length(replace(' ' || lower(text) || ' ', '{needle}', ''))) / {len(needle)}"
-            )
-        hit_exprs[lang] = "CAST(" + " + ".join(parts) + " AS BIGINT)"
-    cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hit_exprs.items())
     langs = sorted(LANG_MARKERS)
+    cols = ", ".join(
+        f"CAST(len(list_filter(toks, t -> t IN ({_sql_list(LANG_MARKERS[lang])})))"
+        f" AS BIGINT) AS h_{lang}"
+        for lang in langs
+    )
     mh = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
-    case = "CASE WHEN {mh} = 0 THEN 'und' ".format(mh=mh)
-    for l in langs:
+    case = f"CASE WHEN {mh} = 0 THEN 'und' "
+    for l in langs:  # first match = earliest code wins ties (engine parity)
         case += f"WHEN h_{l} = {mh} THEN '{l}' "
     case += "END"
     return (
-        f"WITH h AS (SELECT doc_id, {cols} FROM documents) "
-        f"SELECT doc_id, {case} AS lang_guess, "
-        f"CASE WHEN {mh} = 0 THEN 0 ELSE {mh} END AS marker_hits FROM h"
+        "WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks"
+        " FROM documents), "
+        f"h AS (SELECT doc_id, {cols} FROM t) "
+        f"SELECT doc_id, {case} AS lang_guess, {mh} AS marker_hits FROM h"
     )
 
 

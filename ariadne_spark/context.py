@@ -25,6 +25,40 @@ def get_spark() -> SparkSession:
     return spark
 
 
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``ariadne_spark`` importable on executors no matter where
+    the driver was launched from: zip the package once per
+    SparkContext and ``addPyFile`` it. Engine UDF closures
+    (bloom probe/build, minhash/simhash signatures, media decode) are
+    pickled with references to package modules, so Python workers must
+    be able to import the package; on a cluster this automates what
+    ``--py-files`` would do, and in local mode it covers drivers whose
+    working directory is not the repo root."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    fd, zpath = tempfile.mkstemp(prefix="ariadne_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for dirpath, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    zf.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    _SHIPPED.add(key)
+
+
 # Sentinel default so unset keys return instead of raising: the raise
 # path costs a py4j exception conversion (~25 ms per key), which
 # multiplies across the 12-key snapshot on every Index open.

@@ -80,6 +80,7 @@ class Index:
     # ------------------------------------------------------------ create
 
     def __init__(self, spark: SparkSession, meta: IndexMetadata, paths: IndexPaths):
+        context.ship_package(spark)
         self.spark = spark
         self.meta = meta
         self.paths = paths

@@ -104,6 +104,9 @@ def decode_media(
             f"codec {codec!r}: real image/audio decoding needs PIL/ffmpeg, "
             "not available in this environment — use codec='fake'"
         )
+    from .. import context
+
+    context.ship_package(df.sparkSession)
     keep = batch_cols or [c for c in df.columns if c != blob_col]
     out_schema = T.StructType(
         [df.schema[c] for c in keep] + list(FEATURE_SCHEMA.fields)

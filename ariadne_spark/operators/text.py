@@ -72,33 +72,47 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _marker_hits(text_col: str, words: list[str]) -> Column:
-    """Count of marker-word occurrences, counted on ' '-padded lowered
-    text so word boundaries need no regex (expressible identically in
-    DuckDB for the oracle)."""
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    total = F.lit(0)
-    for w in words:
-        needle = f" {w} "
-        occ = (F.length(padded) - F.length(F.regexp_replace(padded, needle, ""))) / len(needle)
-        total = total + occ
-    return total.cast("bigint")
+def _marker_hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens equal to a marker word (single split shared
+    across languages; expressible identically in DuckDB for the
+    oracle via list_filter)."""
+    return F.size(F.filter(toks, lambda t: t.isin(words))).cast("bigint")
 
 
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-marker language heuristic: the language whose marker
-    words occur most; ties and zero-evidence fall back to 'und'
-    (undetermined). Deterministic tie-break by language code order."""
-    hits = {lang: _marker_hits(text_col, words) for lang, words in LANG_MARKERS.items()}
-    best_lang = F.lit("und")
-    best_hits = F.lit(0).cast("bigint")
-    for lang in sorted(LANG_MARKERS):  # later code wins only on strictly more hits
-        h = hits[lang]
-        take = h > best_hits
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(take, h).otherwise(best_hits)
-    cols = [F.col(id_col), best_lang.alias("lang_guess"), best_hits.alias("marker_hits")]
-    return df.select(*cols)
+    words occur most (token equality over lowered space-split text);
+    ties and zero-evidence fall back to 'und' (undetermined),
+    tie-break by language code order.
+
+    One split + per-language array-filter counts + a single
+    ``array_max`` over (hits, preference) structs: the previous
+    form (per-word regexp_replace with nested when-chains) generated
+    >64 KB of codegen for one projection, forcing janino to bail to
+    interpreted evaluation on every execution."""
+    langs = sorted(LANG_MARKERS)  # earlier code wins ties
+    with_toks = df.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__toks")
+    )
+    # array_max compares structs field-by-field: max hits first, then
+    # max preference rank, which is ordered so earlier codes win
+    structs = [
+        F.struct(
+            _marker_hits(F.col("__toks"), LANG_MARKERS[lang]).alias("h"),
+            F.lit(len(langs) - 1 - i).alias("r"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*structs))
+    pos = F.lit(len(langs)) - best["r"]  # 1-based index back into langs
+    lang_arr = F.array(*[F.lit(code) for code in langs])
+    return with_toks.select(
+        F.col(id_col),
+        F.when(best["h"] > 0, F.element_at(lang_arr, pos))
+        .otherwise(F.lit("und"))
+        .alias("lang_guess"),
+        best["h"].alias("marker_hits"),
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

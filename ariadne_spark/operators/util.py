@@ -11,6 +11,9 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     tasks, serializing the signature UDF on a single core; at lake
     scale inputs already have >= defaultParallelism partitions and
     this is a no-op (no shuffle added)."""
+    from .. import context
+
+    context.ship_package(df.sparkSession)
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -194,6 +194,9 @@ class AriadneReader(DataSourceReader):
 
 
 def register(spark) -> None:
+    from .. import context
+
+    context.ship_package(spark)
     # pushFilters requires the (off-by-default) python pushdown flag
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(AriadneDataSource)

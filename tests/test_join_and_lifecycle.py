@@ -213,3 +213,14 @@ def test_size_accounting(spark, storage, orders_files):
     reloaded.delete_files(files[:1])
     again = Index.for_name("o_size", spark=spark)
     assert again.meta.total_indexed_bytes == expected - _os.path.getsize(files[0])
+
+
+def test_package_shipped_to_executors(spark, storage, orders_files):
+    """Opening an index ships the package zip to Python workers
+    (addPyFile), so engine UDF closures that reference package modules
+    (bloom probe, minhash signatures, media decode) deserialize even
+    when the driver's working directory is not the repo root."""
+    df, files = orders_files
+    Index.for_name("ship_pkg", schema=df.schema, format="parquet", spark=spark)
+    includes = list(spark.sparkContext._python_includes)
+    assert any("ariadne_spark_" in p for p in includes), includes

@@ -136,6 +136,21 @@ def test_text_features_deterministic(spark, docs):
     assert row["n_chars_calc"] > 0 and row["n_words"] > 0
     lid = text.lang_id(docs, "text", "doc_id")
     assert set(lid.columns) == {"doc_id", "lang_guess", "marker_hits"}
+    # token-equality counting + deterministic tie-break semantics
+    cases = spark.createDataFrame(
+        [
+            (1, "The and of to is the"),  # en: 2x'the' + and/of/to/is = 6
+            (2, "le la et les des"),  # fr: 5
+            (3, "xyz qrs"),  # no evidence -> und
+            (4, "the le"),  # 1-1 tie -> earliest code ('en' < 'fr')
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["lang_guess"], r["marker_hits"])
+        for r in text.lang_id(cases, "text", "doc_id").collect()
+    }
+    assert got == {1: ("en", 6), 2: ("fr", 5), 3: ("und", 0), 4: ("en", 1)}
     fp1 = text.fingerprint(docs, "text", "doc_id")
     fp2 = text.fingerprint(docs, "text", "doc_id")
     assert rows_set(fp1) == rows_set(fp2)
