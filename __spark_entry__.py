@@ -481,6 +481,86 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 through the SQL surface: a six-table join tree mixing
+    two index views (orders, lineitem) with four plain temp views.
+    The dimension chain region→nation→supplier/customer carries a
+    literal filter; orders is additionally date-filtered. Whatever
+    the rewriter can't prune runs through the conservative fallback —
+    the answer is identical either way (reference rule semantics,
+    catalog/AriadneJoinRule.scala:241-249)."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    for t in ("customer", "supplier", "nation", "region"):
+        spark.read.parquet(_t(sf_dir, t)).createOrReplaceTempView(f"{t}_v")
+    return ariadne_spark.sql(
+        """
+        SELECT n.n_name,
+               sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS revenue
+        FROM customer_v c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier_v s ON l.l_suppkey = s.s_suppkey
+                         AND c.c_nationkey = s.s_nationkey
+        JOIN nation_v n ON s.s_nationkey = n.n_nationkey
+        JOIN region_v r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        """,
+        spark,
+    )
+
+
+def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (scan-heavy filter + global aggregate) on the
+    lineitem index view: no indexed predicate, so this exercises the
+    full-view path — Catalyst pushes the shipdate/discount/quantity
+    predicates into the parquet scan of the registered view."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    return ariadne_spark.sql(
+        """
+        SELECT count(*) AS n_rows,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,2))) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+        spark,
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: fake-pack documents as video
+    blobs, stamp a deterministic duration (10 ms per char), then
+    explode planned frame timestamps from metadata only — the blob
+    column is never decoded, and parquet column pruning keeps it
+    unread at scan time."""
+    from ariadne_spark.operators.multimodal import (
+        frame_sample_stub,
+        pack_fake_media,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    packed = pack_fake_media(docs, "text", media_type="video").withColumn(
+        "media_meta",
+        F.col("media_meta").withField(
+            "duration_ms", (F.col("n_chars") * 10).cast("long")
+        ),
+    )
+    return frame_sample_stub(packed, every_ms=500).select(
+        "doc_id", F.col("frame_ts_ms").cast("bigint").alias("frame_ts_ms")
+    )
+
+
 def q_sql_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHERE-path file pruning through SQL on a JSON-format index
     view (IN-list on the indexed column)."""
@@ -564,6 +644,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
         "sql_tpch_q3": q_sql_tpch_q3,
+        "sql_tpch_q5": q_sql_tpch_q5,
+        "sql_tpch_q6": q_sql_tpch_q6,
+        "multimodal_frames": q_multimodal_frames,
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
         "idx_stats": q_idx_stats,
@@ -740,6 +823,37 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate < TIMESTAMP '1995-03-15'
               AND l.l_shipdate > TIMESTAMP '1995-03-15'
             GROUP BY o.o_orderkey, o.o_orderdate
+        """,
+        "sql_tpch_q5": """
+            SELECT n.n_name,
+                   sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name
+        """,
+        "sql_tpch_q6": """
+            SELECT count(*) AS n_rows,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "multimodal_frames": """
+            SELECT doc_id,
+                   CAST(unnest(generate_series(0, n_chars * 10, 500)) AS BIGINT) AS frame_ts_ms
+            FROM documents
         """,
         "sql_json_filter": """
             SELECT s_suppkey, s_name, s_nationkey

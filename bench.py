@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "sql_tpch_q1",
     "sql_join_pruned",
     "sql_tpch_q3",
+    "sql_tpch_q5",
+    "sql_tpch_q6",
     "datasource_filter",
 ]
 
