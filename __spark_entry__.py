@@ -305,6 +305,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data cleaning pipeline — the operators
+    chained the way a real corpus pass runs them: quality features →
+    threshold filter → language ID → language filter → exact dedup.
+    Each stage is a narrow column projection, so the whole pipeline
+    is one scan + one window shuffle at the final dedup."""
+    from ariadne_spark.operators.dedup import exact_dedup_normalized
+    from ariadne_spark.operators.text import lang_id, quality_features
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    qf = quality_features(docs, "text", "doc_id").select(
+        "doc_id", "n_words", "punct_ratio"
+    )
+    li = lang_id(docs, "text", "doc_id").select("doc_id", "lang_guess")
+    kept = (
+        docs.join(qf, "doc_id")
+        .join(li, "doc_id")
+        .where(
+            (F.col("n_words") >= 10)
+            & (F.col("punct_ratio") <= 0.1)
+            & (F.col("lang_guess") != "und")
+        )
+    )
+    return exact_dedup_normalized(kept, "text", "doc_id").select(
+        "doc_id", "lang_guess", "n_words"
+    )
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_spark.operators.text import token_count
 
@@ -631,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "pipeline_clean": q_pipeline_clean,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -747,6 +776,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT min(doc_id) AS doc_id FROM g GROUP BY k
+        """,
+        "pipeline_clean": rf"""
+            WITH q AS (
+                SELECT doc_id, text,
+                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+                    round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1), 4) AS punct_ratio
+                FROM documents
+            ),
+            l AS (SELECT doc_id, lang_guess FROM ({_lang_id_sql()})),
+            f AS (
+                SELECT q.doc_id, q.text, q.n_words, l.lang_guess
+                FROM q JOIN l USING (doc_id)
+                WHERE q.n_words >= 10 AND q.punct_ratio <= 0.1
+                  AND l.lang_guess <> 'und'
+            ),
+            d AS (
+                SELECT doc_id, lang_guess, n_words,
+                       row_number() OVER (
+                           PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                           ORDER BY doc_id
+                       ) AS rn
+                FROM f
+            )
+            SELECT doc_id, lang_guess, n_words FROM d WHERE rn = 1
         """,
         "text_token_count": r"""
             SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

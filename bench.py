@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "text_lang_id",
+    "pipeline_clean",
     "sim_topk",
     "sim_ann_lsh",
     "sim_ann_banded",
