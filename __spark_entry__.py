@@ -312,21 +312,24 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each stage is a narrow column projection, so the whole pipeline
     is one scan + one window shuffle at the final dedup."""
     from ariadne_spark.operators.dedup import exact_dedup_normalized
-    from ariadne_spark.operators.text import lang_id, quality_features
+    from ariadne_spark.operators.text import (
+        lang_id_columns,
+        quality_feature_columns,
+    )
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    qf = quality_features(docs, "text", "doc_id").select(
-        "doc_id", "n_words", "punct_ratio"
-    )
-    li = lang_id(docs, "text", "doc_id").select("doc_id", "lang_guess")
-    kept = (
-        docs.join(qf, "doc_id")
-        .join(li, "doc_id")
-        .where(
-            (F.col("n_words") >= 10)
-            & (F.col("punct_ratio") <= 0.1)
-            & (F.col("lang_guess") != "und")
-        )
+    qf = quality_feature_columns("text")
+    li = lang_id_columns("text")
+    kept = docs.withColumns(
+        {
+            "n_words": qf["n_words"],
+            "punct_ratio": qf["punct_ratio"],
+            "lang_guess": li["lang_guess"],
+        }
+    ).where(
+        (F.col("n_words") >= 10)
+        & (F.col("punct_ratio") <= 0.1)
+        & (F.col("lang_guess") != "und")
     )
     return exact_dedup_normalized(kept, "text", "doc_id").select(
         "doc_id", "lang_guess", "n_words"

@@ -51,24 +51,33 @@ def char_ngrams(col: str | Column, n: int = 3) -> Column:
     return F.when(F.length(c) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
-def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Deterministic quality-scoring features per document: lengths,
-    word stats, punctuation/uppercase/digit ratios — the standard
-    cheap pre-filters of an LLM data pipeline."""
+def quality_feature_columns(text_col: str = "text") -> dict[str, Column]:
+    """The quality features as named Column expressions — append them
+    with ``withColumns`` to keep a pipeline single-scan (per-row
+    projections never need a self-join)."""
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
     n_words = token_count(text_col)
     punct = (n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).cast("bigint")
     digits = (n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("bigint")
     upper = (n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))).cast("bigint")
+    return {
+        "n_chars_calc": n_chars,
+        "n_words": n_words,
+        "avg_word_len": F.round(n_chars / F.greatest(n_words, F.lit(1)), 4),
+        "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 4),
+        "digit_ratio": F.round(digits / F.greatest(n_chars, F.lit(1)), 4),
+        "upper_ratio": F.round(upper / F.greatest(n_chars, F.lit(1)), 4),
+    }
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality-scoring features per document: lengths,
+    word stats, punctuation/uppercase/digit ratios — the standard
+    cheap pre-filters of an LLM data pipeline."""
+    cols = quality_feature_columns(text_col)
     return df.select(
-        F.col(id_col),
-        n_chars.alias("n_chars_calc"),
-        n_words.alias("n_words"),
-        F.round(n_chars / F.greatest(n_words, F.lit(1)), 4).alias("avg_word_len"),
-        F.round(punct / F.greatest(n_chars, F.lit(1)), 4).alias("punct_ratio"),
-        F.round(digits / F.greatest(n_chars, F.lit(1)), 4).alias("digit_ratio"),
-        F.round(upper / F.greatest(n_chars, F.lit(1)), 4).alias("upper_ratio"),
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
@@ -79,26 +88,16 @@ def _marker_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(words))).cast("bigint")
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-marker language heuristic: the language whose marker
-    words occur most (token equality over lowered space-split text);
-    ties and zero-evidence fall back to 'und' (undetermined),
-    tie-break by language code order.
-
-    One split + per-language array-filter counts + a single
-    ``array_max`` over (hits, preference) structs: the previous
-    form (per-word regexp_replace with nested when-chains) generated
-    >64 KB of codegen for one projection, forcing janino to bail to
-    interpreted evaluation on every execution."""
+def lang_id_columns(text_col: str = "text") -> dict[str, Column]:
+    """lang_guess / marker_hits as Column expressions over the text
+    column (single-scan appendable, like quality_feature_columns)."""
     langs = sorted(LANG_MARKERS)  # earlier code wins ties
-    with_toks = df.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("__toks")
-    )
+    toks = F.split(F.lower(F.col(text_col)), " ")
     # array_max compares structs field-by-field: max hits first, then
     # max preference rank, which is ordered so earlier codes win
     structs = [
         F.struct(
-            _marker_hits(F.col("__toks"), LANG_MARKERS[lang]).alias("h"),
+            _marker_hits(toks, LANG_MARKERS[lang]).alias("h"),
             F.lit(len(langs) - 1 - i).alias("r"),
         )
         for i, lang in enumerate(langs)
@@ -106,12 +105,28 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     best = F.array_max(F.array(*structs))
     pos = F.lit(len(langs)) - best["r"]  # 1-based index back into langs
     lang_arr = F.array(*[F.lit(code) for code in langs])
-    return with_toks.select(
-        F.col(id_col),
-        F.when(best["h"] > 0, F.element_at(lang_arr, pos))
-        .otherwise(F.lit("und"))
-        .alias("lang_guess"),
-        best["h"].alias("marker_hits"),
+    return {
+        "lang_guess": F.when(best["h"] > 0, F.element_at(lang_arr, pos)).otherwise(
+            F.lit("und")
+        ),
+        "marker_hits": best["h"],
+    }
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language heuristic: the language whose marker
+    words occur most (token equality over lowered space-split text);
+    ties and zero-evidence fall back to 'und' (undetermined),
+    tie-break by language code order.
+
+    Per-language array-filter counts + a single ``array_max`` over
+    (hits, preference) structs: the previous form (per-word
+    regexp_replace with nested when-chains) generated >64 KB of
+    codegen for one projection, forcing janino to bail to interpreted
+    evaluation on every execution."""
+    cols = lang_id_columns(text_col)
+    return df.select(
+        F.col(id_col), *[c.alias(name) for name, c in cols.items()]
     )
 
 
