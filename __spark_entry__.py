@@ -228,6 +228,57 @@ def q_idx_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_RUN = [0]
+
+
+def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming latest-version-per-key over the events
+    files: readStream (availableNow, 2 files per micro-batch) →
+    stateful ``applyInPandasWithState`` emitting each key's running
+    winner → memory sink → final per-key compaction. The compacted
+    result equals batch window dedup, so this streaming operator is
+    fully DuckDB-oracle-checked (SURVEY §2.9 extension)."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ariadne_spark.streaming.maintenance import streaming_latest_version
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}/events"
+    schema = spark.read.parquet(f"{base}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(f"{base}/part*")
+    )
+    latest = streaming_latest_version(stream, "user_id", "ts")
+    _STREAM_RUN[0] += 1
+    qname = f"stream_latest_{_STREAM_RUN[0]}_{uuid.uuid4().hex[:8]}"
+    q = (
+        latest.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", f"{WORK}/_stream_ckpt/{qname}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    return (
+        spark.table(qname)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "event_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
 def q_idx_exploded_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/A2 exploded-field index over a token array column."""
     idx = _index(spark, sf_dir, "doc_tokens")
@@ -654,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_join_bloom": q_idx_join_bloom,
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
+        "streaming_latest": q_streaming_latest,
         "idx_multi_and": q_idx_multi_and,
         "idx_select_pushdown": q_idx_select_pushdown,
         "source_csv": q_source_csv,
@@ -739,6 +791,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
                        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
                 FROM events WHERE user_id BETWEEN 0 AND 19
+            )
+            SELECT event_id, ts_us, user_id, event_type, value FROM ranked WHERE rn = 1
+        """,
+        "streaming_latest": """
+            WITH ranked AS (
+                SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+                FROM events
             )
             SELECT event_id, ts_us, user_id, event_type, value FROM ranked WHERE rn = 1
         """,

@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "idx_filter_range",
     "idx_multi_and",
     "idx_exploded_token",
+    "streaming_latest",
     "dedup_exact",
     "dedup_ngramset",
     "dedup_minhash",
