@@ -767,6 +767,9 @@ def _lang_id_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ariadne_spark.operators.text import STOPWORDS
+
+    stop_list = _sql_list(STOPWORDS)
     return {
         "idx_join_regular": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderstatus, c.c_name
@@ -876,9 +879,11 @@ def oracle_sql() -> dict[str, str]:
                 round(CAST(length(text) AS DOUBLE) / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS avg_word_len,
                 round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
                 round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS digit_ratio,
-                round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS upper_ratio
+                round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 4) AS upper_ratio,
+                round(CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ({stop_list}))) AS DOUBLE)
+                      / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stopword_ratio
             FROM documents
-        """,
+        """.format(stop_list=stop_list),
         "text_lang_id": _lang_id_sql(),
         "text_fingerprint": r"""
             SELECT doc_id,

@@ -14,6 +14,14 @@ from pyspark.sql import functions as F
 # Tiny embedded stopword lists for the n-gram/stopword language
 # heuristic. Deliberately small: language ID here is a deterministic,
 # cheap heuristic, not a model.
+# the classic English function-word list used for the stopword-ratio
+# quality signal (token equality over lowered space-split text, same
+# mechanism as LANG_MARKERS so the DuckDB oracle expresses it too)
+STOPWORDS: list[str] = [
+    "the", "and", "of", "to", "is", "in", "a", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+]
+
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
     "fr": ["le", "la", "et", "les", "des"],
@@ -61,6 +69,10 @@ def quality_feature_columns(text_col: str = "text") -> dict[str, Column]:
     punct = (n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))).cast("bigint")
     digits = (n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))).cast("bigint")
     upper = (n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))).cast("bigint")
+    # stopword ratio over lowered space-split tokens (English list —
+    # the standard quality signal; near-zero flags non-text/boilerplate)
+    toks = F.split(F.lower(t), " ")
+    stop_hits = _marker_hits(toks, STOPWORDS)
     return {
         "n_chars_calc": n_chars,
         "n_words": n_words,
@@ -68,6 +80,7 @@ def quality_feature_columns(text_col: str = "text") -> dict[str, Column]:
         "punct_ratio": F.round(punct / F.greatest(n_chars, F.lit(1)), 4),
         "digit_ratio": F.round(digits / F.greatest(n_chars, F.lit(1)), 4),
         "upper_ratio": F.round(upper / F.greatest(n_chars, F.lit(1)), 4),
+        "stopword_ratio": F.round(stop_hits / F.greatest(n_words, F.lit(1)), 4),
     }
 
 

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -19,3 +20,43 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join for hot keys AQE can't fix (e.g. when the
+    skewed side feeds an aggregation pinned to the same partitioning,
+    or a single key exceeds the skewed-partition split size).
+
+    The big/skewed ``left`` side scatters each row into one of
+    ``salt`` buckets by a deterministic row hash; the smaller
+    ``right`` side replicates ``salt``× via an exploded literal
+    range. The join key becomes (on..., __salt), so one hot key
+    spreads over ``salt`` reducer partitions instead of one
+    straggler. Row multiplicity is unchanged — every left row meets
+    each matching right row exactly once (in the bucket it landed
+    in). Results are identical to ``left.join(right, on, how)`` for
+    ``inner``/``left`` joins; right/full joins would need the
+    replicated side deduped back and are rejected.
+
+    Cost: |right| × salt replication — keep ``salt`` ≲ 64 and the
+    right side the smaller relation (the usual skew shape: fact × dim
+    with a hot dimension key)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: "
+            "replicating the right side would duplicate its unmatched rows"
+        )
+    scatter = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+    ).cast("int")
+    l = left.withColumn("__salt", scatter)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return l.join(r, on + ["__salt"], how).drop("__salt")

@@ -214,3 +214,29 @@ def test_simhash_fast_matches_semantics(spark):
     s1 = {(r["id"], r["simhash"]) for r in sig.collect()}
     s2 = {(r["id"], r["simhash"]) for r in dedup.simhash_fast(df, "t", "id").collect()}
     assert s1 == s2
+
+
+def test_salted_join_matches_plain(spark):
+    """salted_join must return the exact multiset of a plain join for
+    inner and left joins on a skewed key distribution."""
+    import pytest
+
+    from ariadne_spark.operators.util import salted_join
+
+    # 90% of fact rows share one hot key; dim has matched + unmatched keys
+    fact = spark.createDataFrame(
+        [(1 if i % 10 else i, f"p{i}") for i in range(1000)], ["k", "payload"]
+    )
+    dim = spark.createDataFrame(
+        [(1, "hot"), (2, "cold"), (77, "ghost")], ["k", "label"]
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            map(tuple, fact.join(dim, ["k"], how).collect())
+        )
+        salted = sorted(
+            map(tuple, salted_join(fact, dim, ["k"], how, salt=8).collect())
+        )
+        assert salted == plain, how
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, ["k"], "full_outer")
