@@ -620,6 +620,34 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue) through the SQL surface: lineitem
+    index view ⋈ part temp view with a date band. Emits numerator and
+    denominator as exact decimals (the ratio is a trivial driver-side
+    division; keeping sums exact avoids cross-engine double-division
+    drift)."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "part")).createOrReplaceTempView("part_v")
+    return ariadne_spark.sql(
+        """
+        SELECT
+            sum(CASE WHEN p.p_type = 'PROMO'
+                THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1.0 - l.l_discount AS DECIMAL(18,2))
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev,
+            sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS total_rev
+        FROM lineitem l
+        JOIN part_v p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        spark,
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: fake-pack documents as video
     blobs, stamp a deterministic duration (10 ms per char), then
@@ -730,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q3": q_sql_tpch_q3,
         "sql_tpch_q5": q_sql_tpch_q5,
         "sql_tpch_q6": q_sql_tpch_q6,
+        "sql_tpch_q14": q_sql_tpch_q14,
         "multimodal_frames": q_multimodal_frames,
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
@@ -971,6 +1000,19 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "sql_tpch_q14": """
+            SELECT
+                sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1.0 - l.l_discount AS DECIMAL(18,2))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev,
+                sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS total_rev
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l.l_shipdate < TIMESTAMP '1996-10-01'
         """,
         "multimodal_frames": """
             SELECT doc_id,

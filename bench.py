@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "sql_tpch_q3",
     "sql_tpch_q5",
     "sql_tpch_q6",
+    "sql_tpch_q14",
     "datasource_filter",
 ]
 
