@@ -240,3 +240,33 @@ def test_salted_join_matches_plain(spark):
         assert salted == plain, how
     with pytest.raises(ValueError):
         salted_join(fact, dim, ["k"], "full_outer")
+
+
+def test_cluster_files_improves_range_pruning(spark, tmp_path):
+    """Range-clustered layout: a point lookup on the clustered column
+    locates ~1 file; the same data shuffled randomly matches all
+    files. Row sets stay identical either way."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark import Index
+    from ariadne_spark.operators.layout import cluster_files
+
+    spark.conf.set("spark.ariadne.storagePath", str(tmp_path / "store"))
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    # adversarial input order: round-robin partitions scatter every
+    # key range across all input partitions
+    scattered = df.repartition(8)
+    files = cluster_files(scattered, str(tmp_path / "clustered"), "k", n_files=8)
+    assert len(files) == 8
+
+    idx = Index.for_name(
+        "clustered", schema=df.schema, format="parquet", spark=spark
+    )
+    idx.add_range_index("k")
+    idx.add_files(files).update()
+    located = idx.locate_files({"k": [1234]})
+    assert len(located) == 1  # disjoint ranges -> exactly one file
+    got = idx.read_matching({"k": [1234]}).select("k", "v").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1234, 1234 % 97)]
