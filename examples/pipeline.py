@@ -1,0 +1,105 @@
+"""Training-data pipeline tour: the beyond-reference operators.
+
+Run from the repo root:  python examples/pipeline.py
+(uses /root/testdata/sf0.001; writes only under /tmp)
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+WORK = "/tmp/ariadne_pipeline_example"
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .appName("ariadne-pipeline")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+shutil.rmtree(WORK, ignore_errors=True)
+
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+# 1) single-scan cleaning pass: quality + language columns, filter ----
+from ariadne_spark.operators.text import (
+    lang_id_columns,
+    quality_feature_columns,
+)
+
+qf, li = quality_feature_columns("text"), lang_id_columns("text")
+cleaned = (
+    docs.withColumns(
+        {
+            "n_words": qf["n_words"],
+            "stopword_ratio": qf["stopword_ratio"],
+            "lang_guess": li["lang_guess"],
+        }
+    )
+    .where((F.col("n_words") >= 10) & (F.col("lang_guess") != "und"))
+)
+print("1) cleaned docs:", cleaned.count(), "of", docs.count())
+
+# 2) dedup: exact, then MinHash+LSH near-dups -------------------------
+from ariadne_spark.operators.dedup import (
+    exact_dedup_normalized,
+    near_dup_minhash,
+)
+
+deduped = exact_dedup_normalized(cleaned, "text", "doc_id")
+pairs = near_dup_minhash(docs, "text", "doc_id", threshold=0.8)
+print("2) exact-deduped:", deduped.count(), "; near-dup pairs:", pairs.count())
+
+# 3) similarity search over embeddings --------------------------------
+from ariadne_spark.operators.similarity import cosine_topk
+
+queries = emb.where(F.col("vec_id") < 2).select(
+    F.col("vec_id").alias("query_id"), "embedding"
+)
+topk = cosine_topk(emb, queries, k=5)
+print("3) cosine top-5:", topk.count(), "result rows")
+
+# 4) multimodal: pack fake media, extract features, sample frames -----
+from ariadne_spark.operators.multimodal import (
+    decode_media,
+    frame_sample_stub,
+    pack_fake_media,
+)
+
+packed = pack_fake_media(docs.limit(50), "text", media_type="video")
+feats = decode_media(packed, "media", codec="fake", batch_cols=["doc_id"])
+frames = frame_sample_stub(
+    packed.withColumn(
+        "media_meta",
+        F.col("media_meta").withField(
+            "duration_ms", (F.col("n_chars") * 10).cast("long")
+        ),
+    ),
+    every_ms=500,
+)
+print("4) media features:", feats.count(), "; planned frames:", frames.count())
+
+# 5) scale utilities: layout clustering + skew-safe join --------------
+from ariadne_spark.operators.layout import cluster_files
+from ariadne_spark.operators.util import salted_join
+
+orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+files = cluster_files(orders, f"{WORK}/orders_clustered", "o_orderkey", n_files=4)
+hot = salted_join(
+    orders.select("o_orderkey", "o_custkey"),
+    spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    ),
+    on=["o_custkey"],
+    salt=8,
+)
+print("5) clustered files:", len(files), "; salted join rows:", hot.count())
+
+spark.stop()
