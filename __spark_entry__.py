@@ -704,6 +704,22 @@ def q_datasource_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 catalog ops: describe_all over every index at this scale
+    factor (engine-internal shape: rows-only check). Paths are
+    environment-specific, so only stable descriptor columns are
+    returned."""
+    from ariadne_spark import catalog
+
+    _prepare(spark, sf_dir)
+    return describe_stable(catalog.describe_all(spark))
+
+
+def describe_stable(df: DataFrame) -> DataFrame:
+    cols = [c for c in ("index", "column", "type", "num_files") if c in df.columns]
+    return df.select(*cols) if cols else df
+
+
 def q_idx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 stats() diagnostics (engine-internal shape: rows-only)."""
     idx = _index(spark, sf_dir, "orders")
@@ -763,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
         "idx_stats": q_idx_stats,
+        "catalog_describe": q_catalog_describe,
         "idx_locate": q_idx_locate,
     }
 
