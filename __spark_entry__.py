@@ -503,9 +503,9 @@ def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l_returnflag, l_linestatus,
                count(*) AS count_order,
-               sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS sum_disc_price
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price
         FROM lineitem_v WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         """,
@@ -524,7 +524,7 @@ def q_sql_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ariadne_spark.sql(
         """
         SELECT o.o_orderkey, o.o_custkey,
-               CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_d
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_d
         FROM orders o
         JOIN customer_v c ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment = 'MACHINERY' AND o.o_orderstatus = 'F'
@@ -548,8 +548,8 @@ def q_sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ariadne_spark.sql(
         """
         SELECT o.o_orderkey,
-               sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                   * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS revenue,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                o.o_orderdate
         FROM customer_v c
         JOIN orders o ON c.c_custkey = o.o_custkey
@@ -579,8 +579,8 @@ def q_sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ariadne_spark.sql(
         """
         SELECT n.n_name,
-               sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                   * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS revenue
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM customer_v c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -608,8 +608,8 @@ def q_sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ariadne_spark.sql(
         """
         SELECT count(*) AS n_rows,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * CAST(l_discount AS DECIMAL(18,2))) AS revenue
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -633,12 +633,12 @@ def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ariadne_spark.sql(
         """
         SELECT
-            sum(CASE WHEN p.p_type = 'PROMO'
+            CAST(sum(CASE WHEN p.p_type = 'PROMO'
                 THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
                      * CAST(1.0 - l.l_discount AS DECIMAL(18,2))
-                ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev,
-            sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS total_rev
+                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+            CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
         FROM lineitem l
         JOIN part_v p ON l.l_partkey = p.p_partkey
         WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
@@ -966,23 +966,23 @@ def oracle_sql() -> dict[str, str]:
         "sql_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    count(*) AS count_order,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS sum_disc_price
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
         """,
         "sql_join_pruned": """
             SELECT o.o_orderkey, o.o_custkey,
-                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS total_d
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_d
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'MACHINERY' AND o.o_orderstatus = 'F'
         """,
         "sql_tpch_q3": """
             SELECT o.o_orderkey,
-                   sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS revenue,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    o.o_orderdate
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
@@ -994,8 +994,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_tpch_q5": """
             SELECT n.n_name,
-                   sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                       * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS revenue
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM customer c
             JOIN orders o ON c.c_custkey = o.o_custkey
             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1010,8 +1010,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_tpch_q6": """
             SELECT count(*) AS n_rows,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * CAST(l_discount AS DECIMAL(18,2))) AS revenue
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1020,12 +1020,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_tpch_q14": """
             SELECT
-                sum(CASE WHEN p.p_type = 'PROMO'
+                CAST(sum(CASE WHEN p.p_type = 'PROMO'
                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
                          * CAST(1.0 - l.l_discount AS DECIMAL(18,2))
-                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS promo_rev,
-                sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS total_rev
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_rev,
+                CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
             FROM lineitem l
             JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
