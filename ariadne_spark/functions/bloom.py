@@ -80,22 +80,63 @@ def might_contain(blob: bytes | None, value) -> bool:
     return bool(np.all(byte & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))))
 
 
-def might_contain_any(blob: bytes | None, hash_pairs: list[tuple[int, int]]) -> bool:
+def might_contain_any(blob: bytes | None, hash_pairs) -> bool:
     """Probe many pre-hashed values against one filter; True if any
-    value may be present. Pre-hashing once per query value keeps the
-    distributed probe (one call per file row) cheap."""
+    value may be present. Accepts a list of (h1, h2) tuples or an
+    (n, 2) uint64 ndarray (the scale path — see ``hash_values_np``)."""
     if blob is None:
         return True
-    m, k, bits = _parse(blob)
-    ks = np.arange(k, dtype=np.uint64)
-    m64 = np.uint64(m)
-    for h1, h2 in hash_pairs:
-        idx = (h1 + ks * np.uint64(h2)) % m64
-        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
-        if np.all(byte & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))):
+    pairs = np.asarray(hash_pairs, dtype=np.uint64).reshape(-1, 2)
+    for start in range(0, len(pairs), 65536):
+        if might_contain_np(blob, pairs[start : start + 65536]).any():
             return True
     return False
 
 
+def might_contain_np(blob: bytes | None, pairs: np.ndarray) -> np.ndarray:
+    """Vectorized membership for an (n, 2) uint64 hash-pair array
+    against one filter: returns a boolean array (True = maybe
+    present). Chunked so the (chunk × k) index matrix stays small;
+    uint64 arithmetic wraps mod 2^64 exactly like ``might_contain``."""
+    if blob is None:
+        return np.ones(len(pairs), dtype=bool)
+    m, k, bits = _parse(blob)
+    ks = np.arange(k, dtype=np.uint64)
+    m64 = np.uint64(m)
+    out = np.empty(len(pairs), dtype=bool)
+    for start in range(0, len(pairs), 65536):
+        chunk = pairs[start : start + 65536]
+        idx = (chunk[:, 0:1] + ks[None, :] * chunk[:, 1:2]) % m64
+        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+        out[start : start + 65536] = np.all(
+            byte & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)), axis=1
+        )
+    return out
+
+
 def hash_values(values) -> list[tuple[int, int]]:
     return [_hash_pair(v) for v in values if v is not None]
+
+
+def hash_values_np(values) -> np.ndarray:
+    """(n, 2) uint64 hash-pair array for driver-side value lists."""
+    pairs = hash_values(values)
+    return np.asarray(pairs, dtype=np.uint64).reshape(-1, 2)
+
+
+def digest16(value) -> bytes:
+    """First 16 bytes of sha256(str(value)) — the wire form of a hash
+    pair (little-endian h1 ‖ h2-before-odd-or). Computed executor-side
+    so the driver only ever collects 16 B per distinct query value,
+    never the values themselves."""
+    return hashlib.sha256(str(value).encode("utf-8")).digest()[:16]
+
+
+def pairs_from_digests(digests) -> np.ndarray:
+    """Decode collected 16-byte digests into an (n, 2) uint64 pair
+    array, applying the same h2 |= 1 full-period adjustment as
+    ``_hash_pair``."""
+    buf = b"".join(bytes(d) for d in digests)
+    arr = np.frombuffer(buf, dtype="<u8").reshape(-1, 2).copy()
+    arr[:, 1] |= np.uint64(1)
+    return arr

@@ -48,11 +48,13 @@ from ..storage.metadata import (
 log = logging.getLogger("ariadne")
 
 # reference caps: range collects ≤10k values, degrades to a bounding
-# box beyond 1k (IndexQueryOperations.scala:831-868); bloom needs the
-# literal values driver-side to hash them.
+# box beyond 1k (IndexQueryOperations.scala:831-868). Bloom probing
+# never collects values: join keys are hashed executor-side and only
+# the 16-byte digests come back (16 B/value ⇒ 2M values ≈ 32 MB on
+# the driver), so the cap is a memory guard, not a semantics cliff.
 RANGE_COLLECT_CAP = 10_000
 RANGE_BBOX_THRESHOLD = 1_000
-BLOOM_COLLECT_CAP = 100_000
+BLOOM_PROBE_CAP = 2_000_000
 
 _VAL = "__ariadne_value"
 
@@ -97,14 +99,52 @@ def _collect_values(source, values_df: DataFrame, cap: int) -> list | None:
     return [r[0] for r in rows]
 
 
-def _probe_udf(hash_pairs: list[tuple[int, int]]):
+def _probe_udf(hash_pairs):
+    """Bloom-probe pandas UDF over filter blobs. ``hash_pairs`` is an
+    (n, 2) uint64 ndarray embedded in the closure — PySpark broadcasts
+    UDF commands above ~1 MB automatically, so a multi-megabyte pair
+    array ships to each executor once, not per task."""
+    import numpy as np
     import pandas as pd
 
+    pairs = np.asarray(hash_pairs, dtype=np.uint64).reshape(-1, 2)
+
     def probe(blobs: pd.Series) -> pd.Series:
-        return blobs.map(lambda b: bloomfn.might_contain_any(b, hash_pairs))
+        return blobs.map(lambda b: bloomfn.might_contain_any(b, pairs))
 
     probe.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
     return F.pandas_udf(probe, T.BooleanType())
+
+
+def _collect_hash_pairs(source, values_df: DataFrame, cap: int):
+    """Hash-pair array for the query values, computed WITHOUT ever
+    collecting the values of a DataFrame source: a pandas UDF digests
+    each distinct value to 16 bytes executor-side and only those come
+    back (the scale fix for the reference's driver-side collect,
+    BloomFilterOperations.scala:240-287). Literal lists hash on the
+    driver (they are already driver-resident). Returns None only past
+    ``cap`` distinct values — a driver-memory guard, ~16 B/value."""
+    if not isinstance(source, DataFrame):
+        vals = {v for v in source if v is not None}
+        if len(vals) > cap:
+            return None
+        return bloomfn.hash_values_np(sorted(vals, key=str))
+
+    import pandas as pd
+
+    def digest(vals: pd.Series) -> pd.Series:
+        return vals.map(bloomfn.digest16)
+
+    digest.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    digest_udf = F.pandas_udf(digest, T.BinaryType())
+    rows = (
+        values_df.select(digest_udf(F.col(_VAL)).alias("__hp"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap:
+        return None
+    return bloomfn.pairs_from_digests(r[0] for r in rows)
 
 
 def _regular_candidates(
@@ -125,9 +165,9 @@ def _regular_candidates(
     if large_df is not None:
         large = large_df.select("filename", F.col("value").alias(_VAL))
         if auto_bloom_col is not None:
-            vals = _collect_values(source, values_df, BLOOM_COLLECT_CAP)
-            if vals is not None:
-                probe = _probe_udf(bloomfn.hash_values(vals))
+            pairs = _collect_hash_pairs(source, values_df, BLOOM_PROBE_CAP)
+            if pairs is not None and len(pairs):
+                probe = _probe_udf(pairs)
                 keep = (
                     index_df.where(F.col(auto_bloom_col).isNotNull())
                     .where(probe(F.col(auto_bloom_col)))
@@ -142,11 +182,11 @@ def _regular_candidates(
 
 
 def _bloom_candidates(
-    index_df: DataFrame, stored_col: str, values: list
+    index_df: DataFrame, stored_col: str, pairs
 ) -> DataFrame:
     """Distributed probe: files whose filter may contain ANY query value.
     Files with a null filter (e.g. empty) are conservatively included."""
-    probe = _probe_udf(bloomfn.hash_values(values))
+    probe = _probe_udf(pairs)
     return (
         index_df.where(F.col(stored_col).isNull() | probe(F.col(stored_col)))
         .select("filename")
@@ -268,18 +308,26 @@ def locate_files(
                 col,
             )
         elif cfg.type == BLOOM:
-            vals = _collect_values(source, values_df, BLOOM_COLLECT_CAP)
-            if vals is None:
+            pairs = _collect_hash_pairs(source, values_df, BLOOM_PROBE_CAP)
+            if pairs is None:
+                # conservative no-prune — but never silent: callers see
+                # the skip in stats.per_column (and prune metrics)
                 log.warning(
-                    "bloom column %s: > %d distinct query values; skipping prune",
+                    "bloom column %s: > %d distinct query values; "
+                    "probing skipped, no pruning from this column",
                     col,
-                    BLOOM_COLLECT_CAP,
+                    BLOOM_PROBE_CAP,
                 )
+                stats.per_column[col] = {
+                    "type": "bloom",
+                    "skipped": True,
+                    "reason": f"> {BLOOM_PROBE_CAP} distinct query values",
+                }
                 continue
-            if not vals:
+            if not len(pairs):
                 cand = index_df.select("filename").limit(0)
             else:
-                cand = _bloom_candidates(index_df, cfg.stored_column, vals)
+                cand = _bloom_candidates(index_df, cfg.stored_column, pairs)
         elif cfg.type == RANGE:
             cand = _range_candidates(
                 index_df, cfg.stored_column, source, values_df

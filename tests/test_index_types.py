@@ -94,6 +94,35 @@ def test_bloom_index_join(spark, storage, orders_files):
     assert len(located) < len(files)
 
 
+def test_bloom_prune_beyond_collect_cap(spark, storage, orders_files):
+    """>100k distinct join keys (the old driver-collect cap) must still
+    prune: values are digested executor-side and only 16-byte hash
+    pairs reach the driver. With a tight fpr the absent-key probes
+    stay negative, so files owning disjoint key ranges are pruned —
+    previously this silently fell back to a full scan."""
+    df, files = orders_files
+    idx = Index.for_name("o_blm_big", schema=df.schema, format="parquet", spark=spark)
+    idx.add_bloom_index("o_orderkey", fpr=1e-8).add_files(files).update()
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    width = ((hi - lo) // 4) + 1
+    # all keys of file 0's range, padded with >100k absent keys
+    keys = spark.range(lo, lo + width).select(
+        F.col("id").alias("o_orderkey")
+    ).unionByName(
+        spark.range(hi + 1_000_000, hi + 1_150_000).select(
+            F.col("id").alias("o_orderkey")
+        )
+    )
+    located = idx.locate_files(keys, columns=["o_orderkey"])
+    assert 0 < len(located) < len(files)  # pruned, not a full scan
+    assert not any(
+        v.get("skipped") for v in idx._last_locate_stats.per_column.values()
+    )
+    res = idx.join(keys, on=["o_orderkey"])
+    expected = df.join(keys, ["o_orderkey"])
+    assert_same_rows(res, expected)
+
+
 def test_bloom_fpr_acceptable():
     """Empirical FPR stays near target (reference:
     BloomFilterOperationsTests.scala:219)."""
