@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -265,7 +266,7 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
-    return (
+    compacted = (
         spark.table(qname)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -277,6 +278,13 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
+    # materialize (one row per key), then release the memory-sink table
+    # and checkpoint so repeated invocations don't accumulate state
+    rows = compacted.collect()
+    out = spark.createDataFrame(rows, compacted.schema)
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(f"{WORK}/_stream_ckpt/{qname}", ignore_errors=True)
+    return out
 
 
 def q_idx_exploded_token(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -105,17 +105,24 @@ def streaming_latest_version(
     def fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
         import pandas as pd
 
-        best = None
-        if state.exists:
-            best = list(state.get)
+        best = list(state.get) if state.exists else None
         for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                row = list(row)
-                if best is None or (
-                    row[ts_i] is not None
-                    and (best[ts_i] is None or row[ts_i] > best[ts_i])
-                ):
-                    best = row
+            if not len(pdf):
+                continue
+            # vectorized per-batch winner: idxmax returns the FIRST
+            # occurrence of the max (first-seen wins ties, matching
+            # the row-at-a-time semantics this replaces) and skips
+            # nulls; an all-null batch can only seed an empty state
+            ts = pdf.iloc[:, ts_i]
+            if ts.notna().any():
+                cand = list(pdf.loc[ts.idxmax()])
+            else:
+                cand = list(pdf.iloc[0])
+            b_ts = None if best is None else best[ts_i]
+            if best is None or (
+                not pd.isna(cand[ts_i]) and (pd.isna(b_ts) or cand[ts_i] > b_ts)
+            ):
+                best = cand
         if best is not None:
             state.update(tuple(best))
             yield pd.DataFrame([best], columns=names)
