@@ -112,17 +112,38 @@ def _planes(dim: int, n_planes: int, seed: str = "ariadne-lsh") -> np.ndarray:
     return out
 
 
-def _signature_udf(planes: np.ndarray):
+def _stack(vecs) -> np.ndarray:
+    """(n, dim) float64 matrix from a sequence of equal-length vectors."""
+    return np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+
+
+def _scatter(n: int, mask: np.ndarray, values: list):
+    """Object Series of length n with ``values`` at True positions of
+    ``mask`` and None elsewhere (list-valued entries kept intact —
+    boolean setitem on a Series would try to broadcast them)."""
     import pandas as pd
 
-    def sig(vecs: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None:
-                return None
-            bits = (planes @ np.asarray(v, dtype=np.float64)) > 0
-            return int(sum(1 << i for i, b in enumerate(bits) if b))
+    arr = np.empty(n, dtype=object)
+    vals = np.empty(len(values), dtype=object)
+    vals[:] = values
+    arr[mask] = vals
+    return pd.Series(arr)
 
-        return vecs.map(one)
+
+def _signature_udf(planes: np.ndarray):
+    """Sign-bit signatures for a whole Arrow batch in ONE
+    (batch × dim) @ (dim × planes) matmul — no per-vector Python."""
+    import pandas as pd
+
+    weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
+
+    def sig(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(vecs), dtype=object)
+        bits = (_stack(vecs[mask]) @ planes.T) > 0
+        packed = bits.astype(np.int64) @ weights
+        return _scatter(len(vecs), mask, [int(x) for x in packed])
 
     sig.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     return F.pandas_udf(sig, T.LongType())
@@ -201,18 +222,17 @@ def _band_signature_udf(planes_stack: np.ndarray, bands: int, per_band: int):
     an array<long>."""
     import pandas as pd
 
-    def sig(vecs: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None:
-                return None
-            bits = (planes_stack @ np.asarray(v, dtype=np.float64)) > 0
-            out = []
-            for b in range(bands):
-                chunk = bits[b * per_band : (b + 1) * per_band]
-                out.append(int(sum(1 << i for i, s in enumerate(chunk) if s)))
-            return out
+    weights = 1 << np.arange(per_band, dtype=np.int64)
 
-        return vecs.map(one)
+    def sig(vecs: pd.Series) -> pd.Series:
+        mask = vecs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(vecs), dtype=object)
+        bits = (_stack(vecs[mask]) @ planes_stack.T) > 0
+        packed = bits.reshape(-1, bands, per_band).astype(np.int64) @ weights
+        return _scatter(
+            len(vecs), mask, [[int(x) for x in row] for row in packed]
+        )
 
     sig.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     return F.pandas_udf(sig, T.ArrayType(T.LongType()))
@@ -299,16 +319,15 @@ def _nearest_centroids_udf(cents: np.ndarray, n_probe: int):
     norms[norms == 0] = 1.0
 
     def probe(vecs: pd.Series) -> pd.Series:
-        def one(v):
-            if v is None:
-                return None
-            a = np.asarray(v, dtype=np.float64)
-            na = np.linalg.norm(a) or 1.0
-            cos = (cents @ a) / (norms * na)
-            top = np.argsort(-cos)[:n_probe]
-            return [int(i) for i in top]
-
-        return vecs.map(one)
+        mask = vecs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(vecs), dtype=object)
+        mat = _stack(vecs[mask])
+        vnorms = np.linalg.norm(mat, axis=1)
+        vnorms[vnorms == 0] = 1.0
+        cos = (mat @ cents.T) / (vnorms[:, None] * norms[None, :])
+        top = np.argsort(-cos, axis=1)[:, :n_probe]
+        return _scatter(len(vecs), mask, [[int(i) for i in row] for row in top])
 
     probe.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
     return F.pandas_udf(probe, T.ArrayType(T.IntegerType()))
