@@ -4,7 +4,6 @@
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -12,6 +11,7 @@ from pyspark.sql import types as T
 from . import context
 from .exceptions import IndexNotFoundError
 from .index import Index
+from .storage.fs import get_fs
 from .storage.metadata import load_metadata
 from .storage.paths import IndexPaths, indexes_root
 
@@ -23,11 +23,10 @@ def _root(spark: SparkSession) -> str:
 def list_indexes(spark: SparkSession | None = None) -> list[str]:
     spark = spark or context.get_spark()
     root = _root(spark)
-    if not os.path.isdir(root):
-        return []
+    fs = get_fs(spark, root)
     out = []
-    for name in sorted(os.listdir(root)):
-        if os.path.exists(os.path.join(root, name, "metadata.json")):
+    for name in fs.list_names(root):
+        if fs.exists(f"{root}/{name}/metadata.json"):
             out.append(name)
     return out
 

@@ -55,6 +55,7 @@ from .sources.files import (
     read_pipeline,
 )
 from .storage.filelist import FileList
+from .storage.fs import get_fs
 from .storage.lock import IndexLock
 from .storage.metadata import (
     BLOOM,
@@ -84,6 +85,7 @@ class Index:
         self.spark = spark
         self.meta = meta
         self.paths = paths
+        self.fs = get_fs(spark, paths.root)
         self.filelist = FileList(spark, paths.filelist)
         self.table = ParquetTable(spark, paths.index, key_cols=("filename",))
         self._selection: list[str] | None = None
@@ -107,10 +109,11 @@ class Index:
         spark = spark or context.get_spark()
         conf = context.AriadneConf.load(spark)
         paths = IndexPaths(conf.storage_path, name)
+        fs = get_fs(spark, paths.root)
         if isinstance(schema, str):
             schema = T.StructType.fromJson(json.loads(schema))
 
-        existing = load_metadata(paths.metadata, name)
+        existing = load_metadata(paths.metadata, name, fs=fs)
         if existing is None:
             if schema is None:
                 raise SchemaNotProvidedError(name)
@@ -124,7 +127,7 @@ class Index:
                 schema_json=schema.json(),
                 read_options=dict(read_options or {}),
             )
-            save_metadata(paths.metadata, meta)
+            save_metadata(paths.metadata, meta, fs=fs)
             return cls(spark, meta, paths)
 
         if format is not None and format != existing.format:
@@ -152,14 +155,16 @@ class Index:
         if changed:
             # reconnect is read-only unless schema/options actually merge
             # (new-wins merge semantics: reference Index.scala:1256-1273)
-            save_metadata(paths.metadata, existing)
+            save_metadata(paths.metadata, existing, fs=fs)
         return cls(spark, existing, paths)
 
     @classmethod
     def exists(cls, name: str, spark: SparkSession | None = None) -> bool:
         spark = spark or context.get_spark()
         conf = context.AriadneConf.load(spark)
-        return load_metadata(IndexPaths(conf.storage_path, name).metadata, name) is not None
+        paths = IndexPaths(conf.storage_path, name)
+        fs = get_fs(spark, paths.root)
+        return load_metadata(paths.metadata, name, fs=fs) is not None
 
     # ------------------------------------------------------------ config
 
@@ -213,7 +218,7 @@ class Index:
             if not isinstance(f.dataType, T.ArrayType):
                 raise NotArrayColumnError(cfg.source_column)
         self.meta.indexes.append(cfg)
-        save_metadata(self.paths.metadata, self.meta)
+        save_metadata(self.paths.metadata, self.meta, fs=self.fs)
 
     def add_index(self, column: str) -> "Index":
         self._register(IndexConfig(REGULAR, column))
@@ -346,6 +351,7 @@ class Index:
             timeout=conf.lock_timeout,
             retry_interval=conf.lock_retry_interval,
             max_wait=conf.lock_max_wait,
+            fs=self.fs,
         )
         with lock, lock.heartbeat():
             todo = set(self.unindexed_files()) | set(
@@ -407,7 +413,7 @@ class Index:
             ):
                 self._compact_tables()
                 self.meta.batches_since_compact = 0
-            save_metadata(self.paths.metadata, self.meta)
+            save_metadata(self.paths.metadata, self.meta, fs=self.fs)
         return self
 
     # ------------------------------------------------------------ query
@@ -640,7 +646,7 @@ class Index:
                 t.delete_where(cond)
         self.filelist.remove(names)
         self._refresh_size_accounting()
-        save_metadata(self.paths.metadata, self.meta)
+        save_metadata(self.paths.metadata, self.meta, fs=self.fs)
         return self
 
     def _refresh_size_accounting(self) -> None:
@@ -669,7 +675,7 @@ class Index:
     def compact(self) -> "Index":
         self._compact_tables()
         self.meta.batches_since_compact = 0
-        save_metadata(self.paths.metadata, self.meta)
+        save_metadata(self.paths.metadata, self.meta, fs=self.fs)
         return self
 
     def vacuum(self) -> "Index":
@@ -684,6 +690,5 @@ class Index:
         return self
 
     def drop_storage(self) -> None:
-        import shutil
-
-        shutil.rmtree(self.paths.root, ignore_errors=True)
+        if self.fs.exists(self.paths.root):
+            self.fs.delete(self.paths.root, recursive=True)

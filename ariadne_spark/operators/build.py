@@ -25,7 +25,6 @@ capped by largeIndexLimit, so collect_set state stays executor-sized.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -140,7 +139,12 @@ def build_index_rows(
         if cfg.type == TEMPORAL:
             agg_df = agg_df.join(_temporal_frame(df, cfg), FILENAME_COL, "full_outer")
 
-    sizes = [(p, int(os.path.getsize(p)) if os.path.exists(p) else 0) for p in norm]
+    from ..storage.fs import batch_sizes
+
+    # Hadoop-FS-aware batch stat (one listStatus per parent dir) so
+    # hdfs:/s3a: lakes work; local paths hit the POSIX fast path
+    # (reference sizes files the same way, Index.scala:861-908)
+    sizes = list(zip(norm, batch_sizes(spark, norm)))
     files_df = spark.createDataFrame(
         sizes,
         T.StructType(

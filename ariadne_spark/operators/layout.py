@@ -19,9 +19,9 @@ Spark-first:
 
 from __future__ import annotations
 
-import glob
-
 from pyspark.sql import DataFrame
+
+from ..storage.fs import get_fs as _get_fs
 
 
 def cluster_files(
@@ -40,4 +40,9 @@ def cluster_files(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
-    return sorted(glob.glob(f"{out_dir}/part-*.parquet"))
+    fs = _get_fs(df.sparkSession, out_dir)
+    return [
+        p
+        for p in fs.list_files(out_dir, suffix=".parquet")
+        if p.rsplit("/", 1)[1].startswith("part-")
+    ]

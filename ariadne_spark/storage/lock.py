@@ -2,7 +2,8 @@
 
 Same protocol as the reference (reference:
 src/main/scala/dev/cjfravel/ariadne/IndexLock.scala:29,99-246,396-411):
-a JSON lock file created atomically (O_CREAT|O_EXCL); stale locks
+a JSON lock file created atomically (O_CREAT|O_EXCL locally, Hadoop
+``create(overwrite=false)`` on remote stores — storage/fs.py); stale locks
 (lastRefreshedAt older than lockTimeout) are healed by deleting and
 retrying; acquisition backs off exponentially up to lockMaxWait;
 holders may refresh a heartbeat during long operations.
@@ -16,6 +17,7 @@ import time
 import uuid
 
 from ..exceptions import LockAcquisitionError, LockNotHeldError
+from .fs import PosixFS, join as _join
 
 
 class IndexLock:
@@ -26,8 +28,10 @@ class IndexLock:
         timeout: float = 1800.0,
         retry_interval: float = 60.0,
         max_wait: float = 3600.0,
+        fs=None,
     ) -> None:
-        self.path = os.path.join(lock_dir, f"{name}.lock")
+        self.path = _join(lock_dir, f"{name}.lock")
+        self.fs = fs if fs is not None else PosixFS()
         self.timeout = timeout
         self.retry_interval = retry_interval
         self.max_wait = max_wait
@@ -37,23 +41,16 @@ class IndexLock:
 
     def _read(self) -> dict | None:
         try:
-            with open(self.path) as fh:
-                return json.load(fh)
-        except FileNotFoundError:
-            return None
+            raw = self.fs.read_text(self.path)
+            if raw is None:
+                return None
+            return json.loads(raw)
         except (json.JSONDecodeError, OSError):
             # corrupt lock file: treat as stale immediately
             return {"lastRefreshedAt": 0.0, "corrupt": True}
 
     def _try_create(self, doc: dict) -> bool:
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        try:
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as fh:
-            json.dump(doc, fh)
-        return True
+        return self.fs.create_exclusive(self.path, json.dumps(doc))
 
     def acquire(self) -> str:
         corr = uuid.uuid4().hex
@@ -76,10 +73,7 @@ class IndexLock:
                 > self.timeout
             ):
                 # stale-heal: delete and retry immediately
-                try:
-                    os.remove(self.path)
-                except FileNotFoundError:
-                    pass
+                self.fs.delete(self.path)
                 continue
             if time.monotonic() - start > self.max_wait:
                 raise LockAcquisitionError(self.path)
@@ -93,20 +87,14 @@ class IndexLock:
         if doc is None or doc.get("correlationId") != self.correlation_id:
             raise LockNotHeldError(self.path)
         doc["lastRefreshedAt"] = time.time()
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        os.replace(tmp, self.path)
+        self.fs.write_atomic(self.path, json.dumps(doc))
 
     def release(self) -> None:
         if self.correlation_id is None:
             return
         doc = self._read()
         if doc is not None and doc.get("correlationId") == self.correlation_id:
-            try:
-                os.remove(self.path)
-            except FileNotFoundError:
-                pass
+            self.fs.delete(self.path)
         self.correlation_id = None
 
     def heartbeat(self) -> "_Heartbeat":

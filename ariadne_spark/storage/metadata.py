@@ -12,8 +12,6 @@ reference's retrofitted migration machinery (SURVEY §7.3).
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql.types import StructType
@@ -135,28 +133,24 @@ class IndexMetadata:
         )
 
 
-def load_metadata(path: str, name: str) -> IndexMetadata | None:
-    if not os.path.exists(path):
+def load_metadata(path: str, name: str, fs=None) -> IndexMetadata | None:
+    from .fs import PosixFS
+
+    fs = fs if fs is not None else PosixFS()
+    raw = fs.read_text(path)
+    if raw is None:
         return None
-    with open(path) as fh:
-        return IndexMetadata.from_json(name, fh.read())
+    return IndexMetadata.from_json(name, raw)
 
 
-def save_metadata(path: str, meta: IndexMetadata) -> None:
+def save_metadata(path: str, meta: IndexMetadata, fs=None) -> None:
     """Atomic write: temp file in the same dir + validate + rename
     (the reference's write-validate-rename pattern,
     IndexMetadataOperations.scala:125-155)."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    from .fs import PosixFS
+
+    fs = fs if fs is not None else PosixFS()
     doc = meta.to_json()
     IndexMetadata.from_json(meta.name, doc)  # validate round-trip
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-    try:
-        with os.fdopen(fd, "w") as fh:
-            fh.write(doc)
-        os.replace(tmp, path)
-    finally:
-        if os.path.exists(tmp):
-            try:
-                os.remove(tmp)
-            except OSError:
-                pass
+    fs.mkdirs(path.rsplit("/", 1)[0])
+    fs.write_atomic(path, doc)

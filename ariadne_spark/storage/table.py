@@ -25,38 +25,26 @@ of magnitude smaller than the data lake they describe, and the
 single-segment fast path (the common state after compaction) skips
 the shuffle entirely.
 
-Local/NFS filesystems only: on object stores the manifest commit
-would need a conditional-put (S3 if-none-match) instead of O_EXCL.
+Storage backends: local paths use POSIX O_EXCL (truly atomic);
+remote URIs (``hdfs:``, ``s3a:``, ``abfs:``) go through the Hadoop
+``FileSystem`` API (``storage/fs.py``) — atomic create-no-overwrite on
+HDFS/ABFS, check-then-write on raw S3A (the same hazard the reference
+accepts for its Hadoop-FS lock files, IndexLock.scala:396-411).
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..exceptions import TableCommitConflictError
+from .fs import get_fs, join as _join
 
 _MANIFEST_DIR = "_manifest"
 _SEQ_COL = "_ariadne_seq"
-
-
-def _local(path: str) -> str:
-    """Strip a file: scheme; reject remote schemes (see module note)."""
-    if path.startswith("file://"):
-        return path[len("file://"):]
-    if path.startswith("file:"):
-        return path[len("file:"):]
-    if "://" in path:
-        raise NotImplementedError(
-            "ParquetTable manifest commits need a local/posix filesystem; "
-            "object-store support requires conditional-put commits"
-        )
-    return path
 
 
 class ParquetTable:
@@ -76,7 +64,8 @@ class ParquetTable:
         dedup: str = "last",
     ) -> None:
         self.spark = spark
-        self.path = _local(path)
+        self.path = path.rstrip("/")
+        self.fs = get_fs(spark, self.path)
         self.key_cols = tuple(key_cols)
         assert dedup in ("last", "first")
         self.dedup = dedup
@@ -84,45 +73,42 @@ class ParquetTable:
     # ------------------------------------------------------------ manifest
 
     def _manifest_dir(self) -> str:
-        return os.path.join(self.path, _MANIFEST_DIR)
+        return _join(self.path, _MANIFEST_DIR)
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in self.fs.list_names(self._manifest_dir())
+            if f.startswith("v") and f.endswith(".json")
+        )
 
     def _latest_version(self) -> int | None:
-        d = self._manifest_dir()
-        if not os.path.isdir(d):
-            return None
-        versions = [
-            int(f[1:-5])
-            for f in os.listdir(d)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(versions) if versions else None
+        versions = self._versions()
+        return versions[-1] if versions else None
 
     def _read_manifest(self) -> dict | None:
         v = self._latest_version()
         if v is None:
             return None
-        with open(os.path.join(self._manifest_dir(), f"v{v:020d}.json")) as fh:
-            m = json.load(fh)
+        raw = self.fs.read_text(_join(self._manifest_dir(), f"v{v:020d}.json"))
+        if raw is None:
+            return None
+        m = json.loads(raw)
         m["version"] = v
         return m
 
     def _commit(self, build_segments, retries: int = 20) -> None:
         """Optimistically commit: recompute segments from the latest
-        manifest, write v+1 with O_EXCL, retry on collision."""
-        os.makedirs(self._manifest_dir(), exist_ok=True)
+        manifest, write v+1 create-exclusive, retry on collision."""
+        self.fs.mkdirs(self._manifest_dir())
         for _ in range(retries):
             current = self._read_manifest()
             version = (current["version"] if current else 0) + 1
             segments = build_segments(current["segments"] if current else [])
             doc = json.dumps({"segments": segments}, indent=0)
-            target = os.path.join(self._manifest_dir(), f"v{version:020d}.json")
-            try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue
-            with os.fdopen(fd, "w") as fh:
-                fh.write(doc)
-            return
+            target = _join(self._manifest_dir(), f"v{version:020d}.json")
+            if self.fs.create_exclusive(target, doc):
+                return
         raise TableCommitConflictError(self.path)
 
     # ------------------------------------------------------------ reads
@@ -141,7 +127,7 @@ class ParquetTable:
             return None
         if len(segments) == 1 or not self.key_cols:
             dfs = [
-                self.spark.read.parquet(os.path.join(self.path, s["dir"]))
+                self.spark.read.parquet(_join(self.path, s["dir"]))
                 for s in segments
             ]
             out = dfs[0]
@@ -149,7 +135,7 @@ class ParquetTable:
                 out = out.unionByName(d, allowMissingColumns=True)
             return out
         dfs = [
-            self.spark.read.parquet(os.path.join(self.path, s["dir"]))
+            self.spark.read.parquet(_join(self.path, s["dir"]))
             .withColumn(_SEQ_COL, F.lit(s["seq"]))
             for s in segments
         ]
@@ -168,7 +154,7 @@ class ParquetTable:
 
     def _write_segment(self, df: DataFrame) -> str:
         seg = f"data/seg-{uuid.uuid4().hex}"
-        df.write.mode("overwrite").parquet(os.path.join(self.path, seg))
+        df.write.mode("overwrite").parquet(_join(self.path, seg))
         return seg
 
     def append(self, df: DataFrame) -> None:
@@ -214,23 +200,17 @@ class ParquetTable:
         if m is None:
             return
         live = {s["dir"].split("/", 1)[1] for s in m["segments"]}
-        data_dir = os.path.join(self.path, "data")
-        if os.path.isdir(data_dir):
-            for entry in os.listdir(data_dir):
-                if entry not in live:
-                    shutil.rmtree(os.path.join(data_dir, entry), ignore_errors=True)
+        data_dir = _join(self.path, "data")
+        for entry in self.fs.list_names(data_dir):
+            if entry not in live:
+                self.fs.delete(_join(data_dir, entry), recursive=True)
         d = self._manifest_dir()
-        versions = sorted(
-            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
-        )
-        for v in versions[:-keep_manifests]:
-            try:
-                os.remove(os.path.join(d, f"v{v:020d}.json"))
-            except OSError:
-                pass
+        for v in self._versions()[:-keep_manifests]:
+            self.fs.delete(_join(d, f"v{v:020d}.json"))
 
     def drop(self) -> None:
-        shutil.rmtree(self.path, ignore_errors=True)
+        if self.fs.exists(self.path):
+            self.fs.delete(self.path, recursive=True)
 
     @property
     def num_segments(self) -> int:
