@@ -186,6 +186,22 @@ def q_idx_join_regular(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "c_name")
 
 
+def q_idx_join_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 reverse direction (reference DataFrameOps,
+    Index.scala:1296-1323): customer LEFT-joins the located orders —
+    customers without orders survive with nulls."""
+    import ariadne_spark
+
+    idx = _index(spark, sf_dir, "orders")
+    cust = (
+        spark.read.parquet(_t(sf_dir, "customer"))
+        .where(F.col("c_mktsegment") == "MACHINERY")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    res = ariadne_spark.join(cust, idx, on=["o_custkey"], how="left")
+    return res.select("o_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
 def q_idx_filter_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/A1 computed index: filter by a SQL-expression value."""
     idx = _index(spark, sf_dir, "orders")
@@ -752,6 +768,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "idx_join_regular": q_idx_join_regular,
+        "idx_join_reverse": q_idx_join_reverse,
         "idx_filter_computed": q_idx_filter_computed,
         "idx_filter_range": q_idx_filter_range,
         "idx_join_bloom": q_idx_join_bloom,
@@ -829,6 +846,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderstatus, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'BUILDING'
+        """,
+        "idx_join_reverse": """
+            SELECT c.c_custkey AS o_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            WHERE c.c_mktsegment = 'MACHINERY'
         """,
         "idx_filter_computed": """
             SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS order_year

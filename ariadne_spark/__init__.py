@@ -11,11 +11,21 @@ from .index import Index
 from .sources.datasource import register as register_data_source
 from .sql.surface import register_views, sql
 
+
+def join(df, index: Index, on, how: str = "inner"):
+    """Join ``df`` (left) against an index's located data (right) —
+    the Python spelling of the reference's implicit ``DataFrameOps``
+    ``df.join(index, usingColumns, joinType)`` (Index.scala:1296-1323).
+    """
+    return index.join_from(df, on, how)
+
+
 __all__ = [
     "Index",
     "AriadneConf",
     "catalog",
     "sql",
+    "join",
     "register_views",
     "register_data_source",
 ]

@@ -550,17 +550,13 @@ class Index:
                     df = df.join(F.broadcast(vdf), col, "left_semi")
         return df
 
-    def join(
-        self,
-        other: DataFrame,
-        on: list[str] | str,
-        how: str = "inner",
+    def located_data(
+        self, other: DataFrame, on: list[str] | str
     ) -> DataFrame:
-        """Index-accelerated equi-join (USING-style): prune files by the
-        other side's key values, read only those, temporal-dedup, then
-        plain Spark join (reference J7:
-        IndexJoinOperations.scala:373-400; join columns must be
-        indexed, :129-137)."""
+        """The indexed data pruned to files that can match ``other``'s
+        key values, temporal-deduped — the reference's ``joinDf``
+        (IndexJoinOperations.scala:373-400; join columns must be
+        indexed, :129-137). Both join directions build on this."""
         cols = [on] if isinstance(on, str) else list(on)
         for c in cols:
             if self.meta.config_for(c) is None:
@@ -581,8 +577,35 @@ class Index:
         self._last_metrics = prune_metrics_local(
             stats.sizes, self._index_totals()
         )
-        data = self.read_files(sorted(files), extra_columns=cols)
-        return data.join(other, cols, how)
+        return self.read_files(sorted(files), extra_columns=cols)
+
+    def join(
+        self,
+        other: DataFrame,
+        on: list[str] | str,
+        how: str = "inner",
+    ) -> DataFrame:
+        """Index-accelerated equi-join (USING-style): prune files by the
+        other side's key values, read only those, temporal-dedup, then
+        plain Spark join with the located data on the LEFT (reference
+        J7: IndexJoinOperations.scala:373-400)."""
+        cols = [on] if isinstance(on, str) else list(on)
+        return self.located_data(other, cols).join(other, cols, how)
+
+    def join_from(
+        self,
+        other: DataFrame,
+        on: list[str] | str,
+        how: str = "inner",
+    ) -> DataFrame:
+        """Reverse-direction join: ``other`` on the LEFT, located data
+        on the right — the reference's implicit ``DataFrameOps.join``
+        (Index.scala:1296-1323). Since pruning only removes files whose
+        rows cannot match ``other``, results are exact for inner/left/
+        semi/anti joins; right/full joins would need the unmatched data
+        rows too, same as the reference."""
+        cols = [on] if isinstance(on, str) else list(on)
+        return other.join(self.located_data(other, cols), cols, how)
 
     # ------------------------------------------------------------ stats
 

@@ -224,3 +224,26 @@ def test_package_shipped_to_executors(spark, storage, orders_files):
     Index.for_name("ship_pkg", schema=df.schema, format="parquet", spark=spark)
     includes = list(spark.sparkContext._python_includes)
     assert any("ariadne_spark_" in p for p in includes), includes
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_reverse_join_matches_plain_spark(spark, orders_idx, how):
+    """ariadne_spark.join(df, idx, ...) == df.join(data, ...) — the
+    reference's DataFrameOps semantics (Index.scala:1296-1323)."""
+    import ariadne_spark
+
+    df, files, idx = orders_idx
+    other = _cust(spark, df)
+    res = ariadne_spark.join(other, idx, on=["o_custkey"], how=how)
+    expected = other.join(df, ["o_custkey"], how)
+    assert_same_rows(res, expected)
+
+
+def test_reverse_join_equivalent_to_flipped_forward(spark, orders_idx):
+    df, files, idx = orders_idx
+    other = _cust(spark, df)
+    a = idx.join_from(other, on=["o_custkey"], how="inner")
+    b = idx.join(other, on=["o_custkey"], how="inner")
+    assert rows_set(a.select(*sorted(a.columns))) == rows_set(
+        b.select(*sorted(a.columns))
+    )
