@@ -390,19 +390,35 @@ def simhash(
     return sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
 
 
-def simhash_near_pairs(
-    sig_df: DataFrame, id_col: str, max_hamming: int = 3
-) -> DataFrame:
-    """Candidate pairs by 16-bit chunk blocking (pigeonhole: hamming ≤ 3
-    ⇒ at least one of four 16-bit chunks equal), then exact hamming
-    filter via bit_count(xor).
+def _simhash_rem_expr(c: int):
+    """The 48 signature bits OUTSIDE 16-bit chunk ``c``, packed into
+    one long (literal shifts only — codegen-friendly)."""
+    sim = F.col("simhash")
+    if c == 0:
+        return F.shiftrightunsigned(sim, 16)
+    if c == 3:  # JVM shifts are mod 64 — a shift by 64 would be a no-op
+        return sim.bitwiseAND(F.lit((1 << 48) - 1))
+    high = F.shiftleft(F.shiftrightunsigned(sim, 16 * (c + 1)), 16 * c)
+    low = sim.bitwiseAND(F.lit((1 << (16 * c)) - 1))
+    return high.bitwiseOR(low)
 
-    Signatures are cached for the self-join: both join sides (and the
-    broadcast build) would otherwise recompute the signature UDF from
-    the raw text — 16 bytes/doc cached vs N full text scans. The
-    small pairs result is materialized so the cache releases before
-    returning."""
-    sig_df = sig_df.cache()
+
+def simhash_candidate_pairs(
+    sig_df: DataFrame, id_col: str, block_cap: int = 10000
+) -> DataFrame:
+    """Candidate pairs by two-level pigeonhole blocking.
+
+    Level 1: 16-bit chunk blocking (hamming ≤ 3 ⇒ at least one of four
+    16-bit chunks equal). Level 2 — the scale guard: any level-1 block
+    larger than ``block_cap`` would self-join quadratically (at ≥10⁹
+    docs a popular chunk value collapses into one giant block), so its
+    members are re-blocked by the four 12-bit sub-chunks of the
+    *remaining* 48 bits. Two docs sharing chunk ``ci`` with total
+    hamming ≤ 3 differ in ≤ 3 of those 48 bits, so by pigeonhole at
+    least one 12-bit sub-chunk is equal — completeness is preserved
+    while the oversized block splits up to 4096 ways (×4 fan-out).
+
+    Block sizes come from one broadcastable groupBy (≤ 4·2¹⁶ rows)."""
     chunks = [
         ((F.shiftrightunsigned(F.col("simhash"), 16 * c)).bitwiseAND(F.lit(0xFFFF))).alias(
             f"c{c}"
@@ -415,26 +431,85 @@ def simhash_near_pairs(
         "simhash",
         F.explode(
             F.array(
-                *[F.struct(F.lit(c).alias("ci"), F.col(f"c{c}").alias("cv")) for c in range(4)]
+                *[
+                    F.struct(
+                        F.lit(c).alias("ci"),
+                        F.col(f"c{c}").alias("cv"),
+                        _simhash_rem_expr(c).alias("rem"),
+                    )
+                    for c in range(4)
+                ]
             )
         ).alias("b"),
-    ).select("__id", "simhash", F.col("b.ci").alias("ci"), F.col("b.cv").alias("cv"))
-    l, r = blocked.alias("l"), blocked.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.ci") == F.col("r.ci"))
-            & (F.col("l.cv") == F.col("r.cv"))
-            & (F.col("l.__id") < F.col("r.__id")),
-        )
-        .select(
+    ).select(
+        "__id",
+        "simhash",
+        F.col("b.ci").alias("ci"),
+        F.col("b.cv").alias("cv"),
+        F.col("b.rem").alias("rem"),
+    )
+    counts = blocked.groupBy("ci", "cv").agg(F.count("*").alias("__bn"))
+    blocked = blocked.join(F.broadcast(counts), ["ci", "cv"])
+
+    def _self_join(side: DataFrame, keys: list[str]) -> DataFrame:
+        l, r = side.alias("l"), side.alias("r")
+        cond = F.col("l.__id") < F.col("r.__id")
+        for k in keys:
+            cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+        return l.join(r, cond).select(
             F.col("l.__id").alias("id_a"),
             F.col("r.__id").alias("id_b"),
             F.col("l.simhash").alias("sh_a"),
             F.col("r.simhash").alias("sh_b"),
         )
-        .distinct()
+
+    small = blocked.where(F.col("__bn") <= block_cap)
+    big = blocked.where(F.col("__bn") > block_cap)
+    sub = big.select(
+        "__id",
+        "simhash",
+        "ci",
+        "cv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sj"),
+                        (
+                            F.shiftrightunsigned(F.col("rem"), 12 * s)
+                        ).bitwiseAND(F.lit(0xFFF)).alias("sv"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "__id", "simhash", "ci", "cv",
+        F.col("s.sj").alias("sj"), F.col("s.sv").alias("sv"),
     )
+    pairs = _self_join(small, ["ci", "cv"]).unionByName(
+        _self_join(sub, ["ci", "cv", "sj", "sv"])
+    )
+    return pairs.distinct()
+
+
+def simhash_near_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    block_cap: int = 10000,
+) -> DataFrame:
+    """Near-duplicate pairs: blocked candidates (see
+    ``simhash_candidate_pairs``), then exact hamming filter via
+    bit_count(xor).
+
+    Signatures are cached for the self-join: both join sides (and the
+    broadcast build) would otherwise recompute the signature UDF from
+    the raw text — 16 bytes/doc cached vs N full text scans. The
+    small pairs result is materialized so the cache releases before
+    returning."""
+    sig_df = sig_df.cache()
+    pairs = simhash_candidate_pairs(sig_df, id_col, block_cap)
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     out = (
         pairs.withColumn("hamming", hamming.cast("int"))

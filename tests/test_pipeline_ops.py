@@ -270,3 +270,48 @@ def test_cluster_files_improves_range_pruning(spark, tmp_path):
     assert len(located) == 1  # disjoint ranges -> exactly one file
     got = idx.read_matching({"k": [1234]}).select("k", "v").collect()
     assert [(r["k"], r["v"]) for r in got] == [(1234, 1234 % 97)]
+
+
+def test_simhash_block_cap_preserves_results(spark):
+    """Capped two-level blocking returns EXACTLY the uncapped pairs
+    (pigeonhole completeness over the 12-bit sub-chunks)."""
+    import random
+
+    rnd = random.Random(7)
+    sigs = []
+    # clusters of near-identical signatures (hamming <= 3) + noise
+    for base in [rnd.getrandbits(63) for _ in range(20)]:
+        sigs.append(base)
+        flipped = base
+        for b in rnd.sample(range(64), 3):
+            flipped ^= 1 << b
+        sigs.append(flipped & ((1 << 63) - 1))
+    sigs += [rnd.getrandbits(63) for _ in range(200)]
+    df = spark.createDataFrame(
+        [(i, s - (1 << 64) if s >= (1 << 63) else s) for i, s in enumerate(sigs)],
+        "id long, simhash long",
+    )
+    uncapped = dedup.simhash_near_pairs(df, "id", max_hamming=3, block_cap=10**9)
+    capped = dedup.simhash_near_pairs(df, "id", max_hamming=3, block_cap=5)
+    as_set = lambda d: {(r["id_a"], r["id_b"], r["hamming"]) for r in d.collect()}
+    assert as_set(capped) == as_set(uncapped)
+    assert len(as_set(capped)) >= 20  # the planted clusters were found
+
+
+def test_simhash_block_cap_bounds_candidates(spark):
+    """Adversarial corpus: every doc shares 16-bit chunk 0 (one giant
+    level-1 block) but is random elsewhere. Candidate count must stay
+    ~linear with capping, vs ~N^2/2 without."""
+    import random
+
+    rnd = random.Random(11)
+    n = 800
+    rows = []
+    for i in range(n):
+        sig = (rnd.getrandbits(47) << 16) | 0xABCD  # chunk0 identical
+        rows.append((i, sig))
+    df = spark.createDataFrame(rows, "id long, simhash long")
+    capped = dedup.simhash_candidate_pairs(df, "id", block_cap=50).count()
+    # quadratic would be n*(n-1)/2 = 319,600; two-level blocking keeps
+    # only pairs agreeing on some 12-bit sub-chunk of the other 48 bits
+    assert capped < 4 * n
