@@ -46,22 +46,40 @@ def remove(name: str, spark: SparkSession | None = None) -> None:
     get(name, spark).drop_storage()
 
 
-def describe(name: str, spark: SparkSession | None = None) -> DataFrame:
-    """One row per configured index column."""
-    spark = spark or context.get_spark()
-    idx = get(name, spark)
-    schema = T.StructType(
-        [
-            T.StructField("index", T.StringType()),
-            T.StructField("column", T.StringType()),
-            T.StructField("type", T.StringType()),
-            T.StructField("detail", T.StringType()),
-            T.StructField("num_files", T.LongType()),
-        ]
-    )
-    n_files = idx.files.count()
+_DESCRIBE_SCHEMA = T.StructType(
+    [
+        T.StructField("index", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("detail", T.StringType()),
+        T.StructField("num_files", T.LongType()),
+    ]
+)
+
+
+def _file_counts(spark: SparkSession, names: list[str]) -> dict[str, int]:
+    """FileList row counts for all named indexes in ONE Spark job:
+    union the (tiny) filelist tables tagged by index name, one
+    groupBy-count, one collect — instead of a count() job per index
+    (500 indexes would otherwise mean 500 jobs)."""
+    from pyspark.sql import functions as F
+
+    counted = None
+    for name in names:
+        fl = Index.for_name(name, spark=spark).files.select(
+            F.lit(name).alias("__index")
+        )
+        counted = fl if counted is None else counted.unionByName(fl)
+    if counted is None:
+        return {}
+    rows = counted.groupBy("__index").agg(F.count("*").alias("n")).collect()
+    found = {r["__index"]: r["n"] for r in rows}
+    return {name: found.get(name, 0) for name in names}
+
+
+def _describe_rows(name: str, meta, n_files: int) -> list[tuple]:
     rows = []
-    for cfg in idx.meta.indexes:
+    for cfg in meta.indexes:
         detail = (
             cfg.expression
             or (f"{cfg.source_column}[].{cfg.field}" if cfg.source_column else None)
@@ -72,38 +90,50 @@ def describe(name: str, spark: SparkSession | None = None) -> DataFrame:
         rows.append((name, cfg.column, cfg.type, detail, n_files))
     if not rows:
         rows = [(name, None, None, "", n_files)]
-    return spark.createDataFrame(rows, schema)
+    return rows
+
+
+def describe(name: str, spark: SparkSession | None = None) -> DataFrame:
+    """One row per configured index column."""
+    spark = spark or context.get_spark()
+    idx = get(name, spark)
+    n_files = _file_counts(spark, [name])[name]
+    return spark.createDataFrame(
+        _describe_rows(name, idx.meta, n_files), _DESCRIBE_SCHEMA
+    )
 
 
 def describe_all(spark: SparkSession | None = None) -> DataFrame:
+    """All indexes' descriptions from one Spark job: metadata comes
+    from driver-side manifest reads, file counts from a single
+    unioned groupBy (reference describeAll:
+    IndexCatalog.scala:330-372, which loops per index)."""
     spark = spark or context.get_spark()
-    dfs = [describe(n, spark) for n in list_indexes(spark)]
-    if not dfs:
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("index", T.StringType()),
-                    T.StructField("column", T.StringType()),
-                    T.StructField("type", T.StringType()),
-                    T.StructField("detail", T.StringType()),
-                    T.StructField("num_files", T.LongType()),
-                ]
-            ),
+    conf = context.AriadneConf.load(spark)
+    fs = get_fs(spark, conf.storage_path)
+    names = list_indexes(spark)
+    counts = _file_counts(spark, names)
+    rows = []
+    for name in names:
+        meta = load_metadata(
+            IndexPaths(conf.storage_path, name).metadata, name, fs=fs
         )
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+        if meta is None:
+            continue
+        rows.extend(_describe_rows(name, meta, counts[name]))
+    return spark.createDataFrame(rows, _DESCRIBE_SCHEMA)
 
 
 def find_indexes(column: str, spark: SparkSession | None = None) -> list[str]:
     """Indexes that have an index on ``column``."""
     spark = spark or context.get_spark()
     conf = context.AriadneConf.load(spark)
+    fs = get_fs(spark, conf.storage_path)
     out = []
     for name in list_indexes(spark):
-        meta = load_metadata(IndexPaths(conf.storage_path, name).metadata, name)
+        meta = load_metadata(
+            IndexPaths(conf.storage_path, name).metadata, name, fs=fs
+        )
         if meta and meta.config_for(column) is not None:
             out.append(name)
     return out
