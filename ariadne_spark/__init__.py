@@ -9,7 +9,12 @@ from . import catalog
 from .context import AriadneConf
 from .index import Index
 from .sources.datasource import register as register_data_source
-from .sql.surface import register_views, sql
+from .sql.surface import (
+    disable_sql_interception,
+    enable_sql_interception,
+    register_views,
+    sql,
+)
 
 
 def join(df, index: Index, on, how: str = "inner"):
@@ -28,5 +33,7 @@ __all__ = [
     "join",
     "register_views",
     "register_data_source",
+    "enable_sql_interception",
+    "disable_sql_interception",
 ]
 __version__ = "0.1.0"

@@ -45,6 +45,26 @@ log = logging.getLogger("ariadne")
 
 # ------------------------------------------------------------ plan helpers
 
+def _dataset_of_rows(spark: SparkSession, logical_plan) -> DataFrame:
+    """DataFrame from a Catalyst logical plan via the JVM-internal
+    ``Dataset.ofRows`` — version-shimmed because the class moved to
+    ``sql.classic`` in Spark 4 (the reference pins the same hazard
+    behind per-major helper sources, AriadneInternalHelper)."""
+    jvm = spark._jvm
+    for ds in (
+        lambda: jvm.org.apache.spark.sql.classic.Dataset,  # Spark >= 4
+        lambda: jvm.org.apache.spark.sql.Dataset,  # Spark 3.x
+    ):
+        try:
+            jdf = ds().ofRows(spark._jsparkSession, logical_plan)
+        except Exception:
+            continue
+        return DataFrame(jdf, spark)
+    raise RuntimeError(
+        "no usable Dataset.ofRows entry point in this Spark version"
+    )
+
+
 def _cls(node) -> str:
     return node.getClass().getSimpleName()
 
@@ -142,16 +162,10 @@ _VIEW_CACHE: dict[tuple, tuple] = {}
 
 
 def _view_fingerprint(idx: Index) -> tuple:
-    import os
-
-    try:
-        meta_m = os.path.getmtime(idx.paths.metadata)
-    except OSError:
-        meta_m = 0
     return (
         idx.table._latest_version(),
         idx.filelist.table._latest_version(),
-        meta_m,
+        idx.fs.mtime(idx.paths.metadata),
     )
 
 
@@ -197,6 +211,13 @@ class _ViewSwap:
         self.swapped = []
 
 
+def _raw_sql(spark: SparkSession, query: str) -> DataFrame:
+    """The un-intercepted ``SparkSession.sql`` — calling through the
+    class dodges the instance attribute ``enable_sql_interception``
+    installs, so the rewriter never recurses into itself."""
+    return type(spark).sql(spark, query)
+
+
 def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
     """Run ``query`` with transparent index-based file pruning; falls
     back to the unmodified query on any extraction surprise."""
@@ -210,9 +231,41 @@ def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
             _plan_and_swap(spark, query, index_names, swap)
         except Exception as e:  # fallback = run unmodified (rule parity)
             log.info("ariadne.sql: no rewrite (%s: %s)", type(e).__name__, e)
-        return spark.sql(query)
+        return _raw_sql(spark, query)
     finally:
         swap.restore()
+
+
+def enable_sql_interception(spark: SparkSession) -> None:
+    """Make plain ``spark.sql(...)`` go through the pruning rewriter.
+
+    The reference gets transparent SQL integration from a registered
+    Catalyst rule + catalog (AriadneSparkExtension.scala:39-42), which
+    PySpark cannot install at runtime; the closest Python spelling is
+    shadowing ``sql`` on the session instance. Parameterized calls
+    (``args``/kwargs) pass straight through — the rewriter only
+    handles plain query strings. ``disable_sql_interception`` (or the
+    session's end) restores the original.
+
+    Without this, ``register_views`` + plain ``spark.sql`` still give
+    CORRECT results — just unpruned full scans.
+    """
+    if "sql" in spark.__dict__:  # already intercepted
+        return
+
+    def patched(query, *a, **kw):
+        if a or kw or not isinstance(query, str):
+            return _raw_sql_with_args(spark, query, *a, **kw)
+        return sql(query, spark)
+
+    def _raw_sql_with_args(s, q, *a, **kw):
+        return type(s).sql(s, q, *a, **kw)
+
+    spark.__dict__["sql"] = patched
+
+
+def disable_sql_interception(spark: SparkSession) -> None:
+    spark.__dict__.pop("sql", None)
 
 
 def _plan_and_swap(
@@ -318,10 +371,7 @@ def _plan_and_swap(
                     continue
                 # resolves against the CURRENT temp views, so an
                 # already-pruned other side executes its pruned read
-                jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
-                    spark._jsparkSession, other_side
-                )
-                other_df = DataFrame(jdf, spark)
+                other_df = _dataset_of_rows(spark, other_side)
                 frames = pruned_frames.setdefault(name, {})
                 added = False
                 for icol, ocol in pairs:

@@ -140,6 +140,12 @@ class PosixFS:
         except OSError:
             return None
 
+    def mtime(self, path: str) -> float:
+        try:
+            return os.path.getmtime(self._p(path))
+        except OSError:
+            return 0.0
+
     def sizes(self, paths: list[str]) -> list[int]:
         return [self.size(p) or 0 for p in paths]
 
@@ -238,6 +244,11 @@ class HadoopFS:
         if not self.exists(path):
             return None
         return int(self._fs.getFileStatus(self._p(path)).getLen())
+
+    def mtime(self, path: str) -> float:
+        if not self.exists(path):
+            return 0.0
+        return self._fs.getFileStatus(self._p(path)).getModificationTime() / 1000.0
 
     def sizes(self, paths: list[str]) -> list[int]:
         """Batch file sizes: one ``listStatus`` per parent directory

@@ -142,3 +142,82 @@ def test_sql_cte_and_aggregation(spark, orders_view):
         for x in df.where("o_custkey = 5").groupBy("o_orderstatus").count().collect()
     }
     assert {(x["o_orderstatus"], x["n"]) for x in r2.collect()} == exp
+
+
+def test_dataset_of_rows_version_shim(monkeypatch):
+    """The classic-Dataset miss (Spark 3.x) falls through to
+    sql.Dataset; total miss raises."""
+    from ariadne_spark.sql import surface
+
+    class _Ds:
+        def __init__(self, ok):
+            self.ok = ok
+
+        def ofRows(self, jss, plan):
+            if not self.ok:
+                raise TypeError("JavaPackage is not callable")
+            return ("jdf", plan)
+
+    class _Ns:
+        def __init__(self, **kw):
+            self.__dict__.update(kw)
+
+    def fake_spark(classic_ok, plain_ok):
+        jvm = _Ns(
+            org=_Ns(
+                apache=_Ns(
+                    spark=_Ns(
+                        sql=_Ns(
+                            classic=_Ns(Dataset=_Ds(classic_ok)),
+                            Dataset=_Ds(plain_ok),
+                        )
+                    )
+                )
+            )
+        )
+        return _Ns(_jvm=jvm, _jsparkSession=object())
+
+    monkeypatch.setattr(surface, "DataFrame", lambda jdf, s: ("df", jdf))
+
+    assert surface._dataset_of_rows(fake_spark(True, False), "p")[1][1] == "p"
+    assert surface._dataset_of_rows(fake_spark(False, True), "p")[1][1] == "p"
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        surface._dataset_of_rows(fake_spark(False, False), "p")
+
+
+def test_sql_interception_prunes_and_restores(spark, orders_view):
+    """enable_sql_interception routes plain spark.sql through the
+    rewriter; disable restores the original method."""
+    import ariadne_spark
+
+    df = orders_view
+    seen = []
+    orig_sql_fn = surface.sql
+
+    def spy(query, s=None):
+        seen.append(query)
+        return orig_sql_fn(query, s)
+
+    surface.sql, ariadne_spark.sql = spy, spy
+    try:
+        ariadne_spark.enable_sql_interception(spark)
+        ariadne_spark.enable_sql_interception(spark)  # idempotent
+        res = spark.sql(
+            "SELECT o_orderkey, o_custkey FROM orders_sql WHERE o_custkey IN (5, 6)"
+        )
+        assert seen, "intercepted spark.sql did not reach the rewriter"
+        assert_same_rows(
+            res,
+            df.where(F.col("o_custkey").isin([5, 6])).select(
+                "o_orderkey", "o_custkey"
+            ),
+        )
+    finally:
+        surface.sql = orig_sql_fn
+        ariadne_spark.sql = orig_sql_fn
+        ariadne_spark.disable_sql_interception(spark)
+    assert "sql" not in spark.__dict__
+    # plain path works again
+    assert spark.sql("SELECT 1 AS one").collect()[0]["one"] == 1
