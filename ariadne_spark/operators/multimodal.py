@@ -144,10 +144,11 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
 
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """STUB: video frame sampling — emits planned frame timestamps
-    from metadata (duration_ms) without decoding; one row per frame."""
-    frames = F.sequence(
-        F.lit(0),
-        F.coalesce(F.col("media_meta").getField("duration_ms"), F.lit(0)),
-        F.lit(every_ms),
+    from metadata (duration_ms) without decoding; one row per frame.
+    Rows with NULL duration produce no frames (explode of a NULL
+    array), matching what a SQL generate_series oracle yields."""
+    dur = F.col("media_meta").getField("duration_ms")
+    frames = F.when(
+        dur.isNotNull(), F.sequence(F.lit(0), dur, F.lit(every_ms))
     )
     return df.withColumn("frame_ts_ms", F.explode(frames))

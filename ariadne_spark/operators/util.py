@@ -52,11 +52,19 @@ def salted_join(
             f"salted_join supports inner/left joins, got {how!r}: "
             "replicating the right side would duplicate its unmatched rows"
         )
+    import uuid
+
+    # collision-free temp column; hash only the join keys (always
+    # hashable — they're equi-join keys) + a per-row id so identical
+    # keys still scatter. Hashing all columns would break on MapType
+    # or an existing __salt column.
+    salt_col = f"__salt_{uuid.uuid4().hex[:8]}"
     scatter = F.pmod(
-        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)
+        F.xxhash64(*[F.col(c) for c in on], F.monotonically_increasing_id()),
+        F.lit(salt),
     ).cast("int")
-    l = left.withColumn("__salt", scatter)
+    l = left.withColumn(salt_col, scatter)
     r = right.withColumn(
-        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
-    return l.join(r, on + ["__salt"], how).drop("__salt")
+    return l.join(r, on + [salt_col], how).drop(salt_col)

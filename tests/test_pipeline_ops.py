@@ -315,3 +315,35 @@ def test_simhash_block_cap_bounds_candidates(spark):
     # quadratic would be n*(n-1)/2 = 319,600; two-level blocking keeps
     # only pairs agreeing on some 12-bit sub-chunk of the other 48 bits
     assert capped < 4 * n
+
+
+def test_salted_join_hostile_columns(spark):
+    """salted_join survives a pre-existing __salt column and a MapType
+    column on the left (only join keys are hashed)."""
+    from collections import Counter
+
+    from ariadne_spark.operators.util import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, {"a": 1}, 99), (1, {"b": 2}, 98), (2, None, 97)],
+        "k int, m map<string,int>, __salt int",
+    )
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], "k int, v string")
+    got = salted_join(fact, dim, ["k"], "inner", salt=4)
+    exp = fact.join(dim, ["k"], "inner")
+    key = lambda r: (r["k"], r["__salt"], r["v"])
+    assert Counter(map(key, got.collect())) == Counter(map(key, exp.collect()))
+    assert set(got.columns) == set(exp.columns)
+
+
+def test_frame_sample_stub_null_duration(spark):
+    from ariadne_spark.operators import multimodal
+
+    df = spark.createDataFrame(
+        [(1, (2000,)), (2, (None,))],
+        "id int, media_meta struct<duration_ms: int>",
+    )
+    out = multimodal.frame_sample_stub(df, every_ms=1000)
+    rows = {(r["id"], r["frame_ts_ms"]) for r in out.collect()}
+    # id=2 (null duration) emits nothing; id=1 emits 0,1000,2000
+    assert rows == {(1, 0), (1, 1000), (1, 2000)}
