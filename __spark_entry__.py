@@ -516,6 +516,23 @@ def q_multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image codec path: synthetic binary-PPM blobs decoded by
+    the pure-numpy P6 decoder; pixels are closed-form in doc_id so
+    DuckDB reproduces width/height/mean exactly."""
+    from ariadne_spark.operators.multimodal import (
+        decode_media,
+        pack_synthetic_ppm,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    packed = pack_synthetic_ppm(docs, "doc_id")
+    decoded = decode_media(packed, "media", codec="ppm", batch_cols=["doc_id"])
+    return decoded.select(
+        "doc_id", "decoded_width", "decoded_height", "mean_byte"
+    )
+
+
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General SQL delegation through the engine's SQL surface
     (decimal casts keep double-sum results engine-exact)."""
@@ -794,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
+        "multimodal_decode_ppm": q_multimodal_decode_ppm,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
         "sql_tpch_q3": q_sql_tpch_q3,
@@ -992,6 +1010,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS content_hash,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "multimodal_decode_ppm": """
+            WITH px AS (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           0,
+                           (4 + doc_id % 13) * (3 + doc_id % 7) * 3 - 1
+                       )) AS i
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(4 + doc_id % 13 AS INT) AS decoded_width,
+                   CAST(3 + doc_id % 7 AS INT) AS decoded_height,
+                   round(AVG(CAST((doc_id * 7 + i) % 256 AS DOUBLE)), 6) AS mean_byte
+            FROM px
+            GROUP BY doc_id
         """,
         "sql_tpch_q1": """
             SELECT l_returnflag, l_linestatus,

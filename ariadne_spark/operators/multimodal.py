@@ -42,8 +42,18 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("content_hash", T.StringType()),
         T.StructField("mean_byte", T.DoubleType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decoded_width", T.IntegerType()),
+        T.StructField("decoded_height", T.IntegerType()),
     ]
 )
+
+_NO_DECODE = {
+    "content_hash": None,
+    "mean_byte": None,
+    "feature": None,
+    "decoded_width": None,
+    "decoded_height": None,
+}
 
 
 def pack_fake_media(
@@ -72,22 +82,98 @@ def pack_fake_media(
     return df.withColumn("media", blob).withColumn("media_meta", meta)
 
 
-def _decode_fake(blob: bytes) -> dict:
-    if blob is None or len(blob) < 16 or blob[:4] != b"FAKE":
-        return {"content_hash": None, "mean_byte": None, "feature": None}
-    payload = blob[16:]
+def _pixel_features(pixels, w: int, h: int) -> dict:
+    """Shared feature extraction over decoded pixel bytes (uint8)."""
     import numpy as np
 
-    arr = np.frombuffer(payload, dtype=np.uint8)
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(-1)
     mean = float(arr.mean()) if len(arr) else 0.0
     # 8-dim "feature": byte-histogram over 8 bins, L1-normalized
     hist = np.histogram(arr, bins=8, range=(0, 256))[0].astype("float64")
     total = hist.sum() or 1.0
     return {
-        "content_hash": hashlib.md5(payload).hexdigest(),
+        "content_hash": hashlib.md5(arr.tobytes()).hexdigest(),
         "mean_byte": round(mean, 6),
         "feature": [float(x) for x in (hist / total).round(6)],
+        "decoded_width": w,
+        "decoded_height": h,
     }
+
+
+def _decode_fake(blob: bytes) -> dict:
+    if blob is None or len(blob) < 16 or blob[:4] != b"FAKE":
+        return dict(_NO_DECODE)
+    w, h = int(blob[4:10]), int(blob[10:16])
+    return _pixel_features(memoryview(blob)[16:], w, h)
+
+
+def _decode_ppm(blob: bytes) -> dict:
+    """REAL codec: binary PPM (P6), pure numpy — no PIL needed.
+    Header: ``P6 <ws> width <ws> height <ws> maxval \\n``, then
+    width*height*3 raw bytes ('#' comment lines allowed)."""
+    if blob is None or not bytes(blob[:2]) == b"P6":
+        return dict(_NO_DECODE)
+    data = bytes(blob)
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(data):
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            return dict(_NO_DECODE)
+        fields.append(data[start:pos])
+    if len(fields) < 3:
+        return dict(_NO_DECODE)
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except ValueError:
+        return dict(_NO_DECODE)
+    pos += 1  # single whitespace after maxval
+    n = w * h * 3
+    if maxval != 255 or w <= 0 or h <= 0 or len(data) - pos < n:
+        return dict(_NO_DECODE)
+    return _pixel_features(memoryview(data)[pos : pos + n], w, h)
+
+
+def _decode_bmp(blob: bytes) -> dict:
+    """REAL codec: uncompressed 24-bpp Windows BMP (BITMAPINFOHEADER),
+    pure numpy. Rows are bottom-up and padded to 4 bytes; pixels are
+    emitted top-down as RGB (BMP stores BGR)."""
+    import struct
+
+    import numpy as np
+
+    if blob is None or bytes(blob[:2]) != b"BM" or len(blob) < 54:
+        return dict(_NO_DECODE)
+    data = bytes(blob)
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", data, 14)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        return dict(_NO_DECODE)
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    if w <= 0 or h <= 0 or len(data) - pix_off < row_bytes * h:
+        return dict(_NO_DECODE)
+    raw = np.frombuffer(
+        data, dtype=np.uint8, count=row_bytes * h, offset=pix_off
+    ).reshape(h, row_bytes)
+    bgr = raw[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        bgr = bgr[::-1]
+    rgb = bgr[:, :, ::-1]
+    return _pixel_features(np.ascontiguousarray(rgb), w, h)
+
+
+_CODECS = {"fake": _decode_fake, "ppm": _decode_ppm, "bmp": _decode_bmp}
 
 
 def decode_media(
@@ -97,12 +183,15 @@ def decode_media(
     batch_cols: list[str] | None = None,
 ) -> DataFrame:
     """Feature-extract media blobs with ``mapInPandas`` (Arrow
-    batches). ``codec='fake'`` uses the deterministic test codec;
-    real codecs raise until their libraries are provisioned."""
-    if codec != "fake":
+    batches). Real pure-numpy codecs: ``'ppm'`` (binary P6) and
+    ``'bmp'`` (uncompressed 24-bpp); ``'fake'`` is the deterministic
+    test codec. Codecs needing external libraries (jpg/png via PIL,
+    audio/video via ffmpeg) raise until provisioned."""
+    decode = _CODECS.get(codec)
+    if decode is None:
         raise NotImplementedError(
-            f"codec {codec!r}: real image/audio decoding needs PIL/ffmpeg, "
-            "not available in this environment — use codec='fake'"
+            f"codec {codec!r}: needs PIL/ffmpeg, not available in this "
+            f"environment — use one of {sorted(_CODECS)}"
         )
     from .. import context
 
@@ -113,17 +202,47 @@ def decode_media(
     )
 
     def run(batches: Iterator) -> Iterator:
-        import pandas as pd
-
         for pdf in batches:
-            feats = pdf[blob_col].map(_decode_fake)
+            feats = pdf[blob_col].map(decode)
             res = pdf[keep].copy()
-            res["content_hash"] = [f["content_hash"] for f in feats]
-            res["mean_byte"] = [f["mean_byte"] for f in feats]
-            res["feature"] = [f["feature"] for f in feats]
+            for field in FEATURE_SCHEMA.fieldNames():
+                res[field] = [f[field] for f in feats]
             yield res
 
     return df.mapInPandas(run, out_schema)
+
+
+def pack_synthetic_ppm(df: DataFrame, id_col: str) -> DataFrame:
+    """Real binary-PPM (P6) blobs with closed-form pixels: for row id
+    ``k``, width = 4 + k%13, height = 3 + k%7, and pixel byte ``i`` is
+    ``(k*7 + i) % 256``. Decodable by the real ``'ppm'`` codec AND
+    reproducible in plain SQL — which makes the real-codec path
+    oracle-checkable without shipping image fixtures."""
+    from .. import context
+
+    context.ship_package(df.sparkSession)
+
+    def pack(ids) -> "pd.Series":
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for k in ids:
+            if k is None:
+                out.append(None)
+                continue
+            k = int(k)
+            w, h = 4 + k % 13, 3 + k % 7
+            px = ((k * 7 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+            out.append(f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
+        return pd.Series(out)
+
+    import pandas as pd
+
+    pack.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return df.withColumn(
+        "media", F.pandas_udf(pack, T.BinaryType())(F.col(id_col))
+    )
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:

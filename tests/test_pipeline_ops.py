@@ -347,3 +347,68 @@ def test_frame_sample_stub_null_duration(spark):
     rows = {(r["id"], r["frame_ts_ms"]) for r in out.collect()}
     # id=2 (null duration) emits nothing; id=1 emits 0,1000,2000
     assert rows == {(1, 0), (1, 1000), (1, 2000)}
+
+
+def test_ppm_codec_decodes_real_image(spark):
+    """The pure-numpy P6 decoder against a hand-built PPM with a
+    comment line; stats verified against the known pixels."""
+    import hashlib
+
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8)  # 2x3 image, bytes 0..17
+    blob = b"P6\n# a comment\n2 3\n255\n" + px.tobytes()
+    df = spark.createDataFrame([(1, bytearray(blob)), (2, None)], "id int, media binary")
+    out = {r["id"]: r for r in multimodal.decode_media(
+        df, "media", codec="ppm", batch_cols=["id"]
+    ).collect()}
+    r = out[1]
+    assert (r["decoded_width"], r["decoded_height"]) == (2, 3)
+    assert r["mean_byte"] == round(float(px.mean()), 6)
+    assert r["content_hash"] == hashlib.md5(px.tobytes()).hexdigest()
+    assert out[2]["content_hash"] is None
+
+
+def test_bmp_codec_decodes_real_image(spark):
+    """24-bpp bottom-up BMP with row padding; decoder must flip rows
+    and swap BGR->RGB."""
+    import struct
+
+    import numpy as np
+
+    w, h = 3, 2
+    rgb = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+    bgr = rgb[:, :, ::-1]
+    row_bytes = (w * 3 + 3) & ~3  # 12 -> no pad here; use w=3 => 9->12 pad 3
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bgr[y].tobytes() + b"\x00" * (row_bytes - w * 3)
+        rows.append(row)
+    pix = b"".join(rows)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    blob = header + info + pix
+    df = spark.createDataFrame([(1, bytearray(blob))], "id int, media binary")
+    r = multimodal.decode_media(df, "media", codec="bmp", batch_cols=["id"]).collect()[0]
+    assert (r["decoded_width"], r["decoded_height"]) == (w, h)
+    assert r["mean_byte"] == round(float(rgb.mean()), 6)
+    import hashlib
+
+    assert r["content_hash"] == hashlib.md5(rgb.tobytes()).hexdigest()
+
+
+def test_synthetic_ppm_roundtrip(spark):
+    from ariadne_spark.operators.multimodal import pack_synthetic_ppm
+
+    df = spark.createDataFrame([(k,) for k in range(25)], "doc_id long")
+    packed = pack_synthetic_ppm(df, "doc_id")
+    out = multimodal.decode_media(packed, "media", codec="ppm", batch_cols=["doc_id"])
+    for r in out.collect():
+        k = r["doc_id"]
+        assert r["decoded_width"] == 4 + k % 13
+        assert r["decoded_height"] == 3 + k % 7
+        n = r["decoded_width"] * r["decoded_height"] * 3
+        import numpy as np
+
+        exp = float((((k * 7) + np.arange(n)) % 256).mean())
+        assert r["mean_byte"] == round(exp, 6)
