@@ -79,3 +79,11 @@ class IndexNotFoundError(AriadneError):
 
 class TableCommitConflictError(AriadneError):
     """Optimistic manifest commit lost a race and exhausted retries."""
+
+
+class InvalidFprError(AriadneError):
+    """Bloom false-positive rate outside the open interval (0, 1)."""
+
+
+class ReservedColumnError(AriadneError):
+    """Column name collides with an internal engine column."""

@@ -35,9 +35,11 @@ from .exceptions import (
     FormatMismatchError,
     IndexNotFoundError,
     IndexTypeConflictError,
+    InvalidFprError,
     MissingFormatError,
     NotArrayColumnError,
     NotTopLevelColumnError,
+    ReservedColumnError,
     SchemaMismatchError,
     SchemaNotProvidedError,
     UnsupportedFormatError,
@@ -194,7 +196,23 @@ class Index:
             c.column for c in self.meta.indexes if c.type in (COMPUTED, EXPLODED)
         }
 
+    # internal columns of the index/filelist tables; indexing one would
+    # collide at build time (reference reserves its staging columns the
+    # same way, StagingRecoveryTests "internal staging column names")
+    _RESERVED_COLUMNS = frozenset(
+        {"filename", "file_size", "_ariadne_seq", "_ariadne_pick"}
+    )
+
     def _register(self, cfg: IndexConfig) -> None:
+        if (
+            cfg.column in self._RESERVED_COLUMNS
+            or cfg.column.startswith("_ariadne")
+        ):
+            raise ReservedColumnError(cfg.column)
+        if cfg.type == BLOOM:
+            fpr = 0.01 if cfg.fpr is None else cfg.fpr
+            if not (0.0 < fpr < 1.0):
+                raise InvalidFprError(f"fpr must be in (0, 1), got {cfg.fpr}")
         current = self.meta.config_for(cfg.column)
         if current is not None:
             if current.to_dict() == cfg.to_dict():
