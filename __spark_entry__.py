@@ -689,6 +689,88 @@ def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adapted (the synthetic lineitem has no commit/receipt
+    dates): priority counts of orders with a correlated EXISTS against
+    late-shipping lineitems. Exercises the SQL surface on a correlated
+    semi-join shape — Catalyst plans the EXISTS as a left-semi
+    hash join; the rewriter's conservative fallback keeps semantics
+    when no indexed equi-join is exposed."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    return ariadne_spark.sql(
+        """
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o.o_orderpriority
+        """,
+        spark,
+    )
+
+
+def q_sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item revenue by customer) through the SQL
+    surface: orders/lineitem index views joined to customer/nation temp
+    views, grouped per customer with an exact-decimal HAVING floor
+    (deterministic across engines, unlike a top-k LIMIT with ties)."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("customer_v")
+    spark.read.parquet(_t(sf_dir, "nation")).createOrReplaceTempView("nation_v")
+    return ariadne_spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal_d,
+               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM customer_v c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+        HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+            * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) > 300000
+        """,
+        spark,
+    )
+
+
+def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders) through the SQL surface: an IN
+    aggregate subquery over the lineitem index view feeding a
+    three-table join. Quantity sums stay DECIMAL through the HAVING
+    floor so the row set is engine-exact; only the final outputs cast
+    to DOUBLE."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("customer_v")
+    return ariadne_spark.sql(
+        """
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice_d,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM customer_v c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        """,
+        spark,
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: fake-pack documents as video
     blobs, stamp a deterministic duration (10 ms per char), then
@@ -818,6 +900,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q5": q_sql_tpch_q5,
         "sql_tpch_q6": q_sql_tpch_q6,
         "sql_tpch_q14": q_sql_tpch_q14,
+        "sql_tpch_q4": q_sql_tpch_q4,
+        "sql_tpch_q10": q_sql_tpch_q10,
+        "sql_tpch_q18": q_sql_tpch_q18,
         "multimodal_frames": q_multimodal_frames,
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
@@ -1094,6 +1179,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
               AND l.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "sql_tpch_q4": """
+            SELECT o.o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o.o_orderpriority
+        """,
+        "sql_tpch_q10": """
+            SELECT c.c_custkey, c.c_name, n.n_name,
+                   CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal_d,
+                   CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+            HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) > 300000
+        """,
+        "sql_tpch_q18": """
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice_d,
+                   CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+            GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
         """,
         "multimodal_frames": """
             SELECT doc_id,

@@ -86,6 +86,12 @@ class AriadneConf:
     auto_compact_threshold: int | None = None
     auto_bloom_fpr: float = 0.01
     broadcast_threshold: int = 50_000_000
+    # Cost-model floor for bloom probing: when the index's total
+    # indexed bytes are below this, locate skips the probe (scanning
+    # that little is cheaper than hashing + probing the query values).
+    # 0 = always probe (the default: correctness gates and small
+    # deployments want deterministic pruning behavior).
+    min_bloom_prune_bytes: int = 0
 
     @staticmethod
     def load(spark: SparkSession) -> "AriadneConf":
@@ -117,4 +123,5 @@ class AriadneConf:
             auto_compact_threshold=_int("autoCompactThreshold", None),
             auto_bloom_fpr=float(raw_fpr) if raw_fpr is not None else 0.01,
             broadcast_threshold=_int("broadcastThreshold", 50_000_000),
+            min_bloom_prune_bytes=_int("minBloomPruneBytes", 0),
         )

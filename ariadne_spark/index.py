@@ -448,6 +448,7 @@ class Index:
         """Candidate files whose contents can match ``query``
         ({column: values} or a DataFrame of join keys). AND semantics
         across columns."""
+        min_bloom = self.conf.min_bloom_prune_bytes
         files, stats = _locate(
             self.spark,
             self.meta,
@@ -456,6 +457,8 @@ class Index:
             query,
             columns,
             repartition=self.conf.index_repartition_count,
+            min_bloom_bytes=min_bloom,
+            total_bytes=self._index_totals()[1] if min_bloom else None,
         )
         self._last_locate_stats = stats
         return sorted(files)
@@ -582,6 +585,7 @@ class Index:
             if c not in other.columns:
                 raise ColumnNotFoundError(f"{c} not in other DataFrame")
         values_df = other.select(*cols)
+        min_bloom = self.conf.min_bloom_prune_bytes
         files, stats = _locate(
             self.spark,
             self.meta,
@@ -590,6 +594,8 @@ class Index:
             values_df,
             cols,
             repartition=self.conf.index_repartition_count,
+            min_bloom_bytes=min_bloom,
+            total_bytes=self._index_totals()[1] if min_bloom else None,
         )
         self._last_locate_stats = stats
         self._last_metrics = prune_metrics_local(

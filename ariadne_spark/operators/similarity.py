@@ -389,29 +389,74 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 10,
+    bucket_cap: int = 20000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs
     sharing a bucket with cosine ≥ threshold (id_a < id_b).
 
-    The bucketed frame is cached: both sides of the self-join would
+    Scale guard: an adversarial (highly-clustered) corpus collapses
+    into few LSH buckets, and a plain within-bucket self-join then
+    builds one quadratic join task. Cosine LSH has no pigeonhole
+    split that preserves recall (unlike simhash's sub-chunks, see
+    dedup.simhash_candidate_pairs), so oversized buckets are instead
+    cut into ``ceil(n/bucket_cap)`` hash-assigned chunks and joined
+    chunk-pair by chunk-pair: the left side replicates each row to
+    every chunk ≥ its own, the right side keys by its chunk, so every
+    within-bucket pair appears in exactly one (ca ≤ cb) cell. The
+    candidate set is *identical* to the uncapped join — total work is
+    still pair-proportional (inherent), but each join cell is at most
+    ~bucket_cap² and the quadratic work spreads across the cluster
+    instead of one straggler task. Buckets under the cap degenerate
+    to the plain single-cell join (replication factor 1).
+
+    Bucket sizes come from one broadcastable groupBy (≤ 2^n_planes
+    rows). The chunked frame is cached: both join sides would
     otherwise recompute the signature UDF over the full corpus."""
-    with_b = add_lsh_buckets(df, vec_col, n_planes=n_planes).cache()
-    l = with_b.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "lsh_bucket"
+    with_b = add_lsh_buckets(df, vec_col, n_planes=n_planes)
+    counts = with_b.groupBy("lsh_bucket").agg(F.count("*").alias("__bn"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.col("__bn") / F.lit(bucket_cap))
+    ).cast("int")
+    base = (
+        with_b.join(F.broadcast(counts), "lsh_bucket")
+        .withColumn("__nch", n_chunks)
+        .withColumn(
+            "__ch",
+            F.pmod(
+                F.xxhash64(F.col(id_col).cast("string"), F.lit("emb-chunk")),
+                F.col("__nch"),
+            ).cast("int"),
+        )
+        .cache()
     )
-    r = with_b.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "lsh_bucket"
+    l = base.select(
+        "lsh_bucket",
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.explode(F.sequence(F.col("__ch"), F.col("__nch") - F.lit(1))).alias(
+            "__cb"
+        ),
+    )
+    r = base.select(
+        "lsh_bucket",
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__ch").alias("__cb"),
     )
     sim = _dot(F.col("__va"), F.col("__vb")) / (
         _norm(F.col("__va")) * _norm(F.col("__vb"))
     )
     out = (
-        l.join(r, "lsh_bucket")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine"))
+        l.join(r, ["lsh_bucket", "__cb"])
+        .where(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
         .distinct()
     ).cache()
-    out.count()  # pair-proportional (small); free the bucketed corpus
-    with_b.unpersist()
+    out.count()  # pair-proportional (small); free the chunked corpus
+    base.unpersist()
     return out

@@ -137,14 +137,21 @@ def _collect_hash_pairs(source, values_df: DataFrame, cap: int):
 
     digest.__annotations__ = {"vals": pd.Series, "return": pd.Series}
     digest_udf = F.pandas_udf(digest, T.BinaryType())
-    rows = (
-        values_df.select(digest_udf(F.col(_VAL)).alias("__hp"))
-        .limit(cap + 1)
-        .collect()
-    )
-    if len(rows) > cap:
+    # Deliberately NOT limit(cap+1).collect(): CollectLimit evaluates
+    # the child incrementally (1 partition, then scaleUpFactor rounds),
+    # re-running an expensive upstream values frame — e.g. the SQL
+    # rewriter's executed join side — an unpredictable number of times.
+    # A count guard + one single-row collect_list runs the (cached, see
+    # locate_files) frame exactly once each and returns one picklable
+    # row instead of one Row object per value.
+    if values_df.count() > cap:
         return None
-    return bloomfn.pairs_from_digests(r[0] for r in rows)
+    row = (
+        values_df.select(digest_udf(F.col(_VAL)).alias("__hp"))
+        .agg(F.collect_list("__hp").alias("__hps"))
+        .collect()[0]
+    )
+    return bloomfn.pairs_from_digests(row[0])
 
 
 def _regular_candidates(
@@ -268,6 +275,8 @@ def locate_files(
     query: "DataFrame | dict",
     columns: list[str] | None = None,
     repartition: int | None = None,
+    min_bloom_bytes: int = 0,
+    total_bytes: int | None = None,
 ) -> tuple[list[str], LocateStats]:
     """Candidate files for ``query``.
 
@@ -288,12 +297,22 @@ def locate_files(
         cols = list(columns or [])
 
     candidate_dfs: list[DataFrame] = []
+    cached: list[DataFrame] = []
     for col in cols:
         cfg = meta.config_for(col)
         if cfg is None:
             raise ColumnNotIndexedError(col)
         source = query[col] if isinstance(query, dict) else query
         values_df = _values_df(spark, source, col)
+        if values_df is not None and isinstance(source, DataFrame):
+            # A DataFrame source can be arbitrarily expensive (the SQL
+            # rewriter hands over an executed join side); every probe
+            # below — bloom count+digest, range value collect, the
+            # semi-joins — is a separate action over it. Persist the
+            # one-column distinct projection so the source executes
+            # once, and release it after the final file collect.
+            values_df = values_df.persist()
+            cached.append(values_df)
         if values_df is None:
             candidate_dfs.append(index_df.select("filename").limit(0))
             continue
@@ -308,6 +327,19 @@ def locate_files(
                 col,
             )
         elif cfg.type == BLOOM:
+            if (
+                min_bloom_bytes
+                and total_bytes is not None
+                and total_bytes < min_bloom_bytes
+            ):
+                # cost-model skip: probing costs more than scanning
+                # this little data (spark.ariadne.minBloomPruneBytes)
+                stats.per_column[col] = {
+                    "type": "bloom",
+                    "skipped": True,
+                    "reason": f"index bytes {total_bytes} < minBloomPruneBytes",
+                }
+                continue
             pairs = _collect_hash_pairs(source, values_df, BLOOM_PROBE_CAP)
             if pairs is None:
                 # conservative no-prune — but never silent: callers see
@@ -342,22 +374,26 @@ def locate_files(
 
     has_size = "file_size" in index_df.columns
 
-    if not candidate_dfs:
-        cols_sel = ["filename", "file_size"] if has_size else ["filename"]
-        rows = index_df.select(*cols_sel).collect()
-        stats.sizes = {r[0]: (r[1] if has_size else None) for r in rows}
-        return [r[0] for r in rows], stats
+    try:
+        if not candidate_dfs:
+            cols_sel = ["filename", "file_size"] if has_size else ["filename"]
+            rows = index_df.select(*cols_sel).collect()
+            stats.sizes = {r[0]: (r[1] if has_size else None) for r in rows}
+            return [r[0] for r in rows], stats
 
-    intersected = reduce(
-        lambda a, b: a.join(b, "filename", "inner"), candidate_dfs
-    ).distinct()
-    if has_size:
-        intersected = intersected.join(
-            index_df.select("filename", "file_size"), "filename", "left"
-        )
-        rows = intersected.collect()
-        stats.sizes = {r[0]: r[1] for r in rows}
-        return [r[0] for r in rows], stats
-    files = [r[0] for r in intersected.collect()]
-    stats.sizes = {f: None for f in files}
-    return files, stats
+        intersected = reduce(
+            lambda a, b: a.join(b, "filename", "inner"), candidate_dfs
+        ).distinct()
+        if has_size:
+            intersected = intersected.join(
+                index_df.select("filename", "file_size"), "filename", "left"
+            )
+            rows = intersected.collect()
+            stats.sizes = {r[0]: r[1] for r in rows}
+            return [r[0] for r in rows], stats
+        files = [r[0] for r in intersected.collect()]
+        stats.sizes = {f: None for f in files}
+        return files, stats
+    finally:
+        for df in cached:
+            df.unpersist()

@@ -412,3 +412,26 @@ def test_synthetic_ppm_roundtrip(spark):
 
         exp = float((((k * 7) + np.arange(n)) % 256).mean())
         assert r["mean_byte"] == round(exp, 6)
+
+def test_embedding_near_dup_bucket_cap_preserves_results(spark):
+    """Chunk-pair fan-out over oversized LSH buckets returns EXACTLY the
+    uncapped within-bucket pairs: an adversarial all-similar corpus (one
+    cluster, one bucket) with a tiny cap must match the plain join."""
+    import random
+
+    rnd = random.Random(13)
+    dim = 16
+    base = [rnd.gauss(0, 1) for _ in range(dim)]
+    rows = []
+    for i in range(60):  # tight cluster: tiny perturbations of one vector
+        rows.append((i, [v + rnd.gauss(0, 0.005) for v in base]))
+    for i in range(60, 80):  # unrelated noise
+        rows.append((i, [rnd.gauss(0, 1) for _ in range(dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(threshold=0.98, id_col="vec_id", vec_col="embedding", n_planes=6)
+    uncapped = similarity.embedding_near_dup(df, bucket_cap=10**9, **kw)
+    capped = similarity.embedding_near_dup(df, bucket_cap=7, **kw)
+    as_set = lambda d: {(r["id_a"], r["id_b"], r["cosine"]) for r in d.collect()}
+    want = as_set(uncapped)
+    assert as_set(capped) == want
+    assert len(want) >= 60  # the planted cluster was found
