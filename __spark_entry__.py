@@ -482,6 +482,50 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=5)
 
 
+def _prepare_ivf(spark: SparkSession, sf_dir: str):
+    """Build the persisted IVF layout once per scale factor: corpus
+    clustered by ivf_cell, engine index on the cell column, centroid
+    sidecar. Own marker so pre-existing _READY work dirs stay valid."""
+    from ariadne_spark import Index
+    from ariadne_spark.operators.similarity import ivf_index_build
+    from ariadne_spark.storage.lock import IndexLock
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    marker = f"{base}/_IVF_READY"
+    cent_path = f"{base}/ivf_data/_ivf_centroids.json"
+    if not os.path.exists(marker):
+        with IndexLock(f"{base}/locks", "ivf", timeout=1800, max_wait=1800):
+            if not os.path.exists(marker):
+                emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+                _idx, cent_path = ivf_index_build(
+                    emb,
+                    f"{base}/ivf_data",
+                    "ivf_embeddings",
+                    n_centroids=32,
+                    n_files=8,
+                    spark=spark,
+                )
+                with open(marker, "w") as fh:
+                    fh.write("ok")
+    return Index.for_name("ivf_embeddings", spark=spark), cent_path
+
+
+def q_sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k through the PERSISTED index path: probe cells →
+    engine locate prunes to the files holding them → exact re-rank
+    inside. The lake-scale composition of ANN with file pruning
+    (hash-dependent centroid pick: rows-only)."""
+    from ariadne_spark.operators.similarity import ivf_index_topk
+
+    idx, cent_path = _prepare_ivf(spark, sf_dir)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_index_topk(idx, cent_path, queries, k=5, n_probe=8)
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH-bucketed: rows-only).
 
@@ -891,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_banded": q_sim_ann_banded,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_ann_ivf_indexed": q_sim_ann_ivf_indexed,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "multimodal_decode_ppm": q_multimodal_decode_ppm,

@@ -383,6 +383,118 @@ def ivf_ann_topk(
     )
 
 
+def ivf_index_build(
+    corpus: DataFrame,
+    out_dir: str,
+    index_name: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 64,
+    n_files: int = 8,
+    spark=None,
+):
+    """The lake-scale IVF move: materialize the inverted file.
+
+    Assigns every corpus vector its nearest centroid (``ivf_cell``),
+    rewrites the corpus range-clustered by cell (disjoint cell ranges
+    per file), registers the files under an engine index with a
+    regular index on ``ivf_cell``, and persists the centroids as a
+    sidecar next to the data. A probe then composes with the engine's
+    own locate path: it reads only the FILES whose cells are probed —
+    at 100 TB that is the difference between an 8/64-cell scan and a
+    full-corpus scan, with no long-lived cluster state (centroids are
+    16 KB of JSON; everything else is plain parquet + the index).
+
+    Returns ``(Index, centroids_path)``. Query with
+    :func:`ivf_index_topk`."""
+    import json as _json
+
+    from ..index import Index
+    from ..storage.fs import get_fs, join as fs_join
+
+    spark = spark or corpus.sparkSession
+    cents = _centroids(corpus, corpus_id, vec_col, n_centroids)
+    assign = _nearest_centroids_udf(cents, 1)
+    assigned = corpus.withColumn(
+        "ivf_cell", F.element_at(assign(F.col(vec_col)), 1)
+    )
+    from .layout import cluster_files
+
+    files = cluster_files(assigned, out_dir, "ivf_cell", n_files=n_files)
+    fs = get_fs(spark, out_dir)
+    cent_path = fs_join(out_dir, "_ivf_centroids.json")
+    fs.write_atomic(
+        cent_path,
+        _json.dumps({"n": int(cents.shape[0]), "dim": int(cents.shape[1]),
+                     "vectors": cents.tolist()}),
+    )
+    idx = Index.for_name(
+        index_name,
+        schema=assigned.schema,
+        format="parquet",
+        spark=spark,
+    )
+    idx.add_index("ivf_cell")
+    idx.add_files(files)
+    idx.update()
+    return idx, cent_path
+
+
+def ivf_index_topk(
+    index,
+    centroids_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_probe: int = 8,
+) -> DataFrame:
+    """Probe an :func:`ivf_index_build` index: per query, pick the
+    ``n_probe`` nearest centroids, locate only the files holding those
+    cells through the engine index, and re-rank exactly inside them.
+    The scan is bounded by the located files (≈ n_probe/n_centroids of
+    the corpus when cells are clustered one-per-file-range), not the
+    corpus."""
+    import json as _json
+
+    from ..storage.fs import get_fs, read_json
+
+    spark = index.spark
+    blob = read_json(get_fs(spark, centroids_path), centroids_path)
+    cents = np.array(blob["vectors"], dtype=np.float64)
+    probe = _nearest_centroids_udf(cents, n_probe)
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe(F.col(vec_col))).alias("ivf_cell"),
+    ).cache()
+    cells = sorted({r["ivf_cell"] for r in q.select("ivf_cell").distinct().collect()})
+    files = index.locate_files({"ivf_cell": cells})
+    data = index.read_files(files, extra_columns=["ivf_cell"])
+    c = data.select(
+        F.col(corpus_id), F.col(vec_col).alias("__cv"), "ivf_cell"
+    ).where(F.col("ivf_cell").isin(cells))
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "ivf_cell")
+        .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
+        .groupBy(query_id, corpus_id)
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+    return out
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

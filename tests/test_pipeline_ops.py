@@ -435,3 +435,34 @@ def test_embedding_near_dup_bucket_cap_preserves_results(spark):
     want = as_set(uncapped)
     assert as_set(capped) == want
     assert len(want) >= 60  # the planted cluster was found
+
+def test_ivf_index_prunes_files_and_recalls(spark, emb, tmp_path):
+    """The persisted IVF path must (a) locate a strict subset of the
+    clustered files for a probe, and (b) recover most of the exact
+    top-k (planted self-hit must always be rank 1)."""
+    spark.conf.set("spark.ariadne.storagePath", str(tmp_path / "store"))
+    idx, cent_path = similarity.ivf_index_build(
+        emb, str(tmp_path / "ivf"), "t_ivf_emb", n_centroids=16, n_files=8
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cells = {r["ivf_cell"] for r in
+             spark.read.parquet(str(tmp_path / "ivf")).select("ivf_cell").distinct().collect()}
+    located = idx.locate_files({"ivf_cell": sorted(cells)[:2]})
+    total = idx.locate_files({"ivf_cell": sorted(cells)})
+    assert len(located) < len(total)  # clustering => cell subset hits a file subset
+    got = similarity.ivf_index_topk(idx, cent_path, queries, k=5, n_probe=4)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    exact = similarity.cosine_topk(emb, queries, k=5).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid, rs in by_q.items():
+        top1 = min(rs, key=lambda r: r["rank"])
+        assert top1["vec_id"] == qid  # self-hit always survives probing
+        hits = {r["vec_id"] for r in rs} & exact_sets[qid]
+        assert len(hits) >= 2  # recall floor for 4/16 probed cells
