@@ -82,12 +82,22 @@ def main() -> None:
         for name in BENCH_QUERIES:
             qs[name](spark, sf_dir).count()
 
+    # Two timed passes, keep the min: a single pass is hostage to
+    # driver GC pauses and machine noise (observed 0.6 s -> 4.3 s
+    # swings on an unchanged query); the min of two is a far better
+    # steady-state estimate for a metric that is compared across
+    # rounds. Override with SPARK_GRAFT_PASSES.
+    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "2"))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(max(1, passes)):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
