@@ -272,15 +272,24 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = streaming_latest_version(stream, "user_id", "ts")
     _STREAM_RUN[0] += 1
     qname = f"stream_latest_{_STREAM_RUN[0]}_{uuid.uuid4().hex[:8]}"
-    q = (
-        latest.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .option("checkpointLocation", f"{WORK}/_stream_ckpt/{qname}")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # State-store overhead is per shuffle partition per micro-batch;
+    # with O(100) keys, 32 partitions is pure fixed cost. Each run
+    # uses a fresh checkpoint, so the partition count is free to pick
+    # here (a real deployment sizes it to key cardinality once).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            latest.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", f"{WORK}/_stream_ckpt/{qname}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
     compacted = (
         spark.table(qname)

@@ -296,3 +296,21 @@ def test_temporal_nested_timestamp_column(spark, storage):
     res = idx.join(spark.createDataFrame([(1,), (2,)], ["Id"]), on=["Id"])
     got = {(r["Id"], r["Value"]) for r in res.collect()}
     assert got == {(1, 20.0), (2, 30.0)}
+
+def test_bloom_dataframe_source_over_probe_cap(spark, storage, orders_files, monkeypatch):
+    """A DataFrame query source with more distinct values than
+    BLOOM_PROBE_CAP must fall back to a conservative no-prune — with
+    the skip surfaced in locate stats — and still join correctly."""
+    from ariadne_spark.plans import locate as locate_mod
+
+    df, files = orders_files
+    idx = Index.for_name("o_cap", schema=df.schema, format="parquet", spark=spark)
+    idx.add_bloom_index("o_orderkey").add_files(files).update()
+    monkeypatch.setattr(locate_mod, "BLOOM_PROBE_CAP", 10)
+    other = df.select("o_orderkey").distinct().limit(50)
+    located = idx.locate_files(other, columns=["o_orderkey"])
+    assert set(located) == {normalize_path(f) for f in files}  # no prune
+    stats = idx._last_locate_stats.per_column
+    assert stats["o_orderkey"]["skipped"] is True
+    got = idx.join(df.select("o_orderkey").limit(30), on=["o_orderkey"])
+    assert got.count() > 0

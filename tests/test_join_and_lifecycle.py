@@ -247,3 +247,17 @@ def test_reverse_join_equivalent_to_flipped_forward(spark, orders_idx):
     assert rows_set(a.select(*sorted(a.columns))) == rows_set(
         b.select(*sorted(a.columns))
     )
+
+def test_join_repartition_invariance(spark, orders_idx):
+    """indexRepartitionCount spreads the index frame before the locate
+    explode; it must never change the answer (reference
+    IndexJoinOperationsTests repartition invariance)."""
+    df, files, idx = orders_idx
+    cust = _cust(spark, df)
+    base = rows_set(idx.join(cust, on=["o_custkey"]))
+    spark.conf.set("spark.ariadne.indexRepartitionCount", "3")
+    try:
+        idx2 = Index.for_name("orders", spark=spark)
+        assert rows_set(idx2.join(cust, on=["o_custkey"])) == base
+    finally:
+        spark.conf.unset("spark.ariadne.indexRepartitionCount")

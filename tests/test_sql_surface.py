@@ -221,3 +221,24 @@ def test_sql_interception_prunes_and_restores(spark, orders_view):
     assert "sql" not in spark.__dict__
     # plain path works again
     assert spark.sql("SELECT 1 AS one").collect()[0]["one"] == 1
+
+def test_sql_join_matches_programmatic(spark, storage, orders_files):
+    """Reference AriadneCatalogTests: 'SQL JOIN matches programmatic
+    index.join results' — same rows through both surfaces."""
+    import ariadne_spark
+
+    df, files = orders_files
+    idx = Index.for_name("orders_eq", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey").add_files(files).update()
+    surface.register_views(spark, ["orders_eq"])
+    cust = df.select("o_custkey").distinct().limit(15)
+    cust.createOrReplaceTempView("cust_keys")
+    via_sql = ariadne_spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders_eq o JOIN cust_keys c ON o.o_custkey = c.o_custkey
+        """,
+        spark,
+    )
+    via_api = idx.join(cust, on=["o_custkey"]).select("o_orderkey", "o_custkey")
+    assert_same_rows(via_sql, via_api)
