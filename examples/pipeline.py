@@ -102,4 +102,16 @@ hot = salted_join(
 )
 print("5) clustered files:", len(files), "; salted join rows:", hot.count())
 
+# 6) persisted IVF: ANN composed with the engine's file pruning -------
+from ariadne_spark.operators.similarity import ivf_index_build, ivf_index_topk
+
+spark.conf.set("spark.ariadne.storagePath", f"{WORK}/store")
+ividx, cents = ivf_index_build(
+    emb, f"{WORK}/ivf", "example_ivf", n_centroids=16, n_files=8
+)
+ann = ivf_index_topk(ividx, cents, queries, k=5, n_probe=2)
+probed_files = len(ividx._last_locate_stats.sizes)
+print("6) ivf-indexed top-5:", ann.count(), "rows; files probed:",
+      probed_files, "of", ividx._index_totals()[0])
+
 spark.stop()
