@@ -1,0 +1,101 @@
+"""Streaming surface tests: index maintenance driven by streams,
+file-path sinks, and watermarked exact dedup (SURVEY §2.9 extension;
+the stateful latest-version operator is oracle-checked through the
+driver gate and timed in bench)."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from ariadne_spark import Index
+from ariadne_spark.streaming.maintenance import (
+    attach_index_maintenance,
+    index_file_sink,
+    streaming_exact_dedup,
+)
+
+from .conftest import rows_set
+
+
+def test_attach_index_maintenance_converges(spark, storage, orders_files, tmp_path):
+    """Each micro-batch globs for new files and updates the index; after
+    one availableNow pass the index must answer queries over ALL files."""
+    df, files = orders_files
+    idx = Index.for_name("s_maint", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey")
+
+    import os
+
+    clock_dir = os.path.dirname(os.path.dirname(files[0]))
+    stream = spark.readStream.schema(df.schema).parquet(f"{clock_dir}/part*")
+    q = attach_index_maintenance(
+        stream,
+        "s_maint",
+        path_glob=f"{clock_dir}/part*/*.parquet",
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    idx2 = Index.for_name("s_maint", spark=spark)
+    assert idx2.unindexed_files() == []
+    keys = [r[0] for r in df.select("o_custkey").distinct().limit(5).collect()]
+    got = idx2.read_matching({"o_custkey": keys}).select("o_orderkey", "o_custkey")
+    want = df.where(F.col("o_custkey").isin(keys)).select("o_orderkey", "o_custkey")
+    assert rows_set(got) == rows_set(want)
+
+
+def test_index_file_sink_adds_streamed_paths(spark, storage, orders_files, tmp_path):
+    """A stream of file-path rows registers exactly those files."""
+    df, files = orders_files
+    idx = Index.for_name("s_sink", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey")
+
+    paths_df = spark.createDataFrame([(f,) for f in files[:2]], "path string")
+    src = str(tmp_path / "paths")
+    paths_df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("path string").parquet(src)
+    q = index_file_sink(
+        stream, "s_sink", checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    idx2 = Index.for_name("s_sink", spark=spark)
+    assert idx2._index_totals()[0] == 2
+
+
+def test_streaming_exact_dedup_drops_in_window_duplicates(spark, tmp_path):
+    """Duplicate (key, event-time) rows within the watermark emit once."""
+    rows = [
+        (1, "2024-01-01 10:00:00", "a"),
+        (1, "2024-01-01 10:00:00", "a"),  # exact duplicate
+        (2, "2024-01-01 10:05:00", "b"),
+        (2, "2024-01-01 10:06:00", "b"),  # same key, new event time: kept
+    ]
+    df = (
+        spark.createDataFrame(rows, "k int, ts_s string, v string")
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    )
+    src = str(tmp_path / "events")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = streaming_exact_dedup(stream, keys=["k"], event_time_col="ts")
+    qname = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(qname).collect()
+    spark.catalog.dropTempView(qname)
+    assert len(out) == 3
+    assert sorted((r["k"], str(r["ts"])) for r in out) == [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:05:00"),
+        (2, "2024-01-01 10:06:00"),
+    ]
