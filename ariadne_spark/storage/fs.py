@@ -159,11 +159,12 @@ class HadoopFS:
 
     def __init__(self, spark, path: str) -> None:
         self._jvm = spark._jvm
+        self._gateway = spark.sparkContext._gateway
         self._jpath = self._jvm.org.apache.hadoop.fs.Path
+        self._conf = spark._jsc.hadoopConfiguration()
         uri = self._jvm.java.net.URI(path)
-        self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(
-            uri, spark._jsc.hadoopConfiguration()
-        )
+        self._fs = self._jvm.org.apache.hadoop.fs.FileSystem.get(uri, self._conf)
+        self._uri = uri
 
     def _p(self, path: str):
         return self._jpath(path)
@@ -207,35 +208,58 @@ class HadoopFS:
             stream.close()
 
     def create_exclusive(self, path: str, text: str) -> bool:
-        from py4j.protocol import Py4JJavaError
-
+        """Atomic create-with-content: the FULL text is written to a
+        temp file first, then claimed via no-clobber rename. Claiming
+        at ``create()`` time and writing afterwards would leave a
+        committed EMPTY file (e.g. a manifest version) if the write
+        failed mid-way — wedging every subsequent reader on that
+        version. rename-without-overwrite is atomic on HDFS/ABFS and
+        returns false when the destination exists."""
         parent = path.rsplit("/", 1)[0]
         self.mkdirs(parent)
-        try:
-            out = self._fs.create(self._p(path), False)
-        except Py4JJavaError as e:
-            if "AlreadyExists" in str(e.java_exception.getClass().getName()):
-                return False
-            raise
-        try:
-            out.write(bytearray(text.encode("utf-8")))
-        finally:
-            out.close()
-        return True
-
-    def write_atomic(self, path: str, text: str) -> None:
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         out = self._fs.create(self._p(tmp), True)
         try:
             out.write(bytearray(text.encode("utf-8")))
         finally:
             out.close()
-        if not self._fs.rename(self._p(tmp), self._p(path)):
-            # HDFS rename refuses to clobber: replace in two steps
-            self._fs.delete(self._p(path), False)
+        if self._fs.rename(self._p(tmp), self._p(path)):
+            return True
+        self._fs.delete(self._p(tmp), False)
+        return False
+
+    def write_atomic(self, path: str, text: str) -> None:
+        """Overwriting atomic write. Must NOT go delete-then-rename:
+        a reader (or lock poller) in that window would see the path
+        missing — for IndexLock.refresh() that window let a second
+        writer acquire a held lock. FileContext.rename with
+        Options.Rename.OVERWRITE is the atomic-replace primitive."""
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        out = self._fs.create(self._p(tmp), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._uri, self._conf
+            )
+            overwrite = self._jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+            opts = self._gateway.new_array(
+                self._jvm.org.apache.hadoop.fs.Options.Rename, 1
+            )
+            opts[0] = overwrite
+            fc.rename(self._p(tmp), self._p(path), opts)
+        except Exception:
+            # No FileContext for this scheme (some object-store
+            # connectors): fall back to plain rename, then two-step
+            # replace. The not-exists window is the connector's
+            # documented non-atomic-rename hazard, not ours to fix.
             if not self._fs.rename(self._p(tmp), self._p(path)):
-                self._fs.delete(self._p(tmp), False)
-                raise OSError(f"rename {tmp} -> {path} failed")
+                self._fs.delete(self._p(path), False)
+                if not self._fs.rename(self._p(tmp), self._p(path)):
+                    self._fs.delete(self._p(tmp), False)
+                    raise OSError(f"rename {tmp} -> {path} failed")
 
     def delete(self, path: str, recursive: bool = False) -> bool:
         return bool(self._fs.delete(self._p(path), recursive))
@@ -287,13 +311,26 @@ def get_fs(spark, path: str):
     return HadoopFS(spark, path)
 
 
+def _fs_key(path: str) -> str | None:
+    """Backend identity for grouping: scheme + authority. A HadoopFS
+    instance binds to ONE filesystem (Hadoop checkPath rejects paths
+    from another bucket/namenode with 'Wrong FS'), so s3a://bucket-a
+    and s3a://bucket-b need separate instances despite equal schemes."""
+    if "://" in path:
+        scheme, rest = path.split("://", 1)
+        return f"{scheme}://{rest.split('/', 1)[0]}"
+    if path.startswith("file:"):
+        return "file"
+    return None
+
+
 def batch_sizes(spark, paths: list[str]) -> list[int]:
     """File sizes for a mixed list of paths, grouped per backend."""
     if not paths:
         return []
     groups: dict[str | None, list[int]] = {}
     for i, p in enumerate(paths):
-        groups.setdefault(scheme_of(p), []).append(i)
+        groups.setdefault(_fs_key(p), []).append(i)
     out = [0] * len(paths)
     for _sch, idxs in groups.items():
         fs = get_fs(spark, paths[idxs[0]])
