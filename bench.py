@@ -60,7 +60,7 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "16g")
         .appName("ariadne-bench")
         .getOrCreate()

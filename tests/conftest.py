@@ -7,6 +7,7 @@ with a per-test fresh storagePath.
 
 from __future__ import annotations
 
+import datetime
 import glob
 import os
 import shutil
@@ -27,7 +28,7 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "4g")
         .appName("ariadne-tests")
         .getOrCreate()
@@ -68,7 +69,10 @@ def _split_ranges(spark, df, col, n, out_dir) -> list[str]:
     if os.path.isdir(out_dir):
         return sorted(glob.glob(f"{out_dir}/part*/*.parquet"))
     lo, hi = df.agg(F.min(col), F.max(col)).collect()[0]
-    width = ((hi - lo) // n) + 1
+    if isinstance(lo, datetime.datetime):
+        width = (hi - lo) / n + datetime.timedelta(microseconds=1)
+    else:
+        width = ((hi - lo) // n) + 1
     for i in range(n):
         part = df.where(
             (F.col(col) >= lo + i * width) & (F.col(col) < lo + (i + 1) * width)

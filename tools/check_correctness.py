@@ -67,7 +67,7 @@ def main():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "6g")
         .appName("ariadne-correctness")
         .getOrCreate()
