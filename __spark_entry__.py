@@ -11,12 +11,12 @@ builds the needed indexes once per scale factor, then answers through
 the public ariadne_spark API. Oracles run on the ORIGINAL tables —
 the splits are row-for-row identical, so answers must agree exactly.
 
-Note on events.ts: the parquet column is TIMESTAMP(NANOS), which
-Spark cannot represent (micros max). The engine reads it as exact
-BIGINT nanoseconds (spark.sql.legacy.parquet.nanosAsLong). DuckDB's
-TIMESTAMP truncates the same column to MICROseconds, so cross-engine
-comparisons use microseconds: engine emits floor(ns/1000), oracle
-emits epoch_us(ts).
+Note on events.ts: the parquet column is TIMESTAMP(MICROS) without a
+timezone, which Spark 4 reads as TIMESTAMP_NTZ and DuckDB as a naive
+TIMESTAMP. The session timezone is pinned to UTC so cross-engine
+comparisons agree: engine emits unix_micros(cast(ts as timestamp))
+(the NTZ→TZ cast is exact under UTC), oracle emits epoch_us(ts) —
+both µs since epoch over identical stored values.
 """
 
 from __future__ import annotations
@@ -46,7 +46,7 @@ def _tag(sf_dir: str) -> str:
 
 
 def _set_session(spark: SparkSession, sf_dir: str) -> None:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.ariadne.storagePath", f"{WORK}/{_tag(sf_dir)}/store")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try:  # a 200-partition default just adds scheduling overhead at these SFs
@@ -58,8 +58,13 @@ def _set_session(spark: SparkSession, sf_dir: str) -> None:
 
 def _split_ranges(spark, df, col, n, out_dir) -> list[str]:
     if not os.path.isdir(out_dir):
+        import datetime
+
         lo, hi = df.agg(F.min(col), F.max(col)).collect()[0]
-        width = ((hi - lo) // n) + 1
+        if isinstance(lo, datetime.datetime):
+            width = (hi - lo) / n + datetime.timedelta(microseconds=1)
+        else:
+            width = ((hi - lo) // n) + 1
         for i in range(n):
             part = df.where(
                 (F.col(col) >= lo + i * width) & (F.col(col) < lo + (i + 1) * width)
@@ -238,7 +243,9 @@ def q_idx_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = idx.join(users, on=["user_id"])
     return res.select(
         "event_id",
-        F.expr("ts div 1000").alias("ts_us"),  # integer div: float /1000 loses ulp at 1.7e18
+        # ts is TIMESTAMP_NTZ (tz-less parquet); the NTZ→TIMESTAMP cast
+        # is exact under the pinned UTC session, matching oracle epoch_us
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
         "user_id",
         "event_type",
         "value",
@@ -297,7 +304,7 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select(
             "event_id",
-            F.expr("ts div 1000").alias("ts_us"),
+            F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
             "user_id",
             "event_type",
             "value",
@@ -446,6 +453,83 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return fingerprint(docs, "text", "doc_id")
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ariadne_spark.operators.text import repetition_features
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return repetition_features(docs, "text", "doc_id")
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by md5(doc_id): the reproducible
+    train/val/test assignment primitive (zero-shuffle projection)."""
+    from ariadne_spark.operators.corpus import deterministic_split
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return deterministic_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    ).select("doc_id", "source", "split")
+
+
+def q_corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing quota: the 5 smallest-md5(doc_id) docs per
+    source (deterministic pseudo-random per-group sample)."""
+    from ariadne_spark.operators.corpus import quota_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return quota_sample(docs, "source", 5, "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text with deterministic synthetic PII injected
+    (the corpus itself has none): every 3rd doc gains an email, every
+    5th an IP, every 7th a phone — so the regexes genuinely fire and
+    the oracle checks counts AND the redacted text byte-for-byte."""
+    from ariadne_spark.operators.corpus import pii_redact
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" host 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" call 555-867-5309")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(salted, "text", "doc_id")
+
+
+def q_corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: corpus docs sharing any word
+    5-gram with the doc_id<10 'benchmark' set (map-only
+    array_intersect against a broadcast gram set)."""
+    from ariadne_spark.operators.corpus import contamination_check
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    bench = docs.where(F.col("doc_id") < 10)
+    corpus = docs.where(F.col("doc_id") >= 10)
+    return contamination_check(corpus, bench, n=5, text_col="text", id_col="doc_id")
 
 
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,6 +1024,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "corpus_split": q_corpus_split,
+        "corpus_quota_sample": q_corpus_quota_sample,
+        "corpus_pii_redact": q_corpus_pii_redact,
+        "corpus_contamination": q_corpus_contamination,
         "sim_topk": q_sim_topk,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_banded": q_sim_ann_banded,
@@ -992,6 +1081,64 @@ def _lang_id_sql() -> str:
         f"h AS (SELECT doc_id, {cols} FROM t) "
         f"SELECT doc_id, {case} AS lang_guess, {mh} AS marker_hits FROM h"
     )
+
+
+def _corpus_split_sql() -> str:
+    """Oracle twin of q_corpus_split: identical md5-prefix bucketing,
+    bounds imported from the operator so both sides share one grid."""
+    from ariadne_spark.operators.corpus import split_thresholds
+
+    pairs = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    case = "CASE "
+    for name, bound in pairs[:-1]:
+        case += (
+            f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '{bound}' "
+            f"THEN '{name}' "
+        )
+    case += f"ELSE '{pairs[-1][0]}' END"
+    return f"SELECT doc_id, source, {case} AS split FROM documents"
+
+
+def _pii_sql() -> str:
+    """Oracle twin of q_corpus_pii_redact. Counts run on the salted
+    original text (valid because redaction tokens contain no digits or
+    '@', so earlier replacements cannot create or destroy later-kind
+    matches — same invariant the engine relies on)."""
+    from ariadne_spark.operators.corpus import PII_PATTERNS
+
+    pats = {k: p for k, p, _ in PII_PATTERNS}
+    toks = {k: t for k, _, t in PII_PATTERNS}
+    red = "text"
+    for kind, _, _ in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pats[kind]}', '{toks[kind]}', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pats[k]}')) AS BIGINT) AS n_{k}"
+        for k, _, _ in PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(text, '{pats[k]}'))" for k, _, _ in PII_PATTERNS
+    )
+    return f"""
+        WITH s AS (
+            SELECT doc_id, text ||
+                CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 5 = 0
+                     THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                     ELSE '' END ||
+                CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END
+                AS text
+            FROM documents
+        )
+        SELECT doc_id, {counts},
+               CAST({total} AS BIGINT) AS n_redactions,
+               {red} AS redacted
+        FROM s
+    """
+
+
+_PII_SQL = _pii_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1118,6 +1265,65 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """.format(stop_list=stop_list),
         "text_lang_id": _lang_id_sql(),
+        "text_repetition": r"""
+            WITH w AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, ws,
+                    list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i+1]) AS bgs,
+                    list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS tgs
+                FROM w
+            )
+            SELECT doc_id,
+                round(CAST(coalesce(list_max(list_transform(list_distinct(ws),
+                        t -> len(list_filter(ws, x -> x = t)))), 0) AS DOUBLE)
+                      / greatest(len(ws), 1), 4) AS top_word_frac,
+                round(CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE)
+                      / greatest(len(bgs), 1), 4) AS dup_bigram_frac,
+                round(CAST(len(tgs) - len(list_distinct(tgs)) AS DOUBLE)
+                      / greatest(len(tgs), 1), 4) AS dup_trigram_frac,
+                CAST(coalesce(list_max(list_transform(list_distinct(bgs),
+                        t -> len(list_filter(bgs, x -> x = t)))), 0) AS BIGINT)
+                    AS max_bigram_count
+            FROM g
+        """,
+        "corpus_split": _corpus_split_sql(),
+        "corpus_quota_sample": """
+            WITH r AS (
+                SELECT doc_id, source, n_chars,
+                    row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
+        """,
+        "corpus_pii_redact": _PII_SQL,
+        "corpus_contamination": r"""
+            WITH g AS (
+                SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 3),
+                    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                         || ws[i+3] || ' ' || ws[i+4])) AS grams
+                FROM (
+                    SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+                    FROM documents
+                )
+            ),
+            b AS (
+                SELECT list_distinct(flatten(list(grams))) AS bg
+                FROM g WHERE doc_id < 10
+            )
+            SELECT g.doc_id,
+                CAST(len(list_intersect(g.grams, b.bg)) AS BIGINT) AS n_hits,
+                CAST(len(g.grams) AS BIGINT) AS n_grams
+            FROM g, b
+            WHERE g.doc_id >= 10 AND len(list_intersect(g.grams, b.bg)) > 0
+        """,
         "text_fingerprint": r"""
             SELECT doc_id,
                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

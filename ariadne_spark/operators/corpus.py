@@ -1,0 +1,179 @@
+"""Corpus-management operators for training-data pipelines: splits,
+sampling, PII scrubbing, and benchmark-contamination checks.
+
+Everything is deterministic (content/id-hash driven, no RNG) so runs
+are reproducible and every operator has an exact ANSI-SQL twin for
+the DuckDB oracle. All hot paths are built-in ``pyspark.sql.functions``
+(JVM codegen, map-only where possible):
+
+- :func:`deterministic_split` — zero-shuffle projection,
+- :func:`quota_sample` — one shuffle on the group column (exact
+  per-group quotas need a per-group pass; at lake scale the group
+  count is small and AQE handles moderate skew),
+- :func:`pii_redact` — zero-shuffle projection,
+- :func:`contamination_check` — map-only scan against a broadcast
+  n-gram set (the benchmark side is small by construction; no
+  explode/shuffle of the 100-TB corpus side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_ngrams
+
+# Hash-bucket granularity for deterministic splits: 3 hex chars of
+# md5 = 4096 buckets, so fraction resolution is 1/4096 ≈ 0.024%.
+_SPLIT_HEX_CHARS = 3
+_SPLIT_BUCKETS = 16**_SPLIT_HEX_CHARS
+
+# PII patterns chosen to parse identically under Java regex (Spark)
+# and RE2 (DuckDB): no backrefs, no lookaround.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
+    """(name, upper-bound hex) pairs: a row belongs to the first split
+    whose bound its md5 prefix sorts below. Bounds are cumulative
+    fractions quantized to the 4096-bucket grid; the last split
+    absorbs rounding remainder."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out: list[tuple[str, str]] = []
+    cum = 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        bound = min(round(cum * _SPLIT_BUCKETS), _SPLIT_BUCKETS)
+        out.append((name, format(bound, f"0{_SPLIT_HEX_CHARS}x")))
+    return out
+
+
+def split_column(id_col: str | Column, fractions: dict[str, float]) -> Column:
+    """The split label as a Column expression: md5 over the stringified
+    id, first 3 hex chars compared against cumulative bounds. Pure
+    projection — assignment is stable under any repartitioning and
+    across engines (md5 hex is lowercase in both Spark and DuckDB)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    prefix = F.md5(c.cast("string")).substr(1, _SPLIT_HEX_CHARS)
+    pairs = split_thresholds(fractions)
+    # evaluate bounds from smallest up so the FIRST matching bound wins
+    result = None
+    for name, bound in pairs:
+        cond = prefix < F.lit(bound)
+        result = (
+            F.when(cond, F.lit(name))
+            if result is None
+            else result.when(cond, F.lit(name))
+        )
+    return result.otherwise(F.lit(pairs[-1][0]))
+
+
+def deterministic_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row a stable train/val/test-style split label by
+    hashing its id — the standard reproducible-split primitive of a
+    training pipeline (same id ⇒ same split on every run, every
+    engine, any partitioning; no RNG, no shuffle)."""
+    return df.withColumn(split_col, split_column(id_col, fractions))
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    n_per_group: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-group quota sample (domain-mixing primitive):
+    keep the ``n_per_group`` rows of each group with the smallest
+    md5(id) — an unbiased, reproducible pseudo-random choice. One
+    shuffle on ``group_col``; rank ties broken by id so the result is
+    unique even under md5 collisions."""
+    from pyspark.sql import Window
+
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__qs_rn", F.row_number().over(w))
+        .where(F.col("__qs_rn") <= n_per_group)
+        .drop("__qs_rn")
+    )
+
+
+def pii_redact_columns(text_col: str | Column = "text") -> dict[str, Column]:
+    """``redacted`` text plus per-kind and total match counts as
+    appendable Columns. Counts are taken on the ORIGINAL text
+    (patterns are non-overlapping by construction: the email local
+    part may contain digits/dots but redaction order never creates
+    new matches — replacements contain no digits or ``@``)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out: dict[str, Column] = {}
+    red = c
+    for kind, pat, token in PII_PATTERNS:
+        out[f"n_{kind}"] = F.size(F.regexp_extract_all(red, F.lit(pat), 0)).cast(
+            "bigint"
+        )
+        red = F.regexp_replace(red, pat, token)
+    out["n_redactions"] = sum(
+        out[f"n_{k}"] for k, _, _ in PII_PATTERNS
+    ).cast("bigint")
+    out["redacted"] = red
+    return out
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers from a text column,
+    reporting how many of each were found. Zero-shuffle projection;
+    regexes are engine-portable (Java regex ∩ RE2)."""
+    cols = pii_redact_columns(text_col)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+def contamination_check(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each corpus document, count
+    how many of its distinct word ``n``-grams appear anywhere in the
+    benchmark set; rows with ``n_hits > 0`` are flagged.
+
+    Scale shape: the benchmark side is aggregated to ONE row holding
+    the distinct-gram array and broadcast; the corpus side is a
+    map-only ``array_intersect`` per document — the 100-TB side is
+    never exploded or shuffled. Benchmark gram sets beyond broadcast
+    size should be pre-bucketed (out of scope here — real benchmark
+    suites are ≪ executor memory)."""
+    bcol = bench_text_col or text_col
+    bench_grams = bench.select(
+        F.explode(F.array_distinct(word_ngrams(bcol, n))).alias("g")
+    ).agg(F.array_distinct(F.collect_list("g")).alias("bench_grams"))
+    corpus = df.select(
+        F.col(id_col),
+        F.array_distinct(word_ngrams(text_col, n)).alias("__grams"),
+    )
+    return (
+        corpus.crossJoin(F.broadcast(bench_grams))
+        .select(
+            id_col,
+            F.size(F.array_intersect("__grams", "bench_grams"))
+            .cast("bigint")
+            .alias("n_hits"),
+            F.size("__grams").cast("bigint").alias("n_grams"),
+        )
+        .where(F.col("n_hits") > 0)
+    )

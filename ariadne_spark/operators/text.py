@@ -143,6 +143,81 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
+def word_ngrams(col: str | Column, n: int = 2) -> Column:
+    """Space-joined word n-grams over whitespace tokens (duplicates
+    kept, in order); empty array when the document has fewer than
+    ``n`` words."""
+    ws = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_feature_columns(text_col: str = "text") -> dict[str, Column]:
+    """Gopher-style repetition signals as single-scan appendable
+    Columns (Rae et al. 2021 §A1.1 use duplicate-line and repeated
+    n-gram fractions as quality gates; documents here are one line, so
+    the word/n-gram family carries the signal):
+
+    - ``top_word_frac`` — occurrences of the most frequent word over
+      total words (boilerplate/keyword-stuffing detector),
+    - ``dup_bigram_frac`` — fraction of word 2-grams that are repeats
+      of an earlier 2-gram,
+    - ``dup_trigram_frac`` — same for word 3-grams,
+    - ``max_bigram_count`` — raw count of the most frequent 2-gram.
+
+    All expressions are built-in higher-order functions (JVM codegen);
+    the per-row cost is O(distinct × n) on short arrays, no shuffle.
+    """
+    ws = tokens(text_col)
+    n_words = F.size(ws)
+
+    def _top_count(arr: Column) -> Column:
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(arr),
+                    lambda g: F.size(F.filter(arr, lambda x: x == g)),
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint")
+
+    def _dup_frac(arr: Column) -> Column:
+        total = F.size(arr)
+        return F.round(
+            (total - F.size(F.array_distinct(arr)))
+            / F.greatest(total, F.lit(1)),
+            4,
+        )
+
+    bgs = word_ngrams(text_col, 2)
+    tgs = word_ngrams(text_col, 3)
+    return {
+        "top_word_frac": F.round(
+            _top_count(ws) / F.greatest(n_words, F.lit(1)), 4
+        ),
+        "dup_bigram_frac": _dup_frac(bgs),
+        "dup_trigram_frac": _dup_frac(tgs),
+        "max_bigram_count": _top_count(bgs),
+    }
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition/boilerplate signals (see
+    :func:`repetition_feature_columns`)."""
+    cols = repetition_feature_columns(text_col)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowered
     text — a deterministic content identity for exact-dedup joins."""

@@ -32,6 +32,11 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "text_quality",
     "text_lang_id",
+    "text_repetition",
+    "corpus_split",
+    "corpus_quota_sample",
+    "corpus_pii_redact",
+    "corpus_contamination",
     "pipeline_clean",
     "sim_topk",
     "sim_ann_lsh",

@@ -1,0 +1,157 @@
+"""Corpus-management operator tests: deterministic splits, quota
+sampling, PII redaction, contamination checks, repetition features."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark.operators import corpus, text
+
+from .conftest import SF_DIR, rows_set
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# --- deterministic_split -------------------------------------------------
+
+
+def test_split_covers_every_row_with_stable_labels(spark, docs):
+    out = corpus.deterministic_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id"
+    )
+    counts = dict(
+        out.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()
+    # fractions hold loosely on 500 ids (binomial noise ~±4%)
+    assert counts["train"] / 500 == pytest.approx(0.8, abs=0.08)
+
+
+def test_split_is_stable_under_repartition(spark, docs):
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = rows_set(corpus.deterministic_split(docs, frac).select("doc_id", "split"))
+    b = rows_set(
+        corpus.deterministic_split(docs.repartition(13), frac).select(
+            "doc_id", "split"
+        )
+    )
+    assert a == b
+
+
+def test_split_fractions_must_sum_to_one(spark):
+    with pytest.raises(ValueError):
+        corpus.split_thresholds({"a": 0.5, "b": 0.2})
+
+
+# --- quota_sample --------------------------------------------------------
+
+
+def test_quota_sample_exact_per_group_and_deterministic(spark, docs):
+    out = corpus.quota_sample(docs, "source", 5, "doc_id")
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    # every source with >=5 docs yields exactly 5
+    sizes = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    got = {r["source"]: r["count"] for r in per}
+    for src, n in sizes.items():
+        assert got.get(src, 0) == min(n, 5)
+    assert rows_set(out.select("doc_id")) == rows_set(
+        corpus.quota_sample(docs.repartition(7), "source", 5, "doc_id").select(
+            "doc_id"
+        )
+    )
+
+
+# --- pii_redact ----------------------------------------------------------
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org thanks"),
+            (2, "server 192.168.1.200 and backup 10.0.0.1"),
+            (3, "call 555-123-4567 now"),
+            (4, "clean text with no pii at all"),
+            (5, "a@b.io visits 8.8.8.8 dials 111-222-3333"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in corpus.pii_redact(df, "text", "doc_id").collect()}
+    assert out[1]["redacted"] == "mail me at <EMAIL> thanks"
+    assert out[1]["n_email"] == 1 and out[1]["n_redactions"] == 1
+    assert out[2]["redacted"] == "server <IP> and backup <IP>"
+    assert out[2]["n_ipv4"] == 2
+    assert out[3]["redacted"] == "call <PHONE> now"
+    assert out[4]["redacted"] == "clean text with no pii at all"
+    assert out[4]["n_redactions"] == 0
+    assert out[5]["redacted"] == "<EMAIL> visits <IP> dials <PHONE>"
+    assert out[5]["n_redactions"] == 3
+
+
+# --- contamination_check -------------------------------------------------
+
+
+def test_contamination_flags_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    df = spark.createDataFrame(
+        [
+            (10, "prefix alpha beta gamma delta epsilon suffix"),  # shares 5-grams
+            (11, "totally unrelated words in this one here"),
+            (12, "alpha beta gamma delta epsilon zeta again"),  # shares two
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in corpus.contamination_check(df, bench, n=5).collect()}
+    assert set(out) == {10, 12}
+    assert out[10]["n_hits"] == 1
+    assert out[12]["n_hits"] == 2
+
+
+def test_contamination_ignores_short_docs(spark):
+    bench = spark.createDataFrame([(0, "a b c d e")], ["doc_id", "text"])
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])  # < 5 words
+    assert corpus.contamination_check(df, bench, n=5).count() == 0
+
+
+# --- repetition features -------------------------------------------------
+
+
+def test_repetition_features_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),  # top word 4/4; bigrams: 3x "a a" -> dup 2/3
+            (2, "a b c d"),  # all distinct
+            (3, "x y x y x"),  # bigrams: x y, y x, x y, y x -> dup 2/4
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_features(df, "text", "doc_id").collect()}
+    assert out[1]["top_word_frac"] == 1.0
+    assert out[1]["dup_bigram_frac"] == pytest.approx(round(2 / 3, 4))
+    assert out[1]["max_bigram_count"] == 3
+    assert out[2]["top_word_frac"] == 0.25
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["dup_trigram_frac"] == 0.0
+    assert out[3]["dup_bigram_frac"] == 0.5
+    assert out[3]["max_bigram_count"] == 2
+
+
+def test_repetition_short_doc_safe(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.repetition_features(df, "text", "doc_id").collect()}
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[1]["max_bigram_count"] == 0
+    assert out[2]["max_bigram_count"] == 0
+
+
+def test_word_ngrams_order_and_duplicates(spark):
+    df = spark.createDataFrame([("a b a b",)], ["t"])
+    got = df.select(text.word_ngrams("t", 2).alias("g")).collect()[0]["g"]
+    assert got == ["a b", "b a", "a b"]
