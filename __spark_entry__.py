@@ -670,6 +670,24 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec path: full chunked PNGs (zlib IDAT, per-row
+    filters cycling through all five types) decoded by the stdlib
+    zlib + numpy unfilterer; pixels are closed-form in doc_id so
+    DuckDB reproduces width/height/mean exactly."""
+    from ariadne_spark.operators.multimodal import (
+        decode_media,
+        pack_synthetic_png,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    packed = pack_synthetic_png(docs, "doc_id")
+    decoded = decode_media(packed, "media", codec="png", batch_cols=["doc_id"])
+    return decoded.select(
+        "doc_id", "decoded_width", "decoded_height", "mean_byte"
+    )
+
+
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General SQL delegation through the engine's SQL surface
     (decimal casts keep double-sum results engine-exact)."""
@@ -1037,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "multimodal_decode_ppm": q_multimodal_decode_ppm,
+        "multimodal_decode_png": q_multimodal_decode_png,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
         "sql_tpch_q3": q_sql_tpch_q3,
@@ -1369,6 +1388,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 + doc_id % 13 AS INT) AS decoded_width,
                    CAST(3 + doc_id % 7 AS INT) AS decoded_height,
                    round(AVG(CAST((doc_id * 7 + i) % 256 AS DOUBLE)), 6) AS mean_byte
+            FROM px
+            GROUP BY doc_id
+        """,
+        "multimodal_decode_png": """
+            WITH px AS (
+                SELECT doc_id,
+                       unnest(generate_series(
+                           0,
+                           (4 + doc_id % 11) * (3 + doc_id % 5) * 3 - 1
+                       )) AS i
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(4 + doc_id % 11 AS INT) AS decoded_width,
+                   CAST(3 + doc_id % 5 AS INT) AS decoded_height,
+                   round(AVG(CAST((doc_id * 11 + i) % 256 AS DOUBLE)), 6) AS mean_byte
             FROM px
             GROUP BY doc_id
         """,

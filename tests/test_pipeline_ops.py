@@ -413,6 +413,54 @@ def test_synthetic_ppm_roundtrip(spark):
         exp = float((((k * 7) + np.arange(n)) % 256).mean())
         assert r["mean_byte"] == round(exp, 6)
 
+def test_png_codec_decodes_all_filter_types(spark):
+    """pack_synthetic_png emits scanline filters cycling 0..4; the
+    zlib+numpy decoder must reverse every one to recover the
+    closed-form pixels (hash-exact, not just stats)."""
+    import hashlib
+
+    import numpy as np
+
+    from ariadne_spark.operators.multimodal import pack_synthetic_png
+
+    df = spark.createDataFrame([(k,) for k in range(30)], "doc_id long")
+    packed = pack_synthetic_png(df, "doc_id")
+    out = multimodal.decode_media(packed, "media", codec="png", batch_cols=["doc_id"])
+    for r in out.collect():
+        k = r["doc_id"]
+        w, h = 4 + k % 11, 3 + k % 5
+        assert (r["decoded_width"], r["decoded_height"]) == (w, h)
+        exp = ((k * 11 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+        assert r["content_hash"] == hashlib.md5(exp.tobytes()).hexdigest()
+        assert r["mean_byte"] == round(float(exp.mean()), 6)
+
+
+def test_png_codec_rejects_malformed(spark):
+    from ariadne_spark.operators.multimodal import _decode_png
+
+    assert _decode_png(None)["content_hash"] is None
+    assert _decode_png(b"nope")["content_hash"] is None
+    # 16-bit depth is out of scope and must be refused, not mis-read
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png(deep)["content_hash"] is None
+
+
 def test_embedding_near_dup_bucket_cap_preserves_results(spark):
     """Chunk-pair fan-out over oversized LSH buckets returns EXACTLY the
     uncapped within-bucket pairs: an adversarial all-similar corpus (one
