@@ -688,6 +688,23 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path: RIFF/WAVE 16-bit PCM blobs decoded by
+    the pure-numpy WAV parser; samples are closed-form in doc_id so
+    DuckDB reproduces frame counts, duration, and RMS exactly."""
+    from ariadne_spark.operators.multimodal import (
+        decode_audio,
+        pack_synthetic_wav,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    packed = pack_synthetic_wav(docs, "doc_id")
+    decoded = decode_audio(packed, "media", codec="wav", batch_cols=["doc_id"])
+    return decoded.select(
+        "doc_id", "n_samples", "sample_rate_hz", "duration_ms", "rms"
+    )
+
+
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General SQL delegation through the engine's SQL surface
     (decimal casts keep double-sum results engine-exact)."""
@@ -1056,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "multimodal_decode_ppm": q_multimodal_decode_ppm,
         "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_decode_wav": q_multimodal_decode_wav,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
         "sql_tpch_q3": q_sql_tpch_q3,
@@ -1405,6 +1423,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 + doc_id % 5 AS INT) AS decoded_height,
                    round(AVG(CAST((doc_id * 11 + i) % 256 AS DOUBLE)), 6) AS mean_byte
             FROM px
+            GROUP BY doc_id
+        """,
+        "multimodal_decode_wav": """
+            WITH s AS (
+                SELECT doc_id,
+                       unnest(generate_series(0, 64 + doc_id % 97 - 1)) AS i
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(64 + doc_id % 97 AS BIGINT) AS n_samples,
+                   CAST(8000 AS INT) AS sample_rate_hz,
+                   CAST(64 + doc_id % 97 AS DOUBLE) * 1000 / 8000 AS duration_ms,
+                   round(sqrt(AVG(CAST(((doc_id * 31 + i * 7) % 2001 - 1000)
+                       * ((doc_id * 31 + i * 7) % 2001 - 1000) AS DOUBLE))), 6) AS rms
+            FROM s
             GROUP BY doc_id
         """,
         "sql_tpch_q1": """

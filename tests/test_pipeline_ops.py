@@ -461,6 +461,57 @@ def test_png_codec_rejects_malformed(spark):
     assert _decode_png(deep)["content_hash"] is None
 
 
+def test_wav_codec_roundtrip_and_formats(spark):
+    """Synthetic 16-bit PCM roundtrip (hash-exact) plus a hand-built
+    8-bit stereo WAV with an extra chunk the parser must skip."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from ariadne_spark.operators.multimodal import (
+        decode_audio,
+        pack_synthetic_wav,
+    )
+
+    df = spark.createDataFrame([(k,) for k in range(20)], "doc_id long")
+    out = decode_audio(
+        pack_synthetic_wav(df, "doc_id"), "media", codec="wav", batch_cols=["doc_id"]
+    )
+    for r in out.collect():
+        k = r["doc_id"]
+        n = 64 + k % 97
+        samples = (((k * 31 + np.arange(n) * 7) % 2001) - 1000).astype("<i2")
+        assert r["n_samples"] == n
+        assert r["n_channels"] == 1
+        assert r["sample_rate_hz"] == 8000
+        assert r["duration_ms"] == n * 0.125
+        assert r["content_hash"] == hashlib.md5(samples.tobytes()).hexdigest()
+        amp = samples.astype(np.float64)
+        assert r["rms"] == round(float(np.sqrt((amp * amp).mean())), 6)
+
+    # 8-bit stereo with a LIST chunk before data (must be skipped)
+    pcm = bytes([128, 128, 228, 28, 128, 128])  # 3 frames x 2 ch
+    fmt = struct.pack("<HHIIHH", 1, 2, 4000, 4000 * 2, 2, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    df2 = spark.createDataFrame([(1, bytearray(blob)), (2, None)], "id int, media binary")
+    got = {r["id"]: r for r in decode_audio(df2, "media", batch_cols=["id"]).collect()}
+    r = got[1]
+    assert (r["n_samples"], r["n_channels"], r["sample_rate_hz"]) == (3, 2, 4000)
+    amp = np.array([0, 0, 100, -100, 0, 0], dtype=np.float64)
+    assert r["rms"] == round(float(np.sqrt((amp * amp).mean())), 6)
+    assert got[2]["content_hash"] is None
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(df2, "media", codec="mp3")
+
+
 def test_embedding_near_dup_bucket_cap_preserves_results(spark):
     """Chunk-pair fan-out over oversized LSH buckets returns EXACTLY the
     uncapped within-bucket pairs: an adversarial all-similar corpus (one
