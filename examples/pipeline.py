@@ -114,4 +114,31 @@ probed_files = len(ividx._last_locate_stats.sizes)
 print("6) ivf-indexed top-5:", ann.count(), "rows; files probed:",
       probed_files, "of", ividx._index_totals()[0])
 
+# 7) corpus management: split / quota / PII / contamination ----------
+from ariadne_spark.operators.corpus import (
+    contamination_check,
+    deterministic_split,
+    pii_redact,
+    quota_sample,
+)
+
+docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+split = deterministic_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+mix = quota_sample(docs, "source", 3)
+scrubbed = pii_redact(
+    docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" reach me at a@b.io"))
+    )
+)
+contam = contamination_check(
+    docs.where("doc_id >= 10"), docs.where("doc_id < 10"), n=5
+)
+print(
+    "7) splits:",
+    {r["split"]: r["count"] for r in split.groupBy("split").count().collect()},
+    "; quota rows:", mix.count(),
+    "; redactions:", scrubbed.agg(F.sum("n_redactions")).collect()[0][0],
+    "; contaminated docs:", contam.count(),
+)
+
 spark.stop()
