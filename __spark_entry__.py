@@ -319,6 +319,89 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/timeseries.py): 30-min
+    inactivity gap per user over the events table; one shuffle, all
+    window functions JVM-side. Sum computed in DECIMAL then cast to
+    DOUBLE so the value hash is engine-exact."""
+    from ariadne_spark.operators.timeseries import sessionize
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    sess = sessionize(ev, "user_id", "ts", 1800, tiebreak_col="event_id")
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.expr("unix_micros(cast(min(ts) as timestamp))").alias("start_us"),
+        F.expr("unix_micros(cast(max(ts) as timestamp))").alias("end_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+        ).alias("sum_value"),
+    )
+
+
+def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: 6-hour epoch-aligned buckets x
+    event_type via F.window (streaming-legal expression), count +
+    decimal-exact value sum."""
+    from ariadne_spark.operators.timeseries import rollup
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = rollup(
+        ev,
+        "ts",
+        21600,
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.expr("unix_micros(cast(bucket_start as timestamp))").alias(
+            "bucket_us"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase event picks up the latest
+    click at-or-before it for the same user — the sort-merge
+    union+last() formulation (one shuffle, no range join)."""
+    from ariadne_spark.operators.timeseries import asof_join
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("value").alias("click_value"),
+        F.col("event_id").alias("click_eid"),
+    )
+    res = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        right_cols=["click_value"],
+        tiebreak_col="click_eid",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        F.expr("unix_micros(cast(ts_asof as timestamp))").alias(
+            "click_ts_us"
+        ),
+        "click_value_asof",
+    )
+
+
 def q_idx_exploded_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3/A2 exploded-field index over a token array column."""
     idx = _index(spark, sf_dir, "doc_tokens")
@@ -1046,6 +1129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
         "streaming_latest": q_streaming_latest,
+        "ts_sessionize": q_ts_sessionize,
+        "ts_rollup": q_ts_rollup,
+        "ts_asof_join": q_ts_asof_join,
         "idx_multi_and": q_idx_multi_and,
         "idx_select_pushdown": q_idx_select_pushdown,
         "source_csv": q_source_csv,
@@ -1221,6 +1307,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_id, ts_us, user_id, event_type, value FROM ranked WHERE rn = 1
+        """,
+        "ts_sessionize": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   epoch_us(MIN(ts)) AS start_us,
+                   epoch_us(MAX(ts)) AS end_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM sess GROUP BY user_id, session_seq
+        """,
+        "ts_rollup": """
+            SELECT CAST(floor(epoch_us(ts) / 21600000000)
+                       * 21600000000 AS BIGINT) AS bucket_us,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "ts_asof_join": """
+            SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+                   c.click_ts_us, c.click_value_asof
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN LATERAL (
+                SELECT epoch_us(e.ts) AS click_ts_us,
+                       e.value AS click_value_asof
+                FROM events e
+                WHERE e.event_type = 'click' AND e.user_id = p.user_id
+                      AND e.ts <= p.ts
+                ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+            ) c ON TRUE
         """,
         "idx_exploded_token": f"""
             SELECT doc_id, t AS token FROM (

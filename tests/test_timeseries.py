@@ -1,0 +1,183 @@
+"""Time-series operators: sessionize / rollup / as-of join.
+
+Edge-case fixtures exercise the semantics the sf-scale oracle queries
+can't isolate: gap boundaries, exact-timestamp ties, tiebreak order,
+tolerance nulling, and unmatched left rows.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from ariadne_spark.operators.timeseries import (
+    asof_join,
+    rollup,
+    session_stats,
+    sessionize,
+    time_bucket,
+)
+
+
+def _ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, ts timestamp, eid bigint, value double"
+    )
+
+
+class TestSessionize:
+    def test_gap_boundary_is_exclusive(self, spark):
+        # gap == threshold stays in-session; gap > threshold splits.
+        df = _events(
+            spark,
+            [
+                ("a", _ts(0), 1, 1.0),
+                ("a", _ts(10), 2, 1.0),   # exactly 600s later: same session
+                ("a", _ts(20, 1), 3, 1.0),  # 601s later: new session
+            ],
+        )
+        out = {
+            r["eid"]: r["session_seq"]
+            for r in sessionize(df, "key", "ts", 600, "eid").collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 2}
+
+    def test_sessions_are_per_key(self, spark):
+        df = _events(
+            spark,
+            [
+                ("a", _ts(0), 1, 1.0),
+                ("b", _ts(0), 2, 1.0),
+                ("b", _ts(59), 3, 1.0),
+            ],
+        )
+        out = sessionize(df, "key", "ts", 60, "eid")
+        assert {(r["key"], r["session_seq"]) for r in out.collect()} == {
+            ("a", 1),
+            ("b", 1),
+            ("b", 2),
+        }
+
+    def test_session_stats(self, spark):
+        df = _events(
+            spark,
+            [
+                ("a", _ts(0), 1, 1.5),
+                ("a", _ts(1), 2, 2.5),
+                ("a", _ts(30), 3, 4.0),
+            ],
+        )
+        rows = {
+            r["session_seq"]: r
+            for r in session_stats(
+                df, "key", "ts", 600, "eid", value_col="value"
+            ).collect()
+        }
+        assert rows[1]["n_events"] == 2 and rows[1]["sum_value"] == 4.0
+        assert rows[2]["n_events"] == 1 and rows[2]["session_start"] == _ts(30)
+
+
+class TestRollup:
+    def test_bucket_alignment_epoch(self, spark):
+        df = _events(
+            spark,
+            [("a", _ts(0), 1, 1.0), ("a", _ts(4, 59), 2, 1.0), ("a", _ts(5), 3, 1.0)],
+        )
+        out = rollup(df, "ts", 300)
+        counts = {r["bucket_start"]: r["n_events"] for r in out.collect()}
+        assert counts == {_ts(0): 2, _ts(5): 1}
+
+    def test_time_bucket_is_window_start(self, spark):
+        df = _events(spark, [("a", _ts(7, 30), 1, 1.0)])
+        got = df.select(time_bucket("ts", 300).alias("b")).first()["b"]
+        assert got == _ts(5)
+
+    def test_rollup_custom_aggs_and_dims(self, spark):
+        df = _events(
+            spark,
+            [("a", _ts(0), 1, 2.0), ("b", _ts(1), 2, 3.0), ("a", _ts(2), 3, 5.0)],
+        )
+        out = rollup(
+            df, "ts", 3600, ["key"], [F.sum("value").alias("sv")]
+        ).collect()
+        assert {(r["key"], r["sv"]) for r in out} == {("a", 7.0), ("b", 3.0)}
+
+
+class TestAsofJoin:
+    def _sides(self, spark):
+        left = spark.createDataFrame(
+            [
+                ("a", _ts(10), 100),
+                ("a", _ts(20), 101),
+                ("b", _ts(10), 102),   # no right rows for b at all
+                ("a", _ts(5), 103),    # before every right row
+            ],
+            "key string, ts timestamp, lid bigint",
+        )
+        right = spark.createDataFrame(
+            [
+                ("a", _ts(10), 1, 10.0),  # exact-ts match for lid=100
+                ("a", _ts(10), 2, 20.0),  # same ts: larger tiebreak wins
+                ("a", _ts(15), 3, 30.0),
+            ],
+            "key string, ts timestamp, rid bigint, rv double",
+        )
+        return left, right
+
+    def test_backward_inclusive_with_tiebreak(self, spark):
+        left, right = self._sides(spark)
+        out = {
+            r["lid"]: (r["ts_asof"], r["rv_asof"])
+            for r in asof_join(
+                left, right, ["key"], "ts", ["rv"], tiebreak_col="rid"
+            ).collect()
+        }
+        assert out[100] == (_ts(10), 20.0)  # inclusive; rid=2 beats rid=1
+        assert out[101] == (_ts(15), 30.0)
+        assert out[102] == (None, None)     # key never matches
+        assert out[103] == (None, None)     # left row precedes all right rows
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        left, right = self._sides(spark)
+        out = {
+            r["lid"]: r["rv_asof"]
+            for r in asof_join(
+                left,
+                right,
+                ["key"],
+                "ts",
+                ["rv"],
+                tiebreak_col="rid",
+                tolerance_seconds=60,
+            ).collect()
+        }
+        assert out[100] == 20.0   # 0s old: kept
+        assert out[101] is None   # 300s old: outside tolerance
+        assert out[102] is None
+
+    def test_row_count_preserved(self, spark):
+        left, right = self._sides(spark)
+        res = asof_join(left, right, ["key"], "ts", ["rv"], tiebreak_col="rid")
+        assert res.count() == left.count()
+        assert set(res.columns) == {"key", "ts", "lid", "ts_asof", "rv_asof"}
+
+    def test_missing_column_raises(self, spark):
+        left, right = self._sides(spark)
+        try:
+            asof_join(left, right.drop("ts"), ["key"], "ts", ["rv"])
+            raise AssertionError("expected ValueError")
+        except ValueError as e:
+            assert "missing" in str(e)
+
+    def test_single_shuffle_plan(self, spark):
+        """The as-of plan must contain exactly ONE exchange (the key
+        hash) — no range join, no extra sort shuffles."""
+        left, right = self._sides(spark)
+        res = asof_join(left, right, ["key"], "ts", ["rv"], tiebreak_col="rid")
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
