@@ -510,6 +510,19 @@ def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded concat-then-chunk sequence packing into 2048-token
+    contexts (operators/corpus.py pack_sequences): one shuffle on the
+    deterministic shard, per-shard running sum, fully SQL-twinnable."""
+    from ariadne_spark.operators.corpus import pack_sequences
+    from ariadne_spark.operators.text import token_count
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return pack_sequences(
+        docs, "doc_id", token_count("text"), capacity=2048, n_shards=16
+    )
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_spark.operators.text import token_count
 
@@ -1141,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "pipeline_clean": q_pipeline_clean,
+        "corpus_pack": q_corpus_pack,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -1417,6 +1431,26 @@ def oracle_sql() -> dict[str, str]:
         "text_token_count": r"""
             SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "corpus_pack": r"""
+            WITH toks AS (
+                SELECT doc_id, doc_id % 16 AS shard,
+                       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), off AS (
+                SELECT doc_id, shard, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS ob
+                FROM toks
+            )
+            SELECT doc_id, shard,
+                   CAST(floor(ob / 2048) AS BIGINT) AS bin_seq,
+                   ob % 2048 AS bin_offset,
+                   CAST(floor((ob + greatest(n_tokens, 1) - 1) / 2048) AS BIGINT) AS end_bin_seq,
+                   n_tokens
+            FROM off
         """,
         "text_quality": r"""
             SELECT doc_id,

@@ -177,3 +177,67 @@ def contamination_check(
         )
         .where(F.col("n_hits") > 0)
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str | Column,
+    capacity: int,
+    n_shards: int = 32,
+    shard_col: str | Column | None = None,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: assign each document a
+    position in a stream of fixed-``capacity`` training contexts.
+
+    The corpus is split into ``n_shards`` deterministic shards
+    (``id % n_shards`` for integral ids — override with
+    ``shard_col``); within a shard, documents are concatenated in
+    ``id_col`` order and the stream is cut every ``capacity`` tokens,
+    exactly the packing GPT-style pretraining applies (documents may
+    straddle a context boundary; the trainer splits them at read
+    time). Output columns:
+
+    - ``shard``        — the shard id,
+    - ``bin_seq``      — 0-based context index within the shard,
+    - ``bin_offset``   — token offset of this doc inside that context,
+    - ``end_bin_seq``  — context index where the doc's last token
+      lands (> ``bin_seq`` when the doc straddles boundaries).
+
+    Scale shape: packing is embarrassingly parallel across shards —
+    ONE hash shuffle on ``shard``, then a per-shard sort + running
+    sum (a single window spec). A global (unsharded) cumulative sum
+    would serialize the whole corpus through one task; real pipelines
+    shard exactly like this and feed one shard stream per data-loader
+    worker. Deterministic: same input → same packing, any cluster
+    size.
+    """
+    nt = F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
+    if shard_col is None:
+        shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("bigint")
+    else:
+        shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        nt.cast("bigint").alias("__nt"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset_before = F.coalesce(F.sum("__nt").over(w), F.lit(0))
+    return base.select(
+        id_col,
+        "shard",
+        F.floor(offset_before / capacity).alias("bin_seq"),
+        F.pmod(offset_before, F.lit(capacity)).alias("bin_offset"),
+        F.floor(
+            (offset_before + F.greatest(F.col("__nt"), F.lit(1)) - 1)
+            / capacity
+        ).alias("end_bin_seq"),
+        F.col("__nt").alias("n_tokens"),
+    )

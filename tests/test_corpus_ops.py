@@ -155,3 +155,56 @@ def test_word_ngrams_order_and_duplicates(spark):
     df = spark.createDataFrame([("a b a b",)], ["t"])
     got = df.select(text.word_ngrams("t", 2).alias("g")).collect()[0]["g"]
     assert got == ["a b", "b a", "a b"]
+
+
+def test_pack_sequences_stream_invariants(spark):
+    """Within a shard: offsets are the running sum of token counts,
+    every context except the last is fully covered, and bin_offset
+    is always the stream position mod capacity."""
+    from ariadne_spark.operators.corpus import pack_sequences
+
+    rows = [(i, 700 + 300 * (i % 3)) for i in range(40)]  # 700/1000/1300
+    df = spark.createDataFrame(rows, "doc_id bigint, nt bigint")
+    out = pack_sequences(df, "doc_id", "nt", capacity=2048, n_shards=4)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 40
+    # replay each shard's stream in python and compare exactly
+    for shard in range(4):
+        pos = 0
+        for i in sorted(r for r in range(40) if r % 4 == shard):
+            r = got[i]
+            assert r["shard"] == shard
+            assert r["bin_seq"] == pos // 2048
+            assert r["bin_offset"] == pos % 2048
+            nt = dict(rows)[i]
+            assert r["end_bin_seq"] == (pos + nt - 1) // 2048
+            pos += nt
+
+
+def test_pack_sequences_zero_token_doc_stays_in_place(spark):
+    from ariadne_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 10), (4, 0), (8, 5)], "doc_id bigint, nt bigint"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(
+            df, "doc_id", "nt", capacity=8, n_shards=4
+        ).collect()
+    }
+    # all three land in shard 0; doc 4 contributes nothing but still
+    # gets a well-defined slot (end bin == start bin)
+    assert out[4]["bin_offset"] == 2 and out[4]["bin_seq"] == 1
+    assert out[4]["end_bin_seq"] == out[4]["bin_seq"]
+    assert out[8]["bin_offset"] == 2  # zero-token doc did not advance
+
+def test_pack_sequences_one_shuffle_plan(spark):
+    from ariadne_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame([(i, 10) for i in range(20)], "doc_id bigint, nt bigint")
+    plan = (
+        pack_sequences(df, "doc_id", "nt", 128, n_shards=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
