@@ -34,6 +34,10 @@ WORK = "/tmp/ariadne_entry"
 ORDER_KEYS_RANGE = list(range(100, 160))
 CUST_KEYS = list(range(10, 30))
 MULTI_ORDER_RANGE = list(range(0, 800))
+LARGE_IDX_KEYS = list(range(40, 70))
+INC_KEYS = list(range(70, 90))
+DEL_KEYS = list(range(20, 60))
+BBOX_KEYS = list(range(500, 1700))  # >1000 values → bounding-box path
 TOKEN_WORDS = ["merge", "vector"]
 NATION_KEYS = [0, 2]
 SUPP_NATIONS = [1, 3, 5]
@@ -155,6 +159,64 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
             fh.write("ok")
 
 
+def _prepare_v2(spark: SparkSession, sf_dir: str) -> None:
+    """Round-2 additions: indexes that exercise the large-index
+    sink/source (S6/S9/P9), two-batch incremental consolidation
+    (J8/S10), and delete_files (J9) — each with a value-exact DuckDB
+    oracle. Separate marker so an already-prepared WORK dir upgrades
+    in place."""
+    from ariadne_spark import Index
+    from ariadne_spark.storage.lock import IndexLock
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    marker = f"{base}/_READY_V2"
+    if os.path.exists(marker):
+        return
+    with IndexLock(f"{base}/locks", "prepare_v2", timeout=1800, max_wait=1800):
+        if os.path.exists(marker):
+            return
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        ofiles = sorted(glob.glob(f"{base}/orders/part*/*.parquet"))
+
+        # S6/S9/P9: limit 50 forces every per-file o_custkey array
+        # into the large-index table (each file holds >>50 keys).
+        prev = spark.conf.get("spark.ariadne.largeIndexLimit", None)
+        spark.conf.set("spark.ariadne.largeIndexLimit", "50")
+        try:
+            gi = Index.for_name(
+                "orders_large", schema=orders.schema, format="parquet", spark=spark
+            )
+            gi.add_index("o_custkey")
+            gi.add_files(ofiles).update()
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.ariadne.largeIndexLimit")
+            else:
+                spark.conf.set("spark.ariadne.largeIndexLimit", prev)
+
+        # J8/S10: two update() rounds over disjoint file batches — the
+        # final state must answer exactly like one build over all four.
+        ii = Index.for_name(
+            "orders_inc", schema=orders.schema, format="parquet", spark=spark
+        )
+        ii.add_index("o_custkey")
+        ii.add_files(ofiles[:2]).update()
+        ii.add_files(ofiles[2:]).update()
+
+        # J9: build over all four files then delete the last range
+        # file; queries must stop returning its rows.
+        di = Index.for_name(
+            "orders_del", schema=orders.schema, format="parquet", spark=spark
+        )
+        di.add_index("o_custkey")
+        di.add_files(ofiles).update()
+        di.delete_files([ofiles[3]])
+
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+
 _INDEX_HANDLES: dict = {}
 
 
@@ -171,6 +233,12 @@ def _index(spark, sf_dir, name):
         handle = Index.for_name(name, spark=spark)
         _INDEX_HANDLES[key] = handle
     return handle
+
+
+def _index2(spark, sf_dir, name):
+    """Like _index but for the round-2 lifecycle indexes."""
+    _prepare_v2(spark, sf_dir)
+    return _index(spark, sf_dir, name)
 
 
 def _t(sf_dir: str, table: str):
@@ -317,6 +385,42 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(qname)
     shutil.rmtree(f"{WORK}/_stream_ckpt/{qname}", ignore_errors=True)
     return out
+
+
+def q_idx_large_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S9/P9 large-index path: the index was built with
+    largeIndexLimit=50, so every per-file o_custkey value set
+    overflowed into the large-index table; this read resolves
+    entirely through the large-index source + validity semi-join."""
+    idx = _index2(spark, sf_dir, "orders_large")
+    res = idx.read_matching({"o_custkey": LARGE_IDX_KEYS})
+    return res.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+def q_idx_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8/S10 consolidation: two update() rounds over disjoint file
+    batches must answer exactly like one build over all files."""
+    idx = _index2(spark, sf_dir, "orders_inc")
+    res = idx.read_matching({"o_custkey": INC_KEYS})
+    return res.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_idx_delete_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 delete_files: the highest o_orderkey range file was deleted
+    after the build; its rows must vanish from query answers. The
+    oracle reproduces the deterministic width-based file split."""
+    idx = _index2(spark, sf_dir, "orders_del")
+    res = idx.read_matching({"o_custkey": DEL_KEYS})
+    return res.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+def q_idx_filter_range_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 bounding-box degradation: >1000 query values on a range
+    index skip the per-value theta join and prune by one min/max
+    box; the row filter then restores exactness."""
+    idx = _index(spark, sf_dir, "orders")
+    res = idx.read_matching({"o_orderkey": BBOX_KEYS})
+    return res.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 def q_ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,6 +1250,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_rollup": q_ts_rollup,
         "ts_asof_join": q_ts_asof_join,
         "idx_multi_and": q_idx_multi_and,
+        "idx_large_matching": q_idx_large_matching,
+        "idx_incremental": q_idx_incremental,
+        "idx_delete_files": q_idx_delete_files,
+        "idx_filter_range_bbox": q_idx_filter_range_bbox,
         "idx_select_pushdown": q_idx_select_pushdown,
         "source_csv": q_source_csv,
         "source_json": q_source_json,
@@ -1374,6 +1482,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
             WHERE o_custkey IN ({_sql_list(CUST_KEYS)})
               AND o_orderkey IN ({_sql_list(MULTI_ORDER_RANGE)})
+        """,
+        "idx_large_matching": f"""
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+            WHERE o_custkey IN ({_sql_list(LARGE_IDX_KEYS)})
+        """,
+        "idx_incremental": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_custkey IN ({_sql_list(INC_KEYS)})
+        """,
+        "idx_delete_files": f"""
+            WITH b AS (
+                SELECT min(o_orderkey) AS lo,
+                       ((max(o_orderkey) - min(o_orderkey)) // 4) + 1 AS w
+                FROM orders
+            )
+            SELECT o_orderkey, o_custkey, o_orderstatus FROM orders, b
+            WHERE o_custkey IN ({_sql_list(DEL_KEYS)})
+              AND o_orderkey < lo + 3 * w
+        """,
+        "idx_filter_range_bbox": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey >= {BBOX_KEYS[0]} AND o_orderkey <= {BBOX_KEYS[-1]}
         """,
         "idx_select_pushdown": f"""
             SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
