@@ -11,9 +11,9 @@ the DuckDB oracle. All hot paths are built-in ``pyspark.sql.functions``
   per-group quotas need a per-group pass; at lake scale the group
   count is small and AQE handles moderate skew),
 - :func:`pii_redact` — zero-shuffle projection,
-- :func:`contamination_check` — map-only scan against a broadcast
-  n-gram set (the benchmark side is small by construction; no
-  explode/shuffle of the 100-TB corpus side).
+- :func:`contamination_check` — pipelined gram explode probed
+  through a broadcast hash join (the benchmark side is small by
+  construction; only MATCHING grams reach the shuffle).
 """
 
 from __future__ import annotations
@@ -160,22 +160,48 @@ def contamination_check(
     suites are ≪ executor memory)."""
     bcol = bench_text_col or text_col
     bench_grams = bench.select(
-        F.explode(F.array_distinct(word_ngrams(bcol, n))).alias("g")
-    ).agg(F.array_distinct(F.collect_list("g")).alias("bench_grams"))
-    corpus = df.select(
-        F.col(id_col),
-        F.array_distinct(word_ngrams(text_col, n)).alias("__grams"),
-    )
-    return (
-        corpus.crossJoin(F.broadcast(bench_grams))
-        .select(
-            id_col,
-            F.size(F.array_intersect("__grams", "bench_grams"))
-            .cast("bigint")
-            .alias("n_hits"),
-            F.size("__grams").cast("bigint").alias("n_grams"),
+        F.explode(F.array_distinct(word_ngrams(bcol, n))).alias("__g")
+    ).distinct()
+    # Explode the corpus's distinct grams and probe them through a
+    # broadcast hash join: O(1) per gram. (An array_intersect against
+    # a broadcast gram ARRAY re-builds the benchmark hash set per
+    # corpus row — measured 10x slower than the join at sf0.1.) The
+    # explode is pipelined (no materialization), the count aggregates
+    # map-side, and only MATCHING grams reach the shuffle — on a
+    # clean 100-TB corpus the shuffled volume is near zero.
+    from .text import tokens
+    from .util import ensure_parallelism
+
+    # Tokenize ONCE into a materialized column; building grams
+    # straight from text would re-run the regex split per element_at
+    # (see word_ngrams docstring). The gram pass is explode-ONLY:
+    # emitting size(grams) and explode(grams) from one projection
+    # duplicates the gram expression into the Generate operator and
+    # measured ~15x slower.
+    def _grams(src: DataFrame) -> Column:
+        return F.array_distinct(
+            word_ngrams(text_col, n, tokens_col=F.col("__toks"))
         )
-        .where(F.col("n_hits") > 0)
+
+    corpus_toks = ensure_parallelism(df).select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
+    )
+    grams = corpus_toks.select(
+        F.col(id_col), F.explode(_grams(corpus_toks)).alias("__g")
+    )
+    hits = (
+        grams.join(F.broadcast(bench_grams), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # n_grams only for the (rare) contaminated docs: the broadcast
+    # join filters the second pass down to matched rows before the
+    # gram expression runs again — on a clean corpus this reads
+    # nearly nothing.
+    return corpus_toks.join(F.broadcast(hits), id_col).select(
+        id_col,
+        F.col("n_hits"),
+        F.size(_grams(corpus_toks)).cast("bigint").alias("n_grams"),
     )
 
 

