@@ -583,6 +583,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass dedup clustering: exact-normalized duplicate stars ∪
+    3-gram-set duplicate stars, merged transitively by distributed
+    connected components (alternating large-star/small-star, Kiveris
+    et al. SoCC'14 — O(log n) groupBy rounds, no driver-side graph).
+    Returns every document with its merged cluster label; the oracle
+    is a DuckDB recursive-CTE transitive closure over the same edges."""
+    from ariadne_spark.operators.graph import connected_components, star_edges
+    from ariadne_spark.operators.text import char_ngrams
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    tkey = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    gkey = F.array_sort(F.array_distinct(char_ngrams(F.lower(F.col("text")), 3)))
+    pairs = star_edges(docs.withColumn("__k", tkey), "__k", "doc_id").union(
+        star_edges(docs.withColumn("__k", gkey), "__k", "doc_id")
+    )
+    comp = connected_components(
+        pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+    )
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
 def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data cleaning pipeline — the operators
     chained the way a real corpus pass runs them: quality features →
@@ -1259,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_json": q_source_json,
         "dedup_exact": q_dedup_exact,
         "dedup_ngramset": q_dedup_ngramset,
+        "dedup_cluster": q_dedup_cluster,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "pipeline_clean": q_pipeline_clean,
@@ -1532,6 +1555,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT min(doc_id) AS doc_id FROM g GROUP BY k
+        """,
+        "dedup_cluster": r"""
+            WITH RECURSIVE
+            tkey AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+                FROM documents
+            ),
+            gkey AS (
+                SELECT doc_id, list_sort(list_distinct(
+                    list_transform(range(1, greatest(length(lower(text)) - 1, 1)),
+                                   i -> substring(lower(text), i, 3)))) AS k
+                FROM documents
+            ),
+            e0 AS (
+                SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k) AS b
+                FROM tkey
+                UNION
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY k) FROM gkey
+            ),
+            edges AS (
+                SELECT a, b FROM e0 WHERE a <> b
+                UNION
+                SELECT b, a FROM e0 WHERE a <> b
+            ),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS r FROM documents
+                UNION
+                SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a
+            )
+            SELECT node AS doc_id, min(r) AS component
+            FROM reach GROUP BY node
         """,
         "pipeline_clean": rf"""
             WITH q AS (

@@ -1,0 +1,165 @@
+"""Distributed connected components + dedup clustering.
+
+Near-dup detection (MinHash/SimHash/n-gram/exact) emits PAIRS; a real
+corpus pipeline must then merge overlapping pairs into clusters and
+keep one canonical document per cluster — A~B from the exact pass and
+B~C from the near-dup pass must collapse to ONE group {A,B,C}. That
+merge is connected components over the union of all pair relations.
+
+The implementation is the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014 — public literature): each round is two groupBy-min
+shuffles over the edge list, and the edge list contracts toward a
+star per component in O(log n) rounds even on adversarial path
+graphs (plain min-label propagation needs O(diameter) rounds).
+Everything is DataFrame joins/aggregations — no driver-side graph,
+no collect proportional to data — and each round is truncated with
+``localCheckpoint`` so the lineage (and Catalyst plan) stays flat no
+matter how many rounds run.
+
+Scale posture: edges for dedup are generated as *star edges*
+(node → per-key min via one window) so an equality relation of any
+group size contributes O(rows) edges, never O(rows²) explicit pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dedupe_edges(e: DataFrame) -> DataFrame:
+    return e.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _symmetric(e: DataFrame) -> DataFrame:
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ u)."""
+    sym = _dedupe_edges(_symmetric(e))
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.col("src")).alias("m")
+    )
+    return _dedupe_edges(
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges large→small, then connect each node's smaller
+    neighbors (and the node itself) to its minimum neighbor."""
+    o = _dedupe_edges(
+        e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+    )
+    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+    return _dedupe_edges(
+        o.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select("src", F.col("m").alias("dst")))
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Component label (= minimum member id) for every node.
+
+    ``pairs`` is an undirected edge list (either orientation, dups
+    fine). ``nodes`` optionally supplies the full node universe so
+    isolated nodes appear as their own singleton component.
+
+    Returns ``(node, component)``. Ids may be any orderable type;
+    both columns keep the input id type.
+    """
+    e = _dedupe_edges(
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    prev_fp = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp_row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        fp = (fp_row["n"], fp_row["h"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    # At the fixpoint every edge points node → component min, and
+    # component minima appear only as dst. Re-add them as self-rows.
+    assign = e.select(
+        F.col("src").alias("node"), F.col("dst").alias("component")
+    ).union(
+        e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
+        .distinct()
+    )
+    assign = assign.groupBy("node").agg(F.min("component").alias("component"))
+
+    if nodes is not None:
+        ncol = node_col or nodes.columns[0]
+        universe = nodes.select(F.col(ncol).alias("node")).distinct()
+        assign = universe.join(assign, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
+    return assign
+
+
+def star_edges(
+    df: DataFrame, key: F.Column | str, id_col: str
+) -> DataFrame:
+    """Edges (id → per-key min id) for an equality relation — the
+    linear-size encoding of "all rows sharing ``key`` are connected".
+    One window shuffle; rows in singleton groups emit nothing."""
+    k = F.col(key) if isinstance(key, str) else key
+    w = Window.partitionBy(k)
+    return (
+        df.select(
+            F.col(id_col).alias("src"),
+            F.min(id_col).over(w).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "src",
+    dst: str = "dst",
+    component_col: str = "component",
+) -> DataFrame:
+    """Attach the merged-cluster label to every row and keep only the
+    canonical (minimum-id) row of each cluster — the final step of a
+    multi-pass dedup pipeline. Rows in no pair survive untouched."""
+    comp = connected_components(
+        pairs, src=src, dst=dst, nodes=df.select(id_col), node_col=id_col
+    )
+    labeled = df.join(
+        comp.select(
+            F.col("node").alias(id_col),
+            F.col("component").alias(component_col),
+        ),
+        id_col,
+    )
+    return labeled.where(F.col(id_col) == F.col(component_col))

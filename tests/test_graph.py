@@ -1,0 +1,138 @@
+"""Connected-components + dedup clustering (operators/graph.py).
+
+Reference model: a plain Python union-find over the collected edge
+list — exact ground truth at test scale.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    star_edges,
+)
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # label = min member id
+    label = {}
+    for v in range(n_nodes):
+        r = find(v)
+        label.setdefault(r, v)  # nodes ascend, first seen is min
+    return {v: label[find(v)] for v in range(n_nodes)}
+
+
+def _check(spark, n_nodes, edges):
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    nodes = spark.range(n_nodes).withColumnRenamed("id", "node")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, nodes=nodes, node_col="node"
+        ).collect()
+    }
+    assert got == _union_find(n_nodes, edges)
+
+
+def test_cc_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(5, 80))
+        ]
+        _check(spark, n, edges)
+
+
+def test_cc_path_graph_worst_case(spark):
+    # A 120-node chain: min-label propagation would need 120 rounds;
+    # large-star/small-star must converge inside the default cap.
+    n = 120
+    edges = [(i, i + 1) for i in range(n - 1)]
+    _check(spark, n, edges)
+
+
+def test_cc_isolated_nodes_and_self_loops(spark):
+    edges = [(3, 3), (5, 9), (9, 5)]
+    _check(spark, 12, edges)
+
+
+def test_cc_preserves_id_type(spark):
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b")], "src string, dst string"
+    )
+    out = connected_components(pairs)
+    assert dict(out.dtypes) == {"node": "string", "component": "string"}
+    got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_star_edges_linear_encoding(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "z"), (6, "y")],
+        "doc_id long, k string",
+    )
+    edges = star_edges(df, "k", "doc_id")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    # each non-min row points at its group min; singletons emit nothing
+    assert got == {(2, 1), (3, 1), (6, 4)}
+
+
+def test_dedup_clusters_merges_overlapping_relations(spark):
+    # relation 1 links (1,2); relation 2 links (2,3): cluster {1,2,3}
+    # must keep ONLY doc 1. Doc 4 is untouched and survives.
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "bb"), (4, "cc")], "doc_id long, t string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    out = dedup_clusters(df, pairs, "doc_id")
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [1, 4]
+    comps = dict(
+        out.select("doc_id", "component").collect()
+    )
+    assert comps == {1: 1, 4: 4}
+
+
+def test_cc_two_relation_star_union(spark):
+    # The real pipeline shape: exact-dup stars ∪ near-dup stars merge
+    # transitively across relations.
+    df = spark.createDataFrame(
+        [
+            (1, "k1", "g1"),
+            (2, "k1", "g2"),
+            (3, "k3", "g2"),
+            (4, "k4", "g4"),
+        ],
+        "doc_id long, tkey string, gkey string",
+    )
+    pairs = star_edges(df, "tkey", "doc_id").union(
+        star_edges(df, "gkey", "doc_id")
+    )
+    comp = connected_components(
+        pairs, nodes=df.select("doc_id"), node_col="doc_id"
+    )
+    got = {r["node"]: r["component"] for r in comp.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4}
