@@ -706,6 +706,32 @@ def q_corpus_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup: drop docs from the 'new crawl' (source !=
+    src0) whose normalized text already exists in the 'existing
+    corpus' (source = src0) — one anti-join on the normalized key."""
+    from ariadne_spark.operators.corpus import dedup_against
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    ref = docs.where(F.col("source") == "src0")
+    new = docs.where(F.col("source") != "src0")
+    return dedup_against(new, ref, "text", "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def q_corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: md5-bucket
+    shard id + md5-ranked within-shard position (reproducible on any
+    cluster/partitioning; one shuffle on the shard id)."""
+    from ariadne_spark.operators.corpus import shard_assignment
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return shard_assignment(docs, 8, "doc_id").select(
+        "doc_id", "source", "shard", "pos"
+    )
+
+
 def q_corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over text with deterministic synthetic PII injected
     (the corpus itself has none): every 3rd doc gains an email, every
@@ -1292,6 +1318,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "corpus_split": q_corpus_split,
+        "corpus_dedup_cross": q_corpus_dedup_cross,
+        "corpus_shard": q_corpus_shard,
         "corpus_quota_sample": q_corpus_quota_sample,
         "corpus_pii_redact": q_corpus_pii_redact,
         "corpus_contamination": q_corpus_contamination,
@@ -1687,6 +1715,37 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
+        """,
+        "corpus_dedup_cross": r"""
+            SELECT d.doc_id, d.source, d.n_chars FROM documents d
+            WHERE d.source <> 'src0'
+              AND NOT EXISTS (
+                SELECT 1 FROM documents r
+                WHERE r.source = 'src0'
+                  AND regexp_replace(lower(trim(r.text)), '\s+', ' ', 'g')
+                    = regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')
+              )
+        """,
+        "corpus_shard": """
+            WITH b AS (
+                SELECT doc_id, source,
+                    md5(CAST(doc_id AS VARCHAR)) AS r,
+                      (strpos('0123456789abcdef',
+                              substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+                    + (strpos('0123456789abcdef',
+                              substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef',
+                              substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) AS bucket
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, source, r,
+                       CAST(floor(bucket * 8 / 4096.0) AS INT) AS shard
+                FROM b
+            )
+            SELECT doc_id, source, shard,
+                   row_number() OVER (PARTITION BY shard ORDER BY r, doc_id) AS pos
+            FROM s
         """,
         "corpus_pii_redact": _PII_SQL,
         "corpus_contamination": r"""

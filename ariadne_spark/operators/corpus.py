@@ -205,6 +205,90 @@ def contamination_check(
     )
 
 
+def dedup_against(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Cross-corpus exact dedup: drop rows of ``df`` whose
+    whitespace/case-normalized text appears anywhere in ``ref`` — the
+    "dedup the new crawl against the existing corpus" primitive that
+    complements within-corpus dedup.
+
+    Scale shape: one hash anti-join on the normalized key. The
+    reference side is reduced to DISTINCT keys first; under AQE a
+    small reference broadcasts, a large one shuffles both sides once.
+    ``df`` (the 100-TB side) is never exploded or widened — the key
+    is a projection column dropped on the way out."""
+    def norm(c: str) -> Column:
+        return F.regexp_replace(F.lower(F.trim(F.col(c))), r"\s+", " ")
+
+    keyed = df.withColumn("__xk", norm(text_col))
+    ref_keys = ref.select(norm(ref_text_col or text_col).alias("__xk")).distinct()
+    return keyed.join(ref_keys, "__xk", "left_anti").drop("__xk")
+
+
+def shard_column(
+    id_col: str | Column, n_shards: int, seed: str = ""
+) -> Column:
+    """Deterministic shard id in ``[0, n_shards)`` from the md5 bucket
+    space used by :func:`split_column` (4096 buckets → shard by range
+    scaling, so shard sizes are balanced to bucket granularity). Pure
+    projection; stable across engines, runs, and partitionings."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    prefix = F.md5(F.concat(c.cast("string"), F.lit(seed))).substr(
+        1, _SPLIT_HEX_CHARS
+    )
+    bucket = F.conv(prefix, 16, 10).cast("long")
+    return F.floor(bucket * n_shards / F.lit(float(_SPLIT_BUCKETS))).cast("int")
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Shard id + deterministic within-shard position for training-data
+    export: the md5-ranked order is a reproducible global shuffle (same
+    rows ⇒ same shard files in the same order on any cluster), which is
+    what a training run needs to resume mid-epoch. One shuffle on the
+    shard id; position ties broken by id so the order is total even
+    under md5 collisions."""
+    from pyspark.sql import Window
+
+    rank = F.md5(F.col(id_col).cast("string"))
+    out = df.withColumn(shard_col, shard_column(id_col, n_shards))
+    w = Window.partitionBy(shard_col).orderBy(rank, F.col(id_col))
+    return out.withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+
+
+def write_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> None:
+    """Write ``df`` as ``n_shards`` deterministic parquet shards
+    (``out_dir/shard=K/``), each internally ordered by the reproducible
+    shuffle position. One repartition on the shard id, files written
+    directly from the shard partitions — no second pass, no global
+    sort."""
+    assigned = shard_assignment(df, n_shards, id_col, shard_col, pos_col)
+    (
+        assigned.repartition(n_shards, F.col(shard_col))
+        .sortWithinPartitions(shard_col, pos_col)
+        .write.partitionBy(shard_col)
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

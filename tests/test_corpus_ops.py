@@ -208,3 +208,55 @@ def test_pack_sequences_one_shuffle_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --- dedup_against / sharding -------------------------------------------
+
+
+def test_dedup_against_drops_only_cross_matches(spark):
+    new = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "fresh text"), (3, "other TEXT")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(90, "hello world"), (91, "OTHER  text ")], "doc_id long, text string"
+    )
+    out = corpus.dedup_against(new, ref, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [2]
+    assert out.columns == new.columns  # key column dropped
+
+
+def test_shard_assignment_deterministic_and_balanced(spark, docs):
+    a = corpus.shard_assignment(docs, 8, "doc_id").select(
+        "doc_id", "shard", "pos"
+    )
+    b = corpus.shard_assignment(docs.repartition(17), 8, "doc_id").select(
+        "doc_id", "shard", "pos"
+    )
+    assert rows_set(a) == rows_set(b)
+    counts = [r["count"] for r in a.groupBy("shard").count().collect()]
+    assert len(counts) == 8
+    # md5-balanced: no shard is wildly off 500/8 ≈ 62
+    assert min(counts) > 30 and max(counts) < 95
+    # positions are a dense 1..n sequence per shard
+    mx = {
+        r["shard"]: (r["mx"], r["n"])
+        for r in a.groupBy("shard")
+        .agg(F.max("pos").alias("mx"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert all(m == n for m, n in mx.values())
+
+
+def test_write_shards_layout_and_order(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    corpus.write_shards(docs.select("doc_id", "text"), out, 4, "doc_id")
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert sorted(
+        r["shard"] for r in back.select("shard").distinct().collect()
+    ) == [0, 1, 2, 3]
+    # reading one shard directory yields rows whose pos is dense from 1
+    one = spark.read.parquet(f"{out}/shard=2")
+    poss = sorted(r["pos"] for r in one.select("pos").collect())
+    assert poss == list(range(1, len(poss) + 1))
