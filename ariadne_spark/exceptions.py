@@ -87,3 +87,9 @@ class InvalidFprError(AriadneError):
 
 class ReservedColumnError(AriadneError):
     """Column name collides with an internal engine column."""
+
+
+class InvalidMetadataError(AriadneError):
+    """Persisted index metadata is unreadable or missing required
+    fields (reference: IndexMetadataTests.scala:384-397 rejects
+    metadata without format/schema)."""

@@ -116,7 +116,17 @@ class IndexMetadata:
 
     @staticmethod
     def from_json(name: str, raw: str) -> "IndexMetadata":
-        d = json.loads(raw)
+        from ..exceptions import InvalidMetadataError
+
+        try:
+            d = json.loads(raw)
+        except ValueError as e:
+            raise InvalidMetadataError(f"{name}: unparseable metadata: {e}")
+        for req in ("format", "schema"):
+            if req not in d:
+                raise InvalidMetadataError(
+                    f"{name}: metadata missing required field {req!r}"
+                )
         return IndexMetadata(
             name=name,
             format=d["format"],

@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "dedup_ngramset",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_cluster",
     "text_quality",
     "text_lang_id",
     "text_repetition",
@@ -37,6 +38,8 @@ BENCH_QUERIES = [
     "corpus_quota_sample",
     "corpus_pii_redact",
     "corpus_contamination",
+    "corpus_dedup_cross",
+    "corpus_shard",
     "pipeline_clean",
     "sim_topk",
     "sim_ann_lsh",

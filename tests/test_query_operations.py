@@ -1,0 +1,192 @@
+"""Query-operation behaviors ported from the reference's
+IndexQueryOperationsTests.scala, IndexMetadataTests.scala:384-397,
+and ConsolidatedLargeIndexTests.scala — locate precision across index
+types, stats shape on empty/computed/large indexes, metadata
+validation, and incremental large-index merging."""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark.exceptions import InvalidMetadataError
+from ariadne_spark.index import Index
+from ariadne_spark.storage.metadata import IndexMetadata
+
+from .conftest import WORK
+
+
+@pytest.fixture()
+def mixed_files(spark):
+    """Three json-like parquet files with array-of-struct users, a
+    priority column, and an event id (reference
+    IndexQueryOperationsTests.scala:251-276 mixed schema)."""
+    out = f"{WORK}/queryops-{uuid.uuid4().hex[:8]}"
+    rows = [
+        ("evt1", 1, [(100, "admin")]),
+        ("evt2", 2, [(101, "user")]),
+        ("evt3", 3, [(100, "admin"), (102, "ops")]),
+        ("evt4", 4, [(103, "user")]),
+        ("evt5", 1, [(104, "user")]),
+        ("evt6", 3, [(100, "admin")]),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id string, priority int, "
+        "users array<struct<id: long, role: string>>",
+    )
+    for i in range(3):
+        df.where(F.crc32(F.col("event_id")) % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/p{i}")
+    files = sorted(glob.glob(f"{out}/p*/*.parquet"))
+    yield df, files
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _index(spark, storage, df, files, name=None):
+    idx = Index.for_name(
+        name or f"qo_{uuid.uuid4().hex[:8]}",
+        schema=df.schema,
+        format="parquet",
+        spark=spark,
+    )
+    idx.add_files(files)
+    return idx
+
+
+def test_mixed_locate_across_three_index_types(spark, storage, mixed_files):
+    """reference: IndexQueryOperationsTests.scala:252-305 — regular +
+    computed + exploded indexes queried singly and AND-combined."""
+    df, files = mixed_files
+    idx = _index(spark, storage, df, files)
+    idx.add_index("event_id")
+    idx.add_computed_index(
+        "priority_level",
+        "case when priority > 2 then 'high' else 'low' end",
+    )
+    idx.add_exploded_index("users", "user_id", field="id")
+    idx.update()
+
+    ev = set(idx.locate_files({"event_id": ["evt1", "evt2"]}))
+    # precision: exactly the files that contain either value
+    truth = {
+        r[0]
+        for r in spark.read.parquet(*[os.path.dirname(f) for f in files])
+        .withColumn("__f", F.input_file_name())
+        .where(F.col("event_id").isin("evt1", "evt2"))
+        .select("__f")
+        .collect()
+    }
+    assert {os.path.basename(p) for p in ev} == {
+        os.path.basename(t) for t in truth
+    }
+
+    pr = idx.locate_files({"priority_level": ["high"]})
+    assert pr
+    us = idx.locate_files({"user_id": [100]})
+    assert us
+    both = set(idx.locate_files({"event_id": ["evt1"], "user_id": [100]}))
+    assert both and both <= set(ev) | set(us)
+
+
+def test_locate_nonexistent_value_empty(spark, storage, mixed_files):
+    """reference: IndexQueryOperationsTests.scala:59-70."""
+    df, files = mixed_files
+    idx = _index(spark, storage, df, files)
+    idx.add_index("event_id")
+    idx.update()
+    assert idx.locate_files({"event_id": ["no_such"]}) == []
+
+
+def test_stats_empty_index_zero_rows(spark, storage, mixed_files):
+    """reference: IndexQueryOperationsTests.scala:151-157 — stats on a
+    never-updated index is an empty frame with the stable schema."""
+    df, _files = mixed_files
+    idx = Index.for_name(
+        f"qo_empty_{uuid.uuid4().hex[:8]}",
+        schema=df.schema,
+        format="parquet",
+        spark=spark,
+    )
+    idx.add_index("event_id")
+    st = idx.stats()
+    assert st.count() == 0
+    assert "column" in st.columns and "files" in st.columns
+
+
+def test_stats_includes_computed_and_counts_files(
+    spark, storage, mixed_files
+):
+    """reference: IndexQueryOperationsTests.scala:121-172."""
+    df, files = mixed_files
+    idx = _index(spark, storage, df, files)
+    idx.add_index("event_id")
+    idx.add_computed_index("priority_level", "priority * 2")
+    idx.update()
+    st = idx.stats()
+    names = {r["column"] for r in st.collect()}
+    assert {"event_id", "priority_level"} <= names
+    fc = {r["column"]: r["files"] for r in st.collect()}
+    assert fc["event_id"] == len(files)
+
+
+def test_metadata_missing_required_fields_rejected():
+    """reference: IndexMetadataTests.scala:384-397."""
+    with pytest.raises(InvalidMetadataError):
+        IndexMetadata.from_json("x", '{"schema": {}}')
+    with pytest.raises(InvalidMetadataError):
+        IndexMetadata.from_json("x", '{"format": "parquet"}')
+    with pytest.raises(InvalidMetadataError):
+        IndexMetadata.from_json("x", "not json {")
+
+
+def test_large_index_incremental_merge(spark, storage):
+    """reference: ConsolidatedLargeIndexTests.scala:91-165 — a column
+    over largeIndexLimit spills to the large table; a second update
+    batch merges instead of clobbering, and locate sees both batches."""
+    out = f"{WORK}/qo_large-{uuid.uuid4().hex[:8]}"
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    for i in range(4):
+        df.where(F.col("k") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/p{i}")
+    files = sorted(glob.glob(f"{out}/p*/*.parquet"))
+
+    spark.conf.set("spark.ariadne.largeIndexLimit", "10")
+    try:
+        idx = Index.for_name(
+            f"qo_large_{uuid.uuid4().hex[:8]}",
+            schema=df.schema,
+            format="parquet",
+            spark=spark,
+        )
+        idx.add_index("k")
+        idx.add_files(files[:2])
+        idx.update()
+        first = set(idx.locate_files({"k": [0, 1, 2, 3]}))
+        assert first  # batch-1 files found via the large path
+        assert idx.large_df("k") is not None
+
+        idx.add_files(files[2:])
+        idx.update()
+        both = set(idx.locate_files({"k": [0, 1, 2, 3]}))
+        # values 0..3 live in every file (k % 4 partitioning puts k=0
+        # in p0, 1 in p1, ...): each value maps to exactly one file
+        assert both == set(files)
+        # batch-1 entries survived the second update
+        assert first <= both
+    finally:
+        spark.conf.unset("spark.ariadne.largeIndexLimit")
+
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
