@@ -590,15 +590,33 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     et al. SoCC'14 — O(log n) groupBy rounds, no driver-side graph).
     Returns every document with its merged cluster label; the oracle
     is a DuckDB recursive-CTE transitive closure over the same edges."""
+    from ariadne_spark.operators.dedup import _gram_set_key_udf
     from ariadne_spark.operators.graph import connected_components, star_edges
-    from ariadne_spark.operators.text import char_ngrams
+    from ariadne_spark.operators.util import ensure_parallelism
 
-    docs = spark.read.parquet(_t(sf_dir, "documents"))
-    tkey = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    gkey = F.array_sort(F.array_distinct(char_ngrams(F.lower(F.col("text")), 3)))
-    pairs = star_edges(docs.withColumn("__k", tkey), "__k", "doc_id").union(
-        star_edges(docs.withColumn("__k", gkey), "__k", "doc_id")
+    # Digest both keys so the window shuffle carries 32-byte keys, and
+    # spread the single-file read before the Arrow gram UDF (same
+    # vectorized digest the oracle-green dedup_ngramset query uses —
+    # a built-in char_ngrams expression is a per-element HOF, ~50x
+    # slower at this gram volume).
+    docs = ensure_parallelism(spark.read.parquet(_t(sf_dir, "documents")))
+    tkey = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    gkey = _gram_set_key_udf(3)(F.col("text"))
+    keyed = docs.select("doc_id", tkey.alias("__tk"), gkey.alias("__gk"))
+    # both relations' star edges from ONE pass over `keyed` (two
+    # window shuffles chained in a single plan; the gram UDF runs once
+    # because connected_components checkpoints the pair frame eagerly)
+    from pyspark.sql import Window
+
+    mins = keyed.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("__tk")).alias("__tm"),
+        F.min("doc_id").over(Window.partitionBy("__gk")).alias("__gm"),
     )
+    pairs = mins.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array("__tm", "__gm")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
     comp = connected_components(
         pairs, nodes=docs.select("doc_id"), node_col="doc_id"
     )

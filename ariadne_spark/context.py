@@ -87,11 +87,14 @@ class AriadneConf:
     auto_bloom_fpr: float = 0.01
     broadcast_threshold: int = 50_000_000
     # Cost-model floor for bloom probing: when the index's total
-    # indexed bytes are below this, locate skips the probe (scanning
-    # that little is cheaper than hashing + probing the query values).
-    # 0 = always probe (the default: correctness gates and small
-    # deployments want deterministic pruning behavior).
-    min_bloom_prune_bytes: int = 0
+    # indexed bytes are below this, locate skips the probe — for a
+    # DataFrame query source the probe EXECUTES that frame (the SQL
+    # rewriter hands over a live join side), which costs more than
+    # just scanning a few MB of data. The 32 MiB default only ever
+    # disables probing at toy scale; at lake scale indexes are far
+    # past it and always probe. Skips are never silent (locate stats
+    # + prune metrics record them). 0 = always probe.
+    min_bloom_prune_bytes: int = 32 * 1024 * 1024
 
     @staticmethod
     def load(spark: SparkSession) -> "AriadneConf":
@@ -123,5 +126,5 @@ class AriadneConf:
             auto_compact_threshold=_int("autoCompactThreshold", None),
             auto_bloom_fpr=float(raw_fpr) if raw_fpr is not None else 0.01,
             broadcast_threshold=_int("broadcastThreshold", 50_000_000),
-            min_bloom_prune_bytes=_int("minBloomPruneBytes", 0),
+            min_bloom_prune_bytes=_int("minBloomPruneBytes", 32 * 1024 * 1024),
         )

@@ -85,18 +85,26 @@ def connected_components(
     Returns ``(node, component)``. Ids may be any orderable type;
     both columns keep the input id type.
     """
+    def _fp(frame: DataFrame) -> tuple:
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     e = _dedupe_edges(
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).localCheckpoint(eager=True)
 
-    prev_fp = None
+    # Rounds are deterministic, so an unchanged edge-set fingerprint
+    # means a fixpoint. Seeding from the (identically-normalized)
+    # input lets an already-star-shaped graph — e.g. a union of
+    # per-key dedup stars with no cross-relation overlap — finish in
+    # ONE round instead of two.
+    prev_fp = _fp(e)
     for _ in range(max_iter):
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        fp_row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-        ).collect()[0]
-        fp = (fp_row["n"], fp_row["h"])
+        fp = _fp(e)
         if fp == prev_fp:
             break
         prev_fp = fp

@@ -328,12 +328,17 @@ def locate_files(
             )
         elif cfg.type == BLOOM:
             if (
-                min_bloom_bytes
+                isinstance(source, DataFrame)
+                and min_bloom_bytes
                 and total_bytes is not None
                 and total_bytes < min_bloom_bytes
             ):
-                # cost-model skip: probing costs more than scanning
-                # this little data (spark.ariadne.minBloomPruneBytes)
+                # cost-model skip — DataFrame sources only: probing a
+                # frame EXECUTES it (the SQL rewriter hands over a live
+                # join side), which costs more than scanning this
+                # little data. Literal value lists hash on the driver
+                # for free and always probe.
+                # (spark.ariadne.minBloomPruneBytes)
                 stats.per_column[col] = {
                     "type": "bloom",
                     "skipped": True,

@@ -30,6 +30,9 @@ def spark():
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "4g")
+        # test fixtures are KBs — keep bloom probing deterministic
+        # instead of cost-model-skipped (the 32 MiB default floor)
+        .config("spark.ariadne.minBloomPruneBytes", "0")
         .appName("ariadne-tests")
         .getOrCreate()
     )

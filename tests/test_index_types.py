@@ -314,3 +314,27 @@ def test_bloom_dataframe_source_over_probe_cap(spark, storage, orders_files, mon
     assert stats["o_orderkey"]["skipped"] is True
     got = idx.join(df.select("o_orderkey").limit(30), on=["o_orderkey"])
     assert got.count() > 0
+
+
+def test_bloom_cost_floor_skips_probe(spark, storage, orders_files):
+    """The minBloomPruneBytes cost floor (default 32 MiB; pinned to 0
+    in conftest) must skip probing on a too-small index — visibly, via
+    locate stats — while joins stay correct via the conservative full
+    candidate set."""
+    df, files = orders_files
+    idx = Index.for_name(
+        "o_blm_floor", schema=df.schema, format="parquet", spark=spark
+    )
+    idx.add_bloom_index("o_orderkey", fpr=0.01).add_files(files).update()
+    spark.conf.set("spark.ariadne.minBloomPruneBytes", str(1 << 40))
+    try:
+        keys = spark.createDataFrame([(5,), (6,)], ["o_orderkey"])
+        located = idx.locate_files(keys, columns=["o_orderkey"])
+        assert set(located) == {normalize_path(f) for f in files}  # no prune
+        st = idx._last_locate_stats.per_column["o_orderkey"]
+        assert st["skipped"] is True
+        assert "minBloomPruneBytes" in st["reason"]
+        res = idx.join(keys, on=["o_orderkey"])
+        assert_same_rows(res, df.join(keys, ["o_orderkey"]))
+    finally:
+        spark.conf.set("spark.ariadne.minBloomPruneBytes", "0")
