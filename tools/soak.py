@@ -1,0 +1,183 @@
+"""Scale soak: replicate sf0.1 NX with disjoint key spaces, then
+exercise the scale-critical paths and print one JSON line per probe.
+
+Scenarios
+  1. range-clustered lineitem index build + point-band locate
+     (bytes-pruned %, row parity vs the unpruned filter)
+  2. bloom join driven by a DataFrame key source ABOVE the 32 MiB
+     cost floor — asserts the probe actually ran (no skip recorded)
+     and pruned nothing incorrectly
+  3. connected-components dedup clustering over the replicated corpus
+     (components must replicate exactly NX: disjoint doc_id spaces
+     cannot merge across replicas)
+
+Usage: python tools/soak.py [N] (default 8; local[16])
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+WORK = "/tmp/ariadne_soak"
+
+
+def main() -> None:
+    n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .appName("ariadne-soak")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.ariadne.storagePath", f"{WORK}/store")
+
+    from ariadne_spark.index import Index
+    from ariadne_spark.operators.layout import cluster_files
+
+    def emit(**kv):
+        print(json.dumps(kv), flush=True)
+
+    # ---- replicate lineitem with disjoint l_orderkey spaces --------
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    span = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    rep = None
+    for i in range(n_rep):
+        part = li.select(
+            (F.col("l_orderkey") + i * span).alias("l_orderkey"),
+            (F.col("l_suppkey") + i * 100000).alias("l_suppkey"),
+            "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate",
+        )
+        rep = part if rep is None else rep.unionByName(part)
+
+    t0 = time.time()
+    files = cluster_files(
+        rep, f"{WORK}/lineitem", "l_orderkey", n_files=8 * n_rep
+    )
+    emit(stage="write_clustered", sec=round(time.time() - t0, 2),
+         files=len(files), rows=n_rep * li.count())
+
+    # ---- scenario 1+2: two-type index over the clustered files ----
+    df_schema = spark.read.parquet(files[0]).schema
+    idx = Index.for_name(
+        "soak_li", schema=df_schema, format="parquet", spark=spark
+    )
+    idx.add_range_index("l_orderkey")
+    idx.add_bloom_index("l_suppkey", fpr=0.01)
+    idx.add_files(files)
+    t0 = time.time()
+    idx.update()
+    emit(stage="index_build", sec=round(time.time() - t0, 2),
+         indexed_bytes=idx._index_totals()[1])
+
+    # range point-band locate
+    t0 = time.time()
+    band = idx.locate_files({"l_orderkey": list(range(1000, 1200))})
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    band_bytes = sum(os.path.getsize(f) for f in band)
+    full = spark.read.parquet(*files).where(
+        F.col("l_orderkey").between(1000, 1199)
+    )
+    pruned = idx.join(
+        spark.range(1000, 1200).select(F.col("id").alias("l_orderkey")),
+        on=["l_orderkey"],
+    )
+    parity = pruned.count() == full.count()
+    emit(stage="range_locate", sec=round(time.time() - t0, 2),
+         files=len(band), of=len(files),
+         bytes_pruned_pct=round(100 * (1 - band_bytes / total_bytes), 1),
+         row_parity=parity)
+
+    # bloom join above the floor: 200k-key DataFrame source
+    keys = spark.range(0, 200_000).select(
+        (F.col("id") % (100000 * n_rep)).alias("l_suppkey")
+    ).distinct()
+    t0 = time.time()
+    got = idx.join(keys, on=["l_suppkey"]).count()
+    stats = idx._last_locate_stats.per_column
+    skipped = any(v.get("skipped") for v in stats.values())
+    emit(stage="bloom_join_200k_keys", sec=round(time.time() - t0, 2),
+         rows=got, probe_skipped=skipped,
+         above_floor=idx._index_totals()[1] > 32 * 1024 * 1024)
+
+    # ---- scenario 3: CC dedup clustering at NX corpus -------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dspan = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dn = docs.count()
+    drep = None
+    for i in range(n_rep):
+        p = docs.select(
+            (F.col("doc_id") + i * dspan).alias("doc_id"), "text"
+        )
+        drep = p if drep is None else drep.unionByName(p)
+    drep = drep.repartition(16).cache()
+    drep.count()
+
+    from ariadne_spark.operators.dedup import _gram_set_key_udf
+    from ariadne_spark.operators.graph import connected_components
+
+    t0 = time.time()
+    tkey = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    gkey = _gram_set_key_udf(3)(F.col("text"))
+    keyed = drep.select("doc_id", tkey.alias("__tk"), gkey.alias("__gk"))
+    mins = keyed.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("__tk")).alias("__tm"),
+        F.min("doc_id").over(Window.partitionBy("__gk")).alias("__gm"),
+    )
+    pairs = mins.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array("__tm", "__gm")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    comp = connected_components(
+        pairs, nodes=drep.select("doc_id"), node_col="doc_id"
+    )
+    n_nodes = comp.count()
+    n_comp = comp.select("component").distinct().count()
+    cc_sec = round(time.time() - t0, 2)
+    # replicas duplicate the TEXTS (ids shift, content doesn't), so
+    # every replica of a text group must merge transitively into ONE
+    # component: the clustered count at NX must equal the 1X count —
+    # the strongest end-to-end check of cross-relation merging.
+    base_comp = None
+    one = docs.select("doc_id", "text")
+    keyed1 = one.select("doc_id", tkey.alias("__tk"), gkey.alias("__gk"))
+    mins1 = keyed1.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("__tk")).alias("__tm"),
+        F.min("doc_id").over(Window.partitionBy("__gk")).alias("__gm"),
+    )
+    pairs1 = mins1.select(
+        F.col("doc_id").alias("src"),
+        F.explode(F.array("__tm", "__gm")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    base_comp = (
+        connected_components(pairs1, nodes=one.select("doc_id"), node_col="doc_id")
+        .select("component").distinct().count()
+    )
+    emit(stage="cc_cluster", sec=cc_sec, docs=n_nodes,
+         components=n_comp, expected=base_comp,
+         cross_replica_merge_exact=n_comp == base_comp)
+
+    spark.stop()
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
