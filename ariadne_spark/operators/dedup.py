@@ -301,6 +301,30 @@ def near_dup_minhash(
     return verified
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_len: int = 5,
+) -> DataFrame:
+    """The standard end-to-end near-dup pipeline: MinHash+LSH verified
+    pairs → connected components → keep the canonical (minimum-id) row
+    of every duplicate cluster. Pairwise dedup alone is NOT a valid
+    keep-set (A~B and B~C with A≁C must still collapse to one
+    survivor); the transitive closure is what production pipelines run
+    (components via alternating large-star/small-star — see
+    operators/graph.py)."""
+    from .graph import dedup_clusters
+
+    pairs = near_dup_minhash(
+        df, text_col, id_col, threshold, num_hashes, bands, shingle_len
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return dedup_clusters(df, pairs, id_col)
+
+
 # ------------------------------------------------------------------ simhash
 
 def _simhash_fast_udf(bits: int = 64):

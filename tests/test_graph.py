@@ -136,3 +136,28 @@ def test_cc_two_relation_star_union(spark):
     )
     got = {r["node"]: r["component"] for r in comp.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+def test_near_dup_clusters_transitive_chain(spark):
+    """A~B and B~C near-dups (A≁C directly) must collapse to ONE
+    survivor via the transitive closure — the property pairwise dedup
+    alone cannot provide."""
+    from ariadne_spark.operators.dedup import near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    mid = base.replace("quick", "swift", 2)
+    far = mid.replace("lazy", "idle", 2).replace("brown", "beige", 2)
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, mid),
+            (3, far),
+            (4, "completely different content about spark engines " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    out = near_dup_clusters(docs, "text", "doc_id", threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 4]
+    comp = {r["doc_id"]: r["component"] for r in out.collect()}
+    assert comp == {1: 1, 4: 4}
