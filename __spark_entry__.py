@@ -1127,6 +1127,34 @@ def q_sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function through the SQL surface: per-customer top-2
+    orders by totalprice over a PRUNED index view (the equi-join on
+    the filtered customer side rewrites the orders read; the window
+    runs over the pruned frame). Ties broken by key so ROW_NUMBER is
+    engine-deterministic."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("customer_v")
+    return ariadne_spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, total_d, rn FROM (
+            SELECT o.o_custkey, o.o_orderkey,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_d,
+                   row_number() OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey
+                   ) AS rn
+            FROM orders o
+            JOIN customer_v c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'AUTOMOBILE'
+        ) WHERE rn <= 2
+        """,
+        spark,
+    ).withColumn("rn", F.col("rn").cast("bigint"))
+
+
 def q_sql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 adapted (the synthetic lineitem has no commit/receipt
     dates): priority counts of orders with a correlated EXISTS against
@@ -1358,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q6": q_sql_tpch_q6,
         "sql_tpch_q14": q_sql_tpch_q14,
         "sql_tpch_q4": q_sql_tpch_q4,
+        "sql_window_topn": q_sql_window_topn,
         "sql_tpch_q10": q_sql_tpch_q10,
         "sql_tpch_q18": q_sql_tpch_q18,
         "multimodal_frames": q_multimodal_frames,
@@ -1932,6 +1961,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
               AND l.l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "sql_window_topn": """
+            SELECT o_custkey, o_orderkey, total_d, rn FROM (
+                SELECT o.o_custkey, o.o_orderkey,
+                       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_d,
+                       row_number() OVER (
+                           PARTITION BY o.o_custkey
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey
+                       ) AS rn
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                WHERE c.c_mktsegment = 'AUTOMOBILE'
+            ) WHERE rn <= 2
         """,
         "sql_tpch_q4": """
             SELECT o.o_orderpriority, count(*) AS order_count

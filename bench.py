@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "sql_tpch_q5",
     "sql_tpch_q6",
     "sql_tpch_q14",
+    "sql_window_topn",
     "datasource_filter",
 ]
 

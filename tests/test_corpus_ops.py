@@ -260,3 +260,33 @@ def test_write_shards_layout_and_order(spark, docs, tmp_path):
     one = spark.read.parquet(f"{out}/shard=2")
     poss = sorted(r["pos"] for r in one.select("pos").collect())
     assert poss == list(range(1, len(poss) + 1))
+
+
+def test_shard_assignment_one_shuffle_plan(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id bigint"
+    )
+    plan = (
+        corpus.shard_assignment(df, 4, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash exchange on the shard id feeds the window; no sort-
+    # merge join, no extra repartition
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_against_no_explode_plan(spark):
+    new = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(30)], "doc_id long, text string"
+    )
+    ref = spark.createDataFrame(
+        [(0, "text 7")], "doc_id long, text string"
+    )
+    plan = (
+        corpus.dedup_against(new, ref, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # anti-join on the key projection: the big side is never exploded
+    # or widened, and the tiny reference broadcasts under AQE
+    assert "Generate" not in plan
+    assert "LeftAnti" in plan
