@@ -313,7 +313,20 @@ def locate_files(
             # once, and release it after the final file collect.
             values_df = values_df.persist()
             cached.append(values_df)
+        # default per-column record; probe paths below override/extend
+        # (zero extra Spark jobs: value counts only for literal lists)
+        stats.per_column[col] = {
+            "type": cfg.type,
+            "skipped": False,
+            "source": "frame" if isinstance(source, DataFrame) else "values",
+            **(
+                {"n_values": len({v for v in source if v is not None})}
+                if not isinstance(source, DataFrame)
+                else {}
+            ),
+        }
         if values_df is None:
+            stats.per_column[col]["empty_values"] = True
             candidate_dfs.append(index_df.select("filename").limit(0))
             continue
         if cfg.type in (REGULAR, COMPUTED, EXPLODED):
@@ -339,11 +352,10 @@ def locate_files(
                 # little data. Literal value lists hash on the driver
                 # for free and always probe.
                 # (spark.ariadne.minBloomPruneBytes)
-                stats.per_column[col] = {
-                    "type": "bloom",
-                    "skipped": True,
-                    "reason": f"index bytes {total_bytes} < minBloomPruneBytes",
-                }
+                stats.per_column[col].update(
+                    skipped=True,
+                    reason=f"index bytes {total_bytes} < minBloomPruneBytes",
+                )
                 continue
             pairs = _collect_hash_pairs(source, values_df, BLOOM_PROBE_CAP)
             if pairs is None:
@@ -355,11 +367,10 @@ def locate_files(
                     col,
                     BLOOM_PROBE_CAP,
                 )
-                stats.per_column[col] = {
-                    "type": "bloom",
-                    "skipped": True,
-                    "reason": f"> {BLOOM_PROBE_CAP} distinct query values",
-                }
+                stats.per_column[col].update(
+                    skipped=True,
+                    reason=f"> {BLOOM_PROBE_CAP} distinct query values",
+                )
                 continue
             if not len(pairs):
                 cand = index_df.select("filename").limit(0)

@@ -190,3 +190,29 @@ def test_large_index_incremental_merge(spark, storage):
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_locate_stats_recorded_for_all_paths(spark, storage, mixed_files):
+    """Every queried column leaves a per-column stats record (type,
+    source kind, skip state) — observability parity with the
+    reference's prune metrics (IndexQueryOperations A7)."""
+    df, files = mixed_files
+    idx = _index(spark, storage, df, files)
+    idx.add_index("event_id")
+    idx.add_computed_index("plevel", "priority * 10")
+    idx.update()
+    idx.locate_files({"event_id": ["evt1"], "plevel": [10, 30]})
+    st = idx._last_locate_stats.per_column
+    assert st["event_id"] == {
+        "type": "regular",
+        "skipped": False,
+        "source": "values",
+        "n_values": 1,
+    }
+    assert st["plevel"]["n_values"] == 2
+    # DataFrame source records source=frame without executing extra jobs
+    frame = df.select("event_id").limit(2)
+    idx.locate_files(frame, columns=["event_id"])
+    st2 = idx._last_locate_stats.per_column
+    assert st2["event_id"]["source"] == "frame"
+    assert "n_values" not in st2["event_id"]
