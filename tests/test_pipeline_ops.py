@@ -565,3 +565,60 @@ def test_ivf_index_prunes_files_and_recalls(spark, emb, tmp_path):
         assert top1["vec_id"] == qid  # self-hit always survives probing
         hits = {r["vec_id"] for r in rs} & exact_sets[qid]
         assert len(hits) >= 2  # recall floor for 4/16 probed cells
+
+
+def test_zorder_clustering_prunes_both_columns(spark, tmp_path):
+    """Z-order layout: point-band queries on EITHER clustered column
+    prune to a fraction of files; single-column range clustering only
+    prunes its own column. Row parity holds on both layouts."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ariadne_spark import Index
+    from ariadne_spark.operators.layout import (
+        cluster_files,
+        cluster_files_zorder,
+    )
+
+    spark.conf.set("spark.ariadne.storagePath", str(tmp_path / "store"))
+    rng = random.Random(11)
+    rows = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(8000)]
+    df = spark.createDataFrame(rows, "x long, y long").repartition(8)
+
+    zfiles = cluster_files_zorder(
+        df, str(tmp_path / "z"), ["x", "y"], n_files=16
+    )
+    lfiles = cluster_files(df, str(tmp_path / "lin"), "x", n_files=16)
+    assert len(zfiles) == 16 and len(lfiles) == 16
+
+    def build(name, files):
+        idx = Index.for_name(
+            name, schema=df.schema, format="parquet", spark=spark
+        )
+        idx.add_range_index("x")
+        idx.add_range_index("y")
+        idx.add_files(files).update()
+        return idx
+
+    zidx = build("zord", zfiles)
+    lidx = build("linear", lfiles)
+
+    xq = list(range(100, 130))
+    yq = list(range(2000, 2030))
+    # both layouts prune x-queries well
+    assert len(zidx.locate_files({"x": xq})) <= 10
+    assert len(lidx.locate_files({"x": xq})) <= 2
+    # only z-order prunes y-queries; linear x-clustering scatters y
+    assert len(zidx.locate_files({"y": yq})) <= 10
+    assert len(lidx.locate_files({"y": yq})) == 16
+
+    # both rewrites preserve the row multiset
+    exp = sorted(rows)
+    zall = sorted(
+        (r["x"], r["y"]) for r in spark.read.parquet(str(tmp_path / "z")).collect()
+    )
+    lall = sorted(
+        (r["x"], r["y"]) for r in spark.read.parquet(str(tmp_path / "lin")).collect()
+    )
+    assert zall == exp and lall == exp
