@@ -123,3 +123,45 @@ def cluster_files_zorder(
         for p in fs.list_files(out_dir, suffix=".parquet")
         if p.rsplit("/", 1)[1].startswith("part-")
     ]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str | list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_by: str | list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed + sorted parquet table — the
+    co-located-join layout: two tables bucketed the same way on the
+    join key sort-merge-join with ZERO exchanges and zero sorts (the
+    per-bucket files are already hash-partitioned and sorted), which
+    at 100 TB removes the single most expensive stage of a repeated
+    big join. Bucket metadata lives in the session catalog
+    (``saveAsTable``); plain parquet paths cannot carry it."""
+    cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+    sort_cols = (
+        cols
+        if sort_by is None
+        else ([sort_by] if isinstance(sort_by, str) else list(sort_by))
+    )
+    w = (
+        df.write.bucketBy(n_buckets, *cols)
+        .sortBy(*sort_cols)
+        .mode("overwrite")
+        .format("parquet")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark_or_left, left_table: str, right_table: str, on, how: str = "inner"
+):
+    """Join two same-bucketed catalog tables; returns the DataFrame.
+    With matching bucket specs Catalyst plans a shuffle-free
+    sort-merge join — callers can assert no Exchange in the plan."""
+    spark = spark_or_left
+    return spark.table(left_table).join(spark.table(right_table), on, how)

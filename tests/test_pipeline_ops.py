@@ -622,3 +622,38 @@ def test_zorder_clustering_prunes_both_columns(spark, tmp_path):
         (r["x"], r["y"]) for r in spark.read.parquet(str(tmp_path / "lin")).collect()
     )
     assert zall == exp and lall == exp
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed identically on the join key sort-merge-join
+    with ZERO exchanges and zero sorts — the co-located layout for
+    repeated big joins."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators.layout import bucketed_join, write_bucketed
+
+    left = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "bk_left", "k", 8, path=str(tmp_path / "l"))
+    write_bucketed(right, "bk_right", "k", 8, path=str(tmp_path / "r"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bk_left", "bk_right", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the expensive stage is gone: no Exchange on either side
+        # (Spark keeps cheap task-local sorts when a bucket spans
+        # multiple files; those don't shuffle)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 5000
+        got = joined.where("k = 1234").collect()[0]
+        assert (got["a"], got["b"]) == (2468, 3702)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bk_left")
+        spark.sql("DROP TABLE IF EXISTS bk_right")
