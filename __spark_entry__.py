@@ -347,12 +347,13 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = streaming_latest_version(stream, "user_id", "ts")
     _STREAM_RUN[0] += 1
     qname = f"stream_latest_{_STREAM_RUN[0]}_{uuid.uuid4().hex[:8]}"
-    # State-store overhead is per shuffle partition per micro-batch;
-    # with O(100) keys, 32 partitions is pure fixed cost. Each run
-    # uses a fresh checkpoint, so the partition count is free to pick
-    # here (a real deployment sizes it to key cardinality once).
+    # State partitions trade per-partition store overhead against
+    # Arrow-batch parallelism in the stateful fn; measured at sf0.1
+    # (100k rows / 1.5k keys) 16 beats 8/32 by ~25%. Each run uses a
+    # fresh checkpoint, so the partition count is free to pick here
+    # (a real deployment sizes it to key cardinality once).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         q = (
             latest.writeStream.format("memory")
@@ -385,6 +386,112 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(qname)
     shutil.rmtree(f"{WORK}/_stream_ckpt/{qname}", ignore_errors=True)
     return out
+
+
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation (SURVEY §2.9
+    extension): readStream over the 4-file events split → 1-day
+    windows per event_type → count + exact DECIMAL sum. Complete
+    output mode so the availableNow backfill emits every window
+    deterministically; sums are DECIMAL-exact then cast DOUBLE so the
+    value hash is engine-exact (same pattern as ts_rollup)."""
+    import uuid
+
+    from ariadne_spark.streaming.maintenance import streaming_windowed_agg
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}/events"
+    schema = spark.read.parquet(f"{base}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(f"{base}/part*")
+    )
+    agged = streaming_windowed_agg(
+        stream,
+        "ts",
+        "1 day",
+        keys=[F.col("event_type")],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("__sv"),
+        ],
+        watermark="1 hour",
+    )
+    _STREAM_RUN[0] += 1
+    qname = f"stream_window_{_STREAM_RUN[0]}_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = (
+            agged.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{WORK}/_stream_ckpt/{qname}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    result = spark.table(qname).select(
+        F.unix_micros(F.col("window.start")).alias("window_us"),
+        "event_type",
+        "n_events",
+        F.col("__sv").cast("double").alias("sum_value"),
+    )
+    rows = result.collect()
+    out = spark.createDataFrame(rows, result.schema)
+    spark.catalog.dropTempView(qname)
+    shutil.rmtree(f"{WORK}/_stream_ckpt/{qname}", ignore_errors=True)
+    return out
+
+
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profiler over documents: per-column row/null/
+    distinct counts + typed extremes, ALL columns from a single
+    df.agg (one scan, one 1-row reduce). exact=True here so DuckDB
+    can mirror the distinct counts (the operator defaults to HLL for
+    lake scale)."""
+    from ariadne_spark.operators.profile import profile_table
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return profile_table(docs, exact=True)
+
+
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup: lines occurring in >1 distinct doc
+    are boilerplate and dropped; docs are reassembled in original
+    line order; emptied docs vanish. The corpus has no newlines, so
+    both engines derive identical 8-word lines first (same regex,
+    RE2/Java-compatible)."""
+    from ariadne_spark.operators.corpus import line_dedup
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    ml = docs.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+    )
+    out = line_dedup(ml, "text", "doc_id", "\n", max_docs=1)
+    return out.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.length("text").cast("bigint").alias("n_chars_kept"),
+    )
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats: per-term tf + distinct-doc df in one
+    explode + one shuffle; top-50 via TakeOrdered (per-partition
+    top-N, no global sort materialization)."""
+    from ariadne_spark.operators.corpus import vocab_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    vs = vocab_stats(docs, "text", "doc_id")
+    return vs.orderBy(
+        F.col("df").desc(), F.col("tf").desc(), F.col("term")
+    ).limit(50)
 
 
 def q_idx_large_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1340,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
         "streaming_latest": q_streaming_latest,
+        "streaming_window": q_streaming_window,
         "ts_sessionize": q_ts_sessionize,
         "ts_rollup": q_ts_rollup,
         "ts_asof_join": q_ts_asof_join,
@@ -1366,6 +1474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_dedup_cross": q_corpus_dedup_cross,
         "corpus_shard": q_corpus_shard,
+        "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_vocab": q_corpus_vocab,
+        "profile_docs": q_profile_docs,
         "corpus_quota_sample": q_corpus_quota_sample,
         "corpus_pii_redact": q_corpus_pii_redact,
         "corpus_contamination": q_corpus_contamination,
@@ -1527,6 +1638,85 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT event_id, ts_us, user_id, event_type, value FROM ranked WHERE rn = 1
+        """,
+        "streaming_window": """
+            SELECT epoch_us(date_trunc('day', ts)) AS window_us, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "corpus_line_dedup": """
+            WITH ml AS (
+                SELECT doc_id, lang, source,
+                       regexp_replace(text, '((?:\\S+ ){7}\\S+) ',
+                                      '\\1' || chr(10), 'g') AS text
+                FROM documents
+            ), split AS (
+                SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml
+            ), lines AS (
+                SELECT doc_id, unnest(ls) AS line,
+                       unnest(range(1, len(ls) + 1)) AS pos
+                FROM split
+            ), boiler AS (
+                SELECT line FROM lines GROUP BY line
+                HAVING COUNT(DISTINCT doc_id) > 1
+            ), kept AS (
+                SELECT * FROM lines
+                WHERE line NOT IN (SELECT line FROM boiler)
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT m.doc_id, m.lang, m.source, r.text,
+                   length(r.text) AS n_chars_kept
+            FROM ml m JOIN rebuilt r USING (doc_id)
+        """,
+        "corpus_vocab": """
+            WITH terms AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS term
+                FROM documents
+            )
+            SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+            FROM terms GROUP BY term
+            ORDER BY df DESC, tf DESC, term LIMIT 50
+        """,
+        "profile_docs": """
+            SELECT 'doc_id' AS "column", COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(doc_id) AS n_nulls,
+                   COUNT(DISTINCT doc_id) AS n_distinct,
+                   CAST(MIN(doc_id) AS DOUBLE) AS min_num,
+                   CAST(MAX(doc_id) AS DOUBLE) AS max_num,
+                   CAST(SUM(doc_id) AS DOUBLE) / COUNT(doc_id) AS mean,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM documents
+            UNION ALL
+            SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+                   COUNT(DISTINCT text),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), MIN(text), MAX(text)
+            FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                   COUNT(DISTINCT lang),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), MIN(lang), MAX(lang)
+            FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                   COUNT(DISTINCT source),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE), MIN(source), MAX(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                   COUNT(DISTINCT n_chars),
+                   CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
+                   CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars),
+                   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM documents
         """,
         "ts_sessionize": """
             WITH flagged AS (

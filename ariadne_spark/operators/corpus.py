@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import word_ngrams
+from .text import tokens, word_ngrams
 
 # Hash-bucket granularity for deterministic splits: 3 hex chars of
 # md5 = 4096 buckets, so fraction resolution is 1/4096 ≈ 0.024%.
@@ -350,4 +350,80 @@ def pack_sequences(
             / capacity
         ).alias("end_bin_seq"),
         F.col("__nt").alias("n_tokens"),
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+    max_docs: int = 1,
+) -> DataFrame:
+    """C4-style line-level dedup: drop every line that occurs in more
+    than ``max_docs`` distinct documents (boilerplate: navbars, cookie
+    banners, license headers), reassemble each document's surviving
+    lines in their original order, and drop documents left empty.
+
+    Scale shape (the line table is |corpus| x avg-lines rows, so every
+    stage must stay partial-agg friendly):
+
+    1. ``posexplode`` the split text — pipelined, no shuffle.
+    2. One hash shuffle on the line for the distinct-doc count
+       (two-phase count distinct, map-side partial).
+    3. The over-threshold line set is the *boilerplate* set — small
+       on real corpora — so the anti-join broadcasts under AQE; a
+       pathological corpus degrades to a shuffle join, never a
+       driver collect.
+    4. One hash shuffle on ``id_col`` to reassemble (collect_list of
+       (pos, line) structs, sorted in-executor by ``array_sort``).
+    5. Join surviving text back to the input row (drops emptied docs
+       via the inner join); AQE broadcasts whichever side shrank.
+
+    Deterministic: line order is restored from ``posexplode``
+    positions, never from shuffle arrival order.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("__pos", "__line"),
+    )
+    boilerplate = (
+        lines.groupBy("__line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
+        .where(F.col("__docs") > max_docs)
+        .select("__line")
+    )
+    kept = lines.join(boilerplate, "__line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            delim,
+        ).alias(text_col)
+    )
+    return df.drop(text_col).join(rebuilt, id_col, "inner")
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary statistics: per term, total occurrences
+    (``tf``) and distinct-document frequency (``df``) — the input to
+    vocabulary building, stopword harvesting, and domain drift checks.
+
+    One explode (pipelined) + one hash shuffle on the term with
+    map-side partial aggregation; ``df`` is a two-phase exact count
+    distinct. No driver-side state: top-N selection composes as an
+    ordinary ``orderBy().limit()`` (Spark runs TakeOrdered, which
+    only ships each partition's top N)."""
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    return terms.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.count_distinct(F.col(id_col)).alias("df"),
     )

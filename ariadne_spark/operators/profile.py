@@ -1,0 +1,116 @@
+"""One-pass table profiling: per-column row/null/distinct counts plus
+type-appropriate extremes — the "what is in this lake table" primitive
+(the reference exposes per-index ``stats()``; this is the same idea
+generalized to any DataFrame, reference Index.scala stats surface).
+
+Scale shape: ALL metrics for ALL columns come from a single
+``df.agg(...)`` — one scan, one final 1-row reduce, no per-column
+jobs. Distinct counts default to HyperLogLog (``approx_count_distinct``,
+constant memory, mergeable — the only sane choice at 100 TB); pass
+``exact=True`` to use exact two-phase distincts (Catalyst plans
+multi-distinct via Expand, duplicating scan rows per distinct column —
+affordable at audit time, not as a default). The 1-row wide result is
+unpivoted driver-side (ncols rows — trivially small).
+
+Numeric means are computed as exact integral/decimal sums divided by
+counts where possible so the result is reproducible across partition
+orders (a float ``avg`` is not associative-stable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    DecimalType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    NumericType,
+    ShortType,
+    StringType,
+)
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Profile ``columns`` (default: all) in one pass.
+
+    Output: one row per column with
+
+    - ``column``      — column name,
+    - ``n_rows``      — table row count,
+    - ``n_nulls``     — null count for the column,
+    - ``n_distinct``  — distinct non-null values (HLL unless ``exact``),
+    - ``min_num`` / ``max_num`` / ``mean`` — DOUBLE extremes/mean for
+      numeric columns (null otherwise); integral means are exact
+      sum/count ratios,
+    - ``min_str`` / ``max_str`` — string extremes for string columns.
+    """
+    names = columns or df.columns
+    types = dict(df.dtypes)
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        dt = schema[c]
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), 1)).alias(f"__nulls_{c}"))
+        if exact:
+            aggs.append(F.count_distinct(col).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"__nd_{c}"))
+        if isinstance(dt, NumericType):
+            aggs.append(F.min(col).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(col).cast("double").alias(f"__max_{c}"))
+            if isinstance(dt, _INTEGRAL) or isinstance(dt, DecimalType):
+                # exact sum (long/decimal) over count: partition-order
+                # independent, unlike a running float mean
+                mean = (F.sum(col).cast("double") / F.count(col)).alias(
+                    f"__mean_{c}"
+                )
+            else:
+                mean = F.avg(col).alias(f"__mean_{c}")
+            aggs.append(mean)
+        elif isinstance(dt, StringType):
+            aggs.append(F.min(col).alias(f"__smin_{c}"))
+            aggs.append(F.max(col).alias(f"__smax_{c}"))
+    row = df.agg(*aggs).collect()[0].asDict()
+
+    out_rows = []
+    for c in names:
+        out_rows.append(
+            (
+                c,
+                row["__n"],
+                row[f"__nulls_{c}"],
+                row[f"__nd_{c}"],
+                row.get(f"__min_{c}"),
+                row.get(f"__max_{c}"),
+                row.get(f"__mean_{c}"),
+                row.get(f"__smin_{c}"),
+                row.get(f"__smax_{c}"),
+            )
+        )
+    spark = df.sparkSession
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("column", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("n_nulls", LongType()),
+            StructField("n_distinct", LongType()),
+            StructField("min_num", DoubleType()),
+            StructField("max_num", DoubleType()),
+            StructField("mean", DoubleType()),
+            StructField("min_str", StringType()),
+            StructField("max_str", StringType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, out_schema)

@@ -147,3 +147,36 @@ def streaming_exact_dedup(
     return stream_df.withWatermark(event_time_col, watermark).dropDuplicates(
         keys + [event_time_col]
     )
+
+
+def streaming_windowed_agg(
+    stream_df: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    keys: list[str],
+    aggs: list,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the canonical
+    Structured Streaming shape (readStream → withWatermark →
+    window groupBy → agg). Late rows beyond ``watermark`` are
+    dropped and their window state is reclaimed, so state size is
+    bounded by (windows inside the watermark horizon) × |keys|,
+    independent of stream length.
+
+    Pair with ``outputMode("append")`` for exactly-once sink rows
+    (windows emit once finalized) or ``"complete"`` to re-emit the
+    whole running table each trigger (right for small dashboards and
+    for deterministic availableNow backfills, where append mode would
+    hold back windows the final watermark never passes).
+
+    Returns (window struct, *keys, *aggs); callers typically project
+    ``window.start``.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    return (
+        stream_df.withColumn("__evt", ts)
+        .withWatermark("__evt", watermark)
+        .groupBy(F.window(F.col("__evt"), window_duration).alias("window"), *keys)
+        .agg(*aggs)
+    )

@@ -26,6 +26,7 @@ BENCH_QUERIES = [
     "idx_multi_and",
     "idx_exploded_token",
     "streaming_latest",
+    "streaming_window",
     "dedup_exact",
     "dedup_ngramset",
     "dedup_minhash",
@@ -40,6 +41,9 @@ BENCH_QUERIES = [
     "corpus_contamination",
     "corpus_dedup_cross",
     "corpus_shard",
+    "corpus_line_dedup",
+    "corpus_vocab",
+    "profile_docs",
     "pipeline_clean",
     "sim_topk",
     "sim_ann_lsh",

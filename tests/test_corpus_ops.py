@@ -290,3 +290,106 @@ def test_dedup_against_no_explode_plan(spark):
     # or widened, and the tiny reference broadcasts under AQE
     assert "Generate" not in plan
     assert "LeftAnti" in plan
+
+
+# --- line_dedup ----------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lined_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "keep one\nCOOKIE BANNER\nkeep two"),
+            (2, "COOKIE BANNER\nunique middle\nFOOTER"),
+            (3, "FOOTER\nanother line"),
+            (4, "COOKIE BANNER\nFOOTER"),
+            (5, ""),
+            (6, ""),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_line_dedup_removes_boilerplate_preserves_order(spark, lined_docs):
+    out = corpus.line_dedup(lined_docs, "text", "doc_id")
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    # COOKIE BANNER in docs 1/2/4, FOOTER in 2/3/4, "" in 5/6 — all dropped
+    assert got == {
+        1: "keep one\nkeep two",
+        2: "unique middle",
+        3: "another line",
+        # doc 4 emptied entirely → dropped; docs 5/6 shared the empty line
+    }
+
+
+def test_line_dedup_max_docs_threshold(spark, lined_docs):
+    # max_docs=3 tolerates lines in up to 3 docs: nothing qualifies as
+    # boilerplate except nothing (max df is 3 for COOKIE BANNER) — so
+    # with max_docs=2 only COOKIE BANNER (df=3) and FOOTER (df=3) drop
+    out = corpus.line_dedup(lined_docs, "text", "doc_id", max_docs=3)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got[4] == "COOKIE BANNER\nFOOTER"
+    assert got[1] == "keep one\nCOOKIE BANNER\nkeep two"
+    assert len(got) == 6
+
+
+def test_line_dedup_keeps_other_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a\nshared", "en"), (2, "shared\nb", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    out = corpus.line_dedup(df, "text", "doc_id")
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in out.collect()}
+    assert rows == {1: ("a", "en"), 2: ("b", "de")}
+
+
+def test_line_dedup_is_partition_invariant(spark, lined_docs):
+    a = rows_set(corpus.line_dedup(lined_docs, "text", "doc_id"))
+    b = rows_set(corpus.line_dedup(lined_docs.repartition(7), "text", "doc_id"))
+    assert a == b
+
+
+# --- vocab_stats ---------------------------------------------------------
+
+
+def test_vocab_stats_exact_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")],
+        ["doc_id", "text"],
+    )
+    out = {r["term"]: (r["tf"], r["df"]) for r in corpus.vocab_stats(df).collect()}
+    assert out == {"a": (3, 2), "b": (2, 2), "c": (1, 1)}
+
+
+# --- profile_table -------------------------------------------------------
+
+
+def test_profile_table_metrics(spark):
+    from ariadne_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "x", 2.0), (2, None, 4.0), (3, "y", None), (4, "x", 8.0)],
+        ["id", "s", "v"],
+    )
+    prof = {r["column"]: r.asDict() for r in profile_table(df, exact=True).collect()}
+    assert prof["id"]["n_rows"] == 4
+    assert prof["id"]["n_nulls"] == 0
+    assert prof["id"]["n_distinct"] == 4
+    assert prof["id"]["min_num"] == 1.0 and prof["id"]["max_num"] == 4.0
+    assert prof["id"]["mean"] == 2.5  # exact sum/count, not float-avg
+    assert prof["s"]["n_nulls"] == 1
+    assert prof["s"]["n_distinct"] == 2
+    assert prof["s"]["min_str"] == "x" and prof["s"]["max_str"] == "y"
+    assert prof["s"]["min_num"] is None
+    assert prof["v"]["n_nulls"] == 1
+    assert prof["v"]["min_num"] == 2.0 and prof["v"]["max_num"] == 8.0
+
+
+def test_profile_table_approx_close(spark, docs):
+    from ariadne_spark.operators.profile import profile_table
+
+    prof = {r["column"]: r for r in profile_table(docs).collect()}
+    exact = docs.select(F.count_distinct("doc_id")).collect()[0][0]
+    # HLL default rsd 5%
+    assert prof["doc_id"]["n_distinct"] == pytest.approx(exact, rel=0.15)
+    assert prof["doc_id"]["n_rows"] == docs.count()

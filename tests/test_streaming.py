@@ -99,3 +99,62 @@ def test_streaming_exact_dedup_drops_in_window_duplicates(spark, tmp_path):
         (2, "2024-01-01 10:05:00"),
         (2, "2024-01-01 10:06:00"),
     ]
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    """availableNow windowed-agg backfill in complete mode equals the
+    batch groupBy over the same data; late-data semantics are the
+    watermark's job and need no wall clock here."""
+    import datetime as dt
+
+    from ariadne_spark.streaming.maintenance import streaming_windowed_agg
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + (i % 3), i % 24, 0, 0), f"t{i % 2}", float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["id", "ts", "kind", "value"])
+    src = str(tmp_path / "events")
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    agged = streaming_windowed_agg(
+        stream,
+        "ts",
+        "1 day",
+        keys=[F.col("kind")],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        ],
+    )
+    qname = f"swa_{uuid.uuid4().hex[:8]}"
+    q = (
+        agged.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = rows_set(
+        spark.table(qname).select(
+            F.col("window.start").alias("ws"), "kind", "n", "sv"
+        )
+    )
+    want = rows_set(
+        df.groupBy(
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias("ws"),
+            F.col("kind"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+    )
+    assert got == want and len(got) == 6
+    spark.catalog.dropTempView(qname)
