@@ -137,3 +137,84 @@ def find_indexes(column: str, spark: SparkSession | None = None) -> list[str]:
         if meta and meta.config_for(column) is not None:
             out.append(name)
     return out
+
+
+def find_indexes_for_file(
+    file_name: str, spark: SparkSession | None = None
+) -> list[str]:
+    """Indexes whose FileList tracks ``file_name`` — answers "which
+    indexes must I update if this file changed?" (reference semantics:
+    IndexCatalog.scala:248-262 findIndexes(fileName)). Sorted, like
+    the reference's sorted list() traversal. The column-based lookup
+    is the separate :func:`find_indexes` extension."""
+    if not file_name or not file_name.strip():
+        raise ValueError("file_name must not be null or blank")
+    spark = spark or context.get_spark()
+    out = []
+    for name in list_indexes(spark):
+        try:
+            idx = get(name, spark)
+        except IndexNotFoundError:
+            continue
+        if idx.filelist.contains(file_name):
+            out.append(name)
+    return out
+
+
+_TODF_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("regular_indexes", T.StringType(), False),
+        T.StructField("bloom_indexes", T.StringType(), False),
+        T.StructField("computed_indexes", T.StringType(), False),
+        T.StructField("temporal_indexes", T.StringType(), False),
+        T.StructField("range_indexes", T.StringType(), False),
+        T.StructField("exploded_field_indexes", T.StringType(), False),
+        T.StructField("file_count", T.LongType(), False),
+        T.StructField("total_indexed_file_size", T.LongType(), False),
+    ]
+)
+
+
+def to_df(spark: SparkSession | None = None) -> DataFrame:
+    """One row per index with the reference's exact column set
+    (IndexCatalog.scala:322-358): per-type comma-joined sorted column
+    lists, file count, total indexed bytes. Metadata comes from
+    driver-side manifest reads; file counts from the single unioned
+    job :func:`describe_all` uses — never one job per index."""
+    from .storage import metadata as M
+
+    spark = spark or context.get_spark()
+    conf = context.AriadneConf.load(spark)
+    fs = get_fs(spark, conf.storage_path)
+    names = list_indexes(spark)
+    counts = _file_counts(spark, names)
+    type_field = {
+        M.REGULAR: "regular_indexes",
+        M.BLOOM: "bloom_indexes",
+        M.COMPUTED: "computed_indexes",
+        M.TEMPORAL: "temporal_indexes",
+        M.RANGE: "range_indexes",
+        M.EXPLODED: "exploded_field_indexes",
+    }
+    rows = []
+    for name in names:
+        meta = load_metadata(
+            IndexPaths(conf.storage_path, name).metadata, name, fs=fs
+        )
+        if meta is None:
+            continue
+        by_type: dict[str, list[str]] = {f: [] for f in type_field.values()}
+        for cfg in meta.indexes:
+            by_type[type_field[cfg.type]].append(cfg.column)
+        rows.append(
+            (
+                name,
+                meta.format,
+                *(", ".join(sorted(by_type[f])) for f in _TODF_SCHEMA.names[2:8]),
+                counts[name],
+                int(meta.total_indexed_bytes),
+            )
+        )
+    return spark.createDataFrame(rows, _TODF_SCHEMA)
