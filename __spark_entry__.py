@@ -494,6 +494,39 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
+def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column quantiles (exact mode so DuckDB quantile_cont can
+    mirror the linear interpolation; the operator defaults to the
+    mergeable approx_percentile sketch at scale)."""
+    from ariadne_spark.operators.profile import numeric_quantiles
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return numeric_quantiles(docs, ["doc_id", "n_chars"], exact=True)
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl incremental near-dup: history signatures are
+    persisted once; the new batch band-joins new-vs-all (never
+    old×old) against the store. Rows-only by design: the estimate is
+    minhash-defined, not SQL-expressible."""
+    from ariadne_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signatures_fast,
+        signature_store_write,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    cut = 250
+    store = f"{WORK}/{_tag(sf_dir)}/sigstore"
+    hist = docs.where(F.col("doc_id") < cut)
+    new = docs.where(F.col("doc_id") >= cut)
+    signature_store_write(
+        minhash_signatures_fast(hist, "text", "doc_id"), store, mode="overwrite"
+    )
+    out = incremental_near_dup(new, store, threshold=0.8, update_store=False)
+    return out.select("id_a", "id_b", "est_jaccard")
+
+
 def q_idx_large_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/S9/P9 large-index path: the index was built with
     largeIndexLimit=50, so every per-file o_custkey value set
@@ -1477,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_vocab": q_corpus_vocab,
         "profile_docs": q_profile_docs,
+        "profile_quantiles": q_profile_quantiles,
+        "dedup_incremental": q_dedup_incremental,
         "corpus_quota_sample": q_corpus_quota_sample,
         "corpus_pii_redact": q_corpus_pii_redact,
         "corpus_contamination": q_corpus_contamination,
@@ -1716,6 +1751,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(n_chars) AS DOUBLE), CAST(MAX(n_chars) AS DOUBLE),
                    CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars),
                    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+            FROM documents
+        """,
+        "profile_quantiles": """
+            SELECT 'doc_id' AS "column",
+                   quantile_cont(CAST(doc_id AS DOUBLE), 0.25) AS p_25,
+                   quantile_cont(CAST(doc_id AS DOUBLE), 0.5)  AS p_5,
+                   quantile_cont(CAST(doc_id AS DOUBLE), 0.75) AS p_75,
+                   quantile_cont(CAST(doc_id AS DOUBLE), 0.95) AS p_95
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars',
+                   quantile_cont(CAST(n_chars AS DOUBLE), 0.25),
+                   quantile_cont(CAST(n_chars AS DOUBLE), 0.5),
+                   quantile_cont(CAST(n_chars AS DOUBLE), 0.75),
+                   quantile_cont(CAST(n_chars AS DOUBLE), 0.95)
             FROM documents
         """,
         "ts_sessionize": """

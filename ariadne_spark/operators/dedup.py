@@ -599,3 +599,109 @@ def ngram_set_dedup(
         .where(F.col("__rn") == 1)
         .drop("__key", "__rn")
     )
+
+
+# --------------------------------------------------- incremental minhash
+
+def signature_store_write(
+    sigs: DataFrame, store_path: str, mode: str = "append"
+) -> None:
+    """Persist minhash signatures (``__id``, h0..h{k-1}) as parquet —
+    the corpus-history side of incremental dedup. Appending a crawl
+    batch is one columnar write; no global state, no driver memory."""
+    sigs.write.mode(mode).parquet(store_path)
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_len: int = 5,
+    update_store: bool = True,
+) -> DataFrame:
+    """Continuous-crawl near-dup: check a NEW batch of documents
+    against the persisted signature history WITHOUT recomputing or
+    rescanning historical text (the shape a 100 TB ingest pipeline
+    needs — per-batch cost is O(batch + matching-band history), never
+    O(corpus)).
+
+    Returns (id_a, id_b, est_jaccard) pairs where at least one side is
+    a new document and the signature-agreement estimate ≥ threshold
+    (the text of historical docs is not available here, so the exact
+    shingle verify of :func:`near_dup_minhash` is replaced by the
+    unbiased k-sample estimate — at k=64 its σ at t=0.8 is ~0.05).
+
+    Plan shape: new signatures are computed zero-shuffle; both sides
+    band-explode (the store side is a parquet scan pruned to band
+    rows); ONE equi-join on (band, band-hash) — history rows without a
+    banding collision are never widened. With ``update_store`` the new
+    signatures are appended for the next batch.
+    """
+    spark = new_docs.sparkSession
+    new_sigs = minhash_signatures_fast(
+        new_docs, text_col, id_col, num_hashes, shingle_len
+    ).cache()
+    new_sigs.count()
+    try:
+        old_sigs = spark.read.parquet(store_path)
+    except Exception:
+        old_sigs = None
+
+    all_sigs = (
+        new_sigs if old_sigs is None else old_sigs.unionByName(new_sigs)
+    )
+    # DIRECTED banding: explode only (new × all) band collisions.
+    # Banding old∪new symmetrically would re-enumerate old×old pairs —
+    # O(history²) at 100 TB; this stays O(batch × matching history).
+    rows_per_band = num_hashes // bands
+
+    def _banded(side: DataFrame) -> DataFrame:
+        structs = []
+        for b in range(bands):
+            cols = [
+                F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            structs.append(
+                F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+            )
+        return side.select(
+            F.col("__id"), F.explode(F.array(*structs)).alias("b")
+        ).select("__id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+
+    ln = _banded(new_sigs).alias("l")
+    ra = _banded(all_sigs).alias("r")
+    cands = (
+        ln.join(
+            ra,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.__id") != F.col("r.__id")),
+        )
+        .select(
+            F.least(F.col("l.__id"), F.col("r.__id")).alias("id_a"),
+            F.greatest(F.col("l.__id"), F.col("r.__id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    l, r = all_sigs.alias("l"), all_sigs.alias("r")
+    out = (
+        cands.join(l, F.col("l.__id") == F.col("id_a"))
+        .join(r, F.col("r.__id") == F.col("id_b"))
+        .withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+        .cache()
+    )
+    out.count()
+    if update_store:
+        signature_store_write(new_sigs, store_path, mode="append")
+    new_sigs.unpersist()
+    return out

@@ -54,7 +54,6 @@ def profile_table(
     - ``min_str`` / ``max_str`` — string extremes for string columns.
     """
     names = columns or df.columns
-    types = dict(df.dtypes)
     schema = {f.name: f.dataType for f in df.schema.fields}
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in names:
@@ -114,3 +113,48 @@ def profile_table(
         ]
     )
     return spark.createDataFrame(out_rows, out_schema)
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    exact: bool = False,
+) -> DataFrame:
+    """Per-column quantiles for numeric columns, ALL in one pass.
+
+    Defaults to ``approx_percentile`` (t-digest-style sketch: one scan,
+    mergeable, constant memory — the lake-scale path). ``exact=True``
+    uses ``percentile`` (exact sort-based; linear-interpolated, which
+    matches ANSI ``quantile_cont`` / DuckDB bit-for-bit on integral
+    inputs) for audit-grade runs.
+
+    Output: one row per column — (column, p_25, p_50, ... as DOUBLE).
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    names = [
+        c
+        for c in (columns or df.columns)
+        if isinstance(schema[c], NumericType)
+    ]
+    arr = "array(" + ", ".join(f"{p}D" for p in probs) + ")"
+    fn = "percentile" if exact else "approx_percentile"
+    aggs = [
+        F.expr(f"{fn}(cast(`{c}` as double), {arr})").alias(f"__q_{c}")
+        for c in names
+    ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    out_rows = []
+    for c in names:
+        qs = row[f"__q_{c}"]
+        out_rows.append((c, *(qs if qs is not None else [None] * len(probs))))
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        [StructField("column", StringType())]
+        + [
+            StructField(f"p_{str(p).replace('0.', '')}", DoubleType())
+            for p in probs
+        ]
+    )
+    return df.sparkSession.createDataFrame(out_rows, out_schema)

@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "corpus_line_dedup",
     "corpus_vocab",
     "profile_docs",
+    "profile_quantiles",
+    "dedup_incremental",
     "pipeline_clean",
     "sim_topk",
     "sim_ann_lsh",

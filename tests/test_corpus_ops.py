@@ -393,3 +393,91 @@ def test_profile_table_approx_close(spark, docs):
     # HLL default rsd 5%
     assert prof["doc_id"]["n_distinct"] == pytest.approx(exact, rel=0.15)
     assert prof["doc_id"]["n_rows"] == docs.count()
+
+
+# --- numeric_quantiles ---------------------------------------------------
+
+
+def test_numeric_quantiles_exact_matches_manual(spark):
+    from ariadne_spark.operators.profile import numeric_quantiles
+
+    df = spark.createDataFrame([(float(i), i) for i in range(1, 11)], ["x", "y"])
+    out = {r["column"]: r for r in numeric_quantiles(df, exact=True).collect()}
+    assert out["x"]["p_25"] == 3.25
+    assert out["x"]["p_5"] == 5.5
+    assert out["x"]["p_75"] == 7.75
+    assert out["y"]["p_5"] == 5.5
+    # non-numeric columns are skipped entirely
+    df2 = df.withColumn("s", F.lit("a"))
+    cols = [r["column"] for r in numeric_quantiles(df2, exact=True).collect()]
+    assert cols == ["x", "y"]
+
+
+def test_numeric_quantiles_approx_close(spark, docs):
+    from ariadne_spark.operators.profile import numeric_quantiles
+
+    approx = {
+        r["column"]: r for r in numeric_quantiles(docs, ["n_chars"]).collect()
+    }
+    exact = {
+        r["column"]: r
+        for r in numeric_quantiles(docs, ["n_chars"], exact=True).collect()
+    }
+    assert approx["n_chars"]["p_5"] == pytest.approx(
+        exact["n_chars"]["p_5"], rel=0.05
+    )
+
+
+# --- incremental_near_dup ------------------------------------------------
+
+
+def test_incremental_near_dup_matches_full_banding(spark, docs, tmp_path):
+    """Two-batch incremental run finds exactly the (new × all) pairs the
+    full-corpus banding + estimate would, without rescanning history."""
+    from ariadne_spark.operators.dedup import (
+        incremental_near_dup,
+        lsh_candidate_pairs,
+        minhash_signatures_fast,
+        signature_store_write,
+    )
+
+    store = str(tmp_path / "sigstore")
+    hist = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    signature_store_write(
+        minhash_signatures_fast(hist, "text", "doc_id"), store, mode="overwrite"
+    )
+    got = incremental_near_dup(new, store, threshold=0.8)
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+
+    # expected: full-corpus banding, keep pairs touching a new doc with
+    # signature-agreement >= threshold
+    sigs = minhash_signatures_fast(docs, "text", "doc_id").cache()
+    cands = lsh_candidate_pairs(sigs)
+    agree = sum(
+        F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
+        for i in range(64)
+    )
+    est = (
+        cands.join(sigs.alias("l"), F.col("l.__id") == F.col("id_a"))
+        .join(sigs.alias("r"), F.col("r.__id") == F.col("id_b"))
+        .where((agree / 64) >= 0.8)
+        .where((F.col("id_a") >= 250) | (F.col("id_b") >= 250))
+        .select("id_a", "id_b")
+    )
+    want_pairs = {(r["id_a"], r["id_b"]) for r in est.collect()}
+    sigs.unpersist()
+    assert got_pairs == want_pairs and got_pairs
+
+    # the store now holds both batches' signatures
+    assert spark.read.parquet(store).count() == docs.count()
+
+
+def test_incremental_near_dup_empty_store_bootstraps(spark, docs, tmp_path):
+    from ariadne_spark.operators.dedup import incremental_near_dup
+
+    store = str(tmp_path / "fresh_store")
+    batch = docs.where(F.col("doc_id") < 100)
+    out = incremental_near_dup(batch, store, threshold=0.8)
+    assert out.columns == ["id_a", "id_b", "est_jaccard"]
+    assert spark.read.parquet(store).count() == batch.count()
