@@ -1377,6 +1377,129 @@ def q_sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no shipmode column → group by returnflag):
+    CASE-conditional counts over an orders⋈lineitem join with a
+    pushed-down ship-date band on the lineitem index view."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    return ariadne_spark.sql(
+        """
+        SELECT l.l_returnflag,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_returnflag
+        """,
+        spark,
+    )
+
+
+def q_sql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT JOIN with an
+    extra join predicate, two-level aggregation — exercises outer-join
+    null counting through the SQL surface."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("customer_v")
+    return ariadne_spark.sql(
+        """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+            SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+            FROM customer_v c LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY c.c_custkey
+        ) t GROUP BY c_count
+        """,
+        spark,
+    )
+
+
+def q_sql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): correlated scalar
+    AVG subquery per part. The threshold is computed as exact decimal
+    SUM cast to DOUBLE over COUNT so both engines derive bit-identical
+    boundaries (l_quantity is integral)."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "part")).createOrReplaceTempView("part_v")
+    return ariadne_spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+        FROM lineitem l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (
+              SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                 AS DOUBLE) / COUNT(*))
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        """,
+        spark,
+    )
+
+
+def q_sql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): OR-of-ANDs predicate mixing
+    both join sides — the shape that defeats naive single-column
+    pushdown; the rewriter's fallback keeps semantics while the join
+    key still prunes the lineitem view."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "part")).createOrReplaceTempView("part_v")
+    return ariadne_spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM lineitem l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        spark,
+    )
+
+
+def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global-sales opportunity): uncorrelated scalar AVG
+    subquery + NOT EXISTS anti-join, grouped by a name-derived code.
+    The AVG threshold is decimal-sum/count cast to DOUBLE for an
+    engine-exact boundary."""
+    import ariadne_spark
+
+    _prepare(spark, sf_dir)
+    spark.read.parquet(_t(sf_dir, "customer")).createOrReplaceTempView("customer_v")
+    return ariadne_spark.sql(
+        """
+        SELECT substring(c.c_name, 15, 1) AS cntrycode,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               AS totacctbal
+        FROM customer_v c
+        WHERE c.c_acctbal > (
+              SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*)
+              FROM customer_v c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY substring(c.c_name, 15, 1)
+        """,
+        spark,
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: fake-pack documents as video
     blobs, stamp a deterministic duration (10 ms per char), then
@@ -1535,6 +1658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_window_topn": q_sql_window_topn,
         "sql_tpch_q10": q_sql_tpch_q10,
         "sql_tpch_q18": q_sql_tpch_q18,
+        "sql_tpch_q12": q_sql_tpch_q12,
+        "sql_tpch_q13": q_sql_tpch_q13,
+        "sql_tpch_q17": q_sql_tpch_q17,
+        "sql_tpch_q19": q_sql_tpch_q19,
+        "sql_tpch_q22": q_sql_tpch_q22,
         "multimodal_frames": q_multimodal_frames,
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
@@ -2251,6 +2379,62 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY l_orderkey
                 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250)
             GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        """,
+        "sql_tpch_q12": """
+            SELECT l.l_returnflag,
+                   CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l.l_returnflag
+        """,
+        "sql_tpch_q13": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                 AND o.o_orderpriority <> '1-URGENT'
+                GROUP BY c.c_custkey
+            ) t GROUP BY c_count
+        """,
+        "sql_tpch_q17": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#1'
+              AND l.l_quantity < (
+                  SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                     AS DOUBLE) / COUNT(*))
+                  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "sql_tpch_q19": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1.0 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "sql_tpch_q22": """
+            SELECT substring(c.c_name, 15, 1) AS cntrycode,
+                   COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+            FROM customer c
+            WHERE c.c_acctbal > (
+                  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                         / COUNT(*)
+                  FROM customer c2 WHERE c2.c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY substring(c.c_name, 15, 1)
         """,
         "multimodal_frames": """
             SELECT doc_id,

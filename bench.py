@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "sql_tpch_q5",
     "sql_tpch_q6",
     "sql_tpch_q14",
+    "sql_tpch_q12",
+    "sql_tpch_q13",
+    "sql_tpch_q17",
+    "sql_tpch_q19",
+    "sql_tpch_q22",
     "sql_window_topn",
     "datasource_filter",
 ]

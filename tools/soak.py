@@ -175,6 +175,45 @@ def main() -> None:
          components=n_comp, expected=base_comp,
          cross_replica_merge_exact=n_comp == base_comp)
 
+    # ---- scenario 4: incremental near-dup against NX history ------
+    from ariadne_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signatures_fast,
+        signature_store_write,
+    )
+
+    store = f"{WORK}/sigstore"
+    hist = drep.where(F.col("doc_id") < (n_rep - 1) * dspan)
+    newb = drep.where(F.col("doc_id") >= (n_rep - 1) * dspan)
+    t0 = time.time()
+    signature_store_write(
+        minhash_signatures_fast(hist, "text", "doc_id"), store, mode="overwrite"
+    )
+    hist_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    inc = incremental_near_dup(newb, store, threshold=0.8, update_store=False)
+    emit(stage="incremental_near_dup", history_docs=(n_rep - 1) * dn,
+         batch_docs=dn, store_build_sec=hist_sec,
+         batch_sec=round(time.time() - t0, 2), pairs=inc.count())
+
+    # ---- scenario 5: line dedup + profile over the NX corpus ------
+    from ariadne_spark.operators.corpus import line_dedup
+    from ariadne_spark.operators.profile import profile_table
+
+    ml = drep.withColumn(
+        "text", F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+    )
+    t0 = time.time()
+    kept = line_dedup(ml, "text", "doc_id").count()
+    emit(stage="line_dedup", sec=round(time.time() - t0, 2),
+         docs_in=n_rep * dn, docs_kept=kept)
+
+    t0 = time.time()
+    prof = profile_table(spark.read.parquet(*files))
+    nprof = prof.count()
+    emit(stage="profile_one_pass", sec=round(time.time() - t0, 2),
+         columns=nprof, rows=n_rep * li.count())
+
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
 
