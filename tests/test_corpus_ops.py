@@ -481,3 +481,28 @@ def test_incremental_near_dup_empty_store_bootstraps(spark, docs, tmp_path):
     out = incremental_near_dup(batch, store, threshold=0.8)
     assert out.columns == ["id_a", "id_b", "est_jaccard"]
     assert spark.read.parquet(store).count() == batch.count()
+
+
+def test_line_dedup_idempotent(spark, lined_docs):
+    """Removing boilerplate twice changes nothing: after one pass every
+    surviving line occurs in exactly one doc."""
+    once = corpus.line_dedup(lined_docs, "text", "doc_id")
+    twice = corpus.line_dedup(once, "text", "doc_id")
+    assert rows_set(once) == rows_set(twice)
+
+
+def test_vocab_stats_conserves_token_mass(spark, docs):
+    """Σ tf over the vocabulary equals the corpus token count, and
+    df ≤ min(tf, n_docs) for every term."""
+    vs = corpus.vocab_stats(docs, "text", "doc_id").cache()
+    total_tf = vs.agg(F.sum("tf")).collect()[0][0]
+    total_tokens = docs.select(
+        F.sum(F.size(text.tokens(F.col("text"))))
+    ).collect()[0][0]
+    assert total_tf == total_tokens
+    n_docs = docs.count()
+    bad = vs.where(
+        (F.col("df") > F.col("tf")) | (F.col("df") > n_docs) | (F.col("df") < 1)
+    ).count()
+    vs.unpersist()
+    assert bad == 0
