@@ -178,19 +178,33 @@ def register_views(
     are skipped via a manifest-version fingerprint — repeated
     ``sql()`` calls don't re-pay a per-index Spark job."""
     names = names if names is not None else _catalog.list_indexes(spark)
+    registered = []
     for name in names:
-        idx = Index.for_name(name, spark=spark)
-        key = (id(spark), name)
-        fp = _view_fingerprint(idx)
-        if (
-            not force
-            and _VIEW_CACHE.get(key) == fp
-            and spark.catalog.tableExists(name)
-        ):
+        try:
+            idx = Index.for_name(name, spark=spark)
+            key = (id(spark), name)
+            fp = _view_fingerprint(idx)
+            if (
+                not force
+                and _VIEW_CACHE.get(key) == fp
+                and spark.catalog.tableExists(name)
+            ):
+                registered.append(name)
+                continue
+            idx.read_all().createOrReplaceTempView(name)
+            _VIEW_CACHE[key] = fp
+        except Exception as e:
+            # one broken index (corrupt metadata, vanished registered
+            # files) must not take down SQL over every OTHER table —
+            # skip its view; queries touching it fail with a normal
+            # table-not-found, everything else runs
+            log.warning(
+                "ariadne.sql: skipping view %s (%s: %s)",
+                name, type(e).__name__, e,
+            )
             continue
-        idx.read_all().createOrReplaceTempView(name)
-        _VIEW_CACHE[key] = fp
-    return list(names)
+        registered.append(name)
+    return registered
 
 
 class _ViewSwap:

@@ -242,3 +242,38 @@ def test_sql_join_matches_programmatic(spark, storage, orders_files):
     )
     via_api = idx.join(cust, on=["o_custkey"]).select("o_orderkey", "o_custkey")
     assert_same_rows(via_sql, via_api)
+
+
+def test_broken_index_does_not_break_other_views(
+    spark, storage, orders_files, tmp_path
+):
+    """One index whose registered files vanished (or whose metadata is
+    corrupt) must not take down SQL over every other table: its view
+    is skipped with a warning, other views register and query fine."""
+    import shutil
+
+    df, files = orders_files
+    good = Index.for_name(
+        "sql_good", schema=df.schema, format="parquet", spark=spark
+    )
+    good.add_index("o_custkey").add_files(files).update()
+
+    doomed_dir = str(tmp_path / "doomed")
+    df.limit(10).coalesce(1).write.parquet(doomed_dir)
+    import glob as g
+
+    doomed_files = g.glob(f"{doomed_dir}/*.parquet")
+    bad = Index.for_name(
+        "sql_bad", schema=df.schema, format="parquet", spark=spark
+    )
+    bad.add_index("o_custkey").add_files(doomed_files).update()
+    shutil.rmtree(doomed_dir)  # files vanish behind the index
+
+    surface._VIEW_CACHE.clear()
+    names = surface.register_views(spark, force=True)
+    assert "sql_good" in names
+    res = surface.sql(
+        "SELECT count(*) AS n FROM sql_good WHERE o_custkey IN (5, 6)", spark
+    )
+    want = df.where(F.col("o_custkey").isin([5, 6])).count()
+    assert res.collect()[0]["n"] == want
