@@ -85,7 +85,23 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
     _set_session(spark, sf_dir)
     base = f"{WORK}/{_tag(sf_dir)}"
     marker = f"{base}/_READY"
+    expected = {
+        "orders", "lineitem", "events", "doc_tokens",
+        "nation_csv", "supplier_json",
+        # _prepare_v2 / IVF additions share this store
+        "orders_large", "orders_inc", "orders_del", "ivf_embeddings",
+    }
     if os.path.exists(marker):
+        # self-heal: drop any foreign index another session parked in
+        # THIS store (its files may be gone; register_views would skip
+        # it, but the gate's catalog queries should see a clean set)
+        from ariadne_spark import catalog as _cat
+
+        for stray in set(_cat.list_indexes(spark)) - expected:
+            try:
+                _cat.remove(stray, spark)
+            except Exception:
+                pass
         return
     os.makedirs(base, exist_ok=True)
     with IndexLock(f"{base}/locks", "prepare", timeout=1800, max_wait=1800):
