@@ -141,4 +141,37 @@ print(
     "; contaminated docs:", contam.count(),
 )
 
+# 8) boilerplate line dedup + vocabulary + one-pass profiling ---------
+from ariadne_spark.operators.corpus import line_dedup, vocab_stats
+from ariadne_spark.operators.profile import numeric_quantiles, profile_table
+
+ml = docs.withColumn(
+    "text", F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1\n")
+)
+kept = line_dedup(ml, "text", "doc_id")
+vocab = vocab_stats(docs).orderBy(F.desc("df")).limit(5)
+prof = profile_table(docs)           # HLL sketches: one scan, any width
+quant = numeric_quantiles(docs)      # t-digest sketches, same shape
+print(
+    "8) line-deduped docs:", kept.count(),
+    "; top terms:", [r["term"] for r in vocab.collect()],
+    "; profiled columns:", prof.count(), "+", quant.count(), "quantile rows",
+)
+
+# 9) incremental near-dup: a new crawl batch vs the persisted store ---
+from ariadne_spark.operators.dedup import (
+    incremental_near_dup,
+    minhash_signatures_fast,
+    signature_store_write,
+)
+
+store = "/tmp/ariadne_pipeline_sigstore"
+hist = docs.where("doc_id < 250")
+batch = docs.where("doc_id >= 250")
+signature_store_write(
+    minhash_signatures_fast(hist, "text", "doc_id"), store, mode="overwrite"
+)
+inc = incremental_near_dup(batch, store, threshold=0.8, update_store=False)
+print("9) incremental near-dup pairs (batch vs history):", inc.count())
+
 spark.stop()
