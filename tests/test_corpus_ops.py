@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ariadne_spark.operators import corpus, text
+from ariadne_spark.operators import corpus as corpus_mod
 
 from .conftest import SF_DIR, rows_set
 
@@ -506,3 +507,43 @@ def test_vocab_stats_conserves_token_mass(spark, docs):
     ).count()
     vs.unpersist()
     assert bad == 0
+
+
+def test_line_dedup_matches_python_model_on_random_corpora(spark):
+    """Randomized model check: line_dedup over generated corpora equals
+    a pure-Python reference (distinct-doc counting, in-order
+    reassembly, emptied-doc drop, within-doc duplicates untouched)."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = [f"L{i}" for i in range(6)] + [""]
+    for trial in range(5):
+        corpus = {
+            i: [rng.choice(alphabet) for _ in range(rng.randint(1, 6))]
+            for i in range(rng.randint(2, 12))
+        }
+        max_docs = rng.choice([1, 2])
+        # python model
+        from collections import defaultdict
+
+        df_count: dict[str, set] = defaultdict(set)
+        for d, lines in corpus.items():
+            for ln in lines:
+                df_count[ln].add(d)
+        boiler = {ln for ln, ds in df_count.items() if len(ds) > max_docs}
+        want = {
+            d: "\n".join(ln for ln in lines if ln not in boiler)
+            for d, lines in corpus.items()
+            if any(ln not in boiler for ln in lines)
+        }
+        df = spark.createDataFrame(
+            [(d, "\n".join(lines)) for d, lines in corpus.items()],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in corpus_mod.line_dedup(
+                df, "text", "doc_id", max_docs=max_docs
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want} (corpus={corpus})"
