@@ -31,13 +31,15 @@ from .util import ensure_parallelism as _ensure_parallelism
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     """Keep one row per distinct ``keys`` combination — the one with
-    the smallest ``id_col`` (deterministic)."""
-    w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    the smallest ``id_col`` (deterministic).
+
+    Implemented as ``min_by`` aggregation, not a window: min_by is a
+    partial-aggregatable DeclarativeAggregate, so a hot key (think:
+    millions of empty documents sharing one normalized text) combines
+    MAP-SIDE before the shuffle instead of serializing every duplicate
+    row through a single window-sort task."""
+    winner = F.min_by(F.struct(*[df[c] for c in df.columns]), df[id_col])
+    return df.groupBy(*keys).agg(winner.alias("__w")).select("__w.*")
 
 
 def exact_dedup_normalized(
@@ -592,12 +594,17 @@ def ngram_set_dedup(
     shuffle volume ~50×, and the numpy shingling avoids the expensive
     per-gram substring expression tree (same trade as minhash)."""
     key = _gram_set_key_udf(n)(F.col(text_col))
-    w = Window.partitionBy("__key").orderBy(F.col(id_col).asc())
+    base = _ensure_parallelism(df)
+    # min_by aggregation, not a window: partial-aggregatable, so a hot
+    # gram-set (mass-duplicated boilerplate) combines map-side (see
+    # exact_dedup)
+    winner = F.min_by(
+        F.struct(*[base[c] for c in base.columns]), base[id_col]
+    )
     return (
-        _ensure_parallelism(df).withColumn("__key", key)
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__key", "__rn")
+        base.groupBy(key.alias("__key"))
+        .agg(winner.alias("__w"))
+        .select("__w.*")
     )
 
 
