@@ -610,6 +610,10 @@ def ngram_set_dedup(
 
 # --------------------------------------------------- incremental minhash
 
+# results of prior incremental_near_dup calls still holding cache
+_INCREMENTAL_LIVE: list = []
+
+
 def signature_store_write(
     sigs: DataFrame, store_path: str, mode: str = "append"
 ) -> None:
@@ -649,6 +653,13 @@ def incremental_near_dup(
     signatures are appended for the next batch.
     """
     spark = new_docs.sparkSession
+    # release the previous call's materialized result (kept cached so
+    # the returned frame stays valid after the store append below)
+    while _INCREMENTAL_LIVE:
+        try:
+            _INCREMENTAL_LIVE.pop().unpersist()
+        except Exception:
+            pass
     new_sigs = minhash_signatures_fast(
         new_docs, text_col, id_col, num_hashes, shingle_len
     ).cache()
@@ -711,4 +722,5 @@ def incremental_near_dup(
     if update_store:
         signature_store_write(new_sigs, store_path, mode="append")
     new_sigs.unpersist()
+    _INCREMENTAL_LIVE.append(out)
     return out

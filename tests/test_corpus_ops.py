@@ -547,3 +547,21 @@ def test_line_dedup_matches_python_model_on_random_corpora(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}: {got} != {want} (corpus={corpus})"
+
+
+def test_new_ops_empty_input_schema_stable(spark):
+    """EmptyResultSchemaTests analog for the round-4 operators: empty
+    inputs produce empty frames with the documented schemas."""
+    from ariadne_spark.operators.profile import numeric_quantiles, profile_table
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    ld = corpus.line_dedup(empty, "text", "doc_id")
+    assert ld.count() == 0 and set(ld.columns) == {"doc_id", "text"}
+    vs = corpus.vocab_stats(empty)
+    assert vs.count() == 0 and vs.columns == ["term", "tf", "df"]
+    prof = profile_table(empty)
+    assert prof.count() == 2  # one row per column, zero counts
+    assert {r["n_rows"] for r in prof.collect()} == {0}
+    q = numeric_quantiles(empty)
+    assert q.count() == 1  # doc_id only; null quantiles
+    assert q.collect()[0]["p_5"] is None
