@@ -356,12 +356,20 @@ class Index:
 
     # ------------------------------------------------------------ build
 
-    def update(self) -> "Index":
+    def update(self, footer_stats: bool = False) -> "Index":
         """Bring the index up to date with the FileList (reference
         orchestration: Index.scala:635-693). Batched so per-batch
         collect_set state stays under largeIndexLimit; every batch
         commit is atomic, so a crashed update resumes where it left
-        off (unindexed files are recomputed from FileList ∖ index)."""
+        off (unindexed files are recomputed from FileList ∖ index).
+
+        ``footer_stats=True`` builds RANGE indexes from parquet FOOTER
+        statistics instead of scanning data — indexing an existing
+        lake costs one footer read per file. Eligible only when every
+        configured index is RANGE and the format is parquet; falls
+        back to the scan build otherwise (and on any footer-read
+        error). String ranges may be wider than scan-built (parquet
+        truncates string stats) — pruning-safe, never lossy."""
         conf = self.conf
         lock = IndexLock(
             self.paths.locks,
@@ -377,10 +385,21 @@ class Index:
             )
             if not todo:
                 return self
-            analyses = analyze_files(
-                self.spark, self.meta, sorted(todo), self.meta.indexes
+            use_footers = (
+                footer_stats
+                and self.meta.format == "parquet"
+                and self.meta.indexes
+                and all(c.type == RANGE for c in self.meta.indexes)
             )
-            batches = create_batches(analyses, conf.large_index_limit)
+            if use_footers:
+                # range structs hold no collect_set state, so batch
+                # packing (and its HLL analysis scan) is unnecessary
+                batches = [sorted(todo)]
+            else:
+                analyses = analyze_files(
+                    self.spark, self.meta, sorted(todo), self.meta.indexes
+                )
+                batches = create_batches(analyses, conf.large_index_limit)
             log.info(
                 "index %s: updating %d files in %d batches",
                 self.name, len(todo), len(batches),
@@ -394,7 +413,23 @@ class Index:
                 c.column for c in self.meta.indexes if c.type == TEMPORAL
             ]
             for i, batch in enumerate(batches):
-                rows = build_index_rows(self.spark, self.meta, batch)
+                if use_footers:
+                    try:
+                        from .operators.build import (
+                            build_range_rows_from_footers,
+                        )
+
+                        rows = build_range_rows_from_footers(
+                            self.spark, self.meta, batch
+                        )
+                    except Exception as e:
+                        log.warning(
+                            "index %s: footer-stats build failed (%s); "
+                            "falling back to scan build", self.name, e,
+                        )
+                        rows = build_index_rows(self.spark, self.meta, batch)
+                else:
+                    rows = build_index_rows(self.spark, self.meta, batch)
                 rows = rows.cache()
                 try:
                     main_rows, large = split_large_indexes(

@@ -215,3 +215,83 @@ def split_large_indexes(
                 f"auto_bloom_{c}", F.when(big, bloom_udf(F.col(c)))
             ).withColumn(c, F.when(~big, F.col(c)))
     return out, large
+
+
+def build_range_rows_from_footers(
+    spark: SparkSession,
+    meta: IndexMetadata,
+    files: list[str],
+) -> DataFrame:
+    """RANGE index rows computed from parquet FOOTER statistics only —
+    no data scan. Indexing an existing 100 TB lake becomes a
+    footer-read per file (KBs each) distributed over the cluster,
+    instead of a full table pass.
+
+    Semantics vs the scan build: numeric/timestamp column-chunk stats
+    are exact, so the resulting [min,max] structs are identical.
+    String stats may be TRUNCATED bounds in parquet (min ≤ true min,
+    max ≥ true max) — a wider range is pruning-safe (never a false
+    negative), just occasionally less selective. All-null and empty
+    files yield null min/max, matching ``F.min``/``F.max``.
+
+    Caller guarantees: ``meta.format == 'parquet'`` and every config
+    is RANGE (checked by ``Index.update``).
+    """
+    configs = meta.indexes
+    cols = [(c.column, c.stored_column) for c in configs]
+    norm = [normalize_path(f) for f in files]
+
+    def one_file(path: str):
+        import pyarrow.parquet as pq
+
+        local = path[len("file:"):] if path.startswith("file:") else path
+        md = pq.ParquetFile(local).metadata
+        name_to_idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        out = [path]
+        for col, _ in cols:
+            i = name_to_idx.get(col)
+            mn = mx = None
+            if i is not None:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(i).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    if mn is None or st.min < mn:
+                        mn = st.min
+                    if mx is None or st.max > mx:
+                        mx = st.max
+            out.append((mn, mx))
+        return tuple(out)
+
+    n_slices = max(1, min(len(norm), spark.sparkContext.defaultParallelism))
+    rows = spark.sparkContext.parallelize(norm, n_slices).map(one_file).collect()
+
+    schema_types = {f.name: f.dataType for f in meta.schema.fields}
+    fields = [T.StructField("filename", T.StringType(), False)]
+    for col, stored in cols:
+        vt = schema_types[col]
+        fields.append(
+            T.StructField(
+                stored,
+                T.StructType(
+                    [T.StructField("min", vt), T.StructField("max", vt)]
+                ),
+            )
+        )
+    agg_df = spark.createDataFrame(rows, T.StructType(fields))
+
+    from ..storage.fs import batch_sizes
+
+    sizes = list(zip(norm, batch_sizes(spark, norm)))
+    files_df = spark.createDataFrame(
+        sizes,
+        T.StructType(
+            [
+                T.StructField("filename", T.StringType(), False),
+                T.StructField(FILE_SIZE_COL, T.LongType(), False),
+            ]
+        ),
+    )
+    return files_df.join(agg_df, "filename", "left")

@@ -338,3 +338,43 @@ def test_bloom_cost_floor_skips_probe(spark, storage, orders_files):
         assert_same_rows(res, df.join(keys, ["o_orderkey"]))
     finally:
         spark.conf.set("spark.ariadne.minBloomPruneBytes", "0")
+
+
+def test_footer_stats_build_matches_scan_build(spark, storage, orders_files):
+    """RANGE index rows built from parquet footer statistics equal the
+    scan build exactly for numeric columns, and queries answer
+    identically — the no-data-pass path for indexing an existing lake."""
+    df, files = orders_files
+    scan = Index.for_name("r_scan", schema=df.schema, format="parquet", spark=spark)
+    scan.add_range_index("o_orderkey").add_files(files).update()
+    foot = Index.for_name("r_foot", schema=df.schema, format="parquet", spark=spark)
+    foot.add_range_index("o_orderkey").add_files(files).update(footer_stats=True)
+
+    srows = {
+        r["filename"]: (r["range_o_orderkey"]["min"], r["range_o_orderkey"]["max"])
+        for r in scan.index_df.collect()
+    }
+    frows = {
+        r["filename"]: (r["range_o_orderkey"]["min"], r["range_o_orderkey"]["max"])
+        for r in foot.index_df.collect()
+    }
+    assert srows == frows and len(frows) == len(files)
+
+    keys = [5, 17, 101]
+    a = scan.read_matching({"o_orderkey": keys})
+    b = foot.read_matching({"o_orderkey": keys})
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert sorted(scan.locate_files({"o_orderkey": keys})) == sorted(
+        foot.locate_files({"o_orderkey": keys})
+    )
+
+
+def test_footer_stats_ineligible_falls_back(spark, storage, orders_files):
+    """A non-RANGE config silently uses the scan build (flag is a hint,
+    not a correctness switch)."""
+    df, files = orders_files
+    idx = Index.for_name("r_mix", schema=df.schema, format="parquet", spark=spark)
+    idx.add_range_index("o_orderkey").add_index("o_custkey")
+    idx.add_files(files).update(footer_stats=True)
+    res = idx.read_matching({"o_custkey": [5]})
+    assert res.count() == df.where(F.col("o_custkey") == 5).count()

@@ -175,6 +175,21 @@ def main() -> None:
          components=n_comp, expected=base_comp,
          cross_replica_merge_exact=n_comp == base_comp)
 
+    # ---- scenario 3b: footer-stats vs scan RANGE build ------------
+    t0 = time.time()
+    rs = Index.for_name("soak_r_scan", schema=df_schema, format="parquet", spark=spark)
+    rs.add_range_index("l_orderkey").add_files(files).update()
+    scan_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    rf = Index.for_name("soak_r_foot", schema=df_schema, format="parquet", spark=spark)
+    rf.add_range_index("l_orderkey").add_files(files).update(footer_stats=True)
+    foot_sec = round(time.time() - t0, 2)
+    same = sorted(
+        rs.locate_files({"l_orderkey": list(range(1000, 1200))})
+    ) == sorted(rf.locate_files({"l_orderkey": list(range(1000, 1200))}))
+    emit(stage="footer_stats_build", scan_sec=scan_sec, footer_sec=foot_sec,
+         files=len(files), locate_parity=same)
+
     # ---- scenario 4: incremental near-dup against NX history ------
     from ariadne_spark.operators.dedup import (
         incremental_near_dup,
