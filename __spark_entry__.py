@@ -89,7 +89,8 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
         "orders", "lineitem", "events", "doc_tokens",
         "nation_csv", "supplier_json",
         # _prepare_v2 / IVF additions share this store
-        "orders_large", "orders_inc", "orders_del", "ivf_embeddings",
+        "orders_large", "orders_inc", "orders_del", "orders_footer",
+        "ivf_embeddings",
     }
     if os.path.exists(marker):
         # self-heal: drop any foreign index another session parked in
@@ -229,6 +230,14 @@ def _prepare_v2(spark: SparkSession, sf_dir: str) -> None:
         di.add_files(ofiles).update()
         di.delete_files([ofiles[3]])
 
+        # footer-stats build: range index with NO data scan (parquet
+        # column-chunk min/max read distributed via pyarrow)
+        fo = Index.for_name(
+            "orders_footer", schema=orders.schema, format="parquet", spark=spark
+        )
+        fo.add_range_index("o_orderkey")
+        fo.add_files(ofiles).update(footer_stats=True)
+
         with open(marker, "w") as fh:
             fh.write("ok")
 
@@ -301,6 +310,15 @@ def q_idx_filter_computed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_idx_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 range index containment."""
     idx = _index(spark, sf_dir, "orders")
+    res = idx.read_matching({"o_orderkey": ORDER_KEYS_RANGE})
+    return res.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_idx_footer_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range queries over an index built from parquet FOOTER stats
+    only (update(footer_stats=True) — no data scan; exact numeric
+    parity with the scan build)."""
+    idx = _index2(spark, sf_dir, "orders_footer")
     res = idx.read_matching({"o_orderkey": ORDER_KEYS_RANGE})
     return res.select("o_orderkey", "o_custkey", "o_totalprice")
 
@@ -1621,6 +1639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_join_reverse": q_idx_join_reverse,
         "idx_filter_computed": q_idx_filter_computed,
         "idx_filter_range": q_idx_filter_range,
+        "idx_footer_range": q_idx_footer_range,
         "idx_join_bloom": q_idx_join_bloom,
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
@@ -1800,6 +1819,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE year(o_orderdate) = 1996
         """,
         "idx_filter_range": f"""
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey IN ({_sql_list(ORDER_KEYS_RANGE)})
+        """,
+        "idx_footer_range": f"""
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_orderkey IN ({_sql_list(ORDER_KEYS_RANGE)})
         """,
