@@ -158,3 +158,98 @@ def numeric_quantiles(
         ]
     )
     return df.sparkSession.createDataFrame(out_rows, out_schema)
+
+
+def profile_from_footers(
+    spark, files: list[str], columns: list[str] | None = None
+) -> DataFrame:
+    """Table profile computed from parquet FOOTER metadata only — zero
+    data scan. Per column: row count, null count (exact: parquet
+    column-chunk metadata stores both), and min/max from column-chunk
+    statistics (exact for numeric/timestamp; string bounds may be
+    truncated-wider). ``n_distinct`` is not derivable from footers and
+    is omitted — use :func:`profile_table` (HLL) when you need it.
+
+    Distributed one-footer-per-task, results reduced driver-side
+    (bytes proportional to files × columns, never to rows). The
+    100 TB story: a full-lake profile costs one KB-scale footer read
+    per file.
+    """
+
+    def one_file(path: str):
+        import pyarrow.parquet as pq
+
+        local = path[len("file:"):] if path.startswith("file:") else path
+        md = pq.ParquetFile(local).metadata
+        out = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for i in range(g.num_columns):
+                c = g.column(i)
+                name = c.path_in_schema
+                st = c.statistics
+                rows = g.num_rows
+                nulls = st.null_count if st is not None else None
+                mn = st.min if st is not None and st.has_min_max else None
+                mx = st.max if st is not None and st.has_min_max else None
+                pr = out.get(name)
+                if pr is None:
+                    out[name] = [rows, nulls, mn, mx]
+                else:
+                    pr[0] += rows
+                    pr[1] = (
+                        None if (pr[1] is None or nulls is None)
+                        else pr[1] + nulls
+                    )
+                    if mn is not None and (pr[2] is None or mn < pr[2]):
+                        pr[2] = mn
+                    if mx is not None and (pr[3] is None or mx > pr[3]):
+                        pr[3] = mx
+        return out
+
+    n_slices = max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    parts = spark.sparkContext.parallelize(files, n_slices).map(one_file).collect()
+    merged: dict = {}
+    for part in parts:
+        for name, (rows, nulls, mn, mx) in part.items():
+            pr = merged.get(name)
+            if pr is None:
+                merged[name] = [rows, nulls, mn, mx]
+            else:
+                pr[0] += rows
+                pr[1] = None if (pr[1] is None or nulls is None) else pr[1] + nulls
+                if mn is not None and (pr[2] is None or mn < pr[2]):
+                    pr[2] = mn
+                if mx is not None and (pr[3] is None or mx > pr[3]):
+                    pr[3] = mx
+
+    from pyspark.sql.types import StructField, StructType
+
+    names = columns or list(merged)
+    rows_out = []
+    for c in names:
+        r = merged.get(c)
+        if r is None:
+            continue
+        mn, mx = r[2], r[3]
+        num_mn = float(mn) if isinstance(mn, (int, float)) else None
+        num_mx = float(mx) if isinstance(mx, (int, float)) else None
+        s_mn = mn if isinstance(mn, (str, bytes)) else None
+        s_mx = mx if isinstance(mx, (str, bytes)) else None
+        if isinstance(s_mn, bytes):
+            s_mn = s_mn.decode("utf-8", "replace")
+        if isinstance(s_mx, bytes):
+            s_mx = s_mx.decode("utf-8", "replace")
+        rows_out.append((c, r[0], r[1], num_mn, num_mx, s_mn, s_mx))
+    out_schema = StructType(
+        [
+            StructField("column", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("n_nulls", LongType()),
+            StructField("min_num", DoubleType()),
+            StructField("max_num", DoubleType()),
+            StructField("min_str", StringType()),
+            StructField("max_str", StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows_out, out_schema)

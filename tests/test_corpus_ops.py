@@ -565,3 +565,33 @@ def test_new_ops_empty_input_schema_stable(spark):
     q = numeric_quantiles(empty)
     assert q.count() == 1  # doc_id only; null quantiles
     assert q.collect()[0]["p_5"] is None
+
+
+def test_profile_from_footers_matches_scan_profile(spark, tmp_path):
+    """Footer-derived profile equals the scan profile on row counts,
+    null counts, and numeric extremes — with zero data scan."""
+    from ariadne_spark.operators.profile import (
+        profile_from_footers,
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None if i % 7 == 0 else float(i), f"s{i % 5}") for i in range(200)],
+        ["id", "v", "s"],
+    )
+    out = str(tmp_path / "t")
+    df.repartition(4).write.parquet(out)
+    import glob as g
+
+    files = sorted(g.glob(f"{out}/*.parquet"))
+    foot = {r["column"]: r for r in profile_from_footers(spark, files).collect()}
+    scan = {
+        r["column"]: r
+        for r in profile_table(spark.read.parquet(*files)).collect()
+    }
+    for c in ("id", "v"):
+        assert foot[c]["n_rows"] == scan[c]["n_rows"] == 200
+        assert foot[c]["n_nulls"] == scan[c]["n_nulls"]
+        assert foot[c]["min_num"] == scan[c]["min_num"]
+        assert foot[c]["max_num"] == scan[c]["max_num"]
+    assert foot["s"]["min_str"] == "s0" and foot["s"]["max_str"] == "s4"
