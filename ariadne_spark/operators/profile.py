@@ -166,9 +166,11 @@ def profile_from_footers(
     """Table profile computed from parquet FOOTER metadata only — zero
     data scan. Per column: row count, null count (exact: parquet
     column-chunk metadata stores both), and min/max from column-chunk
-    statistics (exact for numeric/timestamp; string bounds may be
-    truncated-wider). ``n_distinct`` is not derivable from footers and
-    is omitted — use :func:`profile_table` (HLL) when you need it.
+    statistics (exact for numeric columns; string bounds may be
+    truncated-wider; timestamp/date extremes are not surfaced in this
+    profile — use the footer RANGE build or :func:`profile_table`).
+    ``n_distinct`` is not derivable from footers and is omitted — use
+    :func:`profile_table` (HLL) when you need it.
 
     Distributed one-footer-per-task, results reduced driver-side
     (bytes proportional to files × columns, never to rows). The
