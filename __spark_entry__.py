@@ -556,13 +556,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.where(F.col("doc_id") >= cut)
     # the store persists across batches in production — build it once
     # per scale factor (deterministic content), measure only the
-    # per-batch path
+    # per-batch path; locked like every other shared prepare step so
+    # concurrent sessions can't race overlapping overwrites
     if not os.path.isdir(store):
-        signature_store_write(
-            minhash_signatures_fast(hist, "text", "doc_id"),
-            store,
-            mode="overwrite",
-        )
+        from ariadne_spark.storage.lock import IndexLock
+
+        with IndexLock(
+            f"{WORK}/{_tag(sf_dir)}/locks", "sigstore",
+            timeout=1800, max_wait=1800,
+        ):
+            if not os.path.isdir(store):
+                signature_store_write(
+                    minhash_signatures_fast(hist, "text", "doc_id"),
+                    store,
+                    mode="overwrite",
+                )
     out = incremental_near_dup(new, store, threshold=0.8, update_store=False)
     return out.select("id_a", "id_b", "est_jaccard")
 

@@ -149,14 +149,19 @@ def find_indexes_for_file(
     is the separate :func:`find_indexes` extension."""
     if not file_name or not file_name.strip():
         raise ValueError("file_name must not be null or blank")
+    from .sources.files import normalize_path
+
     spark = spark or context.get_spark()
+    # FileList stores canonicalized names (add_files normalizes) — the
+    # lookup must normalize too or URI/percent-encoded forms never match
+    target = normalize_path(file_name)
     out = []
     for name in list_indexes(spark):
         try:
             idx = get(name, spark)
         except IndexNotFoundError:
             continue
-        if idx.filelist.contains(file_name):
+        if idx.filelist.contains(target):
             out.append(name)
     return out
 

@@ -139,12 +139,24 @@ def build_index_rows(
         if cfg.type == TEMPORAL:
             agg_df = agg_df.join(_temporal_frame(df, cfg), FILENAME_COL, "full_outer")
 
+    # left join from the authoritative file list => empty files still
+    # get an index row (otherwise they'd be re-indexed forever)
+    return _with_file_sizes(
+        spark, norm, agg_df.withColumnRenamed(FILENAME_COL, "filename")
+    )
+
+
+def _with_file_sizes(
+    spark: SparkSession, norm_files: list[str], agg_df: DataFrame
+) -> DataFrame:
+    """Left-join per-file aggregates onto the authoritative (filename,
+    file_size) frame. Hadoop-FS-aware batch stat (one listStatus per
+    parent dir) so hdfs:/s3a: lakes work; local paths hit the POSIX
+    fast path (reference sizes files the same way,
+    Index.scala:861-908)."""
     from ..storage.fs import batch_sizes
 
-    # Hadoop-FS-aware batch stat (one listStatus per parent dir) so
-    # hdfs:/s3a: lakes work; local paths hit the POSIX fast path
-    # (reference sizes files the same way, Index.scala:861-908)
-    sizes = list(zip(norm, batch_sizes(spark, norm)))
+    sizes = list(zip(norm_files, batch_sizes(spark, norm_files)))
     files_df = spark.createDataFrame(
         sizes,
         T.StructType(
@@ -154,11 +166,7 @@ def build_index_rows(
             ]
         ),
     )
-    # left join from the authoritative file list => empty files still
-    # get an index row (otherwise they'd be re-indexed forever)
-    return files_df.join(
-        agg_df.withColumnRenamed(FILENAME_COL, "filename"), "filename", "left"
-    )
+    return files_df.join(agg_df, "filename", "left")
 
 
 def split_large_indexes(
@@ -255,13 +263,26 @@ def build_range_rows_from_footers(
             mn = mx = None
             if i is not None:
                 for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(i).statistics
-                    if st is None or not st.has_min_max:
+                    g = md.row_group(rg)
+                    if g.num_rows == 0:
                         continue
-                    if mn is None or st.min < mn:
-                        mn = st.min
-                    if mx is None or st.max > mx:
-                        mx = st.max
+                    st = g.column(i).statistics
+                    if st is not None and st.has_min_max:
+                        if mn is None or st.min < mn:
+                            mn = st.min
+                        if mx is None or st.max > mx:
+                            mx = st.max
+                    elif st is not None and st.null_count == g.num_rows:
+                        pass  # all-null chunk legitimately has no bounds
+                    else:
+                        # stats absent for REAL values (e.g. INT96
+                        # timestamps, statistics disabled at write) —
+                        # a null range would read as prune-everything
+                        # and silently drop rows; force the scan build
+                        raise ValueError(
+                            f"no usable statistics for column {col!r} "
+                            f"in {path} (row group {rg})"
+                        )
             out.append((mn, mx))
         return tuple(out)
 
@@ -281,17 +302,4 @@ def build_range_rows_from_footers(
             )
         )
     agg_df = spark.createDataFrame(rows, T.StructType(fields))
-
-    from ..storage.fs import batch_sizes
-
-    sizes = list(zip(norm, batch_sizes(spark, norm)))
-    files_df = spark.createDataFrame(
-        sizes,
-        T.StructType(
-            [
-                T.StructField("filename", T.StringType(), False),
-                T.StructField(FILE_SIZE_COL, T.LongType(), False),
-            ]
-        ),
-    )
-    return files_df.join(agg_df, "filename", "left")
+    return _with_file_sizes(spark, norm, agg_df)

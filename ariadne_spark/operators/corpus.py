@@ -383,9 +383,14 @@ def line_dedup(
     Deterministic: line order is restored from ``posexplode``
     positions, never from shuffle arrival order.
     """
+    # F.split takes a REGEX; array_join below uses delim literally —
+    # \Q...\E quoting keeps metacharacter delimiters ('|', '.') exact
+    split_pat = "\\Q" + delim + "\\E"
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), split_pat)).alias(
+            "__pos", "__line"
+        ),
     )
     boilerplate = (
         lines.groupBy("__line")

@@ -37,8 +37,16 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     partial-aggregatable DeclarativeAggregate, so a hot key (think:
     millions of empty documents sharing one normalized text) combines
     MAP-SIDE before the shuffle instead of serializing every duplicate
-    row through a single window-sort task."""
-    winner = F.min_by(F.struct(*[df[c] for c in df.columns]), df[id_col])
+    row through a single window-sort task.
+
+    Null ids: the smallest NON-null id wins; a group whose ids are all
+    null still keeps one real row (min_by alone would drop null
+    ordering values and emit an all-NULL struct — guarded by the
+    (isNull, id) ordering key, which is never null itself)."""
+    order_key = F.struct(
+        df[id_col].isNull().alias("n"), df[id_col].alias("v")
+    )
+    winner = F.min_by(F.struct(*[df[c] for c in df.columns]), order_key)
     return df.groupBy(*keys).agg(winner.alias("__w")).select("__w.*")
 
 
@@ -146,11 +154,13 @@ def minhash_signatures_fast(
     return sig.select("__id", *cols)
 
 
-def lsh_candidate_pairs(
+def band_projection(
     signatures: DataFrame, num_hashes: int = 64, bands: int = 8
 ) -> DataFrame:
-    """Band the signature (rows per band = k/bands), hash each band,
-    and equi-join on (band, hash) to get candidate pairs (a < b)."""
+    """(__id, band, sig) rows: the signature split into ``bands``
+    chunks of k/bands hashes, each chunk hashed to one 64-bit band
+    key. Shared by batch LSH and the incremental signature-store path
+    so banding can never diverge between them."""
     rows_per_band = num_hashes // bands
     band_structs = []
     for b in range(bands):
@@ -158,9 +168,17 @@ def lsh_candidate_pairs(
         band_structs.append(
             F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
         )
-    banded = signatures.select(
+    return signatures.select(
         F.col("__id"), F.explode(F.array(*band_structs)).alias("b")
     ).select("__id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 64, bands: int = 8
+) -> DataFrame:
+    """Band the signature (rows per band = k/bands), hash each band,
+    and equi-join on (band, hash) to get candidate pairs (a < b)."""
+    banded = band_projection(signatures, num_hashes, bands)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -596,10 +614,14 @@ def ngram_set_dedup(
     key = _gram_set_key_udf(n)(F.col(text_col))
     base = _ensure_parallelism(df)
     # min_by aggregation, not a window: partial-aggregatable, so a hot
-    # gram-set (mass-duplicated boilerplate) combines map-side (see
+    # gram-set (mass-duplicated boilerplate) combines map-side; the
+    # (isNull, id) ordering key keeps all-null-id groups real (see
     # exact_dedup)
+    order_key = F.struct(
+        base[id_col].isNull().alias("n"), base[id_col].alias("v")
+    )
     winner = F.min_by(
-        F.struct(*[base[c] for c in base.columns]), base[id_col]
+        F.struct(*[base[c] for c in base.columns]), order_key
     )
     return (
         base.groupBy(key.alias("__key"))
@@ -664,10 +686,23 @@ def incremental_near_dup(
         new_docs, text_col, id_col, num_hashes, shingle_len
     ).cache()
     new_sigs.count()
+    # Missing store = first batch; any OTHER read failure (credential,
+    # corrupt footer) must PROPAGATE — treating it as "no history"
+    # would silently admit every historical near-duplicate.
+    from pyspark.errors import AnalysisException
+
+    old_sigs = None
     try:
         old_sigs = spark.read.parquet(store_path)
-    except Exception:
-        old_sigs = None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+    if old_sigs is not None:
+        # re-crawled ids: the NEW signature supersedes the stored one
+        # (duplicate __id rows would multiply the est joins below)
+        old_sigs = old_sigs.join(
+            F.broadcast(new_sigs.select("__id")), "__id", "left_anti"
+        )
 
     all_sigs = (
         new_sigs if old_sigs is None else old_sigs.unionByName(new_sigs)
@@ -675,23 +710,8 @@ def incremental_near_dup(
     # DIRECTED banding: explode only (new × all) band collisions.
     # Banding old∪new symmetrically would re-enumerate old×old pairs —
     # O(history²) at 100 TB; this stays O(batch × matching history).
-    rows_per_band = num_hashes // bands
-
-    def _banded(side: DataFrame) -> DataFrame:
-        structs = []
-        for b in range(bands):
-            cols = [
-                F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
-            ]
-            structs.append(
-                F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
-            )
-        return side.select(
-            F.col("__id"), F.explode(F.array(*structs)).alias("b")
-        ).select("__id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
-
-    ln = _banded(new_sigs).alias("l")
-    ra = _banded(all_sigs).alias("r")
+    ln = band_projection(new_sigs, num_hashes, bands).alias("l")
+    ra = band_projection(all_sigs, num_hashes, bands).alias("r")
     cands = (
         ln.join(
             ra,

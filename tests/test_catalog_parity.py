@@ -181,3 +181,14 @@ def test_schema_mismatch_flag(spark, storage, orders_schema):
         allow_schema_mismatch=True,
     )
     assert idx.meta.schema == other
+
+
+def test_find_indexes_for_file_uri_forms(spark, storage, orders_files):
+    """URI / percent-encoded forms of a registered path must resolve
+    through the same normalization add_files applied."""
+    df, files = orders_files
+    idx = Index.for_name("ff_uri", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey")
+    idx.add_files([files[0]])
+    assert catalog.find_indexes_for_file(files[0], spark) == ["ff_uri"]
+    assert catalog.find_indexes_for_file("file:" + files[0], spark) == ["ff_uri"]

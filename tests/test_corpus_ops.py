@@ -595,3 +595,67 @@ def test_profile_from_footers_matches_scan_profile(spark, tmp_path):
         assert foot[c]["min_num"] == scan[c]["min_num"]
         assert foot[c]["max_num"] == scan[c]["max_num"]
     assert foot["s"]["min_str"] == "s0" and foot["s"]["max_str"] == "s4"
+
+
+def test_line_dedup_metachar_delimiter(spark):
+    """The split pattern is literal-quoted: a '|' delimiter must not be
+    read as a regex alternation (which would split per character)."""
+    df = spark.createDataFrame(
+        [(1, "keep|SHARED|also"), (2, "SHARED|other")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in corpus.line_dedup(df, "text", "doc_id", delim="|").collect()
+    }
+    assert out == {1: "keep|also", 2: "other"}
+
+
+def test_exact_dedup_null_ids_keep_real_rows(spark):
+    """A group whose ids are all null must keep one REAL row (min_by
+    alone drops null ordering values); non-null ids still win."""
+    from ariadne_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(None, "k1", "a"), (None, "k1", "b"), (5, "k2", "c"), (None, "k2", "d"),
+         (7, "k2", "e")],
+        "id long, k string, v string",
+    )
+    out = {r["k"]: (r["id"], r["v"]) for r in exact_dedup(df, ["k"], "id").collect()}
+    assert out["k2"] == (5, "c")  # smallest non-null id wins
+    assert out["k1"][1] in ("a", "b")  # real row, not an all-NULL struct
+
+
+def test_incremental_near_dup_recrawl_no_duplicate_pairs(spark, docs, tmp_path):
+    """Re-ingesting ids already in the store must not multiply result
+    rows: the new signature supersedes the stored one."""
+    from ariadne_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signatures_fast,
+        signature_store_write,
+    )
+
+    store = str(tmp_path / "rs")
+    batch = docs.where(F.col("doc_id") < 120)
+    signature_store_write(
+        minhash_signatures_fast(batch, "text", "doc_id"), store, mode="overwrite"
+    )
+    # same ids again: every pair must appear exactly once
+    out = incremental_near_dup(batch, store, threshold=0.8, update_store=False)
+    pairs = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_incremental_near_dup_corrupt_store_raises(spark, docs, tmp_path):
+    """A store that exists but cannot be read must raise, not silently
+    skip history."""
+    import pytest as _pytest
+
+    from ariadne_spark.operators.dedup import incremental_near_dup
+
+    store = tmp_path / "corrupt"
+    store.mkdir()
+    (store / "part-00000.parquet").write_bytes(b"not parquet at all")
+    with _pytest.raises(Exception):
+        incremental_near_dup(
+            docs.where(F.col("doc_id") < 20), str(store), update_store=False
+        )

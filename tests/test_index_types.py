@@ -378,3 +378,24 @@ def test_footer_stats_ineligible_falls_back(spark, storage, orders_files):
     idx.add_files(files).update(footer_stats=True)
     res = idx.read_matching({"o_custkey": [5]})
     assert res.count() == df.where(F.col("o_custkey") == 5).count()
+
+
+def test_footer_stats_missing_statistics_falls_back(spark, storage, tmp_path):
+    """Files written WITHOUT parquet statistics must not produce null
+    ranges (which locate would read as prune-everything): the footer
+    build detects the gap and the update falls back to the scan build."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    files = []
+    for i in range(2):
+        t = pa.table({"k": pa.array(range(i * 100, i * 100 + 100), pa.int64())})
+        p = str(tmp_path / f"nostats{i}.parquet")
+        pq.write_table(t, p, write_statistics=False)
+        files.append(p)
+    df = spark.read.parquet(*files)
+    idx = Index.for_name("r_nostat", schema=df.schema, format="parquet", spark=spark)
+    idx.add_range_index("k").add_files(files).update(footer_stats=True)
+    # scan fallback produced real bounds: the value IS found
+    assert idx.read_matching({"k": [150]}).count() == 1
+    assert len(idx.locate_files({"k": [150]})) == 1
