@@ -12,6 +12,7 @@ from .sources.datasource import register as register_data_source
 from .sql.surface import (
     disable_sql_interception,
     enable_sql_interception,
+    prune_report,
     register_views,
     sql,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "AriadneConf",
     "catalog",
     "sql",
+    "prune_report",
     "join",
     "register_views",
     "register_data_source",

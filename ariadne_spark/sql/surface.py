@@ -232,12 +232,54 @@ def _raw_sql(spark: SparkSession, query: str) -> DataFrame:
     return type(spark).sql(spark, query)
 
 
+# per-view pruning decisions of the LAST sql() call (observability:
+# prune_report() renders this as a DataFrame)
+_PRUNE_REPORT: dict = {}
+
+
+def prune_report(spark: SparkSession | None = None) -> DataFrame:
+    """What the last :func:`sql` call pruned, one row per index view it
+    rewrote: files/bytes selected vs total and the probed columns.
+    Empty when the last query touched no index view (or fell back).
+
+    All numbers come from state the locate path already captured — no
+    extra Spark jobs."""
+    from .. import context
+
+    spark = spark or context.get_spark()
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("view", T.StringType()),
+            T.StructField("files_selected", T.LongType()),
+            T.StructField("files_total", T.LongType()),
+            T.StructField("bytes_selected", T.LongType()),
+            T.StructField("bytes_total", T.LongType()),
+            T.StructField("probed_columns", T.StringType()),
+        ]
+    )
+    rows = [
+        (
+            name,
+            r["files_selected"],
+            r["files_total"],
+            r["bytes_selected"],
+            r["bytes_total"],
+            ", ".join(r["probed_columns"]),
+        )
+        for name, r in sorted(_PRUNE_REPORT.items())
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
     """Run ``query`` with transparent index-based file pruning; falls
     back to the unmodified query on any extraction surprise."""
     from .. import context
 
     spark = spark or context.get_spark()
+    _PRUNE_REPORT.clear()
     index_names = set(register_views(spark))
     swap = _ViewSwap(spark)
     try:
@@ -327,6 +369,15 @@ def _plan_and_swap(
         files = idx.locate_files(query_map)
         pruned = idx.read_files(files, include_all_virtuals=True)
         swap.swap(name, pruned)
+        total_f, total_b = idx._index_totals()
+        sizes = idx._last_locate_stats.sizes
+        _PRUNE_REPORT[name] = {
+            "files_selected": len(files),
+            "files_total": int(total_f),
+            "bytes_selected": int(sum(sizes.get(f, 0) for f in files)),
+            "bytes_total": int(total_b),
+            "probed_columns": sorted(str(c) for c in query_map),
+        }
         log.info(
             "ariadne.sql: pruned view %s to %d files via %s",
             name, len(files), sorted(query_map),

@@ -277,3 +277,23 @@ def test_broken_index_does_not_break_other_views(
     )
     want = df.where(F.col("o_custkey").isin([5, 6])).count()
     assert res.collect()[0]["n"] == want
+
+
+def test_prune_report_reflects_last_query(spark, orders_view):
+    """prune_report() shows per-view files/bytes selected vs total for
+    the LAST sql() call, and empties on a no-index query."""
+    import ariadne_spark
+
+    surface.sql(
+        "SELECT o_orderkey FROM orders_sql WHERE o_custkey IN (5, 6)", spark
+    )
+    rep = {r["view"]: r for r in ariadne_spark.prune_report(spark).collect()}
+    assert "orders_sql" in rep
+    r = rep["orders_sql"]
+    assert 0 < r["files_selected"] <= r["files_total"]
+    assert 0 < r["bytes_selected"] <= r["bytes_total"]
+    assert "o_custkey" in r["probed_columns"]
+
+    spark.range(3).createOrReplaceTempView("plain_v")
+    surface.sql("SELECT * FROM plain_v", spark)
+    assert ariadne_spark.prune_report(spark).count() == 0
