@@ -86,8 +86,8 @@ class ParquetTable:
         versions = self._versions()
         return versions[-1] if versions else None
 
-    def _read_manifest(self) -> dict | None:
-        v = self._latest_version()
+    def _read_manifest(self, version: int | None = None) -> dict | None:
+        v = self._latest_version() if version is None else version
         if v is None:
             return None
         raw = self.fs.read_text(_join(self._manifest_dir(), f"v{v:020d}.json"))
@@ -96,6 +96,13 @@ class ParquetTable:
         m = json.loads(raw)
         m["version"] = v
         return m
+
+    def versions(self) -> list[int]:
+        """All committed manifest versions, ascending (time travel:
+        pass one to :meth:`read`). Older versions stay readable until
+        :meth:`vacuum` reclaims segments no current manifest
+        references — the Delta-style retention caveat."""
+        return self._versions()
 
     def _commit(self, build_segments, retries: int = 20) -> None:
         """Optimistically commit: recompute segments from the latest
@@ -117,9 +124,17 @@ class ParquetTable:
     def exists(self) -> bool:
         return self._latest_version() is not None
 
-    def read(self) -> DataFrame | None:
-        """Current table state, or None if the table doesn't exist."""
-        m = self._read_manifest()
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Table state as of ``version`` (default: latest), or None if
+        the table doesn't exist. Unknown versions raise with the
+        available range; versions older than the last vacuum may
+        reference reclaimed segments and fail at scan time."""
+        if version is not None and version not in self._versions():
+            raise ValueError(
+                f"version {version} not found for {self.path}; "
+                f"available: {self._versions()}"
+            )
+        m = self._read_manifest(version)
         if m is None:
             return None
         segments = m["segments"]

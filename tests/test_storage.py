@@ -160,3 +160,21 @@ def test_index_name_validation():
             validate_index_name(bad)
     with pytest.raises(InvalidIndexNameError):
         IndexPaths("/tmp/s", "../oops")
+
+
+def test_table_time_travel(spark, storage):
+    """read(version=N) reconstructs any committed state; versions()
+    lists them; unknown versions raise with the available range."""
+    t = ParquetTable(spark, f"{storage}/tt", key_cols=("k",))
+    t.append(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.append(spark.createDataFrame([(2, "b")], ["k", "v"]))
+    t.append(spark.createDataFrame([(1, "a2")], ["k", "v"]))  # upsert k=1
+    assert t.versions() == [1, 2, 3]
+    v1 = {tuple(r) for r in t.read(version=1).collect()}
+    v2 = {tuple(r) for r in t.read(version=2).collect()}
+    v3 = {tuple(r) for r in t.read().collect()}
+    assert v1 == {(1, "a")}
+    assert v2 == {(1, "a"), (2, "b")}
+    assert v3 == {(1, "a2"), (2, "b")}
+    with pytest.raises(ValueError):
+        t.read(version=99)
