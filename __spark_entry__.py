@@ -575,6 +575,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", "est_jaccard")
 
 
+def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (RAG / context prep): 32-token
+    windows advancing by 24 (8-token overlap), map-only built-ins,
+    zero shuffles."""
+    from ariadne_spark.operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
 def q_idx_large_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6/S9/P9 large-index path: the index was built with
     largeIndexLimit=50, so every per-file o_custkey value set
@@ -1680,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_cross": q_corpus_dedup_cross,
         "corpus_shard": q_corpus_shard,
         "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_chunk": q_corpus_chunk,
         "corpus_vocab": q_corpus_vocab,
         "profile_docs": q_profile_docs,
         "profile_quantiles": q_profile_quantiles,
@@ -1887,6 +1898,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, m.lang, m.source, r.text,
                    length(r.text) AS n_chars_kept
             FROM ml m JOIN rebuilt r USING (doc_id)
+        """,
+        "corpus_chunk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS ts
+                FROM documents
+            ), seqs AS (
+                SELECT doc_id, ts,
+                       unnest(range(0,
+                           1 + CAST(ceil(greatest(len(ts) - 32, 0) / 24.0)
+                               AS BIGINT))) AS chunk_seq
+                FROM toks
+            )
+            SELECT doc_id, chunk_seq,
+                   array_to_string(
+                       ts[chunk_seq * 24 + 1 : chunk_seq * 24 + 32],
+                       ' ') AS chunk_text,
+                   CAST(len(ts[chunk_seq * 24 + 1 : chunk_seq * 24 + 32])
+                        AS BIGINT) AS n_tokens
+            FROM seqs
         """,
         "corpus_vocab": """
             WITH terms AS (

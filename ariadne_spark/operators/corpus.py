@@ -432,3 +432,47 @@ def vocab_stats(
         F.count("*").alias("tf"),
         F.count_distinct(F.col(id_col)).alias("df"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking (RAG / pretraining context
+    prep): split each document's whitespace tokens into windows of
+    ``chunk_tokens`` advancing by ``chunk_tokens - overlap``, so
+    consecutive chunks share ``overlap`` tokens. The final window is
+    the remainder (never empty, never duplicated).
+
+    Output: (id, chunk_seq, chunk_text, n_tokens) — one row per chunk,
+    chunk_seq 0-based in document order.
+
+    Scale shape: pure built-ins (split → sequence → transform/slice →
+    posexplode), zero shuffles — a map-only projection whatever the
+    corpus size. Deterministic."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # number of windows: 1 + ceil(max(n - chunk, 0) / step)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(step)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * step + 1, chunk_tokens),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_seq", "__ctoks"),
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_seq").cast("bigint").alias("chunk_seq"),
+        F.array_join("__ctoks", " ").alias("chunk_text"),
+        F.size("__ctoks").cast("bigint").alias("n_tokens"),
+    )

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "corpus_dedup_cross",
     "corpus_shard",
     "corpus_line_dedup",
+    "corpus_chunk",
     "corpus_vocab",
     "profile_docs",
     "profile_quantiles",

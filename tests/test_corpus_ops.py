@@ -659,3 +659,35 @@ def test_incremental_near_dup_corrupt_store_raises(spark, docs, tmp_path):
         incremental_near_dup(
             docs.where(F.col("doc_id") < 20), str(store), update_store=False
         )
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from ariadne_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(11))), (2, "a b"), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=2)
+    rows = {
+        (r["doc_id"], r["chunk_seq"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: 11 tokens, windows of 4 stepping 2 → starts 0,2,4,6,8
+    assert rows[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert rows[(1, 1)] == ("t2 t3 t4 t5", 4)
+    assert rows[(1, 3)] == ("t6 t7 t8 t9", 4)
+    assert rows[(1, 4)] == ("t8 t9 t10", 3)  # remainder window
+    assert rows[(2, 0)] == ("a b", 2)  # short doc: single chunk
+    assert rows[(3, 0)] == ("solo", 1)
+    assert max(s for d, s in rows if d == 1) == 4
+    # every token is covered
+    covered = set()
+    for (d, s), (txt, _) in rows.items():
+        if d == 1:
+            covered.update(txt.split())
+    assert covered == {f"t{i}" for i in range(11)}
+    # overlap reconstruction: consecutive chunks share `overlap` tokens
+    assert rows[(1, 0)][0].split()[-2:] == rows[(1, 1)][0].split()[:2]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
