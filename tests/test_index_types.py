@@ -399,3 +399,32 @@ def test_footer_stats_missing_statistics_falls_back(spark, storage, tmp_path):
     # scan fallback produced real bounds: the value IS found
     assert idx.read_matching({"k": [150]}).count() == 1
     assert len(idx.locate_files({"k": [150]})) == 1
+
+
+def test_multiple_bloom_columns_and_intersection(spark, storage, orders_files):
+    """Two bloom columns on one index AND-intersect their candidate
+    sets (reference: BloomFilterOperationsTests.scala:170-217,
+    MultiColumnIntersectTests.scala:134-155)."""
+    df, files = orders_files
+    idx = Index.for_name("bb2", schema=df.schema, format="parquet", spark=spark)
+    idx.add_bloom_index("o_orderkey").add_bloom_index("o_custkey")
+    idx.add_files(files).update()
+    row = df.limit(1).collect()[0]
+    res = idx.read_matching(
+        {"o_orderkey": [row["o_orderkey"]], "o_custkey": [row["o_custkey"]]}
+    )
+    got = res.select("o_orderkey", "o_custkey").collect()
+    assert all(
+        r["o_orderkey"] == row["o_orderkey"]
+        and r["o_custkey"] == row["o_custkey"]
+        for r in got
+    ) and got
+    # definitely-absent values across both columns → empty, schema kept
+    none = idx.read_matching(
+        {"o_orderkey": [999999991], "o_custkey": [999999992]}
+    )
+    assert none.count() == 0 and none.columns == res.columns
+    # AND with one absent side prunes everything (files intersect empty)
+    assert idx.locate_files(
+        {"o_orderkey": [row["o_orderkey"]], "o_custkey": [999999992]}
+    ) == []
