@@ -77,16 +77,24 @@ def locate_files_local(
     index_table_path: str,
     meta: IndexMetadata,
     query: dict[str, list],
+    bands: dict[str, dict] | None = None,
 ) -> list[str]:
     """Candidate filenames for {column: [literal values]} without a
-    SparkSession. Conservative by construction."""
+    SparkSession. Conservative by construction.
+
+    ``bands``: optional {column: {lo, lo_inc, hi, hi_inc}} interval
+    constraints (from pushed >, >=, <, <= filters) evaluated against
+    RANGE index [min,max] by interval overlap; non-range columns
+    ignore their band (conservative)."""
     import pyarrow.parquet as pq
 
     segs = _read_manifest(index_table_path)
     if segs is None:
         return []
+    bands = bands or {}
     cols_needed = ["filename"]
     per_col = {}
+    band_col = {}
     for col, values in query.items():
         cfg = meta.config_for(col)
         if cfg is None:
@@ -95,6 +103,13 @@ def locate_files_local(
         cols_needed.append(cfg.stored_column)
         if cfg.type in (REGULAR, COMPUTED, EXPLODED):
             cols_needed.append(f"auto_bloom_{col}")
+    for col, b in bands.items():
+        cfg = meta.config_for(col)
+        if cfg is None:
+            raise KeyError(f"column {col} not indexed")
+        if cfg.type == RANGE:
+            band_col[col] = (cfg, b)
+            cols_needed.append(cfg.stored_column)
 
     # last-writer-wins per filename across segments
     state: dict[str, tuple[int, bool]] = {}  # filename -> (seq, verdict)
@@ -116,8 +131,31 @@ def locate_files_local(
                         if not _match(cfg, vals, tbl, i, schema_names):
                             ok = False
                             break
+                    if ok:
+                        for col, (cfg, b) in band_col.items():
+                            if not _match_band(cfg, b, tbl, i):
+                                ok = False
+                                break
                     state[fname] = (seg["seq"], ok)
     return sorted(f for f, (_, ok) in state.items() if ok)
+
+
+def _match_band(cfg, band, tbl, i) -> bool:
+    """Interval-overlap test of a pushed band against a RANGE
+    [min,max] struct: file may match unless its whole range lies
+    outside the band."""
+    sc = cfg.stored_column
+    rng = tbl.get(sc, [None])[i] if sc in tbl else None
+    if rng is None or rng.get("min") is None:
+        return False  # all-null column can't satisfy a comparison
+    lo, hi = band.get("lo"), band.get("hi")
+    if lo is not None:
+        if rng["max"] < lo or (rng["max"] == lo and not band.get("lo_inc", True)):
+            return False
+    if hi is not None:
+        if rng["min"] > hi or (rng["min"] == hi and not band.get("hi_inc", True)):
+            return False
+    return True
 
 
 def _match(cfg, vals, tbl, i, schema_names) -> bool:

@@ -108,23 +108,60 @@ class AriadneReader(DataSourceReader):
         self._filelist_path = paths.filelist
         self._meta = meta
         self._pushed: dict[str, list] = {}
+        self._bands: dict[str, dict] = {}
 
     def pushFilters(self, filters):
-        """Collect EqualTo/In on indexed top-level columns for
-        file-grain pruning; report EVERY filter back as unhandled so
-        Spark re-applies them row-level (reference P8 semantics)."""
+        """Collect EqualTo/In (value pruning) plus >, >=, <, <= against
+        RANGE-indexed columns (interval pruning) on indexed top-level
+        columns; report EVERY filter back as unhandled so Spark
+        re-applies them row-level (reference P8 semantics)."""
+        from pyspark.sql.datasource import (
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
         indexed = {c.column for c in self._meta.indexes}
+        range_cols = {
+            c.column for c in self._meta.indexes if c.type == "range"
+        }
         for f in filters:
             if isinstance(f, (EqualTo, In)) and len(f.attribute) == 1:
                 col = f.attribute[0]
                 if col in indexed:
                     vals = list(f.value) if isinstance(f, In) else [f.value]
                     self._pushed.setdefault(col, []).extend(vals)
+            elif (
+                isinstance(
+                    f,
+                    (GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+                )
+                and len(f.attribute) == 1
+                and f.attribute[0] in range_cols
+            ):
+                col = f.attribute[0]
+                b = self._bands.setdefault(col, {})
+                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    inc = isinstance(f, GreaterThanOrEqual)
+                    # conjunctive: keep the TIGHTEST lower bound
+                    if b.get("lo") is None or f.value > b["lo"] or (
+                        f.value == b["lo"] and not inc
+                    ):
+                        b["lo"], b["lo_inc"] = f.value, inc
+                else:
+                    inc = isinstance(f, LessThanOrEqual)
+                    if b.get("hi") is None or f.value < b["hi"] or (
+                        f.value == b["hi"] and not inc
+                    ):
+                        b["hi"], b["hi_inc"] = f.value, inc
             yield f  # all filters remain Spark's responsibility
 
     def partitions(self):
-        if self._pushed:
-            files = locate_files_local(self._index_path, self._meta, self._pushed)
+        if self._pushed or self._bands:
+            files = locate_files_local(
+                self._index_path, self._meta, self._pushed, bands=self._bands
+            )
         else:
             files = list_filenames(self._filelist_path)
         return [

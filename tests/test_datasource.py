@@ -67,3 +67,38 @@ def test_datasource_refuses_temporal(spark, storage, events_files):
     register(spark)
     with pytest.raises(Exception, match="temporal"):
         _load(spark, storage, "ev_ds").count()
+
+
+def test_datasource_range_band_pushdown_prunes_and_matches(spark, ds_index):
+    """>, >=, <, <= on a RANGE-indexed column prune at file grain
+    through the JVM-free planner, and row-level filters still apply
+    (files are keyed by contiguous o_orderkey ranges, so a narrow band
+    must hit a strict subset)."""
+    df, files, idx, storage = ds_index
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    width = (hi - lo) // 4 + 1
+    band_lo, band_hi = lo + 1, lo + width // 2  # inside file 0 only
+    got = (
+        _load(spark, storage)
+        .where(
+            (F.col("o_orderkey") >= band_lo) & (F.col("o_orderkey") < band_hi)
+        )
+    )
+    want = df.where(
+        (F.col("o_orderkey") >= band_lo) & (F.col("o_orderkey") < band_hi)
+    )
+    assert_same_rows(
+        got.select("o_orderkey", "o_custkey"),
+        want.select("o_orderkey", "o_custkey"),
+    )
+    # planner-level: the band selects a strict subset of files
+    bands = {"o_orderkey": {"lo": band_lo, "lo_inc": True,
+                            "hi": band_hi, "hi_inc": False}}
+    sel = locate_files_local(idx.paths.index, idx.meta, {}, bands=bands)
+    assert 0 < len(sel) < len(files)
+    # an impossible band prunes everything
+    none = locate_files_local(
+        idx.paths.index, idx.meta, {},
+        bands={"o_orderkey": {"lo": hi + 10, "lo_inc": True}},
+    )
+    assert none == []
