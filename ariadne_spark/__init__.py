@@ -8,6 +8,7 @@ SURVEY.md), plus large-scale training-data pipeline operators
 from . import catalog
 from .context import AriadneConf
 from .index import Index
+from .plans.locate import Band
 from .sources.datasource import register as register_data_source
 from .sql.surface import (
     disable_sql_interception,
@@ -28,6 +29,7 @@ def join(df, index: Index, on, how: str = "inner"):
 
 __all__ = [
     "Index",
+    "Band",
     "AriadneConf",
     "catalog",
     "sql",

@@ -595,7 +595,20 @@ class Index:
         )
         df = self.read_files(files, extra_columns=list(values.keys()))
         if filter_rows:
+            from .plans.locate import Band
+
             for col, vals in values.items():
+                if isinstance(vals, Band):
+                    c = F.col(col)
+                    if vals.lo is not None:
+                        df = df.where(
+                            (c >= vals.lo) if vals.lo_inc else (c > vals.lo)
+                        )
+                    if vals.hi is not None:
+                        df = df.where(
+                            (c <= vals.hi) if vals.hi_inc else (c < vals.hi)
+                        )
+                    continue
                 vlist = [v for v in vals if v is not None]
                 if len(vlist) <= 64:
                     df = df.where(F.col(col).isin(vlist))

@@ -59,6 +59,19 @@ BLOOM_PROBE_CAP = 2_000_000
 _VAL = "__ariadne_value"
 
 
+@dataclass(frozen=True)
+class Band:
+    """An interval query constraint for RANGE-indexed columns:
+    ``{col: Band(lo, hi)}`` prunes by [min,max] overlap instead of
+    value containment — the natural form of SQL ``>=``/``<`` bands.
+    ``None`` bounds are unbounded; ``*_inc`` control inclusivity."""
+
+    lo: object = None
+    hi: object = None
+    lo_inc: bool = True
+    hi_inc: bool = True
+
+
 @dataclass
 class LocateStats:
     per_column: dict = field(default_factory=dict)
@@ -303,6 +316,25 @@ def locate_files(
         if cfg is None:
             raise ColumnNotIndexedError(col)
         source = query[col] if isinstance(query, dict) else query
+        if isinstance(source, Band):
+            if cfg.type != RANGE:
+                raise ColumnNotIndexedError(
+                    f"{col}: Band queries need a range index, not {cfg.type}"
+                )
+            stats.per_column[col] = {
+                "type": cfg.type, "skipped": False, "source": "band",
+            }
+            lo = F.col(cfg.stored_column).getField("min")
+            hi = F.col(cfg.stored_column).getField("max")
+            pred = lo.isNotNull()
+            if source.lo is not None:
+                p = F.lit(source.lo)
+                pred = pred & ((hi >= p) if source.lo_inc else (hi > p))
+            if source.hi is not None:
+                p = F.lit(source.hi)
+                pred = pred & ((lo <= p) if source.hi_inc else (lo < p))
+            candidate_dfs.append(index_df.where(pred).select("filename"))
+            continue
         values_df = _values_df(spark, source, col)
         if values_df is not None and isinstance(source, DataFrame):
             # A DataFrame source can be arbitrarily expensive (the SQL

@@ -141,6 +141,46 @@ def _equality_filters(cond, indexed: set[str]) -> dict[str, list]:
     return out
 
 
+def _band_filters(cond, range_cols: set[str]) -> dict:
+    """{col: Band} from >, >=, <, <= conjuncts on RANGE-indexed
+    columns (tightest conjunction per column). Literal-on-left forms
+    are mirrored."""
+    from ..plans.locate import Band
+
+    acc: dict[str, dict] = {}
+    mirror = {
+        "GreaterThan": "LessThan",
+        "GreaterThanOrEqual": "LessThanOrEqual",
+        "LessThan": "GreaterThan",
+        "LessThanOrEqual": "GreaterThanOrEqual",
+    }
+    for c in _split_conjuncts(cond):
+        k = _cls(c)
+        if k not in mirror:
+            continue
+        name, v, op = _attr_name(c.left()), _literal_value(c.right()), k
+        if name is None:
+            name, v, op = _attr_name(c.right()), _literal_value(c.left()), mirror[k]
+        if name not in range_cols or v is None:
+            continue
+        b = acc.setdefault(name, {})
+        if op in ("GreaterThan", "GreaterThanOrEqual"):
+            inc = op == "GreaterThanOrEqual"
+            if b.get("lo") is None or v > b["lo"] or (v == b["lo"] and not inc):
+                b["lo"], b["lo_inc"] = v, inc
+        else:
+            inc = op == "LessThanOrEqual"
+            if b.get("hi") is None or v < b["hi"] or (v == b["hi"] and not inc):
+                b["hi"], b["hi_inc"] = v, inc
+    return {
+        col: Band(
+            lo=b.get("lo"), hi=b.get("hi"),
+            lo_inc=b.get("lo_inc", True), hi_inc=b.get("hi_inc", True),
+        )
+        for col, b in acc.items()
+    }
+
+
 def _join_equi_cols(cond, indexed: set[str]) -> list[tuple[str, str]]:
     """(index_col, other_col) pairs from equi conjuncts; index side
     recognized by membership in ``indexed``."""
@@ -333,6 +373,10 @@ def _plan_and_swap(
     indexed_cols = {
         n: {c.column for c in idx.meta.indexes} for n, idx in metas.items()
     }
+    range_cols = {
+        n: {c.column for c in idx.meta.indexes if c.type == "range"}
+        for n, idx in metas.items()
+    }
 
     # (a) WHERE pushdown: Filter over a subtree containing exactly one
     # index relation -> prune that index's files by the literal filters
@@ -354,7 +398,17 @@ def _plan_and_swap(
         if flt:
             cur = pruned_values.setdefault(name, {})
             for col, vals in flt.items():
-                cur.setdefault(col, []).extend(vals)
+                # equality values bound tighter than any Band a prior
+                # Filter node contributed — replace, never .extend it
+                if not isinstance(cur.get(col), list):
+                    cur[col] = []
+                cur[col].extend(vals)
+        for col, band in _band_filters(
+            node.condition(), range_cols[name]
+        ).items():
+            # literal equality on the same column already bounds the
+            # candidate set tighter than any band
+            pruned_values.setdefault(name, {}).setdefault(col, band)
 
     # accumulated join-key frames per view; swapping is monotone
     # refinement (every re-swap only ADDS constraints, and file

@@ -428,3 +428,31 @@ def test_multiple_bloom_columns_and_intersection(spark, storage, orders_files):
     assert idx.locate_files(
         {"o_orderkey": [row["o_orderkey"]], "o_custkey": [999999992]}
     ) == []
+
+
+def test_band_query_prunes_and_matches(spark, storage, orders_files):
+    """Band(lo, hi) on a range index prunes at file grain and the row
+    filter restores exactness — the SQL >=/< shape without value
+    enumeration."""
+    from ariadne_spark import Band
+
+    df, files = orders_files
+    idx = Index.for_name("r_band", schema=df.schema, format="parquet", spark=spark)
+    idx.add_range_index("o_orderkey").add_files(files).update()
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    width = (hi - lo) // 4 + 1
+    band = Band(lo=lo + 1, hi=lo + width // 2, hi_inc=False)
+    res = idx.read_matching({"o_orderkey": band})
+    want = df.where(
+        (F.col("o_orderkey") >= band.lo) & (F.col("o_orderkey") < band.hi)
+    )
+    assert res.count() == want.count() > 0
+    located = idx.locate_files({"o_orderkey": band})
+    assert 0 < len(located) < len(files)
+    # band on a non-range index raises
+    from ariadne_spark.exceptions import ColumnNotIndexedError
+
+    reg = Index.for_name("r_band2", schema=df.schema, format="parquet", spark=spark)
+    reg.add_index("o_custkey").add_files(files).update()
+    with pytest.raises(ColumnNotIndexedError):
+        reg.locate_files({"o_custkey": Band(lo=1)})

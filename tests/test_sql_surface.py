@@ -297,3 +297,28 @@ def test_prune_report_reflects_last_query(spark, orders_view):
     spark.range(3).createOrReplaceTempView("plain_v")
     surface.sql("SELECT * FROM plain_v", spark)
     assert ariadne_spark.prune_report(spark).count() == 0
+
+
+def test_sql_band_pushdown_prunes_range_view(spark, orders_view, storage):
+    """WHERE o_orderkey >= X AND o_orderkey < Y on a range-indexed view
+    prunes at file grain (prune_report shows a strict subset) with
+    exact results."""
+    import ariadne_spark
+
+    df = orders_view
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    width = (hi - lo) // 4 + 1
+    a, b = lo + 1, lo + width // 2
+    res = surface.sql(
+        f"SELECT o_orderkey, o_custkey FROM orders_sql "
+        f"WHERE o_orderkey >= {a} AND o_orderkey < {b}",
+        spark,
+    )
+    want = df.where(
+        (F.col("o_orderkey") >= a) & (F.col("o_orderkey") < b)
+    ).select("o_orderkey", "o_custkey")
+    assert_same_rows(res, want)
+    rep = {r["view"]: r for r in ariadne_spark.prune_report(spark).collect()}
+    r = rep["orders_sql"]
+    assert r["files_selected"] < r["files_total"]
+    assert "o_orderkey" in r["probed_columns"]
