@@ -314,6 +314,19 @@ def q_idx_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+def q_idx_filter_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval Band query on the range index: file pruning by
+    [min,max] overlap (no value enumeration), rows re-filtered
+    exactly."""
+    from ariadne_spark import Band
+
+    idx = _index(spark, sf_dir, "orders")
+    res = idx.read_matching(
+        {"o_orderkey": Band(lo=200, hi=360, hi_inc=False)}
+    )
+    return res.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
 def q_idx_footer_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range queries over an index built from parquet FOOTER stats
     only (update(footer_stats=True) — no data scan; exact numeric
@@ -1657,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_join_reverse": q_idx_join_reverse,
         "idx_filter_computed": q_idx_filter_computed,
         "idx_filter_range": q_idx_filter_range,
+        "idx_filter_band": q_idx_filter_band,
         "idx_footer_range": q_idx_footer_range,
         "idx_join_bloom": q_idx_join_bloom,
         "idx_join_temporal": q_idx_join_temporal,
@@ -1840,6 +1854,10 @@ def oracle_sql() -> dict[str, str]:
         "idx_filter_range": f"""
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_orderkey IN ({_sql_list(ORDER_KEYS_RANGE)})
+        """,
+        "idx_filter_band": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderkey >= 200 AND o_orderkey < 360
         """,
         "idx_footer_range": f"""
             SELECT o_orderkey, o_custkey, o_totalprice

@@ -23,6 +23,7 @@ BENCH_QUERIES = [
     "idx_join_bloom",
     "idx_join_temporal",
     "idx_filter_range",
+    "idx_filter_band",
     "idx_footer_range",
     "idx_multi_and",
     "idx_exploded_token",
