@@ -10,6 +10,7 @@ from .context import AriadneConf
 from .index import Index
 from .plans.locate import Band
 from .sources.datasource import register as register_data_source
+from .sql.advisor import advise_indexes
 from .sql.surface import (
     disable_sql_interception,
     enable_sql_interception,
@@ -34,6 +35,7 @@ __all__ = [
     "catalog",
     "sql",
     "prune_report",
+    "advise_indexes",
     "join",
     "register_views",
     "register_data_source",

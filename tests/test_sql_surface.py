@@ -322,3 +322,41 @@ def test_sql_band_pushdown_prunes_range_view(spark, orders_view, storage):
     r = rep["orders_sql"]
     assert r["files_selected"] < r["files_total"]
     assert "o_orderkey" in r["probed_columns"]
+
+
+def test_advisor_suggests_types_from_workload(spark, orders_files):
+    """advise_indexes maps equality/IN → regular, bands → range, and
+    high-cardinality lookups → bloom, from parse-only analysis."""
+    from ariadne_spark.sql.advisor import advise_indexes
+
+    df, _ = orders_files
+    out = advise_indexes(
+        [
+            "SELECT * FROM t_orders WHERE o_custkey IN (1, 2, 3)",
+            "SELECT * FROM t_orders WHERE o_orderkey >= 5 AND o_orderkey < 9",
+            "SELECT * FROM t_orders WHERE o_custkey = 7",
+            "not even sql ((",  # unparseable queries are skipped
+        ],
+        spark,
+        tables={"t_orders": df},
+    )
+    rec = {(r["table"], r["column"]): r for r in out.collect()}
+    assert rec[("t_orders", "o_custkey")]["suggested"] == "regular"
+    assert rec[("t_orders", "o_custkey")]["n_queries"] == 2
+    assert rec[("t_orders", "o_orderkey")]["suggested"] == "range"
+
+
+def test_advisor_bloom_on_high_cardinality(spark, orders_files, monkeypatch):
+    from ariadne_spark.sql import advisor
+
+    df, _ = orders_files
+    monkeypatch.setattr(advisor, "BLOOM_CARDINALITY_THRESHOLD", 10)
+    out = advisor.advise_indexes(
+        ["SELECT * FROM t WHERE o_orderkey = 5"],
+        spark,
+        tables={"t": df},
+        estimate_cardinality=True,
+    )
+    rec = {r["column"]: r for r in out.collect()}
+    assert rec["o_orderkey"]["suggested"] == "bloom"
+    assert "distinct" in rec["o_orderkey"]["reason"]
