@@ -192,3 +192,16 @@ def test_find_indexes_for_file_uri_forms(spark, storage, orders_files):
     idx.add_files([files[0]])
     assert catalog.find_indexes_for_file(files[0], spark) == ["ff_uri"]
     assert catalog.find_indexes_for_file("file:" + files[0], spark) == ["ff_uri"]
+
+
+def test_todf_reports_file_counts_and_sizes_after_update(
+    spark, storage, orders_files
+):
+    """reference: IndexCatalogTests.scala:195-236 — file_count and
+    total_indexed_file_size reflect a real build."""
+    df, files = orders_files
+    idx = Index.for_name("t_sz", schema=df.schema, format="parquet", spark=spark)
+    idx.add_index("o_custkey").add_files(files).update()
+    row = {r["name"]: r for r in catalog.to_df(spark).collect()}["t_sz"]
+    assert row["file_count"] == len(files)
+    assert row["total_indexed_file_size"] > 0

@@ -691,3 +691,16 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert rows[(1, 0)][0].split()[-2:] == rows[(1, 1)][0].split()[:2]
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_edge_inputs(spark):
+    from ariadne_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one two")], ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=4, overlap=0)
+    rows = {r["doc_id"]: (r["chunk_text"], r["n_tokens"]) for r in out.collect()}
+    # empty/whitespace text → one chunk of the single empty token
+    # (tokens() yields [''] — consistent with vocab/token_count)
+    assert rows[1][1] == 1 and rows[2][1] == 1
+    assert rows[3] == ("one two", 2)
+    assert out.count() == 3  # no chunk explosion on tiny docs

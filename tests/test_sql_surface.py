@@ -360,3 +360,20 @@ def test_advisor_bloom_on_high_cardinality(spark, orders_files, monkeypatch):
     rec = {r["column"]: r for r in out.collect()}
     assert rec["o_orderkey"]["suggested"] == "bloom"
     assert "distinct" in rec["o_orderkey"]["reason"]
+
+
+def test_advisor_join_only_workload(spark, orders_files):
+    """Join-equi keys alone (no WHERE) still drive recommendations on
+    both sides."""
+    from ariadne_spark.sql.advisor import advise_indexes
+
+    df, _ = orders_files
+    li = spark.createDataFrame([(1, 2)], ["l_orderkey", "l_qty"])
+    out = advise_indexes(
+        ["SELECT * FROM a JOIN b ON a.o_orderkey = b.l_orderkey"],
+        spark,
+        tables={"a": df, "b": li},
+    )
+    rec = {(r["table"], r["column"]): r["suggested"] for r in out.collect()}
+    assert rec[("a", "o_orderkey")] == "regular"
+    assert rec[("b", "l_orderkey")] == "regular"

@@ -178,3 +178,19 @@ def test_table_time_travel(spark, storage):
     assert v3 == {(1, "a2"), (2, "b")}
     with pytest.raises(ValueError):
         t.read(version=99)
+
+
+def test_time_travel_survives_compact_until_vacuum(spark, storage):
+    """compact() folds segments into a new version; PRIOR versions stay
+    readable until vacuum reclaims their segments."""
+    t = ParquetTable(spark, f"{storage}/ttc", key_cols=("k",))
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, f"v{i}")], ["k", "v"]))
+    pre = t.versions()[-1]
+    t.compact()
+    assert t.versions()[-1] > pre
+    # historical read pre-compaction still works (segments intact)
+    assert {r["k"] for r in t.read(version=2).collect()} == {0, 1}
+    t.vacuum()
+    # latest still intact after vacuum
+    assert {r["k"] for r in t.read().collect()} == {0, 1, 2, 3}
