@@ -72,6 +72,26 @@ class Band:
     hi_inc: bool = True
 
 
+def tighten_band(b: dict, op: str, value) -> None:
+    """Fold one comparison conjunct into a mutable band dict, keeping
+    the TIGHTEST bound per side. ``op`` is the Catalyst/datasource
+    class name: GreaterThan[OrEqual] / LessThan[OrEqual]. Shared by
+    the SQL rewriter and the native data source so their band
+    semantics can never diverge."""
+    if op in ("GreaterThan", "GreaterThanOrEqual"):
+        inc = op == "GreaterThanOrEqual"
+        if b.get("lo") is None or value > b["lo"] or (
+            value == b["lo"] and not inc
+        ):
+            b["lo"], b["lo_inc"] = value, inc
+    else:
+        inc = op == "LessThanOrEqual"
+        if b.get("hi") is None or value < b["hi"] or (
+            value == b["hi"] and not inc
+        ):
+            b["hi"], b["hi_inc"] = value, inc
+
+
 @dataclass
 class LocateStats:
     per_column: dict = field(default_factory=dict)
@@ -326,6 +346,11 @@ def locate_files(
             }
             lo = F.col(cfg.stored_column).getField("min")
             hi = F.col(cfg.stored_column).getField("max")
+            if source.lo is None and source.hi is None:
+                # a boundless band applies NO row predicate — all-null
+                # files must stay candidates or their rows vanish
+                candidate_dfs.append(index_df.select("filename"))
+                continue
             pred = lo.isNotNull()
             if source.lo is not None:
                 p = F.lit(source.lo)

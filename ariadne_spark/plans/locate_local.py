@@ -144,11 +144,13 @@ def _match_band(cfg, band, tbl, i) -> bool:
     """Interval-overlap test of a pushed band against a RANGE
     [min,max] struct: file may match unless its whole range lies
     outside the band."""
+    lo, hi = band.get("lo"), band.get("hi")
+    if lo is None and hi is None:
+        return True  # boundless band applies no row predicate
     sc = cfg.stored_column
     rng = tbl.get(sc, [None])[i] if sc in tbl else None
     if rng is None or rng.get("min") is None:
         return False  # all-null column can't satisfy a comparison
-    lo, hi = band.get("lo"), band.get("hi")
     if lo is not None:
         if rng["max"] < lo or (rng["max"] == lo and not band.get("lo_inc", True)):
             return False

@@ -140,21 +140,14 @@ class AriadneReader(DataSourceReader):
                 and len(f.attribute) == 1
                 and f.attribute[0] in range_cols
             ):
+                from ..plans.locate import tighten_band
+
                 col = f.attribute[0]
-                b = self._bands.setdefault(col, {})
-                if isinstance(f, (GreaterThan, GreaterThanOrEqual)):
-                    inc = isinstance(f, GreaterThanOrEqual)
-                    # conjunctive: keep the TIGHTEST lower bound
-                    if b.get("lo") is None or f.value > b["lo"] or (
-                        f.value == b["lo"] and not inc
-                    ):
-                        b["lo"], b["lo_inc"] = f.value, inc
-                else:
-                    inc = isinstance(f, LessThanOrEqual)
-                    if b.get("hi") is None or f.value < b["hi"] or (
-                        f.value == b["hi"] and not inc
-                    ):
-                        b["hi"], b["hi_inc"] = f.value, inc
+                tighten_band(
+                    self._bands.setdefault(col, {}),
+                    type(f).__name__,
+                    f.value,
+                )
             yield f  # all filters remain Spark's responsibility
 
     def partitions(self):

@@ -42,9 +42,10 @@ BLOOM_CARDINALITY_THRESHOLD = 500_000
 
 
 def _tables_and_columns(jplan):
-    """Map every column referenced in the plan to candidate tables.
-    Without catalog resolution a bare column may belong to any scanned
-    table; qualified names (t.col / alias.col) resolve exactly."""
+    """All relation names scanned by the plan (bare columns resolve
+    against these via the tables= schemas; t.col and alias.col
+    qualifiers resolve through relation names and SubqueryAlias
+    bindings)."""
     tables = [
         r for r in (_relation_name(n) for n in _walk(jplan)) if r is not None
     ]
@@ -74,12 +75,15 @@ def advise_indexes(
         for c in df.columns:
             col_owner.setdefault(c, set()).add(t)
 
-    # (table, column) -> {"eq": n, "band": n, "join": n}
+    # (table, column) -> per-kind sets of query indexes (a query with
+    # several conjuncts on one column still counts once)
     votes: dict[tuple[str, str], dict] = defaultdict(
-        lambda: {"eq": 0, "band": 0, "join": 0}
+        lambda: {"eq": set(), "band": set(), "join": set()}
     )
 
-    def _owner(name: str | None, qualifier: str | None, scanned: list[str]):
+    def _owner(name, qualifier, scanned, aliases):
+        if qualifier:
+            qualifier = aliases.get(qualifier, qualifier)
         if qualifier and qualifier in scanned:
             return qualifier
         owners = col_owner.get(name, set())
@@ -101,12 +105,26 @@ def advise_indexes(
         return parts[-1], (parts[-2] if len(parts) > 1 else None)
 
     parser = spark._jsparkSession.sessionState().sqlParser()
-    for q in queries:
+    for qi, q in enumerate(queries):
         try:
             jplan = parser.parsePlan(q)
         except Exception:
             continue
         scanned = sorted(set(_tables_and_columns(jplan)))
+        # alias -> relation bindings (FROM orders o) from SubqueryAlias
+        aliases: dict[str, str] = {}
+        for n in _walk(jplan):
+            if _cls(n) == "SubqueryAlias":
+                try:
+                    rels = [
+                        r
+                        for r in (_relation_name(x) for x in _walk(n))
+                        if r is not None
+                    ]
+                    if len(set(rels)) == 1:
+                        aliases[str(n.alias())] = rels[0]
+                except Exception:
+                    pass
         for node in _walk(jplan):
             k = _cls(node)
             if k == "Filter":
@@ -124,8 +142,8 @@ def advise_indexes(
                                 continue
                             if other is not None and _literal_value(other) is None:
                                 continue
-                            t = _owner(name, qual, scanned)
-                            votes[(t, name)]["eq"] += 1
+                            t = _owner(name, qual, scanned, aliases)
+                            votes[(t, name)]["eq"].add(qi)
                     elif ck in (
                         "GreaterThan",
                         "GreaterThanOrEqual",
@@ -139,8 +157,8 @@ def advise_indexes(
                             name, qual = _attr_parts(attr)
                             if name is None or _literal_value(other) is None:
                                 continue
-                            t = _owner(name, qual, scanned)
-                            votes[(t, name)]["band"] += 1
+                            t = _owner(name, qual, scanned, aliases)
+                            votes[(t, name)]["band"].add(qi)
             elif k == "Join" and not node.condition().isEmpty():
                 for c in _split_conjuncts(node.condition().get()):
                     if _cls(c) != "EqualTo":
@@ -149,8 +167,8 @@ def advise_indexes(
                         name, qual = _attr_parts(side)
                         if name is None:
                             continue
-                        t = _owner(name, qual, scanned)
-                        votes[(t, name)]["join"] += 1
+                        t = _owner(name, qual, scanned, aliases)
+                        votes[(t, name)]["join"].add(qi)
 
     # one optional HLL probe per table covering all its candidates
     cardinality: dict[tuple[str, str], int] = {}
@@ -170,20 +188,22 @@ def advise_indexes(
 
     rows = []
     for (t, c), v in sorted(votes.items()):
-        n = v["eq"] + v["band"] + v["join"]
-        if v["band"] and v["band"] >= v["eq"] + v["join"]:
-            sugg, why = "range", f"band predicates in {v['band']} query(s)"
-        elif v["eq"] or v["join"]:
+        n_eq, n_band = len(v["eq"]), len(v["band"])
+        n_lookup = len(v["eq"] | v["join"])
+        n = len(v["eq"] | v["band"] | v["join"])
+        if n_band and n_band >= n_lookup:
+            sugg, why = "range", f"band predicates in {n_band} query(s)"
+        elif n_lookup:
             card = cardinality.get((t, c))
             if card is not None and card > BLOOM_CARDINALITY_THRESHOLD:
                 sugg = "bloom"
                 why = (
-                    f"value lookups in {v['eq'] + v['join']} query(s); "
+                    f"value lookups in {n_lookup} query(s); "
                     f"~{card} distinct values exceed the array threshold"
                 )
             else:
                 sugg = "regular"
-                why = f"value lookups in {v['eq'] + v['join']} query(s)"
+                why = f"value lookups in {n_lookup} query(s)"
         else:
             continue
         rows.append((t, c, sugg, why, n))

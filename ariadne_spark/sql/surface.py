@@ -145,7 +145,7 @@ def _band_filters(cond, range_cols: set[str]) -> dict:
     """{col: Band} from >, >=, <, <= conjuncts on RANGE-indexed
     columns (tightest conjunction per column). Literal-on-left forms
     are mirrored."""
-    from ..plans.locate import Band
+    from ..plans.locate import Band, tighten_band
 
     acc: dict[str, dict] = {}
     mirror = {
@@ -163,15 +163,7 @@ def _band_filters(cond, range_cols: set[str]) -> dict:
             name, v, op = _attr_name(c.right()), _literal_value(c.left()), mirror[k]
         if name not in range_cols or v is None:
             continue
-        b = acc.setdefault(name, {})
-        if op in ("GreaterThan", "GreaterThanOrEqual"):
-            inc = op == "GreaterThanOrEqual"
-            if b.get("lo") is None or v > b["lo"] or (v == b["lo"] and not inc):
-                b["lo"], b["lo_inc"] = v, inc
-        else:
-            inc = op == "LessThanOrEqual"
-            if b.get("hi") is None or v < b["hi"] or (v == b["hi"] and not inc):
-                b["hi"], b["hi_inc"] = v, inc
+        tighten_band(acc.setdefault(name, {}), op, v)
     return {
         col: Band(
             lo=b.get("lo"), hi=b.get("hi"),
@@ -378,6 +370,24 @@ def _plan_and_swap(
         for n, idx in metas.items()
     }
 
+    # Pruning swaps a view GLOBALLY, so it is only sound when the plan
+    # references the view exactly once: with two references (UNION
+    # branches, self-joins, a CTE used twice) one branch's constraints
+    # would silently drop the other branch's files. Multi-reference
+    # views are left unpruned entirely (conservative; the reference
+    # rule has the same single-relation restriction).
+    from collections import Counter
+
+    ref_counts = Counter(
+        r for r in (_relation_name(x) for x in _walk(jplan)) if r in index_names
+    )
+    prunable = {n for n, c in ref_counts.items() if c == 1}
+    for n in set(ref_counts) - prunable:
+        log.info(
+            "ariadne.sql: view %s referenced %d times; not pruning",
+            n, ref_counts[n],
+        )
+
     # (a) WHERE pushdown: Filter over a subtree containing exactly one
     # index relation -> prune that index's files by the literal filters
     pruned_values: dict[str, dict[str, list]] = {}
@@ -394,6 +404,8 @@ def _plan_and_swap(
         if len(rels) != 1:
             continue
         name = rels[0]
+        if name not in prunable:
+            continue
         flt = _equality_filters(node.condition(), indexed_cols[name])
         if flt:
             cur = pruned_values.setdefault(name, {})
@@ -428,7 +440,7 @@ def _plan_and_swap(
         _PRUNE_REPORT[name] = {
             "files_selected": len(files),
             "files_total": int(total_f),
-            "bytes_selected": int(sum(sizes.get(f, 0) for f in files)),
+            "bytes_selected": int(sum(sizes.get(f) or 0 for f in files)),
             "bytes_total": int(total_b),
             "probed_columns": sorted(str(c) for c in query_map),
         }
@@ -479,7 +491,11 @@ def _plan_and_swap(
                     for r in (_relation_name(x) for x in _walk(other_side))
                     if r in index_names
                 ]
-                if len(rels) != 1 or any(r not in swapped for r in other_rels):
+                if (
+                    len(rels) != 1
+                    or rels[0] not in prunable
+                    or any(r not in swapped for r in other_rels)
+                ):
                     continue
                 sides.append((rels[0], other_side))
             # prefer pruning a still-unpruned view over refining one

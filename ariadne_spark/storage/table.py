@@ -129,11 +129,13 @@ class ParquetTable:
         the table doesn't exist. Unknown versions raise with the
         available range; versions older than the last vacuum may
         reference reclaimed segments and fail at scan time."""
-        if version is not None and version not in self._versions():
-            raise ValueError(
-                f"version {version} not found for {self.path}; "
-                f"available: {self._versions()}"
-            )
+        if version is not None:
+            vs = self._versions()  # one listing for check + message
+            if version not in vs:
+                raise ValueError(
+                    f"version {version} not found for {self.path}; "
+                    f"available: {vs}"
+                )
         m = self._read_manifest(version)
         if m is None:
             return None

@@ -174,15 +174,14 @@ signature_store_write(
 inc = incremental_near_dup(batch, store, threshold=0.8, update_store=False)
 print("9) incremental near-dup pairs (batch vs history):", inc.count())
 
-# 10) engine extras: band queries, advisor, footer builds, reports --
+# 10) engine extras: the workload advisor -----------------------------
 import ariadne_spark
-from ariadne_spark import Band
 
 adv = ariadne_spark.advise_indexes(
     ["SELECT * FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200",
      "SELECT * FROM orders WHERE o_custkey IN (1, 2, 3)"],
     spark,
-    tables={"orders": spark.read.parquet("/root/testdata/sf0.001/orders.parquet")},
+    tables={"orders": orders},
 )
 print("10) advisor:", [(r["column"], r["suggested"]) for r in adv.collect()])
 

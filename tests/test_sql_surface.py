@@ -377,3 +377,68 @@ def test_advisor_join_only_workload(spark, orders_files):
     rec = {(r["table"], r["column"]): r["suggested"] for r in out.collect()}
     assert rec[("a", "o_orderkey")] == "regular"
     assert rec[("b", "l_orderkey")] == "regular"
+
+
+def test_union_branches_are_not_conflated(spark, orders_view):
+    """A view referenced by two UNION branches with divergent
+    predicates must NOT be pruned by either branch's constraints —
+    both branches return full, correct rows."""
+    df = orders_view
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    a = lo + 5
+    b = hi - 5
+    res = surface.sql(
+        f"SELECT o_orderkey FROM orders_sql WHERE o_orderkey < {a} "
+        f"UNION ALL SELECT o_orderkey FROM orders_sql WHERE o_orderkey > {b}",
+        spark,
+    )
+    want = df.where(F.col("o_orderkey") < a).count() + df.where(
+        F.col("o_orderkey") > b
+    ).count()
+    assert res.count() == want > 0
+
+
+def test_self_join_not_pruned_by_one_side(spark, orders_view):
+    """Self-join: the bare second reference must keep all its rows."""
+    df = orders_view
+    some = df.limit(1).collect()[0]["o_custkey"]
+    res = surface.sql(
+        f"SELECT count(*) AS n FROM "
+        f"(SELECT o_orderkey FROM orders_sql WHERE o_custkey = {some}) a "
+        f"CROSS JOIN (SELECT count(*) AS total FROM orders_sql) b",
+        spark,
+    )
+    n = res.collect()[0]["n"]
+    assert n == df.where(F.col("o_custkey") == some).count()
+
+
+def test_advisor_counts_queries_not_conjuncts(spark, orders_files):
+    from ariadne_spark.sql.advisor import advise_indexes
+
+    df, _ = orders_files
+    out = advise_indexes(
+        ["SELECT * FROM t WHERE o_orderkey >= 5 AND o_orderkey < 9"],
+        spark,
+        tables={"t": df},
+    )
+    r = {row["column"]: row for row in out.collect()}["o_orderkey"]
+    assert r["n_queries"] == 1
+    assert "1 query" in r["reason"]
+
+
+def test_advisor_resolves_table_aliases(spark, orders_files):
+    from ariadne_spark.sql.advisor import advise_indexes
+
+    df, _ = orders_files
+    li = spark.createDataFrame([(1,)], ["l_orderkey"])
+    out = advise_indexes(
+        [
+            "SELECT * FROM orders_t o JOIN line_t l "
+            "ON o.o_orderkey = l.l_orderkey WHERE o.o_custkey = 3"
+        ],
+        spark,
+        tables={"orders_t": df, "line_t": li},
+    )
+    rec = {(r["table"], r["column"]): r["suggested"] for r in out.collect()}
+    assert ("?", "o_custkey") not in rec
+    assert rec[("orders_t", "o_custkey")] == "regular"
