@@ -180,3 +180,51 @@ def streaming_windowed_agg(
         .groupBy(F.window(F.col("__evt"), window_duration).alias("window"), *keys)
         .agg(*aggs)
     )
+
+
+def attach_near_dup_maintenance(
+    stream_df: DataFrame,
+    store_path: str,
+    flags_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    trigger: dict | None = None,
+):
+    """Continuous-crawl near-dup as a streaming sink: every micro-batch
+    of documents is checked against the persisted minhash signature
+    store (directed new-vs-all band join — never old×old), flagged
+    pairs are appended to ``flags_path`` as parquet, and the batch's
+    signatures join the store for the next batch.
+
+    foreachBatch gives exactly-once-per-batch semantics against the
+    store the same way the reference's staging pipeline relies on
+    idempotent batch commits; state lives entirely in the store
+    (restart-safe, no in-memory signature state)."""
+    from ..operators.dedup import incremental_near_dup
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        pairs = incremental_near_dup(
+            batch_df,
+            store_path,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            update_store=True,
+        )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(flags_path)
+        )
+        log.info(
+            "near-dup maintenance: batch %d flagged %d pairs",
+            batch_id, pairs.count(),
+        )
+
+    writer = stream_df.writeStream.foreachBatch(do_batch)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

@@ -158,3 +158,42 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     )
     assert got == want and len(got) == 6
     spark.catalog.dropTempView(qname)
+
+
+def test_attach_near_dup_maintenance_flags_cross_batch_dups(spark, tmp_path):
+    """Streaming near-dup: duplicates arriving in a LATER micro-batch
+    than their originals are flagged against the persisted store."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark.streaming.maintenance import attach_near_dup_maintenance
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "stream_src")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # batch files: doc 2 (file B) duplicates doc 0 (file A)
+    spark.createDataFrame(
+        [(0, base), (1, "completely different content here entirely")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/fa")
+    spark.createDataFrame(
+        [(2, base + " "), (3, "another unrelated document body text")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/fb")
+
+    store = str(tmp_path / "store")
+    flags = str(tmp_path / "flags")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = attach_near_dup_maintenance(
+        stream, store, flags, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(flags).collect()
+    }
+    assert (0, 2) in pairs
+    # store holds all four docs' signatures for the NEXT run
+    assert spark.read.parquet(store).count() == 4
