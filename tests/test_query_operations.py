@@ -216,3 +216,42 @@ def test_locate_stats_recorded_for_all_paths(spark, storage, mixed_files):
     st2 = idx._last_locate_stats.per_column
     assert st2["event_id"]["source"] == "frame"
     assert "n_values" not in st2["event_id"]
+
+
+def test_combined_computed_and_exploded_on_one_index(
+    spark, storage, mixed_files
+):
+    """reference: IndexFileOperationsTests.scala:151-216 — a computed
+    CASE expression and an exploded struct field coexist on one index;
+    both locate AND their candidate sets intersect."""
+    df, files = mixed_files
+    idx = _index(spark, storage, df, files, "combined_ce")
+    idx.add_computed_index(
+        "priority_level", "case when priority > 2 then 'high' else 'low' end"
+    )
+    idx.add_exploded_index("users", as_column="user_id", field="id")
+    idx.update()
+
+    high = idx.locate_files({"priority_level": ["high"]})
+    assert high
+    by_user = idx.locate_files({"user_id": [100]})
+    assert by_user
+    both = idx.locate_files({"priority_level": ["high"], "user_id": [100]})
+    assert set(both) <= set(high) & set(by_user)
+    # value-exact reads: every returned row satisfies BOTH predicates
+    res = idx.read_matching({"priority_level": ["high"], "user_id": [100]})
+    rows = res.select("event_id", "priority_level", "user_id").collect()
+    assert rows and all(
+        r["priority_level"] == "high" and r["user_id"] == 100 for r in rows
+    )
+    want = {
+        r["event_id"]
+        for r in df.select(
+            "event_id",
+            F.expr("case when priority > 2 then 'high' else 'low' end").alias("pl"),
+            F.explode(F.transform("users", lambda u: u["id"])).alias("uid"),
+        )
+        .where((F.col("pl") == "high") & (F.col("uid") == 100))
+        .collect()
+    }
+    assert {r["event_id"] for r in rows} == want
