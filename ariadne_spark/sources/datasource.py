@@ -157,7 +157,7 @@ class AriadneReader(DataSourceReader):
             )
         else:
             files = list_filenames(self._filelist_path)
-        return [
+        parts = [
             _FilePartition(
                 f,
                 self._meta.format,
@@ -166,6 +166,19 @@ class AriadneReader(DataSourceReader):
             )
             for f in sorted(files)
         ]
+        if not parts:
+            # everything pruned: Spark still schedules one task (with a
+            # None partition) — hand it an explicit empty marker so
+            # read() can return zero rows with the right schema
+            parts = [
+                _FilePartition(
+                    None,
+                    self._meta.format,
+                    self._meta.schema.json(),
+                    {},
+                )
+            ]
+        return parts
 
     def read(self, partition: _FilePartition):
         """Executor-side: stream the file as Arrow record batches."""
@@ -176,6 +189,8 @@ class AriadneReader(DataSourceReader):
         from pyspark.sql.types import StructType as _St
 
         schema = _St.fromJson(json.loads(partition.schema_json))
+        if partition.path is None:  # empty marker: no candidate files
+            return
         arrow_schema = to_arrow_schema(schema)
         if partition.fmt == "parquet":
             import pyarrow.parquet as pq

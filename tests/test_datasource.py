@@ -102,3 +102,12 @@ def test_datasource_range_band_pushdown_prunes_and_matches(spark, ds_index):
         bands={"o_orderkey": {"lo": hi + 10, "lo_inc": True}},
     )
     assert none == []
+
+
+def test_datasource_empty_result_schema_stable(spark, ds_index):
+    """Impossible pushed filters return ZERO rows with the full source
+    schema (EmptyResultSchemaTests analog for the native source)."""
+    df, files, idx, storage = ds_index
+    got = _load(spark, storage).where(F.col("o_custkey") == -999999)
+    assert got.count() == 0
+    assert got.schema == _load(spark, storage).schema

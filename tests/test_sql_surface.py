@@ -442,3 +442,17 @@ def test_advisor_resolves_table_aliases(spark, orders_files):
     rec = {(r["table"], r["column"]): r["suggested"] for r in out.collect()}
     assert ("?", "o_custkey") not in rec
     assert rec[("orders_t", "o_custkey")] == "regular"
+
+
+def test_sql_empty_result_schema_stable(spark, orders_view):
+    """Impossible WHERE on an index view: zero rows, stable schema,
+    and the prune report records a zero-file selection."""
+    import ariadne_spark
+
+    res = surface.sql(
+        "SELECT * FROM orders_sql WHERE o_custkey = -12345", spark
+    )
+    assert res.count() == 0
+    assert "o_orderkey" in res.columns
+    rep = {r["view"]: r for r in ariadne_spark.prune_report(spark).collect()}
+    assert rep["orders_sql"]["files_selected"] == 0
