@@ -456,3 +456,20 @@ def test_sql_empty_result_schema_stable(spark, orders_view):
     assert "o_orderkey" in res.columns
     rep = {r["view"]: r for r in ariadne_spark.prune_report(spark).collect()}
     assert rep["orders_sql"]["files_selected"] == 0
+
+
+def test_interception_populates_prune_report(spark, orders_view):
+    """Plain spark.sql under interception feeds the same prune report
+    as ariadne_spark.sql."""
+    import ariadne_spark
+
+    try:
+        ariadne_spark.enable_sql_interception(spark)
+        spark.sql(
+            "SELECT o_orderkey FROM orders_sql WHERE o_custkey IN (5, 6)"
+        ).count()
+        rep = {r["view"]: r for r in ariadne_spark.prune_report(spark).collect()}
+        assert "orders_sql" in rep
+        assert rep["orders_sql"]["files_selected"] >= 1
+    finally:
+        ariadne_spark.disable_sql_interception(spark)
