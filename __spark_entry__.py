@@ -1688,46 +1688,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_select_pushdown": q_idx_select_pushdown,
         "source_csv": q_source_csv,
         "source_json": q_source_json,
+        # --- entries 23-50: one representative per operator class, so a
+        # gate that samples the first 50 entries still touches dedup, text,
+        # corpus, profile, similarity/ANN, multimodal, SQL, and datasource.
+        # Redundant same-class variants live past 50.
         "dedup_exact": q_dedup_exact,
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_cluster": q_dedup_cluster,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_incremental": q_dedup_incremental,
         "pipeline_clean": q_pipeline_clean,
         "corpus_pack": q_corpus_pack,
-        "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "corpus_split": q_corpus_split,
-        "corpus_dedup_cross": q_corpus_dedup_cross,
-        "corpus_shard": q_corpus_shard,
         "corpus_line_dedup": q_corpus_line_dedup,
-        "corpus_chunk": q_corpus_chunk,
-        "corpus_vocab": q_corpus_vocab,
-        "profile_docs": q_profile_docs,
-        "profile_quantiles": q_profile_quantiles,
-        "dedup_incremental": q_dedup_incremental,
-        "corpus_quota_sample": q_corpus_quota_sample,
-        "corpus_pii_redact": q_corpus_pii_redact,
         "corpus_contamination": q_corpus_contamination,
+        "profile_docs": q_profile_docs,
         "sim_topk": q_sim_topk,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "sim_ann_banded": q_sim_ann_banded,
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_ann_ivf_indexed": q_sim_ann_ivf_indexed,
         "emb_near_dup": q_emb_near_dup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
-        "multimodal_decode_ppm": q_multimodal_decode_ppm,
         "multimodal_decode_png": q_multimodal_decode_png,
-        "multimodal_decode_wav": q_multimodal_decode_wav,
+        "multimodal_frames": q_multimodal_frames,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
         "sql_tpch_q3": q_sql_tpch_q3,
         "sql_tpch_q5": q_sql_tpch_q5,
         "sql_tpch_q6": q_sql_tpch_q6,
         "sql_tpch_q14": q_sql_tpch_q14,
+        "sql_json_filter": q_sql_json_filter,
+        "datasource_filter": q_datasource_filter,
+        # --- entries 51+: same-class variants and environment-shaped checks
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "corpus_split": q_corpus_split,
+        "corpus_dedup_cross": q_corpus_dedup_cross,
+        "corpus_shard": q_corpus_shard,
+        "corpus_chunk": q_corpus_chunk,
+        "corpus_vocab": q_corpus_vocab,
+        "corpus_quota_sample": q_corpus_quota_sample,
+        "corpus_pii_redact": q_corpus_pii_redact,
+        "profile_quantiles": q_profile_quantiles,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_banded": q_sim_ann_banded,
+        "multimodal_decode_ppm": q_multimodal_decode_ppm,
+        "multimodal_decode_wav": q_multimodal_decode_wav,
         "sql_tpch_q4": q_sql_tpch_q4,
         "sql_window_topn": q_sql_window_topn,
         "sql_tpch_q10": q_sql_tpch_q10,
@@ -1737,9 +1745,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q17": q_sql_tpch_q17,
         "sql_tpch_q19": q_sql_tpch_q19,
         "sql_tpch_q22": q_sql_tpch_q22,
-        "multimodal_frames": q_multimodal_frames,
-        "sql_json_filter": q_sql_json_filter,
-        "datasource_filter": q_datasource_filter,
         "idx_stats": q_idx_stats,
         "catalog_describe": q_catalog_describe,
         "idx_locate": q_idx_locate,
@@ -2177,7 +2182,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, shard,
                    CAST(floor(ob / 2048) AS BIGINT) AS bin_seq,
-                   ob % 2048 AS bin_offset,
+                   CAST(ob % 2048 AS BIGINT) AS bin_offset,
                    CAST(floor((ob + greatest(n_tokens, 1) - 1) / 2048) AS BIGINT) AS end_bin_seq,
                    n_tokens
             FROM off

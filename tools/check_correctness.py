@@ -105,9 +105,18 @@ def main():
             print(f"[{name}] rows-only: {len(rows)} rows in {el:.1f}s")
             continue
         try:
+            # Fetch through Arrow, matching the driver's hash path: DuckDB
+            # HUGEINT surfaces as decimal128 (not Python int) this way, so
+            # an oracle twin missing a CAST(... AS BIGINT) fails here just
+            # as it fails in the driver gate (r02 corpus_pack lesson).
             cur = con.execute(sql)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            tbl = cur.fetch_arrow_table()
+            ocols = tbl.column_names
+            orows = [
+                tuple(col[i] for col in cols_py)
+                for cols_py in [[c.to_pylist() for c in tbl.columns]]
+                for i in range(tbl.num_rows)
+            ]
         except Exception as e:
             results[name] = f"ERROR oracle: {e}"
             print(f"[{name}] ERROR oracle: {e}")
