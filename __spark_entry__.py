@@ -554,12 +554,16 @@ def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-crawl incremental near-dup: history signatures are
     persisted once; the new batch band-joins new-vs-all (never
-    old×old) against the store. Rows-only by design: the estimate is
-    minhash-defined, not SQL-expressible."""
+    old×old) against the store. The store-side estimate pairs (candidate
+    recall widened to est>=0.7) are then exact-verified against text with
+    the standard shingle-Jaccard pass, so the output is hash-checkable
+    against a DuckDB brute-force twin (new-vs-all pairs, exact >= 0.8)."""
     from ariadne_spark.operators.dedup import (
         incremental_near_dup,
         minhash_signatures_fast,
+        shingle_rows,
         signature_store_write,
+        verify_jaccard,
     )
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
@@ -584,8 +588,23 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     store,
                     mode="overwrite",
                 )
-    out = incremental_near_dup(new, store, threshold=0.8, update_store=False)
-    return out.select("id_a", "id_b", "est_jaccard")
+    # est>=0.7 keeps every true 0.8-pair in the candidate set (k=64
+    # sampling sigma at t=0.8 is ~0.05; 0.7 is a 2-sigma margin), then
+    # the exact shingle verify applies the real threshold
+    cand = incremental_near_dup(new, store, threshold=0.7, update_store=False)
+    # explode shingles for candidate docs only (pairs-proportional, not
+    # corpus-proportional — the verify join never widens the full table)
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingle_rows(
+        docs.join(F.broadcast(ids), "doc_id", "left_semi"), "text", "doc_id"
+    )
+    return verify_jaccard(cand.select("id_a", "id_b"), sh).where(
+        F.col("jaccard") >= 0.8
+    )
 
 
 def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2096,6 +2115,55 @@ def oracle_sql() -> dict[str, str]:
                 SELECT min(doc_id) AS doc_id FROM documents
                 GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
             ) k ON d.doc_id = k.doc_id
+        """,
+        # Brute-force exact char-5-gram Jaccard over all pairs: the engine's
+        # LSH-candidate + exact-verify output must equal the exhaustive
+        # truth set (all testdata near-pairs sit far above the banding
+        # S-curve knee, so recall is exact and deterministic). The gram-count
+        # ratio prefilter is lossless: J >= t implies min(|A|,|B|)/max >= t.
+        "dedup_minhash": r"""
+            WITH g AS (
+                SELECT doc_id, list_distinct(list_transform(
+                           range(1, length(text) - 3),
+                           i -> substr(lower(text), i, 5))) AS grams
+                FROM documents WHERE length(text) >= 5
+            ),
+            s AS (SELECT doc_id, grams, len(grams) AS n FROM g),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.grams, b.grams)) AS i,
+                       a.n AS la, b.n AS lb
+                FROM s a JOIN s b
+                  ON a.doc_id < b.doc_id
+                 AND a.n * 1.0 >= 0.8 * b.n AND b.n * 1.0 >= 0.8 * a.n
+            )
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard
+            FROM p
+            WHERE round(CAST(i AS DOUBLE) / (la + lb - i), 6) >= 0.8
+        """,
+        # Same truth set restricted to pairs touching the "new" half
+        # (id >= 250; id_a < id_b makes id_b >= 250 the exact condition)
+        "dedup_incremental": r"""
+            WITH g AS (
+                SELECT doc_id, list_distinct(list_transform(
+                           range(1, length(text) - 3),
+                           i -> substr(lower(text), i, 5))) AS grams
+                FROM documents WHERE length(text) >= 5
+            ),
+            s AS (SELECT doc_id, grams, len(grams) AS n FROM g),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.grams, b.grams)) AS i,
+                       a.n AS la, b.n AS lb
+                FROM s a JOIN s b
+                  ON a.doc_id < b.doc_id AND b.doc_id >= 250
+                 AND a.n * 1.0 >= 0.8 * b.n AND b.n * 1.0 >= 0.8 * a.n
+            )
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) / (la + lb - i), 6) AS jaccard
+            FROM p
+            WHERE round(CAST(i AS DOUBLE) / (la + lb - i), 6) >= 0.8
         """,
         "dedup_ngramset": """
             WITH g AS (
