@@ -561,9 +561,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_spark.operators.dedup import (
         incremental_near_dup,
         minhash_signatures_fast,
-        shingle_rows,
         signature_store_write,
-        verify_jaccard,
+        verify_jaccard_arrays,
     )
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
@@ -592,19 +591,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sampling sigma at t=0.8 is ~0.05; 0.7 is a 2-sigma margin), then
     # the exact shingle verify applies the real threshold
     cand = incremental_near_dup(new, store, threshold=0.7, update_store=False)
-    # explode shingles for candidate docs only (pairs-proportional, not
-    # corpus-proportional — the verify join never widens the full table)
-    ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .union(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
-    )
-    sh = shingle_rows(
-        docs.join(F.broadcast(ids), "doc_id", "left_semi"), "text", "doc_id"
-    )
-    return verify_jaccard(cand.select("id_a", "id_b"), sh).where(
-        F.col("jaccard") >= 0.8
-    )
+    return verify_jaccard_arrays(cand, docs, "text", "doc_id", 5, 0.8)
 
 
 def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:

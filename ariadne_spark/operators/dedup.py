@@ -275,20 +275,36 @@ def near_dup_minhash(
     ).cache()
     est.count()  # materialize candidates so the signature cache can go
     sigs.unpersist()
-    # exact verify touches ONLY surviving candidates' shingles: filter
-    # the (id, shingle) rows to candidate ids before the verify join
+    verified = verify_jaccard_arrays(
+        est, df, text_col, id_col, shingle_len, threshold
+    )
+    est.unpersist()
+    return verified
+
+
+def verify_jaccard_arrays(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_len: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact char-shingle Jaccard for candidate (id_a, id_b) pairs,
+    computed over per-doc gram ARRAYS + array_intersect: two broadcast
+    joins over |candidates| rows instead of a 4-join shingle-row plan
+    (the row form re-explodes the candidate texts once per join
+    branch). Only candidate docs' grams are built (broadcast semi-join
+    first), so cost is pairs-proportional, never corpus-proportional.
+    Returns materialized (id_a, id_b, jaccard) with jaccard >=
+    threshold, rounded to 6 — the driver-gate comparable form."""
     ids = (
-        est.select(F.col("id_a").alias("__id"))
-        .union(est.select(F.col("id_b").alias("__id")))
+        pairs.select(F.col("id_a").alias("__id"))
+        .union(pairs.select(F.col("id_b").alias("__id")))
         .distinct()
     )
-    # Exact verify on candidate docs only, as per-doc gram ARRAYS +
-    # array_intersect: two broadcast joins over |candidates| rows
-    # instead of a 4-join shingle-row plan (the row form re-explodes
-    # the candidate texts once per join branch). Grams per doc are
-    # bounded by text length, so rows stay narrow.
     grams = (
-        df.join(
+        docs.join(
             F.broadcast(ids.withColumnRenamed("__id", id_col)), id_col, "left_semi"
         )
         .select(
@@ -303,7 +319,8 @@ def near_dup_minhash(
     b = grams.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"))
     inter = F.size(F.array_intersect("__ga", "__gb"))
     verified = (
-        est.join(F.broadcast(a), "id_a")
+        pairs.select("id_a", "id_b")
+        .join(F.broadcast(a), "id_a")
         .join(F.broadcast(b), "id_b")
         .select(
             "id_a",
@@ -317,7 +334,6 @@ def near_dup_minhash(
     )
     verified.count()
     grams.unpersist()
-    est.unpersist()
     return verified
 
 

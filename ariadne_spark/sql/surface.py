@@ -268,6 +268,26 @@ def _raw_sql(spark: SparkSession, query: str) -> DataFrame:
 # prune_report() renders this as a DataFrame)
 _PRUNE_REPORT: dict = {}
 
+# probe-side DataFrames persisted by the LAST sql() call. Executing a
+# join's other side during rewrite is the reference's accepted
+# execute-during-optimization cost (AriadneJoinRule.scala:43-45), but
+# without reuse the final query pays that side AGAIN end-to-end. We
+# persist the executed side; Spark's cache manager then substitutes the
+# materialized InMemoryRelation for the matching subtree of the final
+# query at analysis time (canonicalized-plan match), so each probe side
+# is computed once per query. Entries stay alive until the NEXT sql()
+# call because the returned DataFrame is lazy — the caller may not have
+# consumed it yet when this call returns.
+_PROBE_LIVE: list = []
+
+
+def _release_probes() -> None:
+    while _PROBE_LIVE:
+        try:
+            _PROBE_LIVE.pop().unpersist()
+        except Exception:
+            pass
+
 
 def prune_report(spark: SparkSession | None = None) -> DataFrame:
     """What the last :func:`sql` call pruned, one row per index view it
@@ -312,6 +332,7 @@ def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
 
     spark = spark or context.get_spark()
     _PRUNE_REPORT.clear()
+    _release_probes()  # previous call's result has been consumed by now
     index_names = set(register_views(spark))
     swap = _ViewSwap(spark)
     try:
@@ -507,6 +528,15 @@ def _plan_and_swap(
                 # resolves against the CURRENT temp views, so an
                 # already-pruned other side executes its pruned read
                 other_df = _dataset_of_rows(spark, other_side)
+                # Persist the executed side: locate materializes it, and
+                # Spark's cache manager then swaps the InMemoryRelation
+                # into the final query's matching subtree at analysis
+                # time — the probe side is computed ONCE per query
+                # instead of once for locate and again end-to-end.
+                from pyspark.storagelevel import StorageLevel
+
+                other_df = other_df.persist(StorageLevel.MEMORY_AND_DISK)
+                _PROBE_LIVE.append(other_df)
                 frames = pruned_frames.setdefault(name, {})
                 added = False
                 for icol, ocol in pairs:
