@@ -72,7 +72,7 @@ from .storage.metadata import (
     save_metadata,
 )
 from .storage.paths import IndexPaths
-from .storage.table import ParquetTable
+from .storage.backend import open_table
 
 log = logging.getLogger("ariadne")
 
@@ -89,7 +89,7 @@ class Index:
         self.paths = paths
         self.fs = get_fs(spark, paths.root)
         self.filelist = FileList(spark, paths.filelist)
-        self.table = ParquetTable(spark, paths.index, key_cols=("filename",))
+        self.table = open_table(spark, paths.index, key_cols=("filename",))
         self._selection: list[str] | None = None
         self._index_df_cache: DataFrame | None = None
         self._index_df_cached = False
@@ -313,7 +313,7 @@ class Index:
         return self._totals_cache
 
     def large_df(self, column: str) -> DataFrame | None:
-        t = ParquetTable(
+        t = open_table(
             self.spark, self.paths.large_index(column), key_cols=("filename",)
         )
         if not t.exists:
@@ -441,7 +441,7 @@ class Index:
                         temporal_cols=temporal_cols,
                     )
                     for col, ldf in large.items():
-                        ParquetTable(
+                        open_table(
                             self.spark,
                             self.paths.large_index(col),
                             key_cols=("filename",),
@@ -734,7 +734,7 @@ class Index:
             self.table.delete_where(cond)
         self._invalidate()
         for cfg in self.meta.indexes:
-            t = ParquetTable(
+            t = open_table(
                 self.spark, self.paths.large_index(cfg.column), key_cols=("filename",)
             )
             if t.exists:
@@ -761,7 +761,7 @@ class Index:
         self.table.compact()
         self._invalidate()
         for cfg in self.meta.indexes:
-            t = ParquetTable(
+            t = open_table(
                 self.spark, self.paths.large_index(cfg.column), key_cols=("filename",)
             )
             if t.exists:
@@ -776,7 +776,7 @@ class Index:
     def vacuum(self) -> "Index":
         self.table.vacuum()
         for cfg in self.meta.indexes:
-            t = ParquetTable(
+            t = open_table(
                 self.spark, self.paths.large_index(cfg.column), key_cols=("filename",)
             )
             if t.exists:

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
-from .table import ParquetTable
+from .backend import open_table
 
 FILELIST_SCHEMA = StructType(
     [
@@ -28,7 +28,7 @@ FILELIST_SCHEMA = StructType(
 class FileList:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
-        self.table = ParquetTable(spark, path, key_cols=("filename",), dedup="first")
+        self.table = open_table(spark, path, key_cols=("filename",), dedup="first")
 
     @property
     def files(self) -> DataFrame:

@@ -194,3 +194,85 @@ def test_time_travel_survives_compact_until_vacuum(spark, storage):
     t.vacuum()
     # latest still intact after vacuum
     assert {r["k"] for r in t.read().collect()} == {0, 1, 2, 3}
+
+
+# ------------------------------------------------------- backend seam
+
+def test_backend_default_is_parquet_lsm(spark, storage):
+    from ariadne_spark.storage.backend import open_table
+
+    t = open_table(spark, f"{storage}/seam1", key_cols=("k",))
+    assert isinstance(t, ParquetTable)
+    t.append(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.append(spark.createDataFrame([(1, "A")], ["k", "v"]))
+    assert rows_set(t.read()) == {(1, "A")}
+
+
+def test_backend_unknown_name_raises(spark, storage):
+    from ariadne_spark.storage.backend import open_table
+
+    spark.conf.set("spark.ariadne.tableBackend", "no_such_backend")
+    try:
+        with pytest.raises(ValueError, match="no_such_backend"):
+            open_table(spark, f"{storage}/seam2")
+    finally:
+        spark.conf.unset("spark.ariadne.tableBackend")
+
+
+def test_backend_delta_requires_delta_spark(spark, storage):
+    """In this environment delta-spark is absent: selecting the delta
+    backend must fail loudly at open time, not corrupt state later."""
+    from ariadne_spark.storage.backend import open_table
+
+    try:
+        import delta  # noqa: F401
+
+        pytest.skip("delta-spark installed; the guard path is moot")
+    except ImportError:
+        pass
+    spark.conf.set("spark.ariadne.tableBackend", "delta")
+    try:
+        with pytest.raises(ImportError, match="delta-spark"):
+            open_table(spark, f"{storage}/seam3")
+    finally:
+        spark.conf.unset("spark.ariadne.tableBackend")
+
+
+def test_backend_custom_registration_reaches_index(spark, storage, tmp_path):
+    """A registered backend is what Index actually opens — the seam is
+    wired through every call site, not just a factory that exists."""
+    from ariadne_spark.storage.backend import (
+        _REGISTRY,
+        open_table,
+        register_backend,
+    )
+
+    opened = []
+
+    def spy(s, path, key_cols=(), dedup="last"):
+        opened.append(path)
+        return ParquetTable(s, path, key_cols, dedup)
+
+    register_backend("spy", spy)
+    spark.conf.set("spark.ariadne.tableBackend", "spy")
+    try:
+        t = open_table(spark, f"{storage}/seam4", key_cols=("k",))
+        t.append(spark.createDataFrame([(1, "a")], ["k", "v"]))
+        assert opened and opened[-1].endswith("seam4")
+
+        from ariadne_spark import Index
+
+        df = spark.range(3).withColumnRenamed("id", "k")
+        src = str(tmp_path / "src")
+        df.write.parquet(src)
+        import glob
+
+        idx = Index.for_name("seam_spy", schema=df.schema, format="parquet")
+        idx.add_index("k")
+        idx.add_files(glob.glob(f"{src}/*.parquet")).update()
+        # index table + filelist both opened through the spy backend
+        assert any(p.endswith("/index") for p in opened)
+        assert any(p.endswith("/filelist") for p in opened)
+    finally:
+        spark.conf.unset("spark.ariadne.tableBackend")
+        _REGISTRY.pop("spy", None)
