@@ -149,6 +149,24 @@ class PosixFS:
     def sizes(self, paths: list[str]) -> list[int]:
         return [self.size(p) or 0 for p in paths]
 
+    def supports_atomic_create(self, path: str) -> bool:
+        """POSIX ``O_CREAT|O_EXCL`` is genuinely atomic."""
+        return True
+
+
+# schemes whose rename-without-overwrite (the claim primitive in
+# HadoopFS.create_exclusive) is atomic by the store's own contract
+_ATOMIC_RENAME_SCHEMES = {"file", "hdfs", "viewfs", "abfs", "abfss", "o3fs", "ofs"}
+
+# PathCapabilities keys that indicate the store can do a conditional
+# (If-None-Match) create — S3A grew this in recent Hadoop releases;
+# probe a few spellings since the constant moved while stabilizing
+_CONDITIONAL_CREATE_CAPS = (
+    "fs.capability.conditional.create",
+    "fs.s3a.capability.conditional.create",
+    "fs.capability.create.conditional",
+)
+
 
 class HadoopFS:
     """Hadoop ``FileSystem`` backend (driver-side py4j).
@@ -207,6 +225,27 @@ class HadoopFS:
         finally:
             stream.close()
 
+    def _scheme(self) -> str:
+        return (self._uri.getScheme() or "file").lower()
+
+    def _has_conditional_create(self, path: str) -> bool:
+        for cap in _CONDITIONAL_CREATE_CAPS:
+            try:
+                if bool(self._fs.hasPathCapability(self._p(path), cap)):
+                    return True
+            except Exception:
+                continue
+        return False
+
+    def supports_atomic_create(self, path: str) -> bool:
+        """Whether :meth:`create_exclusive` is a true atomic claim on
+        this store: yes for atomic-rename filesystems (HDFS/ABFS/...)
+        and for object stores advertising conditional (If-None-Match)
+        create; no for raw S3-style check-then-write."""
+        if self._scheme() in _ATOMIC_RENAME_SCHEMES:
+            return True
+        return self._has_conditional_create(path)
+
     def create_exclusive(self, path: str, text: str) -> bool:
         """Atomic create-with-content: the FULL text is written to a
         temp file first, then claimed via no-clobber rename. Claiming
@@ -214,9 +253,38 @@ class HadoopFS:
         committed EMPTY file (e.g. a manifest version) if the write
         failed mid-way — wedging every subsequent reader on that
         version. rename-without-overwrite is atomic on HDFS/ABFS and
-        returns false when the destination exists."""
+        returns false when the destination exists.
+
+        Object stores with conditional-create support take a different
+        path: a direct ``create(overwrite=false)`` + write + close.
+        There the store publishes nothing until close() (no partial
+        files to leak) and the If-None-Match commit makes the claim
+        atomic — while their RENAME is copy-then-delete and would
+        race. Stores with neither capability fall through to the
+        rename path and remain check-then-write (callers can probe
+        :meth:`supports_atomic_create` and warn)."""
         parent = path.rsplit("/", 1)[0]
         self.mkdirs(parent)
+        if (
+            self._scheme() not in _ATOMIC_RENAME_SCHEMES
+            and self._has_conditional_create(path)
+        ):
+            try:
+                out = self._fs.create(self._p(path), False)
+                try:
+                    out.write(bytearray(text.encode("utf-8")))
+                finally:
+                    out.close()
+                return True
+            except Exception as e:  # conditional-commit loss = exists
+                msg = f"{type(e).__name__}: {e}"
+                if (
+                    "AlreadyExists" in msg
+                    or "PreconditionFailed" in msg
+                    or "412" in msg
+                ):
+                    return False
+                raise
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         out = self._fs.create(self._p(tmp), True)
         try:

@@ -12,12 +12,19 @@ holders may refresh a heartbeat during long operations.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 import uuid
 
 from ..exceptions import LockAcquisitionError, LockNotHeldError
 from .fs import PosixFS, join as _join
+
+log = logging.getLogger("ariadne")
+
+# lock paths already warned about (once per path per process — the
+# warning must be loud, not a per-retry flood)
+_WARNED_NON_ATOMIC: set = set()
 
 
 class IndexLock:
@@ -53,6 +60,29 @@ class IndexLock:
         return self.fs.create_exclusive(self.path, json.dumps(doc))
 
     def acquire(self) -> str:
+        # Never silently advisory: if this store cannot do an atomic
+        # create-exclusive (raw S3 without conditional writes), say so
+        # loudly at acquire time — two writers could both "win".
+        # (Conditional-create-capable S3 and all atomic-rename stores
+        # probe True and stay quiet; reference accepts the same hazard
+        # silently, IndexLock.scala:396-411.)
+        probe = getattr(self.fs, "supports_atomic_create", None)
+        if probe is not None and self.path not in _WARNED_NON_ATOMIC:
+            try:
+                atomic = bool(probe(self.path))
+            except Exception:
+                atomic = True  # probe failure is not evidence of a race
+            if not atomic:
+                _WARNED_NON_ATOMIC.add(self.path)
+                log.warning(
+                    "lock %s lives on a store WITHOUT atomic "
+                    "create-exclusive: acquisition is check-then-write "
+                    "and concurrent writers may both acquire. Use "
+                    "HDFS/ABFS, S3 with conditional-write support "
+                    "(recent Hadoop S3A), or an external lock service "
+                    "for multi-writer safety.",
+                    self.path,
+                )
         corr = uuid.uuid4().hex
         start = time.monotonic()
         wait = min(1.0, self.retry_interval)

@@ -276,3 +276,63 @@ def test_backend_custom_registration_reaches_index(spark, storage, tmp_path):
     finally:
         spark.conf.unset("spark.ariadne.tableBackend")
         _REGISTRY.pop("spy", None)
+
+
+# --------------------------------------------- non-atomic store warning
+
+from ariadne_spark.storage.fs import PosixFS
+
+
+class _RacyFS(PosixFS):
+    """Fake S3-style store: create_exclusive works but is
+    check-then-write, and the facade says so."""
+
+    def supports_atomic_create(self, path):
+        return False
+
+
+def test_lock_warns_loudly_on_non_atomic_store(tmp_path, caplog):
+    import logging
+
+    from ariadne_spark.storage import lock as lock_mod
+
+    lock_mod._WARNED_NON_ATOMIC.clear()
+    with caplog.at_level(logging.WARNING, logger="ariadne"):
+        lk = IndexLock(str(tmp_path / "locks"), "racy", fs=_RacyFS())
+        lk.acquire()
+        lk.release()
+    assert any(
+        "WITHOUT atomic create-exclusive" in r.message for r in caplog.records
+    ), "racy store must never be silently advisory"
+    # once per path: a second acquire does not flood
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="ariadne"):
+        lk = IndexLock(str(tmp_path / "locks"), "racy", fs=_RacyFS())
+        lk.acquire()
+        lk.release()
+    assert not any(
+        "WITHOUT atomic" in r.message for r in caplog.records
+    )
+
+
+def test_lock_quiet_on_atomic_store(tmp_path, caplog):
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="ariadne"):
+        lk = IndexLock(str(tmp_path / "locks"), "safe")
+        lk.acquire()
+        lk.release()
+    assert not any("WITHOUT atomic" in r.message for r in caplog.records)
+
+
+def test_hadoop_fs_local_scheme_is_atomic(spark, tmp_path):
+    """forceHadoopFS routes local paths through the py4j backend; the
+    file scheme is in the atomic-rename set, so no warning fires and
+    create_exclusive still refuses an existing path."""
+    from ariadne_spark.storage.fs import HadoopFS
+
+    fs = HadoopFS(spark, f"file://{tmp_path}")
+    p = f"file://{tmp_path}/claim.json"
+    assert fs.supports_atomic_create(p)
+    assert fs.create_exclusive(p, "{}")
+    assert not fs.create_exclusive(p, "{}")
