@@ -282,6 +282,29 @@ def near_dup_minhash(
     return verified
 
 
+def _gram_array_udf(n: int):
+    """Distinct char n-grams of lower(text) as an array<string> — an
+    Arrow-vectorized replacement for the ``array_distinct(char_ngrams)``
+    expression on the verify path. The HOF form evaluates one substring
+    expression per gram per row (~1M Catalyst evals for a few hundred
+    candidate docs); a Python set comprehension per doc in one Arrow
+    batch is the same ~50x trade :func:`_gram_set_key_udf` makes."""
+    import pandas as pd
+
+    def grams(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            s = t.lower()
+            out.append(list({s[i: i + n] for i in range(len(s) - n + 1)}))
+        return pd.Series(out)
+
+    grams.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    return F.pandas_udf(grams, "array<string>")
+
+
 def verify_jaccard_arrays(
     pairs: DataFrame,
     docs: DataFrame,
@@ -309,9 +332,7 @@ def verify_jaccard_arrays(
         )
         .select(
             F.col(id_col).alias("__id"),
-            F.array_distinct(
-                char_ngrams(F.lower(F.col(text_col)), shingle_len)
-            ).alias("__grams"),
+            _gram_array_udf(shingle_len)(F.col(text_col)).alias("__grams"),
         )
         .cache()
     )
