@@ -1577,6 +1577,240 @@ def q_sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round 3: the remaining TPC-H family, completing 22/22 through the
+# SQL surface. The testdata schema has no partsupp / l_shipmode /
+# commit-receipt dates, so partsupp-dependent queries are
+# shape-preserving adaptations (lineitem as the part×supplier link,
+# p_retailprice as the cost column) — the plan shapes (correlated MIN,
+# CTE-with-global-threshold, nested IN + HAVING, EXISTS/NOT-EXISTS
+# multi-self-join) are the real thing. Each query is written ONCE as a
+# template: the engine side formats dimension tables as their `_v`
+# temp views, the DuckDB twin as raw views — twins cannot drift.
+_TPCH_R3: dict[str, tuple[str, tuple[str, ...]]] = {
+    # Q2: min-cost supplier per part (correlated MIN over the same
+    # region-restricted join the outer query runs)
+    "sql_tpch_q2": (
+        """
+        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type
+        FROM {part} p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+        JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+        JOIN {region} r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size <= 10 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+          AND l.l_extendedprice = (
+              SELECT MIN(l2.l_extendedprice)
+              FROM lineitem l2
+              JOIN {supplier} s2 ON s2.s_suppkey = l2.l_suppkey
+              JOIN {nation} n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN {region} r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+        """,
+        ("part", "supplier", "nation", "region"),
+    ),
+    # Q7: volume shipping between two nations by ship year
+    "sql_tpch_q7": (
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(volume) AS DOUBLE) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1.0 - l.l_discount AS DECIMAL(18,2)) AS volume
+            FROM {supplier} s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN {customer} c ON c.c_custkey = o.o_custkey
+            JOIN {nation} n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN {nation} n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                   AND TIMESTAMP '1997-12-31'
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        """,
+        ("supplier", "customer", "nation"),
+    ),
+    # Q8: market share of one supplier nation within a region's orders
+    "sql_tpch_q8": (
+        """
+        SELECT o_year,
+               round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                   THEN volume
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END)
+                          AS DOUBLE)
+                     / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+        FROM (
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1.0 - l.l_discount AS DECIMAL(18,2)) AS volume,
+                   n1.n_name AS supp_nation
+            FROM {part} p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN {customer} c ON o.o_custkey = c.c_custkey
+            JOIN {nation} n2 ON c.c_nationkey = n2.n_nationkey
+            JOIN {region} r ON n2.n_regionkey = r.r_regionkey
+            JOIN {nation} n1 ON s.s_nationkey = n1.n_nationkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        ) all_nations
+        GROUP BY o_year
+        """,
+        ("part", "supplier", "customer", "nation", "region"),
+    ),
+    # Q9: product profit by supplier nation and order year
+    # (p_retailprice stands in for ps_supplycost)
+    "sql_tpch_q9": (
+        """
+        SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+        FROM (
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1.0 - l.l_discount AS DECIMAL(18,2))
+                   - CAST(p.p_retailprice AS DECIMAL(18,2))
+                     * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
+            FROM {part} p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%widget%'
+        ) profit
+        GROUP BY nation, o_year
+        """,
+        ("part", "supplier", "nation"),
+    ),
+    # Q11: value concentration — per-part value among a nation group's
+    # suppliers vs a global-scalar-subquery threshold over the same CTE
+    "sql_tpch_q11": (
+        """
+        WITH v AS (
+            SELECT l.l_partkey AS ps_partkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l.l_quantity AS DECIMAL(18,2))) AS val
+            FROM lineitem l
+            JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+            JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2')
+            GROUP BY l.l_partkey
+        )
+        SELECT ps_partkey, CAST(val AS DOUBLE) AS part_value
+        FROM v
+        WHERE CAST(val AS DOUBLE) >
+              (SELECT CAST(SUM(val) AS DOUBLE) FROM v) * 0.001
+        """,
+        ("supplier", "nation"),
+    ),
+    # Q15: top-revenue supplier via a CTE referenced twice (join +
+    # scalar MAX) — exact-decimal revenue makes the MAX tie-free-stable
+    "sql_tpch_q15": (
+        """
+        WITH revenue AS (
+            SELECT l.l_suppkey AS supplier_no,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1.0 - l.l_discount AS DECIMAL(18,2)))
+                   AS total_rev
+            FROM lineitem l
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l.l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_rev AS DOUBLE) AS total_revenue
+        FROM {supplier} s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+        """,
+        ("supplier",),
+    ),
+    # Q16: supplier counts by part attributes with a NOT IN exclusion
+    "sql_tpch_q16": (
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM {part} p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+          AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+          AND l.l_suppkey NOT IN (
+              SELECT s.s_suppkey FROM {supplier} s WHERE s.s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+        ("part", "supplier"),
+    ),
+    # Q20: doubly-nested IN with a grouped HAVING threshold
+    "sql_tpch_q20": (
+        """
+        SELECT s.s_name, s.s_acctbal
+        FROM {supplier} s
+        JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+                           'NATION_4', 'NATION_5', 'NATION_6', 'NATION_7')
+          AND s.s_suppkey IN (
+              SELECT l.l_suppkey FROM lineitem l
+              WHERE l.l_partkey IN (
+                  SELECT p.p_partkey FROM {part} p
+                  WHERE p.p_name LIKE 'small%')
+                AND l.l_shipdate >= TIMESTAMP '1998-01-01'
+                AND l.l_shipdate < TIMESTAMP '1999-01-01'
+              GROUP BY l.l_suppkey
+              HAVING SUM(l.l_quantity) > 400)
+        """,
+        ("supplier", "nation", "part"),
+    ),
+    # Q21: the only-late-supplier-in-a-multi-supplier-order pattern —
+    # EXISTS plus NOT EXISTS, each re-correlating lineitem on itself
+    # (l_returnflag 'R' stands in for receipt-after-commit lateness)
+    "sql_tpch_q21": (
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM {supplier} s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN {nation} n ON s.s_nationkey = n.n_nationkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND n.n_name LIKE 'NATION_1%'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        """,
+        ("supplier", "nation"),
+    ),
+}
+
+
+def _tpch_r3_query(name: str):
+    sql_template, dims = _TPCH_R3[name]
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import ariadne_spark
+
+        _prepare(spark, sf_dir)
+        for t in dims:
+            spark.read.parquet(_t(sf_dir, t)).createOrReplaceTempView(f"{t}_v")
+        return ariadne_spark.sql(
+            sql_template.format(**{d: f"{d}_v" for d in dims}), spark
+        )
+
+    q.__name__ = f"q_{name}"
+    q.__doc__ = f"TPC-H {name.rsplit('_', 1)[-1].upper()} through the SQL surface (shared template with its DuckDB twin)."
+    return q
+
+
+def _tpch_r3_oracle_entries() -> dict[str, str]:
+    return {
+        name: sql_template.format(**{d: d for d in dims})
+        for name, (sql_template, dims) in _TPCH_R3.items()
+    }
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: fake-pack documents as video
     blobs, stamp a deterministic duration (10 ms per char), then
@@ -1751,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q17": q_sql_tpch_q17,
         "sql_tpch_q19": q_sql_tpch_q19,
         "sql_tpch_q22": q_sql_tpch_q22,
+        **{name: _tpch_r3_query(name) for name in _TPCH_R3},
         "idx_stats": q_idx_stats,
         "catalog_describe": q_catalog_describe,
         "idx_locate": q_idx_locate,
@@ -1847,7 +2082,7 @@ def oracle_sql() -> dict[str, str]:
     from ariadne_spark.operators.text import STOPWORDS
 
     stop_list = _sql_list(STOPWORDS)
-    return {
+    oracles = {
         "idx_join_regular": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderstatus, c.c_name
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2612,3 +2847,5 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN ({_sql_list(CUST_KEYS)})
         """,
     }
+    oracles.update(_tpch_r3_oracle_entries())
+    return oracles

@@ -66,6 +66,15 @@ BENCH_QUERIES = [
     "sql_tpch_q17",
     "sql_tpch_q19",
     "sql_tpch_q22",
+    "sql_tpch_q2",
+    "sql_tpch_q7",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "sql_tpch_q11",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q20",
+    "sql_tpch_q21",
     "sql_window_topn",
     "datasource_filter",
 ]
