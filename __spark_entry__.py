@@ -688,6 +688,38 @@ def q_ts_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled resample: dense 30-minute grid per event_type between
+    each type's first and last bucket (~25% of buckets are empty at
+    sf0.01), zero-filling empty buckets —
+    count + decimal-exact value sum (oracle: generate_series grid +
+    COALESCE left join)."""
+    from ariadne_spark.operators.timeseries import resample
+
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    out = resample(
+        ev,
+        "ts",
+        1800,
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_value"),
+        ],
+        fill="zero",
+    )
+    return out.select(
+        F.expr("unix_micros(cast(bucket_start as timestamp))").alias(
+            "bucket_us"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def q_ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of (backward) join: each purchase event picks up the latest
     click at-or-before it for the same user — the sort-merge
@@ -1986,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q19": q_sql_tpch_q19,
         "sql_tpch_q22": q_sql_tpch_q22,
         **{name: _tpch_r3_query(name) for name in _TPCH_R3},
+        "ts_resample": q_ts_resample,
         "idx_stats": q_idx_stats,
         "catalog_describe": q_catalog_describe,
         "idx_locate": q_idx_locate,
@@ -2272,6 +2305,29 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "ts_resample": """
+            WITH r AS (
+                SELECT CAST(floor(epoch_us(ts) / 1800000000)
+                           * 1800000000 AS BIGINT) AS bucket_us,
+                       event_type, COUNT(*) AS n_events,
+                       SUM(CAST(value AS DECIMAL(18,2))) AS sv
+                FROM events GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, min(bucket_us) AS mn, max(bucket_us) AS mx
+                FROM r GROUP BY 1
+            ),
+            g AS (
+                SELECT s.event_type,
+                       CAST(unnest(generate_series(mn, mx, 1800000000))
+                            AS BIGINT) AS bucket_us
+                FROM s
+            )
+            SELECT g.bucket_us, g.event_type,
+                   COALESCE(r.n_events, 0) AS n_events,
+                   CAST(COALESCE(r.sv, 0) AS DOUBLE) AS sum_value
+            FROM g LEFT JOIN r USING (bucket_us, event_type)
         """,
         "ts_asof_join": """
             SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,

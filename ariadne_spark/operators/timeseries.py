@@ -33,6 +33,7 @@ __all__ = [
     "session_stats",
     "time_bucket",
     "rollup",
+    "resample",
     "asof_join",
 ]
 
@@ -124,6 +125,67 @@ def rollup(
     if not aggs:
         aggs = [F.count(F.lit(1)).alias("n_events")]
     return df.groupBy(*keys).agg(*aggs)
+
+
+def resample(
+    df: DataFrame,
+    ts_col: str,
+    width_seconds: int,
+    key_cols: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    fill: str = "null",
+) -> DataFrame:
+    """Gap-filled rollup: a DENSE fixed-width time grid per key (every
+    bucket between that key's first and last event), with missing
+    buckets filled per ``fill``:
+
+    * ``'null'`` — empty buckets carry null aggregates
+    * ``'zero'`` — empty buckets carry 0 (counts/sums)
+    * ``'prev'`` — forward-fill: each empty bucket repeats the most
+      recent non-empty bucket's values (gauge/state semantics)
+
+    Plan shape: one rollup shuffle (event-grain), then everything runs
+    at BUCKET grain — a tiny per-key span agg, a ``sequence`` +
+    ``explode`` grid (no cross join against a calendar table), an
+    equi-join back on (key, bucket), and for ``'prev'`` one per-key
+    window. Grid cardinality per key is span/width — callers pick the
+    width; a key spanning years at 1-second width is a deliberate
+    1e8-row request, not an accident of the plan.
+    """
+    if fill not in ("null", "zero", "prev"):
+        raise ValueError(f"fill must be null|zero|prev, got {fill!r}")
+    keys = list(key_cols or [])
+    rolled = rollup(df, ts_col, width_seconds, keys, aggs)
+    agg_cols = [c for c in rolled.columns if c != "bucket_start" and c not in keys]
+    spans = rolled.groupBy(*[F.col(k) for k in keys]).agg(
+        F.min("bucket_start").alias("__mn"),
+        F.max("bucket_start").alias("__mx"),
+    )
+    step = F.expr(f"interval {int(width_seconds)} second")
+    grid = spans.select(
+        *keys,
+        F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step)).alias(
+            "bucket_start"
+        ),
+    )
+    out = grid.join(rolled, keys + ["bucket_start"], "left")
+    if fill == "zero":
+        out = out.na.fill(0, subset=agg_cols)
+    elif fill == "prev":
+        w = (
+            Window.partitionBy(*[F.col(k) for k in keys])
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = out.select(
+            *keys,
+            "bucket_start",
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                for c in agg_cols
+            ],
+        )
+    return out
 
 
 def asof_join(

@@ -181,3 +181,71 @@ class TestAsofJoin:
         res = asof_join(left, right, ["key"], "ts", ["rv"], tiebreak_col="rid")
         plan = res._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestResample:
+    def _sparse(self, spark):
+        # key a: buckets 0,2 occupied (bucket 1 missing); key b: dense
+        return _events(
+            spark,
+            [
+                ("a", _ts(0), 1, 10.0),
+                ("a", _ts(21), 2, 30.0),   # bucket 2 (600s buckets)
+                ("b", _ts(0), 3, 1.0),
+                ("b", _ts(10), 4, 2.0),
+                ("b", _ts(20), 5, 3.0),
+            ],
+        )
+
+    def _run(self, spark, fill):
+        from ariadne_spark.operators.timeseries import resample
+
+        out = resample(
+            self._sparse(spark),
+            "ts",
+            600,
+            ["key"],
+            [
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sv"),
+            ],
+            fill=fill,
+        )
+        return {
+            (r["key"], r["bucket_start"].minute): (r["n"], r["sv"])
+            for r in out.collect()
+        }
+
+    def test_null_fill_inserts_empty_buckets(self, spark):
+        got = self._run(spark, "null")
+        assert got[("a", 10)] == (None, None)
+        assert got[("a", 0)] == (1, 10.0)
+        assert got[("a", 20)] == (1, 30.0)
+        assert len(got) == 6  # 3 buckets per key, dense grid
+
+    def test_zero_fill(self, spark):
+        got = self._run(spark, "zero")
+        assert got[("a", 10)] == (0, 0.0)
+
+    def test_prev_fill_carries_last_value_forward(self, spark):
+        got = self._run(spark, "prev")
+        assert got[("a", 10)] == (1, 10.0)  # carried from bucket 0
+        assert got[("a", 20)] == (1, 30.0)  # real bucket unchanged
+
+    def test_dense_input_equals_rollup(self, spark):
+        from ariadne_spark.operators.timeseries import resample
+
+        df = self._sparse(spark).where("key = 'b'")
+        args = ("ts", 600, ["key"], [F.count(F.lit(1)).alias("n")])
+        r1 = {tuple(r) for r in resample(df, *args, fill="zero").collect()}
+        r2 = {tuple(r) for r in rollup(df, "ts", 600, ["key"],
+                                       [F.count(F.lit(1)).alias("n")]).select(
+            "key", "bucket_start", "n").collect()}
+        assert r1 == r2
+
+    def test_bad_fill_raises(self, spark):
+        from ariadne_spark.operators.timeseries import resample
+        import pytest
+
+        with pytest.raises(ValueError, match="fill"):
+            resample(self._sparse(spark), "ts", 600, ["key"], fill="interp")
