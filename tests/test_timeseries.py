@@ -249,3 +249,62 @@ class TestResample:
 
         with pytest.raises(ValueError, match="fill"):
             resample(self._sparse(spark), "ts", 600, ["key"], fill="interp")
+
+
+class TestResampleInvariants:
+    """Randomized (fixed-seed) invariants over a bigger sparse series:
+    grid density, conservation vs rollup, forward-fill totality."""
+
+    def _random_events(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for eid in range(300):
+            key = rng.choice(["a", "b", "c"])
+            # sparse: events land in ~15% of 10-minute buckets over a week
+            minute = rng.randrange(0, 7 * 24 * 60, 10) + rng.randrange(10)
+            ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                minutes=minute
+            )
+            rows.append((key, ts, eid, float(rng.randrange(100))))
+        return spark.createDataFrame(
+            rows, "key string, ts timestamp, eid bigint, value double"
+        )
+
+    def test_grid_density_conservation_and_fill_totality(self, spark):
+        from ariadne_spark.operators.timeseries import resample, rollup
+
+        df = self._random_events(spark)
+        width = 600
+        aggs = [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sv"),
+        ]
+        out = resample(df, "ts", width, ["key"], aggs, fill="zero").collect()
+
+        # (1) dense grid: per key, buckets advance by exactly `width`
+        by_key: dict = {}
+        for r in out:
+            by_key.setdefault(r["key"], []).append(r["bucket_start"])
+        for key, buckets in by_key.items():
+            buckets.sort()
+            steps = {
+                (b2 - b1).total_seconds()
+                for b1, b2 in zip(buckets, buckets[1:])
+            }
+            assert steps == {float(width)}, f"gaps remain for key {key}"
+
+        # (2) conservation: zero-filling adds no mass
+        rolled = rollup(df, "ts", width, ["key"], aggs).collect()
+        assert sum(r["n"] for r in out) == sum(r["n"] for r in rolled) == 300
+        assert abs(
+            sum(r["sv"] for r in out) - sum(r["sv"] for r in rolled)
+        ) < 1e-9
+
+        # (3) prev-fill totality: nulls never appear (each key's grid
+        # starts at its first OCCUPIED bucket, so there is always a
+        # previous value to carry)
+        prev = resample(df, "ts", width, ["key"], aggs, fill="prev").collect()
+        assert len(prev) == len(out)
+        assert all(r["n"] is not None and r["sv"] is not None for r in prev)
