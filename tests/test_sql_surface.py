@@ -473,3 +473,48 @@ def test_interception_populates_prune_report(spark, orders_view):
         assert rep["orders_sql"]["files_selected"] >= 1
     finally:
         ariadne_spark.disable_sql_interception(spark)
+
+
+def test_probe_persist_reused_and_released(spark, orders_view):
+    """The executed join probe side is persisted, substituted into the
+    final plan as an InMemoryRelation, and released on the NEXT sql()
+    call (never mid-query: the returned DataFrame is lazy)."""
+    df = orders_view
+    keys = df.select("o_custkey").distinct().limit(10)
+    keys.createOrReplaceTempView("probe_keys")
+    q = (
+        "SELECT o.o_orderkey, o.o_custkey FROM orders_sql o "
+        "JOIN probe_keys k ON o.o_custkey = k.o_custkey"
+    )
+    res = surface.sql(q, spark)
+    assert len(surface._PROBE_LIVE) == 1
+    plan = res._jdf.queryExecution().optimizedPlan().toString()
+    assert "InMemoryRelation" in plan
+    assert_same_rows(
+        res, df.join(keys, "o_custkey").select("o_orderkey", "o_custkey")
+    )
+    # next call releases the previous probe and registers its own
+    surface.sql(q, spark).count()
+    assert len(surface._PROBE_LIVE) == 1
+    # a query with no join rewrite leaves no live probes
+    surface.sql(
+        "SELECT o_orderkey FROM orders_sql WHERE o_custkey IN (1, 2)", spark
+    ).count()
+    assert len(surface._PROBE_LIVE) == 0
+
+
+def test_probe_persist_fallback_still_correct(spark, orders_view):
+    """A query the rewriter can't handle (non-equi join) falls back to
+    the unmodified text and must stay correct with no probe leak."""
+    df = orders_view
+    spark.createDataFrame([(50,)], ["cut"]).createOrReplaceTempView("cut_v")
+    res = surface.sql(
+        "SELECT o.o_orderkey FROM orders_sql o JOIN cut_v c "
+        "ON o.o_custkey < c.cut",
+        spark,
+    )
+    expected = df.join(
+        spark.table("cut_v"), F.col("o_custkey") < F.col("cut")
+    ).select("o_orderkey")
+    assert_same_rows(res, expected)
+    assert len(surface._PROBE_LIVE) == 0
