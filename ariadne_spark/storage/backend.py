@@ -61,6 +61,10 @@ def register_backend(name: str, factory) -> None:
     _REGISTRY[name] = factory
 
 
+# on-disk markers that identify which backend owns an existing table
+_FORMAT_MARKERS = {"parquet": "_manifest", "delta": "_delta_log"}
+
+
 def open_table(
     spark: SparkSession,
     path: str,
@@ -68,13 +72,30 @@ def open_table(
     dedup: str = "last",
 ):
     """Open the index-state table at ``path`` with the configured
-    backend (``spark.ariadne.tableBackend``, default ``parquet``)."""
+    backend (``spark.ariadne.tableBackend``, default ``parquet``).
+
+    Refuses to open a table that an OTHER known backend already owns:
+    without the guard, flipping the conf over an existing store makes
+    the new backend see an empty table — the engine would silently
+    rebuild from scratch (or interleave two formats in one directory).
+    """
     name = spark.conf.get(_CONF_KEY, "parquet")
     factory = _REGISTRY.get(name)
     if factory is None:
         raise ValueError(
             f"unknown {_CONF_KEY} {name!r}; registered: {sorted(_REGISTRY)}"
         )
+    if name in _FORMAT_MARKERS:
+        from .fs import get_fs, join as _join
+
+        fs = get_fs(spark, path)
+        for other, marker in _FORMAT_MARKERS.items():
+            if other != name and fs.exists(_join(path, marker)):
+                raise ValueError(
+                    f"table {path} was written by the {other!r} backend "
+                    f"but {_CONF_KEY}={name!r}; refusing to open — switch "
+                    f"the conf back or migrate the table explicitly"
+                )
     return factory(spark, path, key_cols, dedup)
 
 

@@ -336,3 +336,26 @@ def test_hadoop_fs_local_scheme_is_atomic(spark, tmp_path):
     assert fs.supports_atomic_create(p)
     assert fs.create_exclusive(p, "{}")
     assert not fs.create_exclusive(p, "{}")
+
+
+def test_backend_refuses_foreign_format(spark, storage):
+    """Flipping tableBackend over an existing store must fail loudly,
+    not silently present an empty table."""
+    from ariadne_spark.storage.backend import open_table
+
+    # LSM table on disk, then the delta backend is selected
+    t = open_table(spark, f"{storage}/seam5", key_cols=("k",))
+    t.append(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    spark.conf.set("spark.ariadne.tableBackend", "delta")
+    try:
+        with pytest.raises(ValueError, match="written by the 'parquet'"):
+            open_table(spark, f"{storage}/seam5")
+    finally:
+        spark.conf.unset("spark.ariadne.tableBackend")
+
+    # fake delta table on disk, then the parquet backend (default)
+    import os
+
+    os.makedirs(f"{storage}/seam6/_delta_log", exist_ok=True)
+    with pytest.raises(ValueError, match="written by the 'delta'"):
+        open_table(spark, f"{storage}/seam6")
