@@ -722,7 +722,11 @@ def incremental_near_dup(
     new_sigs = minhash_signatures_fast(
         new_docs, text_col, id_col, num_hashes, shingle_len
     ).cache()
-    new_sigs.count()
+    if update_store:
+        # materialize BEFORE the store append below mutates what a
+        # recompute would read; read-only callers let the first
+        # consumer (the band join) trigger the cache — one less job
+        new_sigs.count()
     # Missing store = first batch; any OTHER read failure (credential,
     # corrupt footer) must PROPAGATE — treating it as "no history"
     # would silently admit every historical near-duplicate.
@@ -775,8 +779,10 @@ def incremental_near_dup(
         .select("id_a", "id_b", "est_jaccard")
         .cache()
     )
-    out.count()
     if update_store:
+        # same reason: pin the result before the append changes the
+        # store the lazy plan reads
+        out.count()
         signature_store_write(new_sigs, store_path, mode="append")
     new_sigs.unpersist()
     _INCREMENTAL_LIVE.append(out)
