@@ -359,3 +359,23 @@ def test_backend_refuses_foreign_format(spark, storage):
     os.makedirs(f"{storage}/seam6/_delta_log", exist_ok=True)
     with pytest.raises(ValueError, match="written by the 'delta'"):
         open_table(spark, f"{storage}/seam6")
+
+
+def test_hadoop_fs_conditional_create_branch(spark, tmp_path, monkeypatch):
+    """Object stores with conditional-create support take the direct
+    create(overwrite=false) path instead of temp+rename. Fake the
+    probe over the local Hadoop FS: the branch must claim once, then
+    refuse (FileAlreadyExists surfaces as False, not an exception)."""
+    from ariadne_spark.storage.fs import HadoopFS
+
+    fs = HadoopFS(spark, f"file://{tmp_path}")
+    monkeypatch.setattr(HadoopFS, "_scheme", lambda self: "s3a")
+    monkeypatch.setattr(
+        HadoopFS, "_has_conditional_create", lambda self, p: True
+    )
+    p = f"file://{tmp_path}/cond/claim.json"
+    assert fs.supports_atomic_create(p)
+    assert fs.create_exclusive(p, '{"v": 1}')
+    assert fs.read_text(p) == '{"v": 1}'
+    assert not fs.create_exclusive(p, '{"v": 2}')
+    assert fs.read_text(p) == '{"v": 1}'  # loser never clobbers
