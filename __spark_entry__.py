@@ -541,6 +541,29 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
+def q_profile_footer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-data-scan table profile: rows/nulls/min/max per numeric
+    column read from parquet FOOTER metadata only (one KB-scale footer
+    read per file, distributed). Numeric footer statistics are exact,
+    so the oracle is a plain full-scan aggregate over the same rows."""
+    from ariadne_spark.operators.profile import profile_from_footers
+
+    _prepare(spark, sf_dir)
+    files = sorted(
+        glob.glob(f"{WORK}/{_tag(sf_dir)}/orders/part*/*.parquet")
+    )
+    out = profile_from_footers(
+        spark, files, ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return out.select(
+        F.col("column").alias("col_name"),
+        "n_rows",
+        "n_nulls",
+        "min_num",
+        "max_num",
+    )
+
+
 def q_profile_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column quantiles (exact mode so DuckDB quantile_cont can
     mirror the linear interpolation; the operator defaults to the
@@ -2019,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q22": q_sql_tpch_q22,
         **{name: _tpch_r3_query(name) for name in _TPCH_R3},
         "ts_resample": q_ts_resample,
+        "profile_footer": q_profile_footer,
         "idx_stats": q_idx_stats,
         "catalog_describe": q_catalog_describe,
         "idx_locate": q_idx_locate,
@@ -2903,5 +2927,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN ({_sql_list(CUST_KEYS)})
         """,
     }
+    oracles["profile_footer"] = """
+        SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+               CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(max(o_orderkey) AS DOUBLE) AS max_num
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+               CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+               CAST(min(o_totalprice) AS DOUBLE),
+               CAST(max(o_totalprice) AS DOUBLE)
+        FROM orders
+    """
     oracles.update(_tpch_r3_oracle_entries())
     return oracles
