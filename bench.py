@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "sql_tpch_q16",
     "sql_tpch_q20",
     "sql_tpch_q21",
+    "ts_resample",
+    "profile_footer",
     "sql_window_topn",
     "datasource_filter",
 ]
