@@ -682,6 +682,48 @@ def signature_store_write(
     sigs.write.mode(mode).parquet(store_path)
 
 
+def signature_store_compact(
+    spark, store_path: str, rows_per_file: int = 2_000_000
+) -> int:
+    """Fold the append-per-batch signature store into few large files.
+
+    Continuous crawling appends one file set per batch; after thousands
+    of batches the store's read side pays per-file open costs on every
+    incremental call. Rewrite to ``ceil(rows / rows_per_file)`` files.
+    Re-crawled ids may appear once per crawl in the store; the NEWEST
+    signature wins here (same supersede rule the incremental join
+    applies at read time), so compaction also discards dead history.
+
+    NOT concurrent-writer-safe (plain directory swap — run it from the
+    maintenance window that owns the store, e.g. under the same lock
+    the ingest job uses). Returns the number of rows kept."""
+    import math
+
+    from ..storage.fs import get_fs
+
+    df = spark.read.parquet(store_path)
+    sig_cols = [c for c in df.columns if c != "__id"]
+    # newest-wins per id: input_file_name order is meaningless, so use
+    # the batch-monotonic modification time of the source file
+    from pyspark.sql.functions import col, struct
+
+    meta = df.withColumn("__mt", F.col("_metadata.file_modification_time"))
+    latest = (
+        meta.groupBy("__id")
+        .agg(F.max_by(struct(*[col(c) for c in sig_cols]), col("__mt")).alias("__s"))
+        .select("__id", "__s.*")
+    )
+    n = latest.count()
+    files = max(1, math.ceil(n / rows_per_file))
+    tmp = store_path.rstrip("/") + ".__compact"
+    latest.repartition(files).write.mode("overwrite").parquet(tmp)
+    fs = get_fs(spark, store_path)
+    fs.delete(store_path, recursive=True)
+    if not fs.rename(tmp, store_path):
+        raise OSError(f"rename {tmp} -> {store_path} failed")
+    return n
+
+
 def incremental_near_dup(
     new_docs: DataFrame,
     store_path: str,

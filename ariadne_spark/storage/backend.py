@@ -102,6 +102,50 @@ def open_table(
 register_backend("parquet", ParquetTable)
 
 
+def migrate_table(
+    spark: SparkSession,
+    path: str,
+    to_backend: str,
+    key_cols: tuple[str, ...] = (),
+    dedup: str = "last",
+) -> None:
+    """Rewrite the table at ``path`` from whatever backend owns it to
+    ``to_backend`` — the explicit migration the :func:`open_table`
+    mismatch guard points at.
+
+    Reads the CURRENT state (per-key replacement resolved) with the
+    owning backend, drops the old physical layout, and overwrites
+    through the target backend. Run it under the index's maintenance
+    lock — the swap is not concurrent-writer-safe (same caveat as any
+    format conversion)."""
+    from .fs import get_fs, join as _join
+
+    fs = get_fs(spark, path)
+    owner = None
+    for name, marker in _FORMAT_MARKERS.items():
+        if fs.exists(_join(path, marker)):
+            owner = name
+            break
+    if owner is None:
+        raise ValueError(f"no known backend owns {path}; nothing to migrate")
+    if owner == to_backend:
+        return
+    if to_backend not in _REGISTRY:
+        raise ValueError(
+            f"unknown target backend {to_backend!r}; "
+            f"registered: {sorted(_REGISTRY)}"
+        )
+    src = _REGISTRY[owner](spark, path, key_cols, dedup)
+    df = src.read()
+    if df is None:
+        raise ValueError(f"{path} has no committed state to migrate")
+    # materialize off the source layout before dropping it
+    snapshot = df.localCheckpoint(eager=True)
+    src.drop()
+    dst = _REGISTRY[to_backend](spark, path, key_cols, dedup)
+    dst.overwrite(snapshot)
+
+
 # --------------------------------------------------------------- delta
 
 class DeltaBackend:

@@ -149,6 +149,15 @@ class PosixFS:
     def sizes(self, paths: list[str]) -> list[int]:
         return [self.size(p) or 0 for p in paths]
 
+    def rename(self, src: str, dst: str) -> bool:
+        """Move a file or directory (no-clobber for directories on
+        POSIX: rename onto an existing non-empty dir fails)."""
+        try:
+            os.rename(self._p(src), self._p(dst))
+            return True
+        except OSError:
+            return False
+
     def supports_atomic_create(self, path: str) -> bool:
         """POSIX ``O_CREAT|O_EXCL`` is genuinely atomic."""
         return True
@@ -331,6 +340,9 @@ class HadoopFS:
 
     def delete(self, path: str, recursive: bool = False) -> bool:
         return bool(self._fs.delete(self._p(path), recursive))
+
+    def rename(self, src: str, dst: str) -> bool:
+        return bool(self._fs.rename(self._p(src), self._p(dst)))
 
     def size(self, path: str) -> int | None:
         if not self.exists(path):

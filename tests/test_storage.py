@@ -379,3 +379,82 @@ def test_hadoop_fs_conditional_create_branch(spark, tmp_path, monkeypatch):
     assert fs.read_text(p) == '{"v": 1}'
     assert not fs.create_exclusive(p, '{"v": 2}')
     assert fs.read_text(p) == '{"v": 1}'  # loser never clobbers
+
+
+def test_migrate_table_between_backends(spark, storage):
+    """migrate_table rewrites current state (per-key resolution
+    applied) into the target backend's layout."""
+    from ariadne_spark.storage.backend import (
+        ParquetTable,
+        _REGISTRY,
+        migrate_table,
+        open_table,
+        register_backend,
+    )
+
+    src = open_table(spark, f"{storage}/mig1", key_cols=("k",))
+    src.append(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    src.append(spark.createDataFrame([(2, "B")], ["k", "v"]))
+
+    calls = []
+
+    def spy(s, path, key_cols=(), dedup="last"):
+        calls.append("open")
+        return ParquetTable(s, path, key_cols, dedup)
+
+    register_backend("spy_mig", spy)
+    try:
+        migrate_table(spark, f"{storage}/mig1", "spy_mig", key_cols=("k",))
+        assert calls  # target backend actually performed the write
+        t = ParquetTable(spark, f"{storage}/mig1", key_cols=("k",))
+        assert rows_set(t.read()) == {(1, "a"), (2, "B")}
+        assert t.num_segments == 1  # old multi-segment history gone
+        with pytest.raises(ValueError, match="unknown target"):
+            migrate_table(spark, f"{storage}/mig1", "nope")
+    finally:
+        _REGISTRY.pop("spy_mig", None)
+
+
+def test_signature_store_compact(spark, tmp_path):
+    """Batch-per-append store folds to few files; newest signature
+    wins for re-crawled ids; incremental results are unchanged."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators.dedup import (
+        minhash_signatures_fast,
+        signature_store_compact,
+        signature_store_write,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with some shared text padding") for i in range(30)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "sigstore")
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        batch = docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        signature_store_write(
+            minhash_signatures_fast(batch, "text", "doc_id"), store
+        )
+    # re-crawl doc 5 with DIFFERENT text: its new signature must win
+    import time
+
+    time.sleep(1.1)  # distinct file mtime = the newest-wins key
+    recrawl = spark.createDataFrame(
+        [(5, "completely different recrawled content here")],
+        "doc_id long, text string",
+    )
+    new_sig = minhash_signatures_fast(recrawl, "text", "doc_id")
+    expected_h0 = new_sig.collect()[0]["h0"]
+    signature_store_write(new_sig, store)
+
+    import glob
+
+    before = len(glob.glob(f"{store}/*.parquet"))
+    n = signature_store_compact(spark, store, rows_per_file=1000)
+    after = len(glob.glob(f"{store}/*.parquet"))
+    assert n == 30  # 31 rows, doc 5's old signature discarded
+    assert after < before and after == 1
+    kept = spark.read.parquet(store)
+    assert kept.count() == 30
+    assert kept.where("__id = 5").collect()[0]["h0"] == expected_h0
