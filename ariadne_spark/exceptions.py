@@ -89,6 +89,17 @@ class ReservedColumnError(AriadneError):
     """Column name collides with an internal engine column."""
 
 
+class UnsupportedMetadataVersionError(AriadneError):
+    """metadata.json was written by a newer engine (metadata_version
+    above this build's METADATA_VERSION); refuse rather than misread
+    (reference: UnsupportedMetadataVersionException)."""
+
+
+class UnsupportedStorageFormatVersionError(AriadneError):
+    """Index storage layout is newer than this build supports
+    (reference: UnsupportedStorageFormatVersionException)."""
+
+
 class InvalidMetadataError(AriadneError):
     """Persisted index metadata is unreadable or missing required
     fields (reference: IndexMetadataTests.scala:384-397 rejects

@@ -127,6 +127,27 @@ class IndexMetadata:
                 raise InvalidMetadataError(
                     f"{name}: metadata missing required field {req!r}"
                 )
+        # forward-compat guard: a document written by a NEWER engine
+        # must be refused, not silently half-read (reference:
+        # UnsupportedMetadataVersionException /
+        # UnsupportedStorageFormatVersionException)
+        from ..exceptions import (
+            UnsupportedMetadataVersionError,
+            UnsupportedStorageFormatVersionError,
+        )
+
+        mv = d.get("metadata_version", METADATA_VERSION)
+        sv = d.get("storage_format_version", STORAGE_FORMAT_VERSION)
+        if int(mv) > METADATA_VERSION:
+            raise UnsupportedMetadataVersionError(
+                f"{name}: metadata_version {mv} > supported "
+                f"{METADATA_VERSION}; upgrade ariadne-spark to read it"
+            )
+        if int(sv) > STORAGE_FORMAT_VERSION:
+            raise UnsupportedStorageFormatVersionError(
+                f"{name}: storage_format_version {sv} > supported "
+                f"{STORAGE_FORMAT_VERSION}; upgrade ariadne-spark to read it"
+            )
         return IndexMetadata(
             name=name,
             format=d["format"],

@@ -458,3 +458,30 @@ def test_signature_store_compact(spark, tmp_path):
     kept = spark.read.parquet(store)
     assert kept.count() == 30
     assert kept.where("__id = 5").collect()[0]["h0"] == expected_h0
+
+
+def test_metadata_future_versions_refused(tmp_path):
+    """A metadata document written by a NEWER engine is refused, never
+    silently half-read (reference: UnsupportedMetadataVersionException
+    family)."""
+    import json as _json
+
+    from ariadne_spark.exceptions import (
+        UnsupportedMetadataVersionError,
+        UnsupportedStorageFormatVersionError,
+    )
+    from ariadne_spark.storage.metadata import IndexMetadata
+
+    base = {
+        "format": "parquet",
+        "schema": {"type": "struct", "fields": []},
+    }
+    IndexMetadata.from_json("x", _json.dumps(base))  # current: fine
+    with pytest.raises(UnsupportedMetadataVersionError, match="upgrade"):
+        IndexMetadata.from_json(
+            "x", _json.dumps({**base, "metadata_version": 99})
+        )
+    with pytest.raises(UnsupportedStorageFormatVersionError, match="upgrade"):
+        IndexMetadata.from_json(
+            "x", _json.dumps({**base, "storage_format_version": 99})
+        )
