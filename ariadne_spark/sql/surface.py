@@ -156,6 +156,22 @@ def _band_filters(cond, range_cols: set[str]) -> dict:
     }
     for c in _split_conjuncts(cond):
         k = _cls(c)
+        if k == "UnresolvedFunction":
+            # Spark 4 parses `x BETWEEN a AND b` as an unresolved
+            # between(x, a, b) call, not two comparisons
+            try:
+                fname = str(_seq_to_list(c.nameParts())[-1]).lower()
+                args = _seq_to_list(c.arguments())
+            except Exception:
+                continue
+            if fname != "between" or len(args) != 3:
+                continue
+            name = _attr_name(args[0])
+            lo, hi = _literal_value(args[1]), _literal_value(args[2])
+            if name in range_cols and lo is not None and hi is not None:
+                tighten_band(acc.setdefault(name, {}), "GreaterThanOrEqual", lo)
+                tighten_band(acc.setdefault(name, {}), "LessThanOrEqual", hi)
+            continue
         if k not in mirror:
             continue
         name, v, op = _attr_name(c.left()), _literal_value(c.right()), k
@@ -171,6 +187,135 @@ def _band_filters(cond, range_cols: set[str]) -> dict:
         )
         for col, b in acc.items()
     }
+
+
+def _alias_map(jplan, index_names: set[str]) -> dict[str, str]:
+    """alias -> index view name, for every SubqueryAlias directly over
+    an index relation (plus each view's own name for unaliased refs)."""
+    out: dict[str, str] = {}
+    for node in _walk(jplan):
+        if _cls(node) != "SubqueryAlias":
+            continue
+        ch = _children(node)
+        if len(ch) == 1:
+            rel = _relation_name(ch[0])
+            if rel in index_names:
+                try:
+                    out[str(node.alias())] = rel
+                except Exception:
+                    continue
+    for n in index_names:
+        out.setdefault(n, n)
+    return out
+
+
+def _conjunct_view(
+    conjunct, alias_map: dict[str, str], view_cols: dict[str, set]
+) -> str | None:
+    """The single index view a WHERE conjunct talks about, or None.
+
+    Qualified attributes must map through ``alias_map``; unqualified
+    ones must be a column of exactly one index view's schema (if the
+    name also lived on a non-index relation the original query would
+    be ambiguous and fail analysis on its own, so misattribution can
+    never produce a wrong executed answer — pruning is file-grain and
+    the full query re-applies every predicate)."""
+    views: set[str] = set()
+    saw_attr = False
+    for x in _walk(conjunct):
+        if _cls(x) != "UnresolvedAttribute":
+            continue
+        saw_attr = True
+        parts = [str(p) for p in _seq_to_list(x.nameParts())]
+        if len(parts) >= 2:
+            v = alias_map.get(parts[-2])
+            if v is None:
+                return None
+            views.add(v)
+        else:
+            owners = [n for n, cols in view_cols.items() if parts[-1] in cols]
+            if len(owners) != 1:
+                return None
+            views.add(owners[0])
+    return views.pop() if saw_attr and len(views) == 1 else None
+
+
+_NONDET_FNS = {"rand", "randn", "random", "uuid", "shuffle",
+               "monotonically_increasing_id"}
+
+
+def _conjunct_safe_for_probe(conjunct) -> bool:
+    """Only deterministic, subquery-free conjuncts may be pushed into
+    an executed probe side."""
+    for x in _walk(conjunct):
+        k = _cls(x)
+        if "Subquery" in k or k in ("Exists", "InSubquery", "ListQuery"):
+            return False
+        if k == "UnresolvedFunction":
+            try:
+                parts = _seq_to_list(x.nameParts())
+                if str(parts[-1]).lower() in _NONDET_FNS:
+                    return False
+            except Exception:
+                return False
+    return True
+
+
+def _ancestor_filter_conjuncts(spark, root, target) -> list:
+    """Conjuncts of every Filter node on the path from ``root`` down
+    to ``target`` (JVM identity match — structural equality could pick
+    a twin in another branch and steal its filters)."""
+    ihc = spark._jvm.java.lang.System.identityHashCode
+    want = ihc(target)
+
+    def search(node, acc):
+        if ihc(node) == want:
+            return list(acc)
+        if _cls(node) == "Filter":
+            acc = acc + list(_split_conjuncts(node.condition()))
+        for c in _children(node):
+            found = search(c, acc)
+            if found is not None:
+                return found
+        return None
+
+    return search(root, []) or []
+
+
+def _filtered_probe(spark: SparkSession, root, join_node, other_side) -> DataFrame:
+    """Execute the probe subtree WITH the ancestor WHERE conjuncts that
+    belong to it (the reference's rule runs on the optimized plan where
+    Catalyst has already pushed these down; a parse-plan rewriter must
+    push them itself or the probe runs unfiltered — unboundedly more
+    expensive AND less selective for pruning). A conjunct belongs to
+    the probe iff it analyzes against the subtree alone; each is tried
+    individually and droppers fall back to the unfiltered side.
+    Sound for the INNER joins this rewriter handles: a probe row
+    failing a probe-only conjunct cannot appear in any surviving
+    output row."""
+    base = _dataset_of_rows(spark, other_side)
+    conjuncts = [
+        c
+        for c in _ancestor_filter_conjuncts(spark, root, join_node)
+        if _conjunct_safe_for_probe(c)
+    ]
+    if not conjuncts:
+        return base
+    jfilter = spark._jvm.org.apache.spark.sql.catalyst.plans.logical.Filter
+    jand = spark._jvm.org.apache.spark.sql.catalyst.expressions.And
+    kept = []
+    for c in conjuncts:
+        try:
+            _dataset_of_rows(spark, jfilter(c, other_side))  # analysis probe
+            kept.append(c)
+        except Exception:
+            continue
+    if not kept:
+        return base
+    cond = kept[0]
+    for c in kept[1:]:
+        cond = jand(cond, c)
+    return _dataset_of_rows(spark, jfilter(cond, other_side))
 
 
 def _join_equi_cols(cond, indexed: set[str]) -> list[tuple[str, str]]:
@@ -443,6 +588,40 @@ def _plan_and_swap(
             # candidate set tighter than any band
             pruned_values.setdefault(name, {}).setdefault(col, band)
 
+    # (a2) multi-view WHERE attribution: a Filter over a subtree with
+    # SEVERAL index relations (the normal TPC-H shape — one WHERE above
+    # the whole join tree) is skipped above; attribute its conjuncts to
+    # index views alias-by-alias instead, so literal/band predicates
+    # still prune file sets in multi-view queries.
+    view_cols = {
+        n: {f.name for f in metas[n].meta.schema.fields} for n in index_names
+    }
+    amap = _alias_map(jplan, index_names)
+    for node in _walk(jplan):
+        if _cls(node) != "Filter":
+            continue
+        rels = [
+            r
+            for c in _children(node)
+            for r in (_relation_name(x) for x in _walk(c))
+            if r in index_names
+        ]
+        if len(rels) <= 1:
+            continue  # single-relation Filters handled above
+        for conj in _split_conjuncts(node.condition()):
+            name = _conjunct_view(conj, amap, view_cols)
+            if name is None or name not in prunable:
+                continue
+            flt = _equality_filters(conj, indexed_cols[name])
+            if flt:
+                cur = pruned_values.setdefault(name, {})
+                for col, vals in flt.items():
+                    if not isinstance(cur.get(col), list):
+                        cur[col] = []
+                    cur[col].extend(vals)
+            for col, band in _band_filters(conj, range_cols[name]).items():
+                pruned_values.setdefault(name, {}).setdefault(col, band)
+
     # accumulated join-key frames per view; swapping is monotone
     # refinement (every re-swap only ADDS constraints, and file
     # pruning is conservative, so intermediate states stay correct)
@@ -526,13 +705,16 @@ def _plan_and_swap(
                 if not pairs:
                     continue
                 # resolves against the CURRENT temp views, so an
-                # already-pruned other side executes its pruned read
-                other_df = _dataset_of_rows(spark, other_side)
-                # Persist the executed side: locate materializes it, and
-                # Spark's cache manager then swaps the InMemoryRelation
-                # into the final query's matching subtree at analysis
-                # time — the probe side is computed ONCE per query
-                # instead of once for locate and again end-to-end.
+                # already-pruned other side executes its pruned read;
+                # ancestor WHERE conjuncts that belong to the probe are
+                # applied to it (filtered probe = cheaper to execute
+                # and far more selective keys for pruning)
+                other_df = _filtered_probe(spark, jplan, node, other_side)
+                # Persist the executed side: locate materializes it; if
+                # the final query contains a canonically-equal subtree
+                # (no outer filters on the probe) Spark's cache manager
+                # swaps the InMemoryRelation in and the probe is
+                # computed ONCE end-to-end.
                 from pyspark.storagelevel import StorageLevel
 
                 other_df = other_df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -518,3 +518,60 @@ def test_probe_persist_fallback_still_correct(spark, orders_view):
     ).select("o_orderkey")
     assert_same_rows(res, expected)
     assert len(surface._PROBE_LIVE) == 0
+
+
+def test_multi_view_where_attribution_prunes(spark, orders_view, storage):
+    """A WHERE above a join tree containing SEVERAL index relations
+    still prunes each view via alias-attributed conjuncts (the normal
+    TPC-H shape; single-relation Filter analysis never fires there).
+    BETWEEN must work too — Spark 4 parses it as an unresolved
+    between() call, not two comparisons."""
+    df = orders_view
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    cut = lo + (hi - lo) // 8  # inside the first of 4 range files
+    # second index view so the WHERE sits above a multi-view join tree
+    keys = df.select("o_custkey").distinct()
+    keys.createOrReplaceTempView("mv_keys")
+    res = surface.sql(
+        f"""
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders_sql o
+        JOIN mv_keys k ON o.o_custkey = k.o_custkey
+        WHERE o.o_orderkey BETWEEN {lo} AND {cut}
+        """,
+        spark,
+    )
+    expected = df.where(
+        (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= cut)
+    ).select("o_orderkey", "o_custkey")
+    assert_same_rows(res, expected)
+    rep = {r["view"]: r for r in surface.prune_report(spark).collect()}
+    r = rep["orders_sql"]
+    assert r["files_selected"] < r["files_total"], (
+        "band above a multi-view join tree must still prune"
+    )
+
+
+def test_probe_side_executes_filtered(spark, orders_view):
+    """Ancestor WHERE conjuncts that belong to the probe side are
+    applied to it before execution: the persisted probe holds the
+    filtered rows, not the full side."""
+    df = orders_view
+    probe = df.select("o_custkey").distinct()
+    probe.createOrReplaceTempView("probe_src")
+    full = probe.count()
+    res = surface.sql(
+        """
+        SELECT o.o_orderkey FROM orders_sql o
+        JOIN probe_src p ON o.o_custkey = p.o_custkey
+        WHERE p.o_custkey < 10
+        """,
+        spark,
+    )
+    expected = df.where("o_custkey < 10").select("o_orderkey")
+    assert_same_rows(res, expected)
+    assert surface._PROBE_LIVE, "probe side should be persisted"
+    probe_rows = surface._PROBE_LIVE[-1].count()
+    assert probe_rows < full, (
+        f"probe executed unfiltered ({probe_rows} rows, full side {full})"
+    )
