@@ -282,7 +282,9 @@ def _ancestor_filter_conjuncts(spark, root, target) -> list:
     return search(root, []) or []
 
 
-def _filtered_probe(spark: SparkSession, root, join_node, other_side) -> DataFrame:
+def _filtered_probe(
+    spark: SparkSession, root, join_node, other_side
+) -> tuple[DataFrame, bool]:
     """Execute the probe subtree WITH the ancestor WHERE conjuncts that
     belong to it (the reference's rule runs on the optimized plan where
     Catalyst has already pushed these down; a parse-plan rewriter must
@@ -293,29 +295,62 @@ def _filtered_probe(spark: SparkSession, root, join_node, other_side) -> DataFra
     Sound for the INNER joins this rewriter handles: a probe row
     failing a probe-only conjunct cannot appear in any surviving
     output row."""
-    base = _dataset_of_rows(spark, other_side)
     conjuncts = [
         c
         for c in _ancestor_filter_conjuncts(spark, root, join_node)
         if _conjunct_safe_for_probe(c)
     ]
     if not conjuncts:
-        return base
+        return _dataset_of_rows(spark, other_side), False
+    # static attribution first — an analysis trial costs a py4j round
+    # trip + full analyzer run, so only UNQUALIFIED references pay it:
+    # a conjunct whose attribute qualifiers all name aliases inside
+    # the subtree belongs to it; one naming an outside alias does not.
+    inside: set[str] = set()
+    for x in _walk(other_side):
+        k = _cls(x)
+        if k == "SubqueryAlias":
+            try:
+                inside.add(str(x.alias()))
+            except Exception:
+                pass
+        elif k == "UnresolvedRelation":
+            r = _relation_name(x)
+            if r:
+                inside.add(r)
+    kept, uncertain = [], []
+    for c in conjuncts:
+        quals = []
+        unqualified = False
+        for x in _walk(c):
+            if _cls(x) != "UnresolvedAttribute":
+                continue
+            parts = [str(p) for p in _seq_to_list(x.nameParts())]
+            if len(parts) >= 2:
+                quals.append(parts[-2])
+            else:
+                unqualified = True
+        if quals and any(q not in inside for q in quals):
+            continue  # references something outside the probe
+        if unqualified:
+            uncertain.append(c)
+        elif quals:
+            kept.append(c)
+        # no attributes at all (pure literal condition): skip — no gain
     jfilter = spark._jvm.org.apache.spark.sql.catalyst.plans.logical.Filter
     jand = spark._jvm.org.apache.spark.sql.catalyst.expressions.And
-    kept = []
-    for c in conjuncts:
+    for c in uncertain:
         try:
             _dataset_of_rows(spark, jfilter(c, other_side))  # analysis probe
             kept.append(c)
         except Exception:
             continue
     if not kept:
-        return base
+        return _dataset_of_rows(spark, other_side), False
     cond = kept[0]
     for c in kept[1:]:
         cond = jand(cond, c)
-    return _dataset_of_rows(spark, jfilter(cond, other_side))
+    return _dataset_of_rows(spark, jfilter(cond, other_side)), True
 
 
 def _join_equi_cols(cond, indexed: set[str]) -> list[tuple[str, str]]:
@@ -425,6 +460,10 @@ _PRUNE_REPORT: dict = {}
 # consumed it yet when this call returns.
 _PROBE_LIVE: list = []
 
+# (filtered?, DataFrame) for each probe side the LAST sql() call
+# executed — observability for tests and debugging, never persisted
+_PROBE_TRACE: list = []
+
 
 def _release_probes() -> None:
     while _PROBE_LIVE:
@@ -477,6 +516,7 @@ def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
 
     spark = spark or context.get_spark()
     _PRUNE_REPORT.clear()
+    _PROBE_TRACE.clear()
     _release_probes()  # previous call's result has been consumed by now
     index_names = set(register_views(spark))
     swap = _ViewSwap(spark)
@@ -709,16 +749,26 @@ def _plan_and_swap(
                 # ancestor WHERE conjuncts that belong to the probe are
                 # applied to it (filtered probe = cheaper to execute
                 # and far more selective keys for pruning)
-                other_df = _filtered_probe(spark, jplan, node, other_side)
-                # Persist the executed side: locate materializes it; if
-                # the final query contains a canonically-equal subtree
-                # (no outer filters on the probe) Spark's cache manager
-                # swaps the InMemoryRelation in and the probe is
-                # computed ONCE end-to-end.
-                from pyspark.storagelevel import StorageLevel
+                other_df, filtered = _filtered_probe(
+                    spark, jplan, node, other_side
+                )
+                _PROBE_TRACE.append((filtered, other_df))
+                if not filtered:
+                    # Unfiltered probe = a subtree the final query also
+                    # contains verbatim: persist it so Spark's cache
+                    # manager swaps the InMemoryRelation into the final
+                    # plan and the probe is computed ONCE end-to-end.
+                    # A FILTERED probe can never canonically match the
+                    # final plan (its filters live above the join
+                    # there), so persisting would only force full-width
+                    # materialization during locate — instead it runs
+                    # as a narrow filtered scan (column-pruned by the
+                    # key projection below) and the final query pays
+                    # the full side exactly once.
+                    from pyspark.storagelevel import StorageLevel
 
-                other_df = other_df.persist(StorageLevel.MEMORY_AND_DISK)
-                _PROBE_LIVE.append(other_df)
+                    other_df = other_df.persist(StorageLevel.MEMORY_AND_DISK)
+                    _PROBE_LIVE.append(other_df)
                 frames = pruned_frames.setdefault(name, {})
                 added = False
                 for icol, ocol in pairs:

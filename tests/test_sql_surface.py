@@ -570,8 +570,14 @@ def test_probe_side_executes_filtered(spark, orders_view):
     )
     expected = df.where("o_custkey < 10").select("o_orderkey")
     assert_same_rows(res, expected)
-    assert surface._PROBE_LIVE, "probe side should be persisted"
-    probe_rows = surface._PROBE_LIVE[-1].count()
+    assert surface._PROBE_TRACE, "probe side should be traced"
+    filtered, probe_df = surface._PROBE_TRACE[-1]
+    assert filtered, "ancestor conjunct on the probe side must apply"
+    probe_rows = probe_df.count()
     assert probe_rows < full, (
         f"probe executed unfiltered ({probe_rows} rows, full side {full})"
     )
+    # filtered probes are NOT persisted (they cannot canonically match
+    # the final plan; persisting would only force full-width
+    # materialization during locate)
+    assert not surface._PROBE_LIVE
