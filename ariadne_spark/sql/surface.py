@@ -189,11 +189,11 @@ def _band_filters(cond, range_cols: set[str]) -> dict:
     }
 
 
-def _alias_map(jplan, index_names: set[str]) -> dict[str, str]:
+def _alias_map(jplan, index_names: set[str], walk=_walk) -> dict[str, str]:
     """alias -> index view name, for every SubqueryAlias directly over
     an index relation (plus each view's own name for unaliased refs)."""
     out: dict[str, str] = {}
-    for node in _walk(jplan):
+    for node in walk(jplan):
         if _cls(node) != "SubqueryAlias":
             continue
         ch = _children(node)
@@ -283,7 +283,7 @@ def _ancestor_filter_conjuncts(spark, root, target) -> list:
 
 
 def _filtered_probe(
-    spark: SparkSession, root, join_node, other_side
+    spark: SparkSession, root, join_node, other_side, walk=_walk
 ) -> tuple[DataFrame, bool]:
     """Execute the probe subtree WITH the ancestor WHERE conjuncts that
     belong to it (the reference's rule runs on the optimized plan where
@@ -307,7 +307,7 @@ def _filtered_probe(
     # a conjunct whose attribute qualifiers all name aliases inside
     # the subtree belongs to it; one naming an outside alias does not.
     inside: set[str] = set()
-    for x in _walk(other_side):
+    for x in walk(other_side):
         k = _cls(x)
         if k == "SubqueryAlias":
             try:
@@ -567,6 +567,34 @@ def _plan_and_swap(
 ) -> None:
     jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
 
+    # Memoized tree walk: every _walk over py4j costs one JVM round
+    # trip per children() call, and the join cascade re-walks the same
+    # subtrees on every pass. The parsed plan is immutable here, so
+    # cache node lists by the proxy's JVM object id.
+    _walk_cache: dict = {}
+
+    def walk(node):
+        key = getattr(node, "_target_id", None) or id(node)
+        got = _walk_cache.get(key)
+        if got is None:
+            got = [node]
+            for c in _children(node):
+                got.extend(walk(c))
+            _walk_cache[key] = got
+        return got
+
+    def rel_names(node) -> list[str]:
+        key = ("rels", getattr(node, "_target_id", None) or id(node))
+        got = _walk_cache.get(key)
+        if got is None:
+            got = [
+                r
+                for r in (_relation_name(x) for x in walk(node))
+                if r is not None
+            ]
+            _walk_cache[key] = got
+        return got
+
     metas = {n: Index.for_name(n, spark=spark) for n in index_names}
     indexed_cols = {
         n: {c.column for c in idx.meta.indexes} for n, idx in metas.items()
@@ -584,9 +612,7 @@ def _plan_and_swap(
     # rule has the same single-relation restriction).
     from collections import Counter
 
-    ref_counts = Counter(
-        r for r in (_relation_name(x) for x in _walk(jplan)) if r in index_names
-    )
+    ref_counts = Counter(r for r in rel_names(jplan) if r in index_names)
     prunable = {n for n, c in ref_counts.items() if c == 1}
     for n in set(ref_counts) - prunable:
         log.info(
@@ -598,13 +624,13 @@ def _plan_and_swap(
     # index relation -> prune that index's files by the literal filters
     pruned_values: dict[str, dict[str, list]] = {}
     pruned_frames: dict[str, dict[str, DataFrame]] = {}
-    for node in _walk(jplan):
+    for node in walk(jplan):
         if _cls(node) != "Filter":
             continue
         rels = [
             r
             for c in _children(node)
-            for r in (_relation_name(x) for x in _walk(c))
+            for r in rel_names(c)
             if r in index_names
         ]
         if len(rels) != 1:
@@ -636,14 +662,14 @@ def _plan_and_swap(
     view_cols = {
         n: {f.name for f in metas[n].meta.schema.fields} for n in index_names
     }
-    amap = _alias_map(jplan, index_names)
-    for node in _walk(jplan):
+    amap = _alias_map(jplan, index_names, walk)
+    for node in walk(jplan):
         if _cls(node) != "Filter":
             continue
         rels = [
             r
             for c in _children(node)
-            for r in (_relation_name(x) for x in _walk(c))
+            for r in rel_names(c)
             if r in index_names
         ]
         if len(rels) <= 1:
@@ -703,7 +729,7 @@ def _plan_and_swap(
     # the cascade is a strict improvement with the same fallback).
     joins = [
         n
-        for n in _walk(jplan)
+        for n in walk(jplan)
         if _cls(n) == "Join"
         and not n.condition().isEmpty()
         # INNER only — pruning an outer join's preserved side would
@@ -721,15 +747,9 @@ def _plan_and_swap(
             left, right = _children(node)[0], _children(node)[1]
             sides = []
             for idx_side, other_side in ((left, right), (right, left)):
-                rels = [
-                    r
-                    for r in (_relation_name(x) for x in _walk(idx_side))
-                    if r in index_names
-                ]
+                rels = [r for r in rel_names(idx_side) if r in index_names]
                 other_rels = [
-                    r
-                    for r in (_relation_name(x) for x in _walk(other_side))
-                    if r in index_names
+                    r for r in rel_names(other_side) if r in index_names
                 ]
                 if (
                     len(rels) != 1
@@ -750,7 +770,7 @@ def _plan_and_swap(
                 # applied to it (filtered probe = cheaper to execute
                 # and far more selective keys for pruning)
                 other_df, filtered = _filtered_probe(
-                    spark, jplan, node, other_side
+                    spark, jplan, node, other_side, walk
                 )
                 _PROBE_TRACE.append((filtered, other_df))
                 if not filtered:
