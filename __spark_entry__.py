@@ -2927,6 +2927,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN ({_sql_list(CUST_KEYS)})
         """,
     }
+    # Brute-force cosine truth set over the same planted corpus: the
+    # LSH-bucketed candidates recover every >=0.98 pair here (the
+    # planted perturbations are near-identical vectors, far above the
+    # 10-plane bucketing's split probability), so the approximate
+    # operator is exactly checkable at this scale.
+    oracles["emb_near_dup"] = """
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_prepend(embedding[1] * 1.01, embedding[2:])
+            FROM embeddings WHERE vec_id % 7 = 0
+        ),
+        n AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(
+                       embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+            FROM corpus
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_sum(list_transform(
+                   list_zip(a.embedding, b.embedding),
+                   p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.nrm * b.nrm),
+                   6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(
+                  list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.nrm * b.nrm),
+                  6) >= 0.98
+    """
     oracles["profile_footer"] = """
         SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
                COUNT(*) - COUNT(o_orderkey) AS n_nulls,

@@ -581,3 +581,27 @@ def test_probe_side_executes_filtered(spark, orders_view):
     # the final plan; persisting would only force full-width
     # materialization during locate)
     assert not surface._PROBE_LIVE
+
+
+def test_conjunct_on_non_index_alias_never_misattributed(spark, orders_view):
+    """A conjunct on a PLAIN view's column that happens to share the
+    index view's column name must not prune the index view: qualified
+    refs resolve through the alias map only."""
+    df = orders_view
+    # plain view exposing a column NAMED like the indexed one
+    df.select(
+        F.col("o_custkey"), F.lit(1).alias("tag")
+    ).distinct().createOrReplaceTempView("shadow_v")
+    res = surface.sql(
+        """
+        SELECT o.o_orderkey FROM orders_sql o
+        JOIN shadow_v s ON o.o_custkey = s.o_custkey
+        WHERE s.o_custkey IN (1, 2, 3)
+        """,
+        spark,
+    )
+    expected = df.where(F.col("o_custkey").isin(1, 2, 3)).select("o_orderkey")
+    assert_same_rows(res, expected)
+    # the probe (shadow_v) IS filtered by its own conjunct; correctness
+    # above is the real assertion — file pruning by join keys may
+    # legitimately engage, but never via misattributed literals
