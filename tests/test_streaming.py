@@ -197,3 +197,75 @@ def test_attach_near_dup_maintenance_flags_cross_batch_dups(spark, tmp_path):
     assert (0, 2) in pairs
     # store holds all four docs' signatures for the NEXT run
     assert spark.read.parquet(store).count() == 4
+
+
+def test_streaming_latest_version_restart_recovers_state(spark, tmp_path):
+    """Stateful latest-per-key survives a stop/restart on the SAME
+    checkpoint: batch 2 events older than batch 1's winners must lose
+    against RESTORED state, and newer ones must win — equivalent to
+    the batch window dedup over the full history."""
+    from ariadne_spark.streaming.maintenance import streaming_latest_version
+
+    schema = "k int, ts timestamp, v string"
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        ).parquet(src)
+        latest = streaming_latest_version(stream, "k", "ts")
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        q = (
+            latest.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [
+        (1, "2024-01-05 00:00:00", "one-new"),
+        (2, "2024-01-03 00:00:00", "two-old"),
+    ]
+    (
+        spark.createDataFrame(b1, "k int, ts_s string, v string")
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    run_once()  # first query consumes batch 1 and terminates
+
+    b2 = [
+        (1, "2024-01-01 00:00:00", "one-stale"),   # OLDER: must lose
+        (2, "2024-01-09 00:00:00", "two-newer"),   # newer: must win
+        (3, "2024-01-02 00:00:00", "three-first"),
+    ]
+    (
+        spark.createDataFrame(b2, "k int, ts_s string, v string")
+        .select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    run_once()  # RESTART from the same checkpoint
+
+    # compact the update-mode emissions: last emission per key
+    out = spark.read.parquet(out_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("ts").desc())
+    final = {
+        (r["k"], r["v"])
+        for r in out.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    }
+    assert final == {(1, "one-new"), (2, "two-newer"), (3, "three-first")}, (
+        "restored state must beat stale batch-2 events and lose to newer ones"
+    )
