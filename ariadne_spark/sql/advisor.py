@@ -32,6 +32,7 @@ from .surface import (
     _cls,
     _literal_value,
     _relation_name,
+    _seq_to_list,
     _split_conjuncts,
     _walk,
 )
@@ -97,8 +98,6 @@ def advise_indexes(
     def _attr_parts(expr):
         if _cls(expr) != "UnresolvedAttribute":
             return None, None
-        from .surface import _seq_to_list
-
         parts = [str(p) for p in _seq_to_list(expr.nameParts())]
         if not parts:
             return None, None
@@ -159,6 +158,26 @@ def advise_indexes(
                                 continue
                             t = _owner(name, qual, scanned, aliases)
                             votes[(t, name)]["band"].add(qi)
+                    elif ck == "UnresolvedFunction":
+                        # Spark 4 parses BETWEEN as an unresolved
+                        # between(x, lo, hi) call (same as the pruning
+                        # rewriter handles) — a band vote
+                        try:
+                            fname = str(
+                                _seq_to_list(c.nameParts())[-1]
+                            ).lower()
+                            args = _seq_to_list(c.arguments())
+                        except Exception:
+                            continue
+                        if fname != "between" or len(args) != 3:
+                            continue
+                        name, qual = _attr_parts(args[0])
+                        if name is None or any(
+                            _literal_value(a) is None for a in args[1:]
+                        ):
+                            continue
+                        t = _owner(name, qual, scanned, aliases)
+                        votes[(t, name)]["band"].add(qi)
             elif k == "Join" and not node.condition().isEmpty():
                 for c in _split_conjuncts(node.condition().get()):
                     if _cls(c) != "EqualTo":

@@ -605,3 +605,22 @@ def test_conjunct_on_non_index_alias_never_misattributed(spark, orders_view):
     # the probe (shadow_v) IS filtered by its own conjunct; correctness
     # above is the real assertion — file pruning by join keys may
     # legitimately engage, but never via misattributed literals
+
+
+def test_advisor_counts_between_as_band(spark, orders_files):
+    """BETWEEN (Spark 4: an unresolved between() call) votes for a
+    range index, same as explicit >=/< conjuncts."""
+    from ariadne_spark.sql.advisor import advise_indexes
+
+    df, _ = orders_files
+    recs = advise_indexes(
+        [
+            "SELECT * FROM adv_orders WHERE o_orderkey BETWEEN 10 AND 99",
+            "SELECT * FROM adv_orders WHERE o_orderkey BETWEEN 5 AND 50",
+        ],
+        spark,
+        tables={"adv_orders": df},
+    )
+    rows = {(r["table"], r["column"]): r.asDict() for r in recs.collect()}
+    rec = rows[("adv_orders", "o_orderkey")]
+    assert rec.get("suggested") == "range" or "range" in str(rec), rec
