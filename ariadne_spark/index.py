@@ -591,7 +591,9 @@ class Index:
                 raise ColumnNotIndexedError(col)
         files = self.locate_files(values)
         self._last_metrics = prune_metrics_local(
-            self._last_locate_stats.sizes, self._index_totals()
+            self._last_locate_stats.sizes,
+            self._index_totals(),
+            self._last_locate_stats,
         )
         df = self.read_files(files, extra_columns=list(values.keys()))
         if filter_rows:
@@ -647,7 +649,7 @@ class Index:
         )
         self._last_locate_stats = stats
         self._last_metrics = prune_metrics_local(
-            stats.sizes, self._index_totals()
+            stats.sizes, self._index_totals(), stats
         )
         return self.read_files(sorted(files), extra_columns=cols)
 

@@ -51,15 +51,30 @@ def apply_temporal_dedup(df: DataFrame, configs: list[IndexConfig]) -> DataFrame
 
 
 def prune_metrics_local(
-    selected_sizes: dict, totals: tuple[int, int] | None
+    selected_sizes: dict, totals: tuple[int, int] | None, locate_stats=None
 ) -> dict:
     """Same metric dict/log line as ``log_prune_metrics``, computed
     driver-side from the sizes captured during the locate collect plus
     the index's cached (total_files, total_bytes) — zero extra Spark
-    jobs on the query path."""
+    jobs on the query path. When a bloom probe's key volume saturates
+    its false-positive rate (1-(1-fpr)^keys ~ 1, so every file passes)
+    and pruning came out weak, say so — the fix is an index-type
+    choice (range on clustered files), not a bug."""
     total_files, total_b = totals or (0, 0)
     sel_b = sum(v or 0 for v in selected_sizes.values())
     pct = 100.0 * (1 - sel_b / total_b) if total_b else 0.0
+    if locate_stats is not None and total_b and pct < 20.0:
+        for col, info in getattr(locate_stats, "per_column", {}).items():
+            k, fpr = info.get("bloom_keys"), info.get("fpr")
+            if k and fpr and k * fpr >= 1.0:
+                log.info(
+                    "bloom index on %r probed with %d keys at fpr=%g: "
+                    "expected false-positive pass rate is ~100%% "
+                    "(1-(1-fpr)^keys), so weak pruning is inherent at "
+                    "this key volume — for large key sets a RANGE index "
+                    "on value-clustered files prunes better",
+                    col, k, fpr,
+                )
     metrics = {
         "total_files": total_files,
         "selected_files": len(selected_sizes),

@@ -429,6 +429,9 @@ def locate_files(
                     reason=f"> {BLOOM_PROBE_CAP} distinct query values",
                 )
                 continue
+            stats.per_column[col].update(
+                bloom_keys=len(pairs), fpr=cfg.fpr or 0.01
+            )
             if not len(pairs):
                 cand = index_df.select("filename").limit(0)
             else:

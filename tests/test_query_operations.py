@@ -255,3 +255,35 @@ def test_combined_computed_and_exploded_on_one_index(
         .collect()
     }
     assert {r["event_id"] for r in rows} == want
+
+
+def test_bloom_saturation_hint_logged(spark, storage, caplog):
+    """A bloom probed with enough keys that fpr x keys >= 1 passes
+    every file; when pruning comes out weak the metrics must say WHY
+    (index-type advice), never leave it as a silent mystery."""
+    import logging
+
+    from ariadne_spark import Index
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    files = []
+    for i in range(4):
+        part = df.where((F.col("k") >= i * 1000) & (F.col("k") < (i + 1) * 1000))
+        out = f"{storage}/satsrc/p{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(out)
+        import glob as _g
+
+        files += _g.glob(f"{out}/*.parquet")
+    idx = Index.for_name(
+        "bloom_sat", schema=df.schema, format="parquet", spark=spark
+    )
+    idx.add_bloom_index("k", fpr=0.01)
+    idx.add_files(files).update()
+    keys = spark.range(0, 4000, 2).select(F.col("id").alias("k"))  # 2000 keys
+    with caplog.at_level(logging.INFO, logger="ariadne"):
+        idx.join(keys, on=["k"]).count()
+    assert any(
+        "false-positive pass rate" in r.message for r in caplog.records
+    ), "saturated bloom probe with weak pruning must emit the hint"
