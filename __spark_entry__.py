@@ -90,7 +90,7 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
         "nation_csv", "supplier_json",
         # _prepare_v2 / IVF additions share this store
         "orders_large", "orders_inc", "orders_del", "orders_footer",
-        "ivf_embeddings",
+        "ivf_embeddings", "customer_orc",
     }
     if os.path.exists(marker):
         # self-heal: drop any foreign index another session parked in
@@ -792,6 +792,46 @@ def q_idx_multi_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"o_custkey": CUST_KEYS, "o_orderkey": MULTI_ORDER_RANGE}
     )
     return res.select("o_orderkey", "o_custkey", "o_orderstatus")
+
+
+def _prepare_v3(spark: SparkSession, sf_dir: str) -> None:
+    """Round-3 addition: an ORC-backed index (S1 format breadth beyond
+    the reference's csv/json/parquet — Spark reads ORC natively and
+    the Python Data Source path decodes it via pyarrow.orc)."""
+    from ariadne_spark import Index
+    from ariadne_spark.storage.lock import IndexLock
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    marker = f"{base}/_READY_V3"
+    if os.path.exists(marker):
+        return
+    with IndexLock(f"{base}/locks", "prepare_v3", timeout=1800, max_wait=1800):
+        if os.path.exists(marker):
+            return
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        cdir = f"{base}/customer_orc"
+        if not os.path.isdir(cdir):
+            for i in range(2):
+                cust.where((F.col("c_custkey") % 2) == i).coalesce(1).write.mode(
+                    "overwrite"
+                ).orc(f"{cdir}/part{i}")
+        cfiles = sorted(glob.glob(f"{cdir}/part*/*.orc"))
+        cidx = Index.for_name(
+            "customer_orc", schema=cust.schema, format="orc", spark=spark
+        )
+        cidx.add_index("c_nationkey")
+        cidx.add_files(cfiles).update()
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 orc format (beyond-reference source breadth)."""
+    _prepare_v3(spark, sf_dir)
+    idx = _index(spark, sf_dir, "customer_orc")
+    res = idx.read_matching({"c_nationkey": [1, 3, 5]})
+    return res.select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
 
 
 def q_source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2043,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{name: _tpch_r3_query(name) for name in _TPCH_R3},
         "ts_resample": q_ts_resample,
         "profile_footer": q_profile_footer,
+        "source_orc": q_source_orc,
         "idx_stats": q_idx_stats,
         "catalog_describe": q_catalog_describe,
         "idx_locate": q_idx_locate,
@@ -2956,6 +2997,10 @@ def oracle_sql() -> dict[str, str]:
                   list_zip(a.embedding, b.embedding),
                   p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.nrm * b.nrm),
                   6) >= 0.98
+    """
+    oracles["source_orc"] = """
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM customer WHERE c_nationkey IN (1, 3, 5)
     """
     oracles["profile_footer"] = """
         SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,

@@ -30,7 +30,7 @@ class MissingFormatError(AriadneError):
 
 
 class UnsupportedFormatError(AriadneError):
-    """Only csv, json and parquet sources are supported."""
+    """Only csv, json, parquet and orc sources are supported."""
 
 
 class SchemaMismatchError(AriadneError):

@@ -216,6 +216,10 @@ class AriadneReader(DataSourceReader):
                 parse_options=parse_opts,
                 convert_options=conv_opts,
             )
+        elif partition.fmt == "orc":
+            import pyarrow.orc as paorc
+
+            table = paorc.ORCFile(partition.path).read()
         elif partition.fmt == "json":
             import pyarrow.json as pajson
 

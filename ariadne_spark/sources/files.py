@@ -2,7 +2,7 @@
 
 S1-S3 of the reference's read path (reference:
 src/main/scala/dev/cjfravel/ariadne/IndexFileOperations.scala:84-236):
-read a set of csv/json/parquet files with the persisted schema + read
+read a set of csv/json/parquet/orc files with the persisted schema + read
 options; apply computed columns (any Spark SQL expression) and
 exploded-field aliases; tag every row with its source filename
 (``input_file_name()`` with a single-file fallback, the
@@ -26,7 +26,7 @@ from pyspark.sql.types import StructType
 from ..exceptions import UnsupportedFormatError
 from ..storage.metadata import COMPUTED, EXPLODED, IndexConfig, IndexMetadata
 
-SUPPORTED_FORMATS = ("csv", "json", "parquet")
+SUPPORTED_FORMATS = ("csv", "json", "parquet", "orc")
 FILENAME_COL = "_ariadne_filename"
 
 

@@ -111,3 +111,26 @@ def test_datasource_empty_result_schema_stable(spark, ds_index):
     got = _load(spark, storage).where(F.col("o_custkey") == -999999)
     assert got.count() == 0
     assert got.schema == _load(spark, storage).schema
+
+
+def test_datasource_reads_orc(spark, storage, tmp_path):
+    """The Python Data Source decodes ORC partitions via pyarrow.orc,
+    with the same pushFilters pruning as parquet."""
+    import glob
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("g")
+    )
+    files = []
+    for i in range(2):
+        out = str(tmp_path / f"dsorc{i}")
+        df.where((F.col("g") % 2) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).orc(out)
+        files += glob.glob(f"{out}/*.orc")
+    idx = Index.for_name("orc_ds", schema=df.schema, format="orc", spark=spark)
+    idx.add_index("g").add_files(files).update()
+    register(spark)
+    got = _load(spark, storage, "orc_ds").where(F.col("g").isin([1, 3]))
+    exp = df.where(F.col("g").isin([1, 3]))
+    assert_same_rows(got, exp)

@@ -112,3 +112,38 @@ def test_multiline_json_exploded_array(spark, storage):
     res = idx.read_matching({"user_id": [2]})
     assert {r["event_id"] for r in res.collect()} == {"e1", "e2"}
     assert set(idx.locate_files({"user_id": [9]})) == {files[1]}
+
+
+def test_orc_end_to_end(spark, storage, tmp_path):
+    """ORC source format (beyond-reference breadth): index build,
+    pruned read, and pruned join all match the raw DataFrame."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from ariadne_spark import Index
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("g"),
+        (F.col("id") * 2.5).alias("x"),
+    )
+    files = []
+    for i in range(3):
+        out = str(tmp_path / f"orc{i}")
+        df.where((F.col("k") % 3) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).orc(out)
+        files += glob.glob(f"{out}/*.orc")
+    idx = Index.for_name("orc_e2e", schema=df.schema, format="orc", spark=spark)
+    idx.add_index("g")
+    idx.add_files(files).update()
+    got = idx.read_matching({"g": [2, 5]})
+    exp = df.where(F.col("g").isin(2, 5))
+    assert sorted(tuple(r) for r in got.select("k", "g", "x").collect()) == sorted(
+        tuple(r) for r in exp.collect()
+    )
+    keys = spark.createDataFrame([(2,), (7,)], ["g"])
+    j = idx.join(keys, on=["g"])
+    ej = df.join(keys, "g")
+    assert j.count() == ej.count()
