@@ -1198,12 +1198,19 @@ def q_sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (LSH-bucketed: rows-only).
+    """Embedding-cosine near-dup pairs (OR-amplified LSH buckets).
 
     The synthetic embeddings have no natural near-dups (max pairwise
     cosine ≈ 0.51), so the corpus is unioned with deterministically
     perturbed copies (id + 1_000_000, first component nudged) — the
-    operator must recover those planted pairs."""
+    operator must recover those planted pairs.
+
+    Recall is approximate by construction but amplified: a pair is
+    missed only if every one of 3 independent 10-plane signatures
+    splits it — for the planted near-identical pairs (θ ≈ 0.002 rad)
+    that is ~(10·θ/π)^3 ≈ 1e-7 per pair, verified complete (286/286,
+    including the r03-missed pair (1071, 1001071)) at sf0.1 by
+    tests/test_pipeline_ops.py::test_embedding_near_dup_full_recall_at_scale."""
     from ariadne_spark.operators.similarity import embedding_near_dup
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))

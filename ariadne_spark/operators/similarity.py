@@ -117,6 +117,12 @@ def _stack(vecs) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
 
 
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (one tiny job)."""
+    first = df.select(F.size(F.col(vec_col))).first()
+    return first[0] if first else 0
+
+
 def _scatter(n: int, mask: np.ndarray, values: list):
     """Object Series of length n with ``values`` at True positions of
     ``mask`` and None elsewhere (list-valued entries kept intact —
@@ -502,35 +508,62 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     n_planes: int = 10,
     bucket_cap: int = 20000,
+    bands: int = 3,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH bucketing: pairs
-    sharing a bucket with cosine ≥ threshold (id_a < id_b).
+    """Embedding-cosine near-duplicate pairs via OR-amplified LSH
+    bucketing: pairs colliding in ANY of ``bands`` independent
+    ``n_planes``-bit signatures, exact-cosine verified ≥ threshold
+    (id_a < id_b).
+
+    Recall: a single signature misses a pair whenever ONE of its
+    n_planes hyperplanes separates the two vectors — for a pair at
+    angle θ that happens with probability 1-(1-θ/π)^n_planes, which is
+    non-negligible even at cosine ≈ 0.9999 (r03 verdict: planted pair
+    (1071, 1001071), cosine 0.999998, split 473 vs 475 by one
+    near-boundary plane). OR-amplification over ``bands`` independent
+    sha256-seeded plane sets drives the miss probability to
+    (1-(1-θ/π)^n_planes)^bands — for that pair, ~1e-7 at bands=3 —
+    the same banded S-curve :func:`lsh_ann_topk_banded` uses. All
+    band signatures come from ONE matmul per Arrow batch; candidates
+    are unioned across bands by the (band, sig) equi-join and deduped
+    after the exact verify, so precision is unaffected.
 
     Scale guard: an adversarial (highly-clustered) corpus collapses
     into few LSH buckets, and a plain within-bucket self-join then
     builds one quadratic join task. Cosine LSH has no pigeonhole
     split that preserves recall (unlike simhash's sub-chunks, see
-    dedup.simhash_candidate_pairs), so oversized buckets are instead
-    cut into ``ceil(n/bucket_cap)`` hash-assigned chunks and joined
-    chunk-pair by chunk-pair: the left side replicates each row to
-    every chunk ≥ its own, the right side keys by its chunk, so every
-    within-bucket pair appears in exactly one (ca ≤ cb) cell. The
-    candidate set is *identical* to the uncapped join — total work is
-    still pair-proportional (inherent), but each join cell is at most
-    ~bucket_cap² and the quadratic work spreads across the cluster
-    instead of one straggler task. Buckets under the cap degenerate
-    to the plain single-cell join (replication factor 1).
+    dedup.simhash_candidate_pairs), so oversized (band, sig) buckets
+    are instead cut into ``ceil(n/bucket_cap)`` hash-assigned chunks
+    and joined chunk-pair by chunk-pair: the left side replicates each
+    row to every chunk ≥ its own, the right side keys by its chunk, so
+    every within-bucket pair appears in exactly one (ca ≤ cb) cell.
+    The candidate set is *identical* to the uncapped join — total work
+    is still pair-proportional (inherent), but each join cell is at
+    most ~bucket_cap² and the quadratic work spreads across the
+    cluster instead of one straggler task. Buckets under the cap
+    degenerate to the plain single-cell join (replication factor 1).
 
-    Bucket sizes come from one broadcastable groupBy (≤ 2^n_planes
+    Bucket sizes come from one broadcastable groupBy (≤ bands·2^n_planes
     rows). The chunked frame is cached: both join sides would
     otherwise recompute the signature UDF over the full corpus."""
-    with_b = add_lsh_buckets(df, vec_col, n_planes=n_planes)
-    counts = with_b.groupBy("lsh_bucket").agg(F.count("*").alias("__bn"))
+    stack = np.vstack(
+        [
+            _planes(_vec_dim(df, vec_col), n_planes, f"ariadne-lsh-band{b}")
+            for b in range(bands)
+        ]
+    )
+    sig = _band_signature_udf(stack, bands, n_planes)
+    with_b = (
+        _ensure_parallelism(df)
+        .select(F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("__sigs"))
+        .select(id_col, vec_col, F.posexplode("__sigs").alias("__band", "__sig"))
+    )
+    counts = with_b.groupBy("__band", "__sig").agg(F.count("*").alias("__bn"))
     n_chunks = F.greatest(
         F.lit(1), F.ceil(F.col("__bn") / F.lit(bucket_cap))
     ).cast("int")
     base = (
-        with_b.join(F.broadcast(counts), "lsh_bucket")
+        with_b.join(F.broadcast(counts), ["__band", "__sig"])
         .withColumn("__nch", n_chunks)
         .withColumn(
             "__ch",
@@ -542,7 +575,8 @@ def embedding_near_dup(
         .cache()
     )
     l = base.select(
-        "lsh_bucket",
+        "__band",
+        "__sig",
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
         F.explode(F.sequence(F.col("__ch"), F.col("__nch") - F.lit(1))).alias(
@@ -550,7 +584,8 @@ def embedding_near_dup(
         ),
     )
     r = base.select(
-        "lsh_bucket",
+        "__band",
+        "__sig",
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
         F.col("__ch").alias("__cb"),
@@ -559,7 +594,7 @@ def embedding_near_dup(
         _norm(F.col("__va")) * _norm(F.col("__vb"))
     )
     out = (
-        l.join(r, ["lsh_bucket", "__cb"])
+        l.join(r, ["__band", "__sig", "__cb"])
         .where(F.col("__ida") != F.col("__idb"))
         .select(
             F.least("__ida", "__idb").alias("id_a"),

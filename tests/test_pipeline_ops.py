@@ -512,6 +512,36 @@ def test_wav_codec_roundtrip_and_formats(spark):
         decode_audio(df2, "media", codec="mp3")
 
 
+@pytest.mark.skipif(
+    not os.path.isdir("/root/testdata/sf0.1"),
+    reason="needs the sf0.1 corpus (>=200 planted pairs)",
+)
+def test_embedding_near_dup_full_recall_at_scale(spark):
+    """OR-amplified banding must recover EVERY planted near-identical
+    pair at a scale with hundreds of them (r03 verdict: the single
+    10-plane signature missed pair (1071, 1001071), cosine 0.999998,
+    split across buckets by one near-boundary plane — an sf0.01 gate
+    cannot catch that class of recall regression)."""
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    planted = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.01).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup(corpus, threshold=0.98).collect()
+    }
+    want = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in emb.where(F.col("vec_id") % 7 == 0).select("vec_id").collect()
+    }
+    assert len(want) >= 200
+    assert got == want  # complete recall, no false positives at 0.98
+
+
 def test_embedding_near_dup_bucket_cap_preserves_results(spark):
     """Chunk-pair fan-out over oversized LSH buckets returns EXACTLY the
     uncapped within-bucket pairs: an adversarial all-similar corpus (one
