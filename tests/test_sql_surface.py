@@ -486,6 +486,7 @@ def test_probe_persist_reused_and_released(spark, orders_view):
         "SELECT o.o_orderkey, o.o_custkey FROM orders_sql o "
         "JOIN probe_keys k ON o.o_custkey = k.o_custkey"
     )
+    surface.clear_sql_cache()
     res = surface.sql(q, spark)
     assert len(surface._PROBE_LIVE) == 1
     plan = res._jdf.queryExecution().optimizedPlan().toString()
@@ -493,14 +494,29 @@ def test_probe_persist_reused_and_released(spark, orders_view):
     assert_same_rows(
         res, df.join(keys, "o_custkey").select("o_orderkey", "o_custkey")
     )
-    # next call releases the previous probe and registers its own
-    surface.sql(q, spark).count()
-    assert len(surface._PROBE_LIVE) == 1
-    # a query with no join rewrite leaves no live probes
-    surface.sql(
-        "SELECT o_orderkey FROM orders_sql WHERE o_custkey IN (1, 2)", spark
-    ).count()
+    # an identical re-issue hits the swap cache: the previous probe is
+    # released and NO new one is executed (the cached file list swaps
+    # the view directly), yet the result stays pruned-and-correct
+    res2 = surface.sql(q, spark)
     assert len(surface._PROBE_LIVE) == 0
+    assert_same_rows(
+        res2, df.join(keys, "o_custkey").select("o_orderkey", "o_custkey")
+    )
+    assert surface._PRUNE_REPORT  # report replayed from the cache
+    # with the cache disabled the original lifecycle returns: each call
+    # re-executes and persists its own probe, releasing the previous
+    spark.conf.set("spark.ariadne.sqlRewriteCache", "false")
+    try:
+        surface.sql(q, spark).count()
+        assert len(surface._PROBE_LIVE) == 1
+        # a query with no join rewrite leaves no live probes
+        surface.sql(
+            "SELECT o_orderkey FROM orders_sql WHERE o_custkey IN (1, 2)",
+            spark,
+        ).count()
+        assert len(surface._PROBE_LIVE) == 0
+    finally:
+        spark.conf.unset("spark.ariadne.sqlRewriteCache")
 
 
 def test_probe_persist_fallback_still_correct(spark, orders_view):
@@ -624,3 +640,108 @@ def test_advisor_counts_between_as_band(spark, orders_files):
     rows = {(r["table"], r["column"]): r.asDict() for r in recs.collect()}
     rec = rows[("adv_orders", "o_orderkey")]
     assert rec.get("suggested") == "range" or "range" in str(rec), rec
+
+
+def test_window_alias_shadowing_probe_column_not_pushed(spark, orders_view):
+    """A WHERE conjunct on a name defined ABOVE the join (window alias
+    `rn`) that ALSO exists as a column of the probe-side table must not
+    be pushed into the probe: the path from that Filter down to the
+    join crosses a Project, so the name is rebound (r04 ADVICE high —
+    the old harvest resolved `rn` against the probe's same-named column
+    in the subtree-only analysis trial, filtered the wrong column,
+    over-pruned the index, and dropped correct rows)."""
+    df = orders_view
+    # probe table with a column LITERALLY named `rn` (all > 2 so a
+    # wrongly-pushed `rn <= 2` would empty the probe entirely)
+    keys = df.select("o_custkey").distinct().limit(10).withColumn(
+        "rn", F.lit(99)
+    )
+    keys.createOrReplaceTempView("shadow_rn_keys")
+    surface.clear_sql_cache()
+    q = """
+        SELECT o_custkey, o_orderkey, rn FROM (
+            SELECT o.o_custkey, o.o_orderkey,
+                   row_number() OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY o.o_orderkey
+                   ) AS rn
+            FROM orders_sql o
+            JOIN shadow_rn_keys k ON o.o_custkey = k.o_custkey
+        ) WHERE rn <= 2
+    """
+    res = surface.sql(q, spark)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    expected = (
+        df.join(spark.table("shadow_rn_keys").select("o_custkey"), "o_custkey")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn <= 2")
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+    assert_same_rows(res, expected)
+
+
+def test_analysis_trial_emits_no_error_logs(spark, orders_view):
+    """The rewrite of a window-topn-shaped query (unqualified alias
+    conjunct above the join) must not emit a single record through
+    PySpark's SQLQueryContextLogger: the barrier drops the conjunct
+    before any analysis trial, and residual trials run silenced (the
+    r03 bench log carried a full caught-AnalysisException stacktrace
+    blob at ERROR from exactly this shape)."""
+    import logging
+
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda r: records.append(r)
+    loggers = [
+        logging.getLogger("SQLQueryContextLogger"),
+        logging.getLogger("DataFrameQueryContextLogger"),
+    ]
+    df = orders_view
+    keys = df.select("o_custkey").distinct().limit(10)
+    keys.createOrReplaceTempView("clean_log_keys")
+    surface.clear_sql_cache()
+    for lg in loggers:
+        lg.addHandler(handler)
+    try:
+        res = surface.sql(
+            """
+            SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o.o_custkey, o.o_orderkey,
+                       row_number() OVER (
+                           PARTITION BY o.o_custkey
+                           ORDER BY o.o_orderkey
+                       ) AS rn
+                FROM orders_sql o
+                JOIN clean_log_keys k ON o.o_custkey = k.o_custkey
+            ) WHERE rn <= 2
+            """,
+            spark,
+        )
+        res.count()
+    finally:
+        for lg in loggers:
+            lg.removeHandler(handler)
+    assert not records, [r.getMessage() for r in records]
+
+
+def test_swap_cache_invalidated_by_index_update(spark, storage, orders_files):
+    """The memoized rewrite keys on every index view's manifest
+    fingerprint: adding files to the index between two identical
+    queries must MISS the cache and see the new data."""
+    df, files = orders_files
+    idx = Index.for_name(
+        "cache_inv_sql", schema=df.schema, format="parquet", spark=spark
+    )
+    idx.add_index("o_custkey")
+    idx.add_files(files[:-1]).update()
+    surface.register_views(spark, ["cache_inv_sql"])
+    surface.clear_sql_cache()
+    q = "SELECT count(*) AS n FROM cache_inv_sql WHERE o_custkey IN (1, 2, 3)"
+    n1 = surface.sql(q, spark).collect()[0]["n"]
+    assert surface.sql(q, spark).collect()[0]["n"] == n1  # cache hit, same
+    idx.add_files([files[-1]]).update()
+    n2 = surface.sql(q, spark).collect()[0]["n"]
+    expected = df.where(F.col("o_custkey").isin([1, 2, 3])).count()
+    assert n2 == expected and n2 >= n1
