@@ -678,8 +678,27 @@ def signature_store_write(
 ) -> None:
     """Persist minhash signatures (``__id``, h0..h{k-1}) as parquet —
     the corpus-history side of incremental dedup. Appending a crawl
-    batch is one columnar write; no global state, no driver memory."""
-    sigs.write.mode(mode).parquet(store_path)
+    batch is one columnar write; no global state, no driver memory.
+
+    Each batch is stamped with a ``__seq`` column (driver wall-clock
+    nanoseconds at append time): compaction's newest-wins rule keys on
+    it, because filesystem mtime granularity can be as coarse as one
+    second — two appends carrying the same re-crawled id could tie on
+    mtime and keep a stale signature arbitrarily. The store is
+    single-writer by contract (see :func:`signature_store_compact`),
+    so one driver timestamp per batch is strictly monotone."""
+    import time as _time
+
+    sigs.withColumn("__seq", F.lit(_time.time_ns())).write.mode(mode).parquet(
+        store_path
+    )
+
+
+def _read_signature_store(spark, store_path: str) -> DataFrame:
+    """Read the store with schema merging: batches appended before the
+    ``__seq`` stamp existed coexist with stamped ones, and the sampled
+    footer a plain read uses could silently drop the column."""
+    return spark.read.option("mergeSchema", "true").parquet(store_path)
 
 
 def signature_store_compact(
@@ -696,31 +715,68 @@ def signature_store_compact(
 
     NOT concurrent-writer-safe (plain directory swap — run it from the
     maintenance window that owns the store, e.g. under the same lock
-    the ingest job uses). Returns the number of rows kept."""
+    the ingest job uses). Returns the number of rows kept.
+
+    Crash safety: the swap renames the old store ASIDE
+    (``store.__old``), renames the compacted copy into place, then
+    deletes the old copy — at every intermediate state the data
+    exists under a well-known name, and the read path
+    (:func:`incremental_near_dup`) refuses to treat a missing store
+    with an ``.__old`` sibling as "first batch" (which would silently
+    re-admit every historical near-duplicate). A leftover ``.__old``
+    WITH the store present means a crash after the swap completed —
+    safe to discard, done here on the next compact."""
     import math
 
     from ..storage.fs import get_fs
 
-    df = spark.read.parquet(store_path)
-    sig_cols = [c for c in df.columns if c != "__id"]
-    # newest-wins per id: input_file_name order is meaningless, so use
-    # the batch-monotonic modification time of the source file
+    fs = get_fs(spark, store_path)
+    old = store_path.rstrip("/") + ".__old"
+    tmp = store_path.rstrip("/") + ".__compact"
+    if fs.exists(old):
+        if not fs.exists(store_path):
+            raise OSError(
+                f"signature store {store_path} missing but {old} exists: "
+                "a prior compact crashed mid-swap; rename it back before "
+                "compacting"
+            )
+        fs.delete(old, recursive=True)  # stale leftover, store is whole
+
+    df = _read_signature_store(spark, store_path)
+    sig_cols = [c for c in df.columns if c not in ("__id", "__seq")]
+    # newest-wins per id, keyed on the explicit batch sequence stamp;
+    # pre-__seq batches fall back to source-file modification time
+    # (coarse, but the best available for legacy rows), rescaled to
+    # the same nanosecond unit so mixed stores order correctly
     from pyspark.sql.functions import col, struct
 
-    meta = df.withColumn("__mt", F.col("_metadata.file_modification_time"))
+    has_seq = "__seq" in df.columns
+    meta = df.withColumn(
+        "__mt",
+        F.unix_micros(F.col("_metadata.file_modification_time")) * F.lit(1000),
+    )
+    order_key = F.coalesce(col("__seq"), col("__mt")) if has_seq else col("__mt")
     latest = (
-        meta.groupBy("__id")
-        .agg(F.max_by(struct(*[col(c) for c in sig_cols]), col("__mt")).alias("__s"))
-        .select("__id", "__s.*")
+        meta.withColumn("__ord", order_key)
+        .groupBy("__id")
+        .agg(
+            F.max_by(
+                struct(*[col(c) for c in sig_cols]), col("__ord")
+            ).alias("__s"),
+            F.max("__ord").alias("__seq"),
+        )
+        .select("__id", "__s.*", "__seq")
     )
     n = latest.count()
     files = max(1, math.ceil(n / rows_per_file))
-    tmp = store_path.rstrip("/") + ".__compact"
     latest.repartition(files).write.mode("overwrite").parquet(tmp)
-    fs = get_fs(spark, store_path)
-    fs.delete(store_path, recursive=True)
+    if not fs.rename(store_path, old):
+        raise OSError(f"rename {store_path} -> {old} failed")
     if not fs.rename(tmp, store_path):
+        # roll back so the store is readable again
+        fs.rename(old, store_path)
         raise OSError(f"rename {tmp} -> {store_path} failed")
+    fs.delete(old, recursive=True)
     return n
 
 
@@ -776,10 +832,23 @@ def incremental_near_dup(
 
     old_sigs = None
     try:
-        old_sigs = spark.read.parquet(store_path)
+        old_sigs = _read_signature_store(spark, store_path).drop("__seq")
     except AnalysisException as e:
         if "PATH_NOT_FOUND" not in str(e):
             raise
+        # a crashed compact leaves the history under store.__old with
+        # no store at store_path — "first batch" here would silently
+        # re-admit every historical near-duplicate
+        from ..storage.fs import get_fs
+
+        if get_fs(spark, store_path).exists(
+            store_path.rstrip("/") + ".__old"
+        ):
+            raise OSError(
+                f"signature store {store_path} missing but a .__old "
+                "sibling exists: a compact crashed mid-swap; rename it "
+                "back before running incremental dedup"
+            ) from e
     if old_sigs is not None:
         # re-crawled ids: the NEW signature supersedes the stored one
         # (duplicate __id rows would multiply the est joins below)

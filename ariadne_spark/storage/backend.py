@@ -139,11 +139,20 @@ def migrate_table(
     df = src.read()
     if df is None:
         raise ValueError(f"{path} has no committed state to migrate")
-    # materialize off the source layout before dropping it
-    snapshot = df.localCheckpoint(eager=True)
+    # Materialize off the source layout to a DURABLE sibling before
+    # dropping it: a localCheckpoint lives in executor memory/disk, so
+    # an executor or session loss between drop() and overwrite() would
+    # lose the table permanently (r04 ADVICE). The parquet snapshot
+    # survives any crash; a leftover .__migrate dir after one is plain
+    # data, recoverable by hand.
+    snap_path = path.rstrip("/") + ".__migrate"
+    fs.delete(snap_path, recursive=True)  # stale leftover from a crash
+    df.write.mode("overwrite").parquet(snap_path)
+    snapshot = spark.read.parquet(snap_path)
     src.drop()
     dst = _REGISTRY[to_backend](spark, path, key_cols, dedup)
     dst.overwrite(snapshot)
+    fs.delete(snap_path, recursive=True)
 
 
 # --------------------------------------------------------------- delta

@@ -122,14 +122,14 @@ class IndexMetadata:
             d = json.loads(raw)
         except ValueError as e:
             raise InvalidMetadataError(f"{name}: unparseable metadata: {e}")
-        for req in ("format", "schema"):
-            if req not in d:
-                raise InvalidMetadataError(
-                    f"{name}: metadata missing required field {req!r}"
-                )
-        # forward-compat guard: a document written by a NEWER engine
-        # must be refused, not silently half-read (reference:
-        # UnsupportedMetadataVersionException /
+        # Forward-compat guard FIRST, before required-field validation:
+        # a newer engine may have renamed format/schema fields, and the
+        # whole point of the guard is the "upgrade ariadne-spark to
+        # read it" signal — field checks running first would mask it
+        # as InvalidMetadataError (r04 ADVICE). Non-integer version
+        # values (a newer scheme like "2.1") wrap in the same
+        # Unsupported error rather than an unwrapped ValueError.
+        # (reference: UnsupportedMetadataVersionException /
         # UnsupportedStorageFormatVersionException)
         from ..exceptions import (
             UnsupportedMetadataVersionError,
@@ -138,16 +138,29 @@ class IndexMetadata:
 
         mv = d.get("metadata_version", METADATA_VERSION)
         sv = d.get("storage_format_version", STORAGE_FORMAT_VERSION)
-        if int(mv) > METADATA_VERSION:
+        try:
+            mv_newer = int(mv) > METADATA_VERSION
+        except (TypeError, ValueError):
+            mv_newer = True  # unrecognizable scheme = newer than us
+        if mv_newer:
             raise UnsupportedMetadataVersionError(
-                f"{name}: metadata_version {mv} > supported "
+                f"{name}: metadata_version {mv!r} > supported "
                 f"{METADATA_VERSION}; upgrade ariadne-spark to read it"
             )
-        if int(sv) > STORAGE_FORMAT_VERSION:
+        try:
+            sv_newer = int(sv) > STORAGE_FORMAT_VERSION
+        except (TypeError, ValueError):
+            sv_newer = True
+        if sv_newer:
             raise UnsupportedStorageFormatVersionError(
-                f"{name}: storage_format_version {sv} > supported "
+                f"{name}: storage_format_version {sv!r} > supported "
                 f"{STORAGE_FORMAT_VERSION}; upgrade ariadne-spark to read it"
             )
+        for req in ("format", "schema"):
+            if req not in d:
+                raise InvalidMetadataError(
+                    f"{name}: metadata missing required field {req!r}"
+                )
         return IndexMetadata(
             name=name,
             format=d["format"],

@@ -437,9 +437,9 @@ def test_signature_store_compact(spark, tmp_path):
             minhash_signatures_fast(batch, "text", "doc_id"), store
         )
     # re-crawl doc 5 with DIFFERENT text: its new signature must win
-    import time
-
-    time.sleep(1.1)  # distinct file mtime = the newest-wins key
+    # even within the same mtime second — the explicit __seq batch
+    # stamp is the supersede key, not filesystem mtime (r04 ADVICE:
+    # coarse mtime granularity could tie and keep a stale signature)
     recrawl = spark.createDataFrame(
         [(5, "completely different recrawled content here")],
         "doc_id long, text string",
@@ -458,6 +458,38 @@ def test_signature_store_compact(spark, tmp_path):
     kept = spark.read.parquet(store)
     assert kept.count() == 30
     assert kept.where("__id = 5").collect()[0]["h0"] == expected_h0
+
+
+def test_signature_store_crashed_swap_detected(spark, tmp_path):
+    """A compact that crashed between rename-aside and rename-in
+    leaves the history at store.__old and nothing at the store path.
+    Both compact and the incremental read must refuse loudly — a
+    silent 'first batch' would re-admit every historical near-dup
+    (r04 ADVICE medium)."""
+    import shutil
+
+    from ariadne_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signatures_fast,
+        signature_store_compact,
+        signature_store_write,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some document body {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "crashstore")
+    signature_store_write(minhash_signatures_fast(docs, "text", "doc_id"), store)
+    # simulate the crash window: history renamed aside, store gone
+    shutil.move(store, store + ".__old")
+    with pytest.raises(OSError, match="mid-swap"):
+        incremental_near_dup(docs, store, update_store=False)
+    with pytest.raises(OSError, match="mid-swap"):
+        signature_store_compact(spark, store)
+    # recovery: rename back, both paths work again
+    shutil.move(store + ".__old", store)
+    assert signature_store_compact(spark, store) == 5
 
 
 def test_metadata_future_versions_refused(tmp_path):
@@ -484,4 +516,20 @@ def test_metadata_future_versions_refused(tmp_path):
     with pytest.raises(UnsupportedStorageFormatVersionError, match="upgrade"):
         IndexMetadata.from_json(
             "x", _json.dumps({**base, "storage_format_version": 99})
+        )
+    # the guard runs BEFORE required-field validation: a newer engine
+    # that renamed format/schema must still surface the upgrade signal,
+    # not a confusing missing-field error (r04 ADVICE)
+    with pytest.raises(UnsupportedMetadataVersionError, match="upgrade"):
+        IndexMetadata.from_json(
+            "x",
+            _json.dumps(
+                {"metadata_version": 99, "layout": "parquet-v2"}
+            ),
+        )
+    # a non-integer version scheme ("2.1") is a newer engine too —
+    # wrapped in the same upgrade signal, never a bare ValueError
+    with pytest.raises(UnsupportedMetadataVersionError, match="upgrade"):
+        IndexMetadata.from_json(
+            "x", _json.dumps({**base, "metadata_version": "2.1"})
         )
