@@ -277,9 +277,24 @@ class Index:
         self.filelist.add([normalize_path(p) for p in paths])
         return self
 
+    def has_file(self, path: str) -> bool:
+        """Whether ``path`` is registered with this index (reference:
+        Index.scala:107 ``hasFile`` — same FileList membership check,
+        same path normalization as :meth:`add_files`)."""
+        return self.filelist.contains(normalize_path(path))
+
     @property
     def files(self) -> DataFrame:
         return self.filelist.files
+
+    @property
+    def indexes(self) -> set[str]:
+        """The union of all indexed column names across every index
+        type (reference: Index.scala:372 ``indexes`` — the reference
+        unions six per-type metadata collections; here every type
+        lives in one IndexConfig list under its indexed/aliased
+        column)."""
+        return {cfg.column for cfg in self.meta.indexes}
 
     @property
     def index_df(self) -> DataFrame | None:
@@ -775,15 +790,22 @@ class Index:
         save_metadata(self.paths.metadata, self.meta, fs=self.fs)
         return self
 
-    def vacuum(self) -> "Index":
-        self.table.vacuum()
+    def vacuum(self, retention_hours: float = 168.0) -> "Index":
+        """Reclaim dead storage across the index's tables, keeping
+        ``retention_hours`` of history (reference: Index.scala:761
+        ``vacuum(retentionHours: Int = 168)`` — same default, same
+        passthrough to every owned table; here LSM segments/manifests
+        younger than the window survive so concurrent readers pinned
+        to a recent version never lose files mid-scan, mirroring
+        Delta's VACUUM retention contract)."""
+        self.table.vacuum(retention_hours=retention_hours)
         for cfg in self.meta.indexes:
             t = open_table(
                 self.spark, self.paths.large_index(cfg.column), key_cols=("filename",)
             )
             if t.exists:
-                t.vacuum()
-        self.filelist.table.vacuum()
+                t.vacuum(retention_hours=retention_hours)
+        self.filelist.table.vacuum(retention_hours=retention_hours)
         return self
 
     def drop_storage(self) -> None:

@@ -210,20 +210,49 @@ class ParquetTable:
         df = self.read()
         self.overwrite(df)
 
-    def vacuum(self, keep_manifests: int = 3) -> None:
+    def vacuum(
+        self, retention_hours: float | None = None, keep_manifests: int = 3
+    ) -> None:
         """Delete segment dirs unreferenced by the latest manifest and
-        trim old manifests."""
+        trim old manifests.
+
+        With ``retention_hours`` set, unreferenced segments and old
+        manifests modified within the window are KEPT: a reader that
+        pinned an older manifest version is still scanning those
+        segment files, and deleting them mid-scan fails the read —
+        the same reader-protection contract Delta's VACUUM retention
+        gives (reference: Index.scala:761 takes retentionHours and
+        forwards it to Delta VACUUM)."""
+        import time as _time
+
         m = self._read_manifest()
         if m is None:
             return
+        cutoff = (
+            _time.time() - retention_hours * 3600.0
+            if retention_hours is not None
+            else None
+        )
+
+        def _old_enough(p: str) -> bool:
+            if cutoff is None:
+                return True
+            try:
+                return self.fs.mtime(p) < cutoff
+            except Exception:
+                return False  # unknown age: keep (conservative)
+
         live = {s["dir"].split("/", 1)[1] for s in m["segments"]}
         data_dir = _join(self.path, "data")
         for entry in self.fs.list_names(data_dir):
-            if entry not in live:
-                self.fs.delete(_join(data_dir, entry), recursive=True)
+            p = _join(data_dir, entry)
+            if entry not in live and _old_enough(p):
+                self.fs.delete(p, recursive=True)
         d = self._manifest_dir()
         for v in self._versions()[:-keep_manifests]:
-            self.fs.delete(_join(d, f"v{v:020d}.json"))
+            p = _join(d, f"v{v:020d}.json")
+            if _old_enough(p):
+                self.fs.delete(p)
 
     def drop(self) -> None:
         if self.fs.exists(self.path):

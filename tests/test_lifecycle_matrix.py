@@ -128,7 +128,15 @@ def test_compact_large_index_tables(spark, storage, orders_files):
         large_dir = glob.glob(f"{storage}/**/large_indexes/**/*.parquet", recursive=True)
         assert len(large_dir) >= len(files)
         idx.compact()
-        idx.vacuum()  # compaction keeps old segments for readers until vacuum
+        # default retention (168 h, reference Index.scala:761 parity)
+        # protects just-written segments for pinned readers: nothing
+        # younger than the window may be reclaimed
+        idx.vacuum()
+        kept = glob.glob(f"{storage}/**/large_indexes/**/*.parquet", recursive=True)
+        assert len(kept) >= len(large_dir)
+        # retention 0 = reclaim now (compaction keeps old segments for
+        # readers until an explicit vacuum)
+        idx.vacuum(retention_hours=0)
         compacted = glob.glob(f"{storage}/**/large_indexes/**/*.parquet", recursive=True)
         assert len(compacted) < len(large_dir)
         vals = [5, 6, 7]

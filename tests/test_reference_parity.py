@@ -362,3 +362,46 @@ def test_bloom_index_locates_present_never_misses(spark, storage, typed_file):
     for key in (1, 10, 20):
         files = idx.locate_files({"id": [key]})
         assert files, f"present key {key} located no files"
+
+
+# ------------------------------------------------------- small API parity
+
+def test_has_file_membership(spark, storage, typed_file):
+    """Index.has_file mirrors reference Index.scala:107 hasFile: the
+    FileList membership check, with the same path normalization as
+    add_files."""
+    idx = _build(spark, "hasfile_idx", typed_file, lambda i: i.add_index("id"))
+    assert idx.has_file(typed_file[0])
+    assert not idx.has_file("/nonexistent/never-added.parquet")
+    # normalization parity: the stored form and the raw form both hit
+    from ariadne_spark.sources.files import normalize_path
+
+    assert idx.has_file(normalize_path(typed_file[0]))
+
+
+def test_indexes_property_unions_all_types(spark, storage, typed_file):
+    """Index.indexes returns the union of indexed column names across
+    every index type (reference Index.scala:372)."""
+    idx = Index.for_name(
+        "idxset_idx", schema=EX_SCHEMA, format="parquet", spark=spark
+    )
+    idx.add_index("id").add_range_index("value").add_bloom_index("status")
+    assert idx.indexes == {"id", "value", "status"}
+
+
+def test_vacuum_retention_protects_recent_history(spark, storage, typed_file):
+    """Index.vacuum(retention_hours) parity with reference
+    Index.scala:761: default 168 h keeps just-written history for
+    pinned readers; retention 0 reclaims immediately."""
+    import glob as _glob
+
+    idx = _build(spark, "vac_ret_idx", typed_file, lambda i: i.add_index("id"))
+    idx.add_files(typed_file).update()  # no-op update, but compact below
+    idx.compact()
+    before = _glob.glob(f"{storage}/**/indexes/**/data/**", recursive=True)
+    idx.vacuum()  # default retention: young segments survive
+    mid = _glob.glob(f"{storage}/**/indexes/**/data/**", recursive=True)
+    assert len(mid) >= len(before) - 1
+    idx.vacuum(retention_hours=0)
+    after = _glob.glob(f"{storage}/**/indexes/**/data/**", recursive=True)
+    assert len(after) <= len(mid)
