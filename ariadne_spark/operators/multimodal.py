@@ -272,6 +272,46 @@ _CODECS = {
 }
 
 
+def _pil_available() -> bool:
+    try:
+        from PIL import Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _decode_pil(blob: bytes) -> dict:
+    """Optional-dependency codec: any format Pillow opens (JPEG being
+    the one the pure-numpy codecs can't). Import errors propagate
+    loudly (an executor without Pillow is an env misconfiguration,
+    not a bad blob); undecodable blobs degrade to the null-feature
+    row like every other codec."""
+    from io import BytesIO
+
+    import numpy as np
+    from PIL import Image
+
+    if blob is None:
+        return dict(_NO_DECODE)
+    try:
+        img = Image.open(BytesIO(bytes(blob)))
+        rgb = np.asarray(img.convert("RGB"), dtype=np.uint8)
+    except Exception:
+        return dict(_NO_DECODE)
+    h, w = rgb.shape[:2]
+    return _pixel_features(np.ascontiguousarray(rgb), w, h)
+
+
+# codec -> (decoder, availability probe, human install hint). Probed
+# at decode_media() call time so the same build works with or without
+# the optional library.
+_OPTIONAL_CODECS = {
+    "jpeg": (_decode_pil, _pil_available, "Pillow (pip install pillow)"),
+    "jpg": (_decode_pil, _pil_available, "Pillow (pip install pillow)"),
+}
+
+
 def decode_media(
     df: DataFrame,
     blob_col: str = "media",
@@ -282,13 +322,22 @@ def decode_media(
     batches). Real pure-numpy codecs: ``'ppm'`` (binary P6), ``'bmp'``
     (uncompressed 24-bpp), and ``'png'`` (stdlib zlib inflate + full
     scanline unfiltering); ``'fake'`` is the deterministic test codec.
-    Codecs needing external libraries (jpg via PIL, audio/video via
-    ffmpeg) raise until provisioned."""
+    ``'jpeg'``/``'jpg'`` decode through Pillow when it is importable
+    (driver-side probe; executors must carry the same package) and
+    raise a clear install hint when it is not."""
     decode = _CODECS.get(codec)
+    if decode is None and codec in _OPTIONAL_CODECS:
+        fn, avail, hint = _OPTIONAL_CODECS[codec]
+        if not avail():
+            raise NotImplementedError(
+                f"codec {codec!r} requires {hint}, which is not "
+                f"importable in this environment"
+            )
+        decode = fn
     if decode is None:
         raise NotImplementedError(
-            f"codec {codec!r}: needs PIL/ffmpeg, not available in this "
-            f"environment — use one of {sorted(_CODECS)}"
+            f"codec {codec!r}: not available in this environment — use "
+            f"one of {sorted(_CODECS) + sorted(_OPTIONAL_CODECS)}"
         )
     from .. import context
 
@@ -408,6 +457,60 @@ def _decode_wav(blob: bytes) -> dict:
 _AUDIO_CODECS = {"wav": _decode_wav}
 
 
+def _soundfile_available() -> bool:
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def _decode_soundfile(blob: bytes) -> dict:
+    """Optional-dependency audio codec: any container libsndfile reads
+    (FLAC/OGG and, with libsndfile >= 1.1, MP3). Emits the same
+    AUDIO_FEATURE_SCHEMA as the pure-numpy WAV codec: samples are
+    normalized to int16 range so content_hash/rms agree with
+    ``_decode_wav`` on losslessly round-tripped PCM."""
+    import hashlib
+    from io import BytesIO
+
+    import numpy as np
+    import soundfile as sf
+
+    if blob is None:
+        return dict(_NO_AUDIO)
+    try:
+        data, rate = sf.read(BytesIO(bytes(blob)), dtype="int16")
+    except Exception:
+        return dict(_NO_AUDIO)
+    if data.ndim == 1:
+        data = data[:, None]
+    frames, ch = data.shape
+    if frames == 0:
+        return dict(_NO_AUDIO)
+    pcm = np.ascontiguousarray(data.astype("<i2")).tobytes()
+    amp = data.astype(np.float64)
+    return {
+        "content_hash": hashlib.md5(pcm).hexdigest(),
+        "n_samples": int(frames),
+        "n_channels": int(ch),
+        "sample_rate_hz": int(rate),
+        "duration_ms": frames * 1000.0 / rate,
+        "rms": round(float(np.sqrt(np.mean(amp * amp))), 6),
+    }
+
+
+_OPTIONAL_AUDIO_CODECS = {
+    fmt: (
+        _decode_soundfile,
+        _soundfile_available,
+        "soundfile (pip install soundfile)",
+    )
+    for fmt in ("flac", "ogg", "mp3")
+}
+
+
 def decode_audio(
     df: DataFrame,
     blob_col: str = "media",
@@ -416,13 +519,22 @@ def decode_audio(
 ) -> DataFrame:
     """Feature-extract audio blobs with ``mapInPandas`` (Arrow
     batches). ``'wav'`` (RIFF PCM) is a real pure-numpy codec;
-    compressed formats (mp3/ogg/flac) need ffmpeg and raise until
-    provisioned."""
+    ``'flac'``/``'ogg'``/``'mp3'`` decode through soundfile when it
+    is importable (driver-side probe; executors must carry the same
+    package) and raise a clear install hint when it is not."""
     decode = _AUDIO_CODECS.get(codec)
+    if decode is None and codec in _OPTIONAL_AUDIO_CODECS:
+        fn, avail, hint = _OPTIONAL_AUDIO_CODECS[codec]
+        if not avail():
+            raise NotImplementedError(
+                f"audio codec {codec!r} requires {hint}, which is not "
+                f"importable in this environment"
+            )
+        decode = fn
     if decode is None:
         raise NotImplementedError(
-            f"audio codec {codec!r}: needs ffmpeg, not available in this "
-            f"environment — use one of {sorted(_AUDIO_CODECS)}"
+            f"audio codec {codec!r}: not available in this environment — "
+            f"use one of {sorted(_AUDIO_CODECS) + sorted(_OPTIONAL_AUDIO_CODECS)}"
         )
     from .. import context
 

@@ -17,6 +17,12 @@ backend from ``spark.ariadne.tableBackend``:
   ``optimize().executeCompaction()`` for compact, Delta VACUUM,
   ``versionAsOf`` time travel). Selecting it without delta-spark
   installed raises immediately with a clear message.
+  **Status: seam present, Delta UNTESTED here** — delta-spark cannot
+  be installed in this environment, so the DeltaBackend code path
+  has never executed; treat it as a wiring template requiring a CI
+  leg with delta-spark before production use. The backend-contract
+  suite (tests/test_storage.py) runs against the LSM backend and a
+  registered in-memory fake only.
 * anything registered via :func:`register_backend` — tests (and
   downstream users) can plug custom backends without touching call
   sites.

@@ -512,6 +512,110 @@ def test_wav_codec_roundtrip_and_formats(spark):
         decode_audio(df2, "media", codec="mp3")
 
 
+def test_optional_codec_gating_names_the_dependency(spark):
+    """Optional codecs must raise an actionable install hint when the
+    library is absent — and only then (r03 verdict #7: adapters green
+    where the lib exists, cleanly gated where not)."""
+    from ariadne_spark.operators.multimodal import (
+        _pil_available,
+        _soundfile_available,
+        decode_audio,
+        decode_media,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b"xx"))], "id int, media binary")
+    if not _pil_available():
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_media(df, "media", codec="jpeg")
+    if not _soundfile_available():
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(df, "media", codec="flac")
+    # unknown codecs still fail with the full menu
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_media(df, "media", codec="tiff9000")
+
+
+def test_pil_adapter_logic_with_stub(monkeypatch):
+    """Driver-side unit test of the Pillow adapter: a stub PIL module
+    exercises the decode path (convert→RGB→_pixel_features) without
+    the real library; Arrow plumbing is already covered by the
+    pure-numpy codecs, which share the mapInPandas runner."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from ariadne_spark.operators.multimodal import (
+        _decode_pil,
+        _pixel_features,
+    )
+
+    rgb = (np.arange(2 * 3 * 3) % 256).astype(np.uint8).reshape(2, 3, 3)
+
+    class _Img:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return rgb
+
+    pil = types.ModuleType("PIL")
+    pil_image = types.ModuleType("PIL.Image")
+    pil_image.open = lambda fh: _Img()
+    pil.Image = pil_image
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", pil_image)
+
+    got = _decode_pil(b"\xff\xd8anything")
+    assert got == _pixel_features(rgb, 3, 2)
+    assert got["decoded_width"] == 3 and got["decoded_height"] == 2
+    assert _decode_pil(None)["content_hash"] is None
+
+    # undecodable blob degrades to the null row, not an exception
+    def boom(fh):
+        raise OSError("cannot identify image file")
+
+    pil_image.open = boom
+    assert _decode_pil(b"junk")["content_hash"] is None
+
+
+def test_soundfile_adapter_parity_with_wav_codec(monkeypatch):
+    """The soundfile adapter must emit byte-identical features to the
+    pure-numpy WAV codec for the same PCM (hash/rms/duration parity),
+    so switching containers never changes downstream dedup joins."""
+    import struct
+    import sys
+    import types
+
+    import numpy as np
+
+    from ariadne_spark.operators.multimodal import (
+        _decode_soundfile,
+        _decode_wav,
+    )
+
+    samples = (((np.arange(150) * 13) % 2001) - 1000).astype("<i2")
+    pcm = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    sf = types.ModuleType("soundfile")
+    sf.read = lambda fh, dtype: (samples.astype(np.int16), 8000)
+    monkeypatch.setitem(sys.modules, "soundfile", sf)
+
+    assert _decode_soundfile(b"fLaCfake") == _decode_wav(wav)
+    assert _decode_soundfile(None)["content_hash"] is None
+
+    def boom(fh, dtype):
+        raise RuntimeError("unsupported container")
+
+    sf.read = boom
+    assert _decode_soundfile(b"junk")["content_hash"] is None
+
+
 @pytest.mark.skipif(
     not os.path.isdir("/root/testdata/sf0.1"),
     reason="needs the sf0.1 corpus (>=200 planted pairs)",
