@@ -1,0 +1,230 @@
+"""End-to-end tests of the JVM SQL extension (jvm/ariadne-spark-ext.jar).
+
+The extension serves sessions that have NO Python rewriter — JDBC /
+Thrift / Scala clients (r03 verdict "What's missing" #1; reference
+architecture: AriadneSparkExtension.scala:39-42). Spark extensions
+bind at session-JVM creation, so these tests build index state with
+the in-process engine, then drive a SEPARATE spark-submit-style
+subprocess whose only ariadne surface is `spark.jars` +
+`spark.sql.extensions`, and assert on its JSON report:
+
+* resolution: `FROM ariadne.<name>` returns exactly the plain-read
+  rows (schema parity incl. computed + exploded virtual columns);
+* pruning: `df.inputFiles()` shrinks for literal equality / IN /
+  range-band predicates while row sets stay exact;
+* refusals: unknown names and temporal-config indexes stay
+  unresolved (normal table-not-found), never wrong-but-resolved.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark import Index
+
+from .conftest import WORK
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JAR = os.path.join(REPO, "jvm", "ariadne-spark-ext.jar")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(JAR),
+    reason="jvm extension jar not built (run jvm/build.sh)",
+)
+
+_DEMO = os.path.join(WORK, "jvm_ext")
+
+
+@pytest.fixture(scope="module")
+def jvm_state(spark):
+    """Index state the subprocess will query: orders split into 6
+    custkey-range files, indexed regular + range + computed; plus a
+    temporal-config index that the JVM surface must refuse."""
+    shutil.rmtree(_DEMO, ignore_errors=True)
+    os.makedirs(_DEMO)
+    store = f"{_DEMO}/store"
+    old = spark.conf.get("spark.ariadne.storagePath", None)
+    spark.conf.set("spark.ariadne.storagePath", store)
+    try:
+        orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        hi = orders.agg(F.max("o_custkey")).first()[0]
+        step = hi // 6 + 1
+        for i in range(6):
+            orders.where(
+                (F.col("o_custkey") >= i * step)
+                & (F.col("o_custkey") < (i + 1) * step)
+            ).coalesce(1).write.parquet(f"{_DEMO}/orders/p{i}")
+        files = sorted(glob.glob(f"{_DEMO}/orders/p*/*.parquet"))
+        idx = Index.for_name(
+            "jext_orders", spark=spark, format="parquet", schema=orders.schema
+        )
+        idx.add_index("o_custkey")
+        idx.add_range_index("o_orderkey")
+        idx.add_computed_index(
+            "order_year", "cast(year(o_orderdate) as bigint)"
+        )
+        idx.add_files(files)
+        idx.update()
+
+        # orderkey-SPLIT copy: band pruning needs files whose range
+        # structs are disjoint on the banded column (the custkey-split
+        # files all span nearly the full orderkey domain)
+        okhi = orders.agg(F.max("o_orderkey")).first()[0]
+        okstep = okhi // 6 + 1
+        for i in range(6):
+            orders.where(
+                (F.col("o_orderkey") >= i * okstep)
+                & (F.col("o_orderkey") < (i + 1) * okstep)
+            ).coalesce(1).write.parquet(f"{_DEMO}/orders_bykey/p{i}")
+        kfiles = sorted(glob.glob(f"{_DEMO}/orders_bykey/p*/*.parquet"))
+        kidx = Index.for_name(
+            "jext_orders_bykey", spark=spark, format="parquet",
+            schema=orders.schema,
+        )
+        kidx.add_range_index("o_orderkey")
+        kidx.add_files(kfiles)
+        kidx.update()
+
+        tidx = Index.for_name(
+            "jext_temporal", spark=spark, format="parquet", schema=orders.schema
+        )
+        tidx.add_temporal_index("o_custkey", "o_orderdate")
+        tidx.add_files(files[:2])
+        tidx.update()
+        yield {"store": store, "data_glob": f"{_DEMO}/orders/p*/*.parquet"}
+    finally:
+        if old is not None:
+            spark.conf.set("spark.ariadne.storagePath", old)
+
+
+_SUBPROC = r"""
+import glob, json, sys
+from pyspark.sql import SparkSession
+from pyspark.errors import AnalysisException
+
+jar, store, data_glob = sys.argv[1:4]
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.jars", jar)
+    .config("spark.sql.extensions", "ariadnespark.ext.AriadneExtensions")
+    .config("spark.ariadne.storagePath", store)
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+)
+plain = spark.read.parquet(*glob.glob(data_glob))
+total = len(plain.inputFiles())
+out = {"total": total}
+
+def run(tag, sql, where):
+    df = spark.sql(sql)
+    got = sorted((r[0], r[1]) for r in df.select("o_orderkey", "o_custkey").collect())
+    exp = sorted(
+        (r[0], r[1])
+        for r in (plain.where(where) if where else plain)
+        .select("o_orderkey", "o_custkey").collect()
+    )
+    out[tag] = {
+        "rows_match": got == exp,
+        "n_rows": len(got),
+        "scanned": len(df.inputFiles()),
+    }
+
+run("eq", "SELECT * FROM ariadne.jext_orders WHERE o_custkey = 7",
+    "o_custkey = 7")
+run("inlist", "SELECT * FROM ariadne.jext_orders WHERE o_custkey IN (3, 5)",
+    "o_custkey IN (3, 5)")
+run("band",
+    "SELECT * FROM ariadne.jext_orders_bykey "
+    "WHERE o_orderkey BETWEEN 100 AND 220",
+    "o_orderkey BETWEEN 100 AND 220")
+run("computed", "SELECT * FROM ariadne.jext_orders WHERE order_year = 1995",
+    "year(o_orderdate) = 1995")
+run("full", "SELECT * FROM ariadne.jext_orders", None)
+run("conj",
+    "SELECT * FROM ariadne.jext_orders "
+    "WHERE o_custkey = 7 AND o_totalprice > 0",
+    "o_custkey = 7 AND o_totalprice > 0")
+run("empty", "SELECT * FROM ariadne.jext_orders WHERE o_custkey = -99",
+    "o_custkey = -99")
+
+for tag, name in (("unknown", "no_such_index"), ("temporal", "jext_temporal")):
+    try:
+        spark.sql(f"SELECT * FROM ariadne.{name}").collect()
+        out[tag] = "RESOLVED"
+    except AnalysisException:
+        out[tag] = "refused"
+
+print("JSON:" + json.dumps(out))
+spark.stop()
+"""
+
+
+@pytest.fixture(scope="module")
+def report(jvm_state):
+    script = os.path.join(_DEMO, "subproc.py")
+    with open(script, "w") as fh:
+        fh.write(_SUBPROC)
+    proc = subprocess.run(
+        [sys.executable, script, JAR, jvm_state["store"], jvm_state["data_glob"]],
+        capture_output=True, text=True, timeout=420,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("JSON:")]
+    assert lines, f"no report; stderr tail: {proc.stderr[-3000:]}"
+    return json.loads(lines[-1][5:])
+
+
+def test_equality_prunes_and_matches(report):
+    assert report["eq"]["rows_match"]
+    assert report["eq"]["n_rows"] > 0
+    # custkey ranges are disjoint across the 6 files: one candidate
+    assert report["eq"]["scanned"] == 1
+
+
+def test_in_list_prunes_and_matches(report):
+    assert report["inlist"]["rows_match"]
+    assert report["inlist"]["scanned"] <= 2
+
+
+def test_range_band_prunes_and_matches(report):
+    assert report["band"]["rows_match"]
+    assert report["band"]["n_rows"] > 0
+    # band [100, 220] sits inside one of six disjoint key-range files
+    assert report["band"]["scanned"] == 1
+
+
+def test_computed_column_resolves_and_matches(report):
+    # order_year is a virtual column — it must exist in the SQL view
+    # and filter correctly; every file holds most years, so no strong
+    # pruning claim, only correctness
+    assert report["computed"]["rows_match"]
+    assert report["computed"]["n_rows"] > 0
+
+
+def test_full_read_is_unpruned_and_complete(report):
+    assert report["full"]["rows_match"]
+    assert report["full"]["scanned"] == report["total"]
+
+
+def test_conjunction_keeps_row_level_exactness(report):
+    assert report["conj"]["rows_match"]
+    assert report["conj"]["scanned"] == 1
+
+
+def test_empty_match_prunes_everything(report):
+    assert report["empty"]["rows_match"]
+    assert report["empty"]["n_rows"] == 0
+    assert report["empty"]["scanned"] == 0
+
+
+def test_unknown_and_temporal_names_stay_unresolved(report):
+    assert report["unknown"] == "refused"
+    assert report["temporal"] == "refused"
