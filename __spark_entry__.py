@@ -394,6 +394,13 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = streaming_latest_version(stream, "user_id", "ts")
     _STREAM_RUN[0] += 1
     qname = f"stream_latest_{_STREAM_RUN[0]}_{uuid.uuid4().hex[:8]}"
+    # production sink shape (r03 verdict #4): foreachBatch appending
+    # each update-mode micro-batch to parquet — the stateful stream
+    # never touches the driver; the per-key compaction below is a
+    # distributed window over the sink files, and the returned frame
+    # is a lazy read (no collect/createDataFrame round trip)
+    sink = f"{WORK}/{_tag(sf_dir)}/_stream_sink/latest"
+    shutil.rmtree(sink, ignore_errors=True)
     # State partitions trade per-partition store overhead against
     # Arrow-batch parallelism in the stateful fn; measured at sf0.1
     # (100k rows / 1.5k keys) 16 beats 8/32 by ~25%. Each run uses a
@@ -403,8 +410,9 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         q = (
-            latest.writeStream.format("memory")
-            .queryName(qname)
+            latest.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("append").parquet(sink)
+            )
             .outputMode("update")
             .option("checkpointLocation", f"{WORK}/_stream_ckpt/{qname}")
             .trigger(availableNow=True)
@@ -413,9 +421,10 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(f"{WORK}/_stream_ckpt/{qname}", ignore_errors=True)
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
-    compacted = (
-        spark.table(qname)
+    return (
+        spark.read.parquet(sink)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select(
@@ -426,13 +435,6 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    # materialize (one row per key), then release the memory-sink table
-    # and checkpoint so repeated invocations don't accumulate state
-    rows = compacted.collect()
-    out = spark.createDataFrame(rows, compacted.schema)
-    spark.catalog.dropTempView(qname)
-    shutil.rmtree(f"{WORK}/_stream_ckpt/{qname}", ignore_errors=True)
-    return out
 
 
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,12 +469,19 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_RUN[0] += 1
     qname = f"stream_window_{_STREAM_RUN[0]}_{uuid.uuid4().hex[:8]}"
+    # production sink shape (r03 verdict #4): complete-mode output
+    # overwrites the parquet sink per micro-batch via foreachBatch, so
+    # after the availableNow backfill the sink holds exactly the final
+    # window set; returned frame is a lazy distributed read
+    sink = f"{WORK}/{_tag(sf_dir)}/_stream_sink/window"
+    shutil.rmtree(sink, ignore_errors=True)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
         q = (
-            agged.writeStream.format("memory")
-            .queryName(qname)
+            agged.writeStream.foreachBatch(
+                lambda bdf, _bid: bdf.write.mode("overwrite").parquet(sink)
+            )
             .outputMode("complete")
             .option("checkpointLocation", f"{WORK}/_stream_ckpt/{qname}")
             .trigger(availableNow=True)
@@ -481,17 +490,13 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    result = spark.table(qname).select(
+    shutil.rmtree(f"{WORK}/_stream_ckpt/{qname}", ignore_errors=True)
+    return spark.read.parquet(sink).select(
         F.unix_micros(F.col("window.start")).alias("window_us"),
         "event_type",
         "n_events",
         F.col("__sv").cast("double").alias("sum_value"),
     )
-    rows = result.collect()
-    out = spark.createDataFrame(rows, result.schema)
-    spark.catalog.dropTempView(qname)
-    shutil.rmtree(f"{WORK}/_stream_ckpt/{qname}", ignore_errors=True)
-    return out
 
 
 def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
