@@ -87,7 +87,20 @@ private[ext] case class IndexEntry(
     files: Set[String],
     indexTablePath: String,
     configs: Seq[IdxConfig],
-    plan: LogicalPlan)
+    plan: LogicalPlan,
+    // resolved expressions of OUR virtual columns in `plan`, captured
+    // at registration from BOTH the analyzed and optimized forms
+    // (the optimizer constant-folds/cast-simplifies substituted
+    // references, so the prune rule must recognize either shape):
+    // computed predicates arrive substituted through the Project;
+    // exploded predicates sit above a Generate
+    computedExprs: Map[String, Seq[Expression]],
+    explodedGens: Map[String, Seq[Expression]]) {
+  def isComputedExpr(name: String, e: Expression): Boolean =
+    computedExprs.getOrElse(name, Nil).exists(_.semanticEquals(e))
+  def isExplodedGen(name: String, e: Expression): Boolean =
+    explodedGens.getOrElse(name, Nil).exists(_.semanticEquals(e))
+}
 
 /** Session-wide registry: which resolved relations belong to which
   * index, plus locate-result caching and prune observability. */
@@ -293,8 +306,40 @@ class AriadneResolveRule(session: SparkSession)
       }
     }
     val analyzed = df.queryExecution.analyzed
+    // capture the resolved forms of our virtual columns from the
+    // analyzed AND optimized plans (same plan instance is embedded
+    // into every query until the fingerprint changes, so exprIds
+    // stay comparable for semanticEquals; queries see the
+    // OPTIMIZER-rewritten shape — folded literals, dropped casts)
+    val computedNames =
+      configs.filter(_.tpe == "computed").map(_.column.toLowerCase).toSet
+    val explodedNames =
+      configs.filter(_.tpe == "exploded").map(_.column.toLowerCase).toSet
+    var computedExprs = Map.empty[String, Seq[Expression]]
+    var explodedGens = Map.empty[String, Seq[Expression]]
+    def harvest(p0: LogicalPlan): Unit = p0.foreach {
+      case p: Project =>
+        p.projectList.foreach {
+          case a: Alias if computedNames.contains(a.name.toLowerCase) =>
+            val k = a.name.toLowerCase
+            computedExprs += k -> (computedExprs.getOrElse(k, Nil) :+ a.child)
+          case _ =>
+        }
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+        g.generatorOutput.foreach { out =>
+          if (explodedNames.contains(out.name.toLowerCase)) {
+            val k = out.name.toLowerCase
+            explodedGens += k -> (explodedGens.getOrElse(k, Nil) :+ g.generator)
+          }
+        }
+      case _ =>
+    }
+    harvest(analyzed)
+    try harvest(df.queryExecution.optimizedPlan)
+    catch { case NonFatal(_) => } // extraction only; analyzed forms remain
     AriadneState.entries.put(name,
-      IndexEntry(name, fp, files.toSet, s"$indexRoot/index", configs, analyzed))
+      IndexEntry(name, fp, files.toSet, s"$indexRoot/index", configs,
+        analyzed, computedExprs, explodedGens))
     logInfo(s"ariadne.$name resolved over ${files.size} registered files")
     Some(SubqueryAlias(name, analyzed))
   } catch {
@@ -337,15 +382,69 @@ class AriadneResolveRule(session: SparkSession)
 class AriadnePruneRule(session: SparkSession)
     extends Rule[LogicalPlan] with Logging {
 
+  import org.apache.spark.sql.catalyst.plans.logical.Generate
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
-      case f @ Filter(cond, rel: LogicalRelation) =>
-        prune(cond, rel).map(r => Filter(cond, r)).getOrElse(f)
-      case f @ Filter(cond, p @ Project(_, rel: LogicalRelation)) =>
-        prune(cond, rel).map(r => Filter(cond, p.copy(child = r))).getOrElse(f)
+      case f @ Filter(cond, child) =>
+        tryPrune(cond, child).map(c => Filter(cond, c)).getOrElse(f)
     }
 
-  private def prune(cond: Expression, rel: LogicalRelation): Option[LogicalRelation] = try {
+  /** Descend through Project/Generate to an ariadne relation; on a
+    * successful prune, return the child subtree with the relation
+    * swapped for its pruned copy (everything above is untouched —
+    * including the Filter, which keeps row-level exactness). */
+  private def tryPrune(cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
+    val rel = findRel(child).getOrElse(return None)
+    prune(cond, child, rel).map { pruned =>
+      child.transformUp {
+        case r: LogicalRelation if r eq rel => pruned
+      }
+    }
+  }
+
+  private def findRel(node: LogicalPlan): Option[LogicalRelation] = node match {
+    case r: LogicalRelation => Some(r)
+    case p: Project => findRel(p.child)
+    case g: Generate => findRel(g.child)
+    case f: Filter => findRel(f.child)
+    case _ => None
+  }
+
+  /** Attr names between the Filter and the relation that do NOT mean
+    * what the index thinks: aliases introduced by intervening
+    * Projects (unless semantically our own computed column) and
+    * Generate outputs whose generator is not our exploded column's.
+    * Conjuncts over these names must not drive pruning. */
+  private def shadowedNames(node: LogicalPlan, entry: IndexEntry): Set[String] = {
+    var out = Set.empty[String]
+    def walk(n: LogicalPlan): Unit = n match {
+      case _: LogicalRelation =>
+      case p: Project =>
+        p.projectList.foreach {
+          case a: Alias =>
+            if (!entry.isComputedExpr(a.name.toLowerCase, a.child))
+              out += a.name.toLowerCase
+          case _ =>
+        }
+        walk(p.child)
+      case g: Generate =>
+        g.generatorOutput.foreach { o =>
+          if (!entry.isExplodedGen(o.name.toLowerCase, g.generator))
+            out += o.name.toLowerCase
+        }
+        walk(g.child)
+      case f: Filter => walk(f.child)
+      case _ =>
+    }
+    walk(node)
+    out
+  }
+
+  private def prune(
+      cond: Expression,
+      child: LogicalPlan,
+      rel: LogicalRelation): Option[LogicalRelation] = try {
     val hfs = rel.relation match {
       case h: HadoopFsRelation => h
       case _ => return None
@@ -355,7 +454,8 @@ class AriadnePruneRule(session: SparkSession)
       .find(e => e.files.nonEmpty && e.files.map(stripScheme) == scanFiles)
       .getOrElse(return None)
 
-    val (eq, bands) = minePredicates(cond, entry.configs)
+    val (eq, bands) =
+      minePredicates(cond, entry, shadowedNames(child, entry))
     if (eq.isEmpty && bands.isEmpty) return None
 
     val key = entry.name + "/" + entry.fingerprint + "/" + predKey(eq, bands)
@@ -383,18 +483,41 @@ class AriadnePruneRule(session: SparkSession)
   /** Literal equality/IN values and comparison bands per indexed
     * column — mirrors ariadne_spark/sql/surface.py:_equality_filters
     * and :_band_filters. Only top-level AND conjuncts are mined;
-    * everything else stays row-level in the untouched Filter. */
+    * everything else stays row-level in the untouched Filter.
+    *
+    * A column is recognized by attribute NAME (unless shadowed by an
+    * intervening rebind) or — for computed columns whose references
+    * Catalyst substituted through the Project — by semantic equality
+    * with the registered computed expression (casts stripped first:
+    * the pushed-down form often gains a widening cast pair). */
   private def minePredicates(
       cond: Expression,
-      configs: Seq[IdxConfig]): (Map[String, Seq[Any]], Map[String, Band]) = {
+      entry: IndexEntry,
+      shadowed: Set[String]): (Map[String, Seq[Any]], Map[String, Band]) = {
+    val configs = entry.configs
     val indexed = configs.map(c => c.column.toLowerCase -> c).toMap
     var eq = Map.empty[String, Seq[Any]]
     var bands = Map.empty[String, Band]
 
+    def stripCast(e: Expression): Expression = e match {
+      case c: Cast => stripCast(c.child)
+      case other => other
+    }
     def attrOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference if indexed.contains(a.name.toLowerCase) =>
+      case a: AttributeReference
+          if indexed.contains(a.name.toLowerCase)
+            && !shadowed.contains(a.name.toLowerCase) =>
         Some(indexed(a.name.toLowerCase).column)
-      case _ => None
+      case other =>
+        val stripped = stripCast(other)
+        entry.computedExprs.keysIterator.collectFirst {
+          case n
+              if indexed.contains(n) && !shadowed.contains(n)
+                && (entry.isComputedExpr(n, other)
+                  || entry.computedExprs(n).exists(ce =>
+                    stripCast(ce).semanticEquals(stripped))) =>
+            indexed(n).column
+        }
     }
     def litOf(e: Expression): Option[Any] = e match {
       case l: Literal if l.value != null =>

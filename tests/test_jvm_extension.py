@@ -70,6 +70,12 @@ def jvm_state(spark):
         idx.add_computed_index(
             "order_year", "cast(year(o_orderdate) as bigint)"
         )
+        # computed column aligned with the file split: WHERE on it can
+        # only prune if the rule recognizes the Catalyst-substituted
+        # expression (semantic match, not attribute name)
+        idx.add_computed_index(
+            "ckbucket", f"cast(floor(o_custkey / {step}) as bigint)"
+        )
         idx.add_files(files)
         idx.update()
 
@@ -91,6 +97,35 @@ def jvm_state(spark):
         kidx.add_range_index("o_orderkey")
         kidx.add_files(kfiles)
         kidx.update()
+
+        # bloom-only index over the same custkey-split files: pruning
+        # must flow through the bit-compatible ABF1 probe alone
+        bidx = Index.for_name(
+            "jext_bloom", spark=spark, format="parquet", schema=orders.schema
+        )
+        bidx.add_bloom_index("o_custkey")
+        bidx.add_files(files)
+        bidx.update()
+
+        # exploded index: array column whose elements correlate with
+        # the custkey split, so element membership prunes files and
+        # the JVM view must row-multiply exactly like the PySpark view
+        bucket = F.floor(F.col("o_custkey") / step).cast("string")
+        tagged = orders.withColumn(
+            "tags", F.array(bucket, F.concat(F.lit("g"), bucket))
+        )
+        for i in range(6):
+            tagged.where(
+                (F.col("o_custkey") >= i * step)
+                & (F.col("o_custkey") < (i + 1) * step)
+            ).coalesce(1).write.parquet(f"{_DEMO}/tagged/p{i}")
+        tfiles = sorted(glob.glob(f"{_DEMO}/tagged/p*/*.parquet"))
+        eidx = Index.for_name(
+            "jext_tagged", spark=spark, format="parquet", schema=tagged.schema
+        )
+        eidx.add_exploded_index("tags", "tag")
+        eidx.add_files(tfiles)
+        eidx.update()
 
         tidx = Index.for_name(
             "jext_temporal", spark=spark, format="parquet", schema=orders.schema
@@ -148,6 +183,10 @@ run("band",
     "o_orderkey BETWEEN 100 AND 220")
 run("computed", "SELECT * FROM ariadne.jext_orders WHERE order_year = 1995",
     "year(o_orderdate) = 1995")
+step = plain.agg({"o_custkey": "max"}).first()[0] // 6 + 1
+run("computed_pruned",
+    "SELECT * FROM ariadne.jext_orders WHERE ckbucket = 3",
+    f"cast(floor(o_custkey / {step}) as bigint) = 3")
 run("full", "SELECT * FROM ariadne.jext_orders", None)
 run("conj",
     "SELECT * FROM ariadne.jext_orders "
@@ -155,6 +194,26 @@ run("conj",
     "o_custkey = 7 AND o_totalprice > 0")
 run("empty", "SELECT * FROM ariadne.jext_orders WHERE o_custkey = -99",
     "o_custkey = -99")
+run("bloom", "SELECT * FROM ariadne.jext_bloom WHERE o_custkey = 7",
+    "o_custkey = 7")
+
+# exploded view: rows multiply per array element; compare against the
+# equivalently exploded plain read of the tagged files
+from pyspark.sql import functions as F
+tagged_glob = data_glob.replace("/orders/", "/tagged/")
+tplain = spark.read.parquet(*glob.glob(tagged_glob))
+edf = spark.sql("SELECT * FROM ariadne.jext_tagged WHERE tag = '3'")
+egot = sorted((r[0], r[1]) for r in edf.select("o_orderkey", "tag").collect())
+eexp = sorted(
+    (r[0], r[1])
+    for r in tplain.withColumn("tag", F.explode("tags"))
+    .where("tag = '3'").select("o_orderkey", "tag").collect()
+)
+out["exploded"] = {
+    "rows_match": egot == eexp,
+    "n_rows": len(egot),
+    "scanned": len(edf.inputFiles()),
+}
 
 for tag, name in (("unknown", "no_such_index"), ("temporal", "jext_temporal")):
     try:
@@ -209,6 +268,16 @@ def test_computed_column_resolves_and_matches(report):
     assert report["computed"]["n_rows"] > 0
 
 
+def test_computed_column_prunes_via_semantic_match(report):
+    """Catalyst substitutes computed-column references through the
+    view's Project, so the Filter the rule sees holds the EXPRESSION,
+    not the name; the rule must recognize it by semantic equality and
+    prune. ckbucket is the file number, so '= 3' is one file."""
+    assert report["computed_pruned"]["rows_match"]
+    assert report["computed_pruned"]["n_rows"] > 0
+    assert report["computed_pruned"]["scanned"] == 1
+
+
 def test_full_read_is_unpruned_and_complete(report):
     assert report["full"]["rows_match"]
     assert report["full"]["scanned"] == report["total"]
@@ -228,3 +297,22 @@ def test_empty_match_prunes_everything(report):
 def test_unknown_and_temporal_names_stay_unresolved(report):
     assert report["unknown"] == "refused"
     assert report["temporal"] == "refused"
+
+
+def test_bloom_probe_prunes_and_matches(report):
+    """Pruning through the bloom-only index exercises the JVM ABF1
+    probe (sha256 + Kirsch–Mitzenmacher, bit-compatible with
+    functions/bloom.py); fpr=0.01 over 6 disjoint files should admit
+    the one true file and at most one false positive."""
+    assert report["bloom"]["rows_match"]
+    assert report["bloom"]["n_rows"] > 0
+    assert report["bloom"]["scanned"] <= 2
+
+
+def test_exploded_index_multiplies_rows_and_prunes(report):
+    """The JVM view must inner-explode the aliased array exactly like
+    the PySpark view (one row per element), and element membership
+    must prune to the single file holding the tag."""
+    assert report["exploded"]["rows_match"]
+    assert report["exploded"]["n_rows"] > 0
+    assert report["exploded"]["scanned"] == 1
