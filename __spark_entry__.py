@@ -1005,6 +1005,17 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs, "text", "doc_id")
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM quality signals (perplexity-filter analogue
+    without transcendentals): occurrence-weighted mean corpus
+    frequency of each doc's bigrams + fraction of bigrams unique to
+    the doc. Integer ratios -> bit-exact across engines."""
+    from ariadne_spark.operators.text import bigram_lm_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return bigram_lm_stats(docs, "text", "doc_id")
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_spark.operators.text import fingerprint
 
@@ -2099,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_stats": q_idx_stats,
         "catalog_describe": q_catalog_describe,
         "idx_locate": q_idx_locate,
+        "text_bigram_lm": q_text_bigram_lm,
     }
 
 
@@ -3013,6 +3025,42 @@ def oracle_sql() -> dict[str, str]:
         "datasource_filter": f"""
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_custkey IN ({_sql_list(CUST_KEYS)})
+        """,
+        # same tokenization ([^a-z0-9]+ on lowered text, empties
+        # dropped), same integer bigram counts; the two emitted
+        # ratios are int/int divisions in IEEE double, so values are
+        # bit-identical across engines (no transcendentals by design)
+        "text_bigram_lm": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                               ' '),
+                           x -> x != '') AS w
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(w)),
+                           i -> w[i] || ' ' || w[i + 1])) AS bg
+                FROM t WHERE len(w) >= 2
+            ),
+            dc AS (
+                SELECT doc_id, bg, count(*) AS dc FROM b GROUP BY doc_id, bg
+            ),
+            corpus AS (
+                SELECT bg, CAST(sum(dc) AS BIGINT) AS c FROM dc GROUP BY bg
+            )
+            SELECT doc_id,
+                   CAST(sum(dc) AS BIGINT) AS n_bigrams,
+                   round(CAST(sum(dc * c) AS DOUBLE)
+                         / CAST(sum(dc) AS DOUBLE), 6) AS commonness,
+                   round(CAST(sum(CASE WHEN c = dc THEN dc ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(dc) AS DOUBLE), 6) AS novelty
+            FROM dc JOIN corpus USING (bg)
+            GROUP BY doc_id
         """,
     }
     # Brute-force cosine truth set over the same planted corpus: the

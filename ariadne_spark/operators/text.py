@@ -236,3 +236,55 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("fingerprint"),
         F.length(norm).cast("bigint").alias("norm_len"),
     )
+
+
+def bigram_lm_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-language-model quality signals per document, with NO
+    transcendentals so the result is exactly oracle-checkable.
+
+    A real KenLM-style perplexity filter needs an external model; the
+    distribution-level signal it exploits — "is this document's
+    phrasing typical of the corpus?" — is available from the corpus
+    itself as bigram statistics:
+
+    * ``commonness``: mean corpus frequency of the document's word
+      bigrams (occurrence-weighted). High = templated/boilerplate
+      phrasing; low = rare/odd phrasing. The integer-ratio analogue
+      of (negated) cross-entropy under the corpus bigram LM.
+    * ``novelty``: fraction of the document's bigram occurrences
+      that appear in NO other document. High novelty + low
+      commonness flags gibberish; high commonness flags boilerplate
+      — the two ends a perplexity filter trims.
+
+    Shape at scale: one partial-aggregatable shuffle to (doc, bigram)
+    counts, a second agg to corpus counts (map-side combinable), one
+    join on the bigram key (AQE handles hot-bigram skew; the corpus
+    count side is vocab²-bounded, not row-bounded), one final doc
+    agg. All integer arithmetic until the final two divisions, so
+    both engines produce bit-identical doubles. Documents with fewer
+    than two tokens have no bigrams and are dropped (documented
+    inner semantics).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
+    w = F.filter(F.split(norm, " "), lambda x: x != "")
+    bg = word_ngrams(text_col, 2, tokens_col=w)
+    exploded = df.select(F.col(id_col), F.explode(bg).alias("bg"))
+    dc = exploded.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("dc"))
+    corpus = dc.groupBy("bg").agg(F.sum("dc").alias("c"))
+    joined = dc.join(corpus, "bg")
+    n = F.sum("dc")
+    return joined.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("dc") * F.col("c")).cast("double") / n.cast("double"), 6
+        ).alias("commonness"),
+        F.round(
+            F.sum(
+                F.when(F.col("c") == F.col("dc"), F.col("dc")).otherwise(F.lit(0))
+            ).cast("double")
+            / n.cast("double"),
+            6,
+        ).alias("novelty"),
+    )

@@ -704,3 +704,31 @@ def test_chunk_documents_edge_inputs(spark):
     assert rows[1][1] == 1 and rows[2][1] == 1
     assert rows[3] == ("one two", 2)
     assert out.count() == 3  # no chunk explosion on tiny docs
+
+
+def test_bigram_lm_stats_semantics(spark):
+    """Hand-computable corpus: commonness is the occurrence-weighted
+    mean corpus frequency of a doc's bigrams; novelty the fraction of
+    its bigram occurrences unique to it; sub-2-token docs drop."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators.text import bigram_lm_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),        # bigrams: "the cat", "cat sat"
+            (2, "the cat ran"),        # bigrams: "the cat", "cat ran"
+            (3, "zzz"),                # no bigrams -> dropped
+            (4, "The,  cat... SAT"),   # normalizes to doc 1's bigrams
+        ],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_stats(docs).collect()}
+    assert set(got) == {1, 2, 4}
+    # corpus counts: "the cat"=3, "cat sat"=2, "cat ran"=1
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["commonness"] == round((3 + 2) / 2, 6)
+    assert got[1]["novelty"] == 0.0          # both bigrams shared
+    assert got[2]["commonness"] == round((3 + 1) / 2, 6)
+    assert got[2]["novelty"] == 0.5          # "cat ran" is unique
+    assert got[4]["commonness"] == got[1]["commonness"]  # punctuation-proof
