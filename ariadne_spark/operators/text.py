@@ -269,8 +269,13 @@ def bigram_lm_stats(
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")
     w = F.filter(F.split(norm, " "), lambda x: x != "")
-    bg = word_ngrams(text_col, 2, tokens_col=w)
-    exploded = df.select(F.col(id_col), F.explode(bg).alias("bg"))
+    # materialize the token array BEFORE gram construction: column
+    # expressions are trees, so word_ngrams over the raw split would
+    # re-run the regex per gram position (see word_ngrams docstring;
+    # measured 11 s -> ~1 s on the sf0.1 corpus)
+    toked = df.select(F.col(id_col), w.alias("__w"))
+    bg = word_ngrams(text_col, 2, tokens_col=F.col("__w"))
+    exploded = toked.select(F.col(id_col), F.explode(bg).alias("bg"))
     dc = exploded.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("dc"))
     corpus = dc.groupBy("bg").agg(F.sum("dc").alias("c"))
     joined = dc.join(corpus, "bg")

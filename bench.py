@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_lang_id",
     "text_repetition",
+    "text_bigram_lm",
     "corpus_split",
     "corpus_quota_sample",
     "corpus_pii_redact",
