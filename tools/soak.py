@@ -8,8 +8,12 @@ Scenarios
      cost floor — asserts the probe actually ran (no skip recorded)
      and pruned nothing incorrectly
   3. connected-components dedup clustering over the replicated corpus
-     (components must replicate exactly NX: disjoint doc_id spaces
-     cannot merge across replicas)
+     (texts duplicate across replicas, so components must merge
+     transitively back to the 1X count)
+  4. incremental near-dup against NX history (directed band join)
+  5. line dedup + one-pass profile over the NX corpus
+  6. OR-amplified embedding near-dup on the NX mass-duplicated
+     vector corpus (complete clone/planted family recall required)
 
 Usage: python tools/soak.py [N] (default 8; local[16])
 """
@@ -228,6 +232,57 @@ def main() -> None:
     nprof = prof.count()
     emit(stage="profile_one_pass", sec=round(time.time() - t0, 2),
          columns=nprof, rows=n_rep * li.count())
+
+    # ---- scenario 6: OR-amplified embedding near-dup at NX --------
+    # Replicate embeddings NX with disjoint id spaces (the vectors
+    # themselves are IDENTICAL across replicas — a mass-duplication
+    # stress: every vector forms an N-clone family whose C(N,2)
+    # cross-replica pairs all sit at cosine 1.0) and plant one
+    # near-identical partner per 7th vector in every replica. The r04
+    # 3-band candidate path must recover the ENTIRE clone/planted
+    # family pair set — banded buckets with the cap machinery, never
+    # all-pairs — in time ~linear in N.
+    from ariadne_spark.operators.similarity import embedding_near_dup
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    base_ids = [r[0] for r in emb.select("vec_id").collect()]
+    espan = 14_000_000  # divisible by 7: %7 selection uniform across replicas
+    erep = None
+    for i in range(n_rep):
+        r = emb.select(
+            (F.col("vec_id") + i * espan).alias("vec_id"), "embedding"
+        )
+        erep = r if erep is None else erep.unionByName(r)
+    planted = erep.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.01).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = erep.unionByName(planted)
+    corpus.write.mode("overwrite").parquet(f"{WORK}/emb")
+    corpus = spark.read.parquet(f"{WORK}/emb")
+    t0 = time.time()
+    pairs = embedding_near_dup(corpus, threshold=0.999).select("id_a", "id_b")
+    got = {(r[0], r[1]) for r in pairs.collect()}
+    sec = round(time.time() - t0, 2)
+    # combinatorial truth for each base id's clone family: originals
+    # in every replica, plus the 1.01-perturbed partner per replica
+    # when id % 7 == 0 (all mutual cosines >= 0.999998)
+    expected = set()
+    for v in base_ids:
+        fam = [v + i * espan for i in range(n_rep)]
+        if v % 7 == 0:
+            fam += [v + i * espan + 1_000_000 for i in range(n_rep)]
+        fam.sort()
+        expected.update(
+            (a, b) for ai, a in enumerate(fam) for b in fam[ai + 1:]
+        )
+    missing = len(expected - got)
+    emit(stage="embedding_near_dup_massdup", vectors=corpus.count(),
+         sec=sec, family_pairs=len(expected), found=len(expected & got),
+         missing=missing, complete_recall=missing == 0,
+         extra_nonfamily_pairs=len(got - expected))
 
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
