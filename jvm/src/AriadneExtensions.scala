@@ -34,11 +34,12 @@
  *     Filter stays in place, so pruning is always sound: file-level
  *     candidates, row-level exactness (reference P8 semantics).
  *
- * V1 scope (documented in jvm/README.md): literal WHERE pruning only
- * — no join-probe pruning (PySpark sessions get that from the Python
- * rewriter); indexes with temporal configs are not exposed (their
- * views need read-time dedup); bloom probing covers string/integer
- * literals (other types stay conservative).
+ * Scope (documented in jvm/README.md): literal WHERE pruning
+ * (equality / IN / bands, incl. computed and exploded columns) plus
+ * INNER equi-join pruning with a capped other-side key collection;
+ * indexes with temporal configs are not exposed (their views need
+ * read-time dedup); bloom probing covers string/integer literals
+ * (other types stay conservative).
  */
 package ariadnespark.ext
 
@@ -382,13 +383,139 @@ class AriadneResolveRule(session: SparkSession)
 class AriadnePruneRule(session: SparkSession)
     extends Rule[LogicalPlan] with Logging {
 
-  import org.apache.spark.sql.catalyst.plans.logical.Generate
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
       case f @ Filter(cond, child) =>
         tryPrune(cond, child).map(c => Filter(cond, c)).getOrElse(f)
+      case j: Join if j.joinType == Inner =>
+        tryJoinPrune(j).getOrElse(j)
     }
+
+  /** Join-driven pruning — the JVM counterpart of the reference's
+    * join rule (AriadneJoinRule.scala:43-45: executing the other
+    * side during optimization is the documented accepted cost) and
+    * of the Python rewriter's probe-side execution
+    * (ariadne_spark/sql/surface.py:_plan_and_swap). For an INNER
+    * equi-join where one side bottoms out at an ariadne relation,
+    * the OTHER side's distinct join-key values (capped — a saturated
+    * membership probe prunes nothing anyway) locate the candidate
+    * files; rows of the pruned side that would have joined survive
+    * by construction, because any surviving output row's key must be
+    * among the collected values. Skipped for nondeterministic or
+    * streaming other-sides (their runtime values could differ from
+    * the optimization-time execution). */
+  private val joinKeyCap = 50000
+
+  private def tryJoinPrune(j: Join): Option[LogicalPlan] = try {
+    j.condition match {
+      case None => None
+      case Some(cond) =>
+        val newLeft = joinPruneSide(j.left, j.right, cond).getOrElse(j.left)
+        val newRight = joinPruneSide(j.right, j.left, cond).getOrElse(j.right)
+        if ((newLeft eq j.left) && (newRight eq j.right)) None
+        else Some(j.copy(left = newLeft, right = newRight))
+    }
+  } catch {
+    case NonFatal(e) =>
+      logWarning(s"ariadne join prune skipped (${e.getClass.getSimpleName}: ${e.getMessage})")
+      None
+  }
+
+  private def joinPruneSide(
+      side: LogicalPlan,
+      other: LogicalPlan,
+      cond: Expression): Option[LogicalPlan] = {
+    val relOpt = findRel(side)
+    if (relOpt.isEmpty) return None
+    val rel = relOpt.get
+    val hfs = rel.relation match {
+      case h: HadoopFsRelation => h
+      case _ => return None
+    }
+    if (other.isStreaming ||
+        other.exists(n => n.expressions.exists(e => !e.deterministic)))
+      return None
+    val scanFiles = hfs.location.inputFiles.map(stripScheme).toSet
+    val matching = entriesFor(scanFiles)
+    if (matching.isEmpty) return None
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    // distinct-value collection per other-side key expression,
+    // shared across the entries that reference it (executes the
+    // other side ONCE per key, not once per covering index)
+    import org.apache.spark.sql.catalyst.plans.logical.{Distinct, Limit}
+    var keyVals = Map.empty[Expression, Option[Seq[Any]]]
+    def valuesOf(kexpr: Expression): Option[Seq[Any]] = {
+      val canon = kexpr.canonicalized
+      keyVals.getOrElse(canon, {
+        val named = Alias(kexpr, "__ariadne_join_key")()
+        val keyPlan =
+          Limit(Literal(joinKeyCap + 1), Distinct(Project(Seq(named), other)))
+        val internal = session.sessionState
+          .executePlan(keyPlan).executedPlan.executeCollect()
+        val res =
+          if (internal.length > joinKeyCap) {
+            logInfo(s"ariadne: join side exceeds $joinKeyCap distinct " +
+              "keys; membership prune skipped (saturated)")
+            None
+          } else {
+            val dt = kexpr.dataType
+            val vals = internal.iterator
+              .filterNot(_.isNullAt(0))
+              .map(r => CatalystTypeConverters.convertToScala(r.get(0, dt), dt))
+              .toSeq
+            if (vals.isEmpty) None else Some(vals)
+          }
+        keyVals += canon -> res
+        res
+      })
+    }
+
+    // every index covering this file set contributes candidates; the
+    // intersection is sound (each set is conservative for the same
+    // files) and strictly tighter — e.g. an exact membership array
+    // beats a bloom sibling's false positives
+    var keeps: List[Set[String]] = Nil
+    var names: List[String] = Nil
+    matching.foreach { entry =>
+      val shadowed = shadowedNames(side, entry)
+      // (indexed column on our side, key EXPRESSION on the other
+      // side — often a type-coercion Cast around the attribute, so
+      // accept any deterministic other-side expression, projected)
+      val pairs: Seq[(String, Expression)] = conjuncts(cond).flatMap {
+        case EqualTo(x, y) =>
+          val xSide = x.references.subsetOf(side.outputSet)
+          val ySide = y.references.subsetOf(side.outputSet)
+          val xOther = x.references.subsetOf(other.outputSet)
+          val yOther = y.references.subsetOf(other.outputSet)
+          if (xSide && yOther && y.deterministic)
+            colOfExpr(entry, shadowed, x).map(c => c -> y)
+          else if (ySide && xOther && x.deterministic)
+            colOfExpr(entry, shadowed, y).map(c => c -> x)
+          else None
+        case _ => None
+      }
+      var eq = Map.empty[String, Seq[Any]]
+      pairs.groupBy(_._1).foreach { case (col, ps) =>
+        valuesOf(ps.head._2).foreach(vals => eq += col -> vals)
+      }
+      if (eq.nonEmpty) {
+        keeps ::= locateKeep(entry, eq, Map.empty)
+        names ::= entry.name
+      }
+    }
+    if (keeps.isEmpty) return None
+    rebuildPruned(names, rel, hfs, scanFiles, keeps.reduce(_ intersect _))
+      .map { pruned =>
+        side.transformUp { case r: LogicalRelation if r eq rel => pruned }
+      }
+  }
 
   /** Descend through Project/Generate to an ariadne relation; on a
     * successful prune, return the child subtree with the relation
@@ -441,6 +568,15 @@ class AriadnePruneRule(session: SparkSession)
     out
   }
 
+  /** All registered indexes whose file set equals the scan's —
+    * several indexes can cover the same data files; each contributes
+    * an independent conservative candidate set. */
+  private def entriesFor(scanFiles: Set[String]): Seq[IndexEntry] =
+    AriadneState.entries.values
+      .filter(e => e.files.nonEmpty && e.files.map(stripScheme) == scanFiles)
+      .toSeq
+      .sortBy(_.name)
+
   private def prune(
       cond: Expression,
       child: LogicalPlan,
@@ -450,21 +586,47 @@ class AriadnePruneRule(session: SparkSession)
       case _ => return None
     }
     val scanFiles = hfs.location.inputFiles.map(stripScheme).toSet
-    val entry = AriadneState.entries.values
-      .find(e => e.files.nonEmpty && e.files.map(stripScheme) == scanFiles)
-      .getOrElse(return None)
+    val matching = entriesFor(scanFiles)
+    if (matching.isEmpty) return None
+    var keeps: List[Set[String]] = Nil
+    var names: List[String] = Nil
+    matching.foreach { entry =>
+      val (eq, bands) =
+        minePredicates(cond, entry, shadowedNames(child, entry))
+      if (eq.nonEmpty || bands.nonEmpty) {
+        keeps ::= locateKeep(entry, eq, bands)
+        names ::= entry.name
+      }
+    }
+    if (keeps.isEmpty) return None
+    rebuildPruned(names, rel, hfs, scanFiles, keeps.reduce(_ intersect _))
+  } catch {
+    case NonFatal(e) =>
+      logWarning(s"ariadne prune skipped (${e.getClass.getSimpleName}: ${e.getMessage})")
+      None
+  }
 
-    val (eq, bands) =
-      minePredicates(cond, entry, shadowedNames(child, entry))
-    if (eq.isEmpty && bands.isEmpty) return None
-
+  private def locateKeep(
+      entry: IndexEntry,
+      eq: Map[String, Seq[Any]],
+      bands: Map[String, Band]): Set[String] = {
     val key = entry.name + "/" + entry.fingerprint + "/" + predKey(eq, bands)
-    val keep = AriadneState.locateCache.getOrElseUpdate(key,
-      locate(entry, eq, bands))
-    AriadneState.lastPrune.put(entry.name, (scanFiles.size, keep.size))
+    AriadneState.locateCache.getOrElseUpdate(key, locate(entry, eq, bands))
+  }
+
+  /** Rebuild the relation over the pruned file set; None when
+    * nothing prunes (keeps the plan node-identical so the fixpoint
+    * batch terminates). */
+  private def rebuildPruned(
+      names: Seq[String],
+      rel: LogicalRelation,
+      hfs: HadoopFsRelation,
+      scanFiles: Set[String],
+      keep: Set[String]): Option[LogicalRelation] = try {
+    names.foreach(n => AriadneState.lastPrune.put(n, (scanFiles.size, keep.size)))
     if (keep.map(stripScheme) == scanFiles) return None // no-op: keep plan stable
 
-    logInfo(s"ariadne.${entry.name}: pruned ${scanFiles.size} -> ${keep.size} files")
+    logInfo(s"ariadne.${names.mkString("+")}: pruned ${scanFiles.size} -> ${keep.size} files")
     val newLocation = new InMemoryFileIndex(
       session, keep.toSeq.sorted.map(new Path(_)), Map.empty, Some(hfs.dataSchema))
     val newRelation = hfs.copy(location = newLocation)(session)
@@ -478,6 +640,38 @@ class AriadnePruneRule(session: SparkSession)
   private def stripScheme(p: String): String = {
     val noScheme = if (p.startsWith("file:")) p.substring(5) else p
     if (noScheme.startsWith("//")) noScheme.dropWhile(_ == '/').prepended('/') else noScheme
+  }
+
+  /** The indexed column an expression denotes: an attribute matching
+    * an indexed column's name (unless shadowed by an intervening
+    * rebind), or a computed column recognized by semantic equality
+    * with its registered expression (casts stripped — the pushed
+    * form often gains a widening cast pair). */
+  private def colOfExpr(
+      entry: IndexEntry,
+      shadowed: Set[String],
+      e: Expression): Option[String] = {
+    val indexed = entry.configs.map(c => c.column.toLowerCase -> c).toMap
+    def stripCast(x: Expression): Expression = x match {
+      case c: Cast => stripCast(c.child)
+      case other => other
+    }
+    e match {
+      case a: AttributeReference
+          if indexed.contains(a.name.toLowerCase)
+            && !shadowed.contains(a.name.toLowerCase) =>
+        Some(indexed(a.name.toLowerCase).column)
+      case other =>
+        val stripped = stripCast(other)
+        entry.computedExprs.keysIterator.collectFirst {
+          case n
+              if indexed.contains(n) && !shadowed.contains(n)
+                && (entry.isComputedExpr(n, other)
+                  || entry.computedExprs(n).exists(ce =>
+                    stripCast(ce).semanticEquals(stripped))) =>
+            indexed(n).column
+        }
+    }
   }
 
   /** Literal equality/IN values and comparison bands per indexed
@@ -499,26 +693,7 @@ class AriadnePruneRule(session: SparkSession)
     var eq = Map.empty[String, Seq[Any]]
     var bands = Map.empty[String, Band]
 
-    def stripCast(e: Expression): Expression = e match {
-      case c: Cast => stripCast(c.child)
-      case other => other
-    }
-    def attrOf(e: Expression): Option[String] = e match {
-      case a: AttributeReference
-          if indexed.contains(a.name.toLowerCase)
-            && !shadowed.contains(a.name.toLowerCase) =>
-        Some(indexed(a.name.toLowerCase).column)
-      case other =>
-        val stripped = stripCast(other)
-        entry.computedExprs.keysIterator.collectFirst {
-          case n
-              if indexed.contains(n) && !shadowed.contains(n)
-                && (entry.isComputedExpr(n, other)
-                  || entry.computedExprs(n).exists(ce =>
-                    stripCast(ce).semanticEquals(stripped))) =>
-            indexed(n).column
-        }
-    }
+    def attrOf(e: Expression): Option[String] = colOfExpr(entry, shadowed, e)
     def litOf(e: Expression): Option[Any] = e match {
       case l: Literal if l.value != null =>
         Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
@@ -574,7 +749,12 @@ class AriadnePruneRule(session: SparkSession)
     val e = eq.toSeq.sortBy(_._1)
       .map { case (c, vs) => c + "=" + vs.map(String.valueOf).sorted.mkString(",") }
     val b = bands.toSeq.sortBy(_._1).map { case (c, bd) => c + "~" + bd.toString }
-    (e ++ b).mkString(";")
+    val raw = (e ++ b).mkString(";")
+    // join-key value sets can be tens of thousands of literals —
+    // digest so cache keys stay bounded
+    val md = MessageDigest.getInstance("SHA-256")
+      .digest(raw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.map("%02x".format(_)).mkString
   }
 
   /** Conservative candidate location over the index table — the
@@ -642,9 +822,23 @@ class AriadnePruneRule(session: SparkSession)
         case "range" =>
           if (present.contains(sc)) {
             val r = SF.col(sc)
-            val anyIn = vs.map(v =>
-                r.getField("min") <= SF.lit(v) && SF.lit(v) <= r.getField("max"))
-              .reduce(_ || _)
+            // bounding-box degradation above 1000 values — the
+            // Python planner's P6 rule (locate_local.py /
+            // plans/locate.py:248-265): a 50k-term OR chain would
+            // dominate codegen; [min(vs), max(vs)] overlap is the
+            // conservative collapse
+            val anyIn =
+              if (vs.length > 1000) Band.minMax(vs) match {
+                case Some((lo, hi)) =>
+                  r.getField("min") <= SF.lit(hi) &&
+                    r.getField("max") >= SF.lit(lo)
+                case None => SF.lit(true) // unorderable: conservative
+              }
+              else
+                vs.map(v =>
+                    r.getField("min") <= SF.lit(v) &&
+                      SF.lit(v) <= r.getField("max"))
+                  .reduce(_ || _)
             verdict = verdict &&
               SF.when(r.isNull || r.getField("min").isNull, SF.lit(false))
                 .otherwise(anyIn)
@@ -726,4 +920,29 @@ private[ext] case class Band(
   override def toString: String =
     s"${lo.map(String.valueOf).getOrElse("")}${if (loInc) "[" else "("}:" +
       s"${hi.map(String.valueOf).getOrElse("")}${if (hiInc) "]" else ")"}"
+}
+
+private[ext] object Band {
+  /** (min, max) of a value set under numeric/string ordering; None
+    * when the values aren't uniformly orderable (callers degrade
+    * conservatively). */
+  def minMax(vs: Seq[Any]): Option[(Any, Any)] = {
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: java.lang.Number, y: java.lang.Number) =>
+        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+    vs.headOption.flatMap { h =>
+      vs.foldLeft(Option((h, h))) {
+        case (Some((lo, hi)), v) =>
+          (cmp(v, lo), cmp(v, hi)) match {
+            case (Some(cl), Some(ch)) =>
+              Some((if (cl < 0) v else lo, if (ch > 0) v else hi))
+            case _ => None
+          }
+        case (None, _) => None
+      }
+    }
+  }
 }

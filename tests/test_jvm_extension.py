@@ -215,6 +215,46 @@ out["exploded"] = {
     "scanned": len(edf.inputFiles()),
 }
 
+# INNER equi-join pruning: the other side's distinct keys (executed
+# during optimization, reference AriadneJoinRule semantics) must
+# prune the ariadne side's files while producing exact join rows
+jdf = spark.sql(
+    "SELECT o.o_orderkey, o.o_custkey FROM ariadne.jext_orders o "
+    "JOIN (VALUES (7), (9)) AS k(ck) ON o.o_custkey = k.ck"
+)
+jgot = sorted((r[0], r[1]) for r in jdf.collect())
+jexp = sorted(
+    (r[0], r[1])
+    for r in plain.where("o_custkey IN (7, 9)")
+    .select("o_orderkey", "o_custkey").collect()
+)
+out["join_values"] = {
+    "rows_match": jgot == jexp,
+    "n_rows": len(jgot),
+    "scanned": sum(1 for f in jdf.inputFiles() if "/orders/" in f),
+}
+
+# join keyed through a real table scan on the other side (distinct
+# custkeys of a narrow slice, read from the tagged COPY so the probe
+# side's own scan does not pollute the /orders/ inputFiles count)
+spark.read.parquet(*glob.glob(tagged_glob)).where("o_custkey < 20") \
+    .select("o_custkey").distinct().createOrReplaceTempView("probe_keys")
+j2 = spark.sql(
+    "SELECT o.o_orderkey, o.o_custkey FROM ariadne.jext_orders o "
+    "JOIN probe_keys k ON o.o_custkey = k.o_custkey"
+)
+j2got = sorted((r[0], r[1]) for r in j2.collect())
+j2exp = sorted(
+    (r[0], r[1])
+    for r in plain.where("o_custkey < 20")
+    .select("o_orderkey", "o_custkey").collect()
+)
+out["join_scan"] = {
+    "rows_match": j2got == j2exp,
+    "n_rows": len(j2got),
+    "scanned": sum(1 for f in j2.inputFiles() if "/orders/" in f),
+}
+
 for tag, name in (("unknown", "no_such_index"), ("temporal", "jext_temporal")):
     try:
         spark.sql(f"SELECT * FROM ariadne.{name}").collect()
@@ -297,6 +337,26 @@ def test_empty_match_prunes_everything(report):
 def test_unknown_and_temporal_names_stay_unresolved(report):
     assert report["unknown"] == "refused"
     assert report["temporal"] == "refused"
+
+
+def test_join_values_prunes_and_matches(report):
+    """INNER equi-join against a literal key list: the rule executes
+    the other side during optimization (reference AriadneJoinRule
+    cost model) and prunes the ariadne scan to the files that can
+    hold those keys — here both keys live in the first of six
+    custkey-split files."""
+    assert report["join_values"]["rows_match"]
+    assert report["join_values"]["n_rows"] > 0
+    assert report["join_values"]["scanned"] == 1
+
+
+def test_join_scan_side_prunes_and_matches(report):
+    """Join keyed by a real table scan on the other side: distinct
+    key collection is capped, deterministic sides only; custkeys < 20
+    sit in one of six files."""
+    assert report["join_scan"]["rows_match"]
+    assert report["join_scan"]["n_rows"] > 0
+    assert report["join_scan"]["scanned"] == 1
 
 
 def test_bloom_probe_prunes_and_matches(report):
