@@ -255,6 +255,36 @@ out["join_scan"] = {
     "scanned": sum(1 for f in j2.inputFiles() if "/orders/" in f),
 }
 
+# freshness: the Python engine updates the index mid-session; the
+# next SQL query must re-resolve (manifest-fingerprint change) and
+# see the new file — both in full reads and in pruned scans
+sys.path.insert(0, sys.argv[4])
+from ariadne_spark import Index
+
+before = spark.sql("SELECT count(*) AS n FROM ariadne.jext_orders").first()[0]
+newdir = sys.argv[2].rsplit("/", 1)[0] + "/orders/p6"
+newrows = plain.where("o_custkey < 40").selectExpr(
+    "o_orderkey + 1000000 AS o_orderkey",
+    "o_custkey + 10000 AS o_custkey",
+    "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+)
+n_new = newrows.count()
+newrows.coalesce(1).write.parquet(newdir)
+idx = Index.for_name("jext_orders", spark=spark)
+idx.add_files(glob.glob(newdir + "/*.parquet"))
+idx.update()
+after = spark.sql("SELECT count(*) AS n FROM ariadne.jext_orders").first()[0]
+fresh = spark.sql(
+    "SELECT * FROM ariadne.jext_orders WHERE o_custkey = 10007"
+)
+out["freshness"] = {
+    "before": before,
+    "after": after,
+    "grew": after == before + n_new,
+    "fresh_rows": fresh.count(),
+    "fresh_scanned": len(fresh.inputFiles()),
+}
+
 for tag, name in (("unknown", "no_such_index"), ("temporal", "jext_temporal")):
     try:
         spark.sql(f"SELECT * FROM ariadne.{name}").collect()
@@ -273,7 +303,8 @@ def report(jvm_state):
     with open(script, "w") as fh:
         fh.write(_SUBPROC)
     proc = subprocess.run(
-        [sys.executable, script, JAR, jvm_state["store"], jvm_state["data_glob"]],
+        [sys.executable, script, JAR, jvm_state["store"], jvm_state["data_glob"],
+         REPO],
         capture_output=True, text=True, timeout=420,
     )
     lines = [l for l in proc.stdout.splitlines() if l.startswith("JSON:")]
@@ -357,6 +388,19 @@ def test_join_scan_side_prunes_and_matches(report):
     assert report["join_scan"]["rows_match"]
     assert report["join_scan"]["n_rows"] > 0
     assert report["join_scan"]["scanned"] == 1
+
+
+def test_freshness_after_python_engine_update(report):
+    """A Python-engine index update mid-session must be visible to
+    the next SQL query: the resolution rule re-fingerprints per query
+    (metadata mtime + manifest versions), so the JVM surface reads
+    the new file in full scans AND locates the new custkey range to
+    exactly the new file — no stale-view window, the contract a
+    Thrift deployment relies on."""
+    f = report["freshness"]
+    assert f["grew"], f
+    assert f["fresh_rows"] > 0
+    assert f["fresh_scanned"] == 1
 
 
 def test_bloom_probe_prunes_and_matches(report):
