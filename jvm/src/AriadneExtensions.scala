@@ -246,6 +246,8 @@ class AriadneResolveRule(session: SparkSession)
 
   private def resolve(name: String): Option[LogicalPlan] = try {
     val root = storageRoot.getOrElse(return None)
+    if (name.equalsIgnoreCase("__indexes__"))
+      return Some(SubqueryAlias(name, catalogPlan(root)))
     val indexRoot = s"$root/indexes/$name"
     val fs = Manifest.fs(session, indexRoot)
     val metaPath = new Path(indexRoot, "metadata.json")
@@ -347,6 +349,54 @@ class AriadneResolveRule(session: SparkSession)
     case NonFatal(e) =>
       logWarning(s"ariadne.$name: resolution failed (${e.getClass.getSimpleName}: ${e.getMessage})")
       None
+  }
+
+  /** `SELECT * FROM ariadne.__indexes__` — catalog discovery for SQL
+    * clients that cannot call the Python `catalog` module (the JVM
+    * analogue of `ariadne_spark.catalog.to_df`, metadata-only so a
+    * listing never runs data jobs). Rebuilt per query: listings must
+    * be fresh and cost one metadata.json read per index. */
+  private def catalogPlan(root: String): LogicalPlan = {
+    import scala.jdk.CollectionConverters._
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    val fs = Manifest.fs(session, s"$root/indexes")
+    val dir = new Path(s"$root/indexes")
+    val rows = (
+      if (!fs.exists(dir)) Seq.empty[Row]
+      else
+        fs.listStatus(dir).iterator
+          .filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(p => fs.exists(new Path(p, "metadata.json")))
+          .flatMap { p =>
+            try {
+              val meta = Manifest.parseJson(
+                Manifest.readString(fs, new Path(p, "metadata.json")))
+              val cols = Option(meta.get("indexes")).map { arr =>
+                (0 until arr.size()).map { i =>
+                  val c = arr.get(i)
+                  c.get("column").asText() + ":" + c.get("type").asText()
+                }.mkString(",")
+              }.getOrElse("")
+              def longOf(k: String) =
+                Option(meta.get(k)).map(_.asLong()).getOrElse(0L)
+              Some(Row(p.getName, meta.get("format").asText(), cols,
+                longOf("update_count"), longOf("total_indexed_bytes")))
+            } catch { case NonFatal(_) => None }
+          }
+          .toSeq
+          .sortBy(_.getString(0))
+    ).asJava
+    val schema = StructType(Seq(
+      StructField("index_name", StringType),
+      StructField("format", StringType),
+      StructField("indexed_columns", StringType),
+      StructField("update_count", LongType),
+      StructField("total_indexed_bytes", LongType)))
+    session.createDataFrame(rows, schema).queryExecution.analyzed
   }
 
   private def fingerprint(fs: FileSystem, indexRoot: String, metaPath: Path): String = {

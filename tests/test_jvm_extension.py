@@ -285,6 +285,16 @@ out["freshness"] = {
     "fresh_scanned": len(fresh.inputFiles()),
 }
 
+# catalog discovery from pure SQL
+cat = {
+    r["index_name"]: (r["indexed_columns"], r["update_count"])
+    for r in spark.sql("SELECT * FROM ariadne.__indexes__").collect()
+}
+out["catalog"] = {
+    "names": sorted(cat),
+    "orders_cols": cat.get("jext_orders", ("", 0))[0],
+}
+
 for tag, name in (("unknown", "no_such_index"), ("temporal", "jext_temporal")):
     try:
         spark.sql(f"SELECT * FROM ariadne.{name}").collect()
@@ -388,6 +398,17 @@ def test_join_scan_side_prunes_and_matches(report):
     assert report["join_scan"]["rows_match"]
     assert report["join_scan"]["n_rows"] > 0
     assert report["join_scan"]["scanned"] == 1
+
+
+def test_catalog_table_lists_indexes(report):
+    """`FROM ariadne.__indexes__` gives SQL-only clients catalog
+    discovery (JVM analogue of catalog.to_df, metadata-only)."""
+    assert {"jext_orders", "jext_orders_bykey", "jext_bloom",
+            "jext_tagged", "jext_temporal"} <= set(report["catalog"]["names"])
+    cols = report["catalog"]["orders_cols"]
+    assert "o_custkey:regular" in cols
+    assert "o_orderkey:range" in cols
+    assert "order_year:computed" in cols
 
 
 def test_freshness_after_python_engine_update(report):
