@@ -248,6 +248,8 @@ class AriadneResolveRule(session: SparkSession)
     val root = storageRoot.getOrElse(return None)
     if (name.equalsIgnoreCase("__indexes__"))
       return Some(SubqueryAlias(name, catalogPlan(root)))
+    if (name.equalsIgnoreCase("__last_prune__"))
+      return Some(SubqueryAlias(name, lastPrunePlan()))
     val indexRoot = s"$root/indexes/$name"
     val fs = Manifest.fs(session, indexRoot)
     val metaPath = new Path(indexRoot, "metadata.json")
@@ -396,6 +398,26 @@ class AriadneResolveRule(session: SparkSession)
       StructField("indexed_columns", StringType),
       StructField("update_count", LongType),
       StructField("total_indexed_bytes", LongType)))
+    session.createDataFrame(rows, schema).queryExecution.analyzed
+  }
+
+  /** `SELECT * FROM ariadne.__last_prune__` — per-index (files
+    * before, files after) of the LAST prune decision in this
+    * session: SQL-reachable observability, the JVM analogue of the
+    * Python surface's `prune_report()`. */
+  private def lastPrunePlan(): LogicalPlan = {
+    import scala.jdk.CollectionConverters._
+
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    val rows = AriadneState.lastPrune.toSeq.sortBy(_._1).map {
+      case (n, (before, after)) => Row(n, before, after)
+    }.asJava
+    val schema = StructType(Seq(
+      StructField("index_name", StringType),
+      StructField("files_before", IntegerType),
+      StructField("files_after", IntegerType)))
     session.createDataFrame(rows, schema).queryExecution.analyzed
   }
 

@@ -295,6 +295,12 @@ out["catalog"] = {
     "orders_cols": cat.get("jext_orders", ("", 0))[0],
 }
 
+# prune observability from pure SQL (after the many prunes above)
+out["last_prune"] = {
+    r["index_name"]: [r["files_before"], r["files_after"]]
+    for r in spark.sql("SELECT * FROM ariadne.__last_prune__").collect()
+}
+
 for tag, name in (("unknown", "no_such_index"), ("temporal", "jext_temporal")):
     try:
         spark.sql(f"SELECT * FROM ariadne.{name}").collect()
@@ -409,6 +415,14 @@ def test_catalog_table_lists_indexes(report):
     assert "o_custkey:regular" in cols
     assert "o_orderkey:range" in cols
     assert "order_year:computed" in cols
+
+
+def test_last_prune_report_via_sql(report):
+    """`FROM ariadne.__last_prune__` exposes per-index prune outcomes
+    to SQL-only clients (JVM analogue of prune_report())."""
+    lp = report["last_prune"]
+    assert lp.get("jext_orders", [0, 9])[1] < lp.get("jext_orders", [0, 9])[0]
+    assert lp.get("jext_orders_bykey") == [6, 1]
 
 
 def test_freshness_after_python_engine_update(report):
