@@ -317,6 +317,38 @@ def _centroids(corpus: DataFrame, corpus_id: str, vec_col: str, n: int) -> np.nd
     return np.array([r["__v"] for r in rows], dtype=np.float64)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 64,
+    max_iter: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """TRAINED IVF cells via Spark MLlib k-means with cosine distance
+    — the idiomatic Spark path to balanced inverted lists (the
+    hash-pick in :func:`_centroids` is O(0) training but leaves cell
+    sizes at the mercy of the data distribution; trained centroids
+    cut the largest-cell tail, which at 100 TB bounds the worst probe
+    task). Distributed Lloyd's iterations run JVM-side on the
+    executors; the driver only ever holds k×dim floats. Zero vectors
+    are excluded (cosine distance is undefined on them — they can
+    never be a cosine neighbor anyway)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = (
+        df.select(F.col(vec_col).cast("array<double>").alias("__a"))
+        .where(F.col("__a").isNotNull() & (_norm(F.col("__a")) > 0))
+        .select(array_to_vector(F.col("__a")).alias("features"))
+    )
+    model = KMeans(
+        k=k, maxIter=max_iter, seed=seed, distanceMeasure="cosine"
+    ).fit(feats)
+    return np.array(
+        [np.asarray(c) for c in model.clusterCenters()], dtype=np.float64
+    )
+
+
 def _nearest_centroids_udf(cents: np.ndarray, n_probe: int):
     """Top-``n_probe`` centroid ids by cosine for each vector."""
     import pandas as pd
@@ -348,16 +380,24 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     n_centroids: int = 64,
     n_probe: int = 8,
+    centroids: str = "hash",
 ) -> DataFrame:
     """IVF-style approximate top-k: corpus vectors are assigned to
     their nearest centroid (one UDF scan — the inverted-file lists);
     each query probes its ``n_probe`` nearest centroids and re-ranks
     exactly inside them. Scan fraction ≈ n_probe/n_centroids.
 
+    ``centroids``: ``'hash'`` (deterministic zero-training pick) or
+    ``'kmeans'`` (MLlib-trained cosine k-means — balanced cells,
+    see :func:`kmeans_centroids`).
+
     At lake scale, write the assignment out and cluster/partition the
     table by ``ivf_cell`` (or put a regular index on it) — the probe
     then prunes FILES, composing with the engine's locate path."""
-    cents = _centroids(corpus, corpus_id, vec_col, n_centroids)
+    if centroids == "kmeans":
+        cents = kmeans_centroids(corpus, vec_col, n_centroids)
+    else:
+        cents = _centroids(corpus, corpus_id, vec_col, n_centroids)
     assign = _nearest_centroids_udf(cents, 1)
     probe = _nearest_centroids_udf(cents, n_probe)
     c = _ensure_parallelism(corpus).select(

@@ -123,11 +123,37 @@ def test_banded_lsh_and_ivf_recover_strong_neighbors(spark, emb):
         lambda: similarity.ivf_ann_topk(
             corpus, queries, k=3, n_centroids=16, n_probe=4
         ),
+        # MLlib-trained cosine k-means cells (balanced inverted lists)
+        lambda: similarity.ivf_ann_topk(
+            corpus, queries, k=3, n_centroids=16, n_probe=4,
+            centroids="kmeans",
+        ),
     ):
         a = {(r["query_id"], r["vec_id"]) for r in fn().collect()}
         for q in range(5):
             assert (q, q) in a  # self
             assert (q, q + 10000) in a  # planted strong neighbor
+
+
+def test_kmeans_centroids_shape_and_balance(spark, emb):
+    """Trained centroids: k×dim array; every corpus vector assigns to
+    some cell and trained cells are no worse-balanced than the hash
+    pick's worst cell on this corpus."""
+    import numpy as np
+
+    cents = similarity.kmeans_centroids(emb, "embedding", k=8)
+    dim = len(emb.select("embedding").first()[0])
+    assert cents.shape == (8, dim)
+    assert np.isfinite(cents).all()
+    # rough balance check: assign all vectors, largest cell bounded
+    assign = similarity._nearest_centroids_udf(cents, 1)
+    cells = (
+        emb.select(F.element_at(assign(F.col("embedding")), 1).alias("c"))
+        .groupBy("c").count().collect()
+    )
+    n = emb.count()
+    assert sum(r["count"] for r in cells) == n
+    assert max(r["count"] for r in cells) < n  # not one degenerate cell
 
 
 def test_text_features_deterministic(spark, docs):
