@@ -37,9 +37,9 @@
  * Scope (documented in jvm/README.md): literal WHERE pruning
  * (equality / IN / bands, incl. computed and exploded columns) plus
  * INNER equi-join pruning with a capped other-side key collection;
- * indexes with temporal configs are not exposed (their views need
- * read-time dedup); bloom probing covers string/integer literals
- * (other types stay conservative).
+ * temporal-config indexes resolve with read-time latest-version
+ * dedup (their Window blocks pruning, deliberately); bloom probing
+ * covers string/integer literals (other types stay conservative).
  */
 package ariadnespark.ext
 
@@ -74,7 +74,8 @@ private[ext] case class IdxConfig(
     tpe: String,
     expression: Option[String],
     sourceColumn: Option[String],
-    field: Option[String]) {
+    field: Option[String],
+    timestampColumn: Option[String] = None) {
   def storedColumn: String = tpe match {
     case "bloom" => s"bloom_$column"
     case "range" => s"range_$column"
@@ -277,14 +278,6 @@ class AriadneResolveRule(session: SparkSession)
       }
     }
     val configs = parseConfigs(meta)
-    if (configs.exists(_.tpe == "temporal")) {
-      // read-time temporal dedup (W1) is not ported to the JVM
-      // surface yet; exposing the raw rows would silently change
-      // query results vs the PySpark view — refuse loudly instead.
-      logWarning(s"ariadne.$name: temporal configs are not supported " +
-        "by the JVM SQL surface; use the PySpark surface for this index")
-      return None
-    }
 
     val files = filelistNames(fs, s"$indexRoot/filelist")
     val df0 =
@@ -296,7 +289,7 @@ class AriadneResolveRule(session: SparkSession)
           .load(files.sorted: _*)
     // computed / exploded virtual columns, explode_rows=True — the
     // exact SQL-view frame (ariadne_spark/sources/files.py:96-117)
-    val df = configs.foldLeft(df0) { (d, c) =>
+    val virt = configs.foldLeft(df0) { (d, c) =>
       c.tpe match {
         case "computed" =>
           d.withColumn(c.column, SF.expr(c.expression.get))
@@ -310,6 +303,33 @@ class AriadneResolveRule(session: SparkSession)
         case _ => d
       }
     }
+    // W1 read-time temporal dedup, port of apply_temporal_dedup
+    // (ariadne_spark/operators/join.py:24, reference
+    // IndexJoinOperations.scala:303-337): all rank columns computed
+    // against the ORIGINAL rows, filtered conjunctively. The Window
+    // node also BLOCKS the prune rule's descent — sound, since file
+    // pruning above latest-version dedup could promote a different
+    // row to "latest" (only the PySpark engine's temporal locate
+    // path prunes these, on the key column specifically).
+    val temporals = configs.filter(c =>
+      c.tpe == "temporal" && c.timestampColumn.isDefined)
+    val df =
+      if (temporals.isEmpty) virt
+      else {
+        import org.apache.spark.sql.expressions.{Window => W}
+        var out = virt
+        val rankCols = temporals.zipWithIndex.map { case (c, i) =>
+          val w = W.partitionBy(SF.col(c.column))
+            .orderBy(SF.col(c.timestampColumn.get).desc_nulls_last)
+          val rc = s"__ariadne_rank_$i"
+          out = out.withColumn(rc, SF.row_number().over(w))
+          rc
+        }
+        val cond = rankCols
+          .map(rc => SF.col(rc) === SF.lit(1))
+          .reduce(_ && _)
+        out.where(cond).drop(rankCols: _*)
+      }
     val analyzed = df.queryExecution.analyzed
     // capture the resolved forms of our virtual columns from the
     // analyzed AND optimized plans (same plan instance is embedded
@@ -435,7 +455,8 @@ class AriadneResolveRule(session: SparkSession)
       val c = arr.get(i)
       def opt(k: String) = Option(c.get(k)).map(_.asText())
       IdxConfig(c.get("column").asText(), c.get("type").asText(),
-        opt("expression"), opt("source_column"), opt("field"))
+        opt("expression"), opt("source_column"), opt("field"),
+        opt("timestamp_column"))
     }
   }
 

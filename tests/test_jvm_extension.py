@@ -301,12 +301,28 @@ out["last_prune"] = {
     for r in spark.sql("SELECT * FROM ariadne.__last_prune__").collect()
 }
 
-for tag, name in (("unknown", "no_such_index"), ("temporal", "jext_temporal")):
-    try:
-        spark.sql(f"SELECT * FROM ariadne.{name}").collect()
-        out[tag] = "RESOLVED"
-    except AnalysisException:
-        out[tag] = "refused"
+try:
+    spark.sql("SELECT * FROM ariadne.no_such_index").collect()
+    out["unknown"] = "RESOLVED"
+except AnalysisException:
+    out["unknown"] = "refused"
+
+# temporal view: latest row per o_custkey by o_orderdate (desc,
+# nulls last), conjunctive-rank semantics of the PySpark view
+tdf = spark.sql("SELECT * FROM ariadne.jext_temporal")
+trows = tdf.select("o_custkey", "o_orderdate").collect()
+tplain2 = spark.read.parquet(*sorted(glob.glob(data_glob))[:2])
+exp_max = {
+    r["o_custkey"]: r["m"]
+    for r in tplain2.groupBy("o_custkey")
+    .agg(F.max("o_orderdate").alias("m")).collect()
+}
+out["temporal"] = {
+    "one_row_per_key": len(trows) == len({r["o_custkey"] for r in trows}),
+    "n_keys": len({r["o_custkey"] for r in trows}),
+    "expected_keys": len(exp_max),
+    "ts_is_max": all(r["o_orderdate"] == exp_max[r["o_custkey"]] for r in trows),
+}
 
 print("JSON:" + json.dumps(out))
 spark.stop()
@@ -381,9 +397,19 @@ def test_empty_match_prunes_everything(report):
     assert report["empty"]["scanned"] == 0
 
 
-def test_unknown_and_temporal_names_stay_unresolved(report):
+def test_unknown_names_stay_unresolved(report):
     assert report["unknown"] == "refused"
-    assert report["temporal"] == "refused"
+
+
+def test_temporal_view_applies_latest_version_dedup(report):
+    """Temporal-config indexes resolve WITH read-time latest-version
+    dedup (W1 port): one row per temporal key, carrying that key's
+    maximum timestamp — the same frame the PySpark view exposes.
+    (Previously refused outright.)"""
+    t = report["temporal"]
+    assert t["one_row_per_key"]
+    assert t["n_keys"] == t["expected_keys"] > 0
+    assert t["ts_is_max"]
 
 
 def test_join_values_prunes_and_matches(report):
