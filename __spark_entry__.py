@@ -871,6 +871,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a production keeper policy: per normalized
+    text, the LONGEST original document survives (ties -> smallest
+    id) instead of the lowest id — one partial-aggregatable min_by
+    shuffle, keeper folded into the ordering struct."""
+    from ariadne_spark.operators.dedup import exact_dedup_normalized
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return exact_dedup_normalized(
+        docs, "text", "doc_id", keeper=F.length("text")
+    ).select("doc_id", "lang", "source", F.length("text").alias("kept_len"))
+
+
 def q_dedup_ngramset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_spark.operators.dedup import ngram_set_dedup
 
@@ -2111,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "catalog_describe": q_catalog_describe,
         "idx_locate": q_idx_locate,
         "text_bigram_lm": q_text_bigram_lm,
+        "dedup_keep_longest": q_dedup_keep_longest,
     }
 
 
@@ -2536,6 +2550,22 @@ def oracle_sql() -> dict[str, str]:
                 SELECT min(doc_id) AS doc_id FROM documents
                 GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
             ) k ON d.doc_id = k.doc_id
+        """,
+        # keeper policy twin: longest original text survives, ties ->
+        # smallest id (row_number makes DuckDB's tie-break explicit
+        # where arg_max would be arbitrary)
+        "dedup_keep_longest": r"""
+            WITH r AS (
+                SELECT doc_id, lang, source, length(text) AS kept_len,
+                       row_number() OVER (
+                           PARTITION BY
+                               regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+                           ORDER BY length(text) DESC, doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, lang, source, CAST(kept_len AS INT) AS kept_len
+            FROM r WHERE rn = 1
         """,
         # Brute-force exact char-5-gram Jaccard over all pairs: the engine's
         # LSH-candidate + exact-verify output must equal the exhaustive

@@ -29,34 +29,59 @@ from .util import ensure_parallelism as _ensure_parallelism
 
 # ------------------------------------------------------------------ exact
 
-def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
-    """Keep one row per distinct ``keys`` combination — the one with
-    the smallest ``id_col`` (deterministic).
+def exact_dedup(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    keeper=None,
+) -> DataFrame:
+    """Keep one row per distinct ``keys`` combination.
+
+    ``keeper=None`` (default): the row with the smallest ``id_col``
+    survives. ``keeper=<numeric Column>``: the row with the LARGEST
+    keeper value survives (real pipelines keep the longest or
+    highest-quality duplicate, not the lowest id — e.g.
+    ``keeper=F.length("text")`` or a quality score); ties break to
+    the smallest id, so the result stays deterministic.
 
     Implemented as ``min_by`` aggregation, not a window: min_by is a
     partial-aggregatable DeclarativeAggregate, so a hot key (think:
     millions of empty documents sharing one normalized text) combines
     MAP-SIDE before the shuffle instead of serializing every duplicate
-    row through a single window-sort task.
+    row through a single window-sort task. The keeper folds into the
+    same ordering struct (negated, so one min_by handles the
+    max-keeper-then-min-id composite), keeping the one-shuffle shape.
 
-    Null ids: the smallest NON-null id wins; a group whose ids are all
-    null still keeps one real row (min_by alone would drop null
-    ordering values and emit an all-NULL struct — guarded by the
-    (isNull, id) ordering key, which is never null itself)."""
-    order_key = F.struct(
-        df[id_col].isNull().alias("n"), df[id_col].alias("v")
-    )
+    Null handling: null keeper values lose to any non-null keeper;
+    the smallest NON-null id wins ties; a group whose ids are all
+    null still keeps one real row (guarded by the (isNull, value)
+    ordering fields, which are never null themselves).
+
+    This same primitive is the cluster-canonicalization step after
+    connected-components dedup: ``exact_dedup(assigned,
+    ["component"], id_col, keeper=quality)`` keeps one canonical
+    document per duplicate cluster."""
+    id_key = [df[id_col].isNull().alias("n"), df[id_col].alias("v")]
+    if keeper is None:
+        order_key = F.struct(*id_key)
+    else:
+        order_key = F.struct(
+            keeper.isNull().alias("kn"),
+            (-keeper).alias("k"),
+            *id_key,
+        )
     winner = F.min_by(F.struct(*[df[c] for c in df.columns]), order_key)
     return df.groupBy(*keys).agg(winner.alias("__w")).select("__w.*")
 
 
 def exact_dedup_normalized(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame, text_col: str, id_col: str, keeper=None
 ) -> DataFrame:
-    """Exact dedup on whitespace/case-normalized text."""
+    """Exact dedup on whitespace/case-normalized text (``keeper`` as
+    in :func:`exact_dedup`)."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     out = df.withColumn("__norm", norm)
-    deduped = exact_dedup(out, ["__norm"], id_col)
+    deduped = exact_dedup(out, ["__norm"], id_col, keeper=keeper)
     return deduped.drop("__norm")
 
 

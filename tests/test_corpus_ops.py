@@ -732,3 +732,36 @@ def test_bigram_lm_stats_semantics(spark):
     assert got[2]["commonness"] == round((3 + 1) / 2, 6)
     assert got[2]["novelty"] == 0.5          # "cat ran" is unique
     assert got[4]["commonness"] == got[1]["commonness"]  # punctuation-proof
+
+
+def test_exact_dedup_keeper_policy(spark):
+    """keeper=<numeric col>: the LARGEST keeper survives per group,
+    ties break to the smallest id, null keepers lose to non-null,
+    and the default (no keeper) stays smallest-id."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5), (2, "a", 9), (3, "a", 9),     # max=9, tie -> id 2
+            (4, "b", None), (5, "b", 1),               # null loses -> id 5
+            (6, "c", None), (7, "c", None),            # all null -> id 6
+        ],
+        "doc_id int, grp string, score int",
+    )
+    kept = {
+        r["grp"]: r["doc_id"]
+        for r in exact_dedup(df, ["grp"], "doc_id", keeper=F.col("score")).collect()
+    }
+    assert kept == {"a": 2, "b": 5, "c": 6}
+    default = {
+        r["grp"]: r["doc_id"]
+        for r in exact_dedup(df, ["grp"], "doc_id").collect()
+    }
+    assert default == {"a": 1, "b": 4, "c": 6}
+    # plan shape: partial-aggregatable min_by, no window sort
+    plan = exact_dedup(df, ["grp"], "doc_id", keeper=F.col("score"))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan or "min_by" in plan
+    assert "Window" not in plan
