@@ -14,6 +14,8 @@ Scenarios
   5. line dedup + one-pass profile over the NX corpus
   6. OR-amplified embedding near-dup on the NX mass-duplicated
      vector corpus (complete clone/planted family recall required)
+  7. corpus-bigram LM scoring over the NX corpus (the bigram-key
+     join's corpus-count side grows with vocab coverage, not rows)
 
 Usage: python tools/soak.py [N] (default 8; local[16])
 """
@@ -283,6 +285,15 @@ def main() -> None:
          sec=sec, family_pairs=len(expected), found=len(expected & got),
          missing=missing, complete_recall=missing == 0,
          extra_nonfamily_pairs=len(got - expected))
+
+    # ---- scenario 7: bigram LM scoring at NX ----------------------
+    from ariadne_spark.operators.text import bigram_lm_stats
+
+    t0 = time.time()
+    lm = bigram_lm_stats(drep, "text", "doc_id")
+    n_lm = lm.count()
+    emit(stage="bigram_lm", sec=round(time.time() - t0, 2),
+         docs=n_rep * dn, scored=n_lm)
 
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
