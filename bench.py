@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "streaming_latest",
     "streaming_window",
     "dedup_exact",
+    "dedup_keep_longest",
     "dedup_ngramset",
     "dedup_minhash",
     "dedup_simhash",
