@@ -2030,6 +2030,65 @@ def q_idx_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------ contract
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2021 ExactSubstr, distributed
+    window-hash form): per document, the token count, the number of
+    tokens covered by any 5-token window occurring ≥2 times corpus-wide
+    (merged spans), and the text with those spans cut out. Oracle is a
+    literal SQL restatement (window strings counted directly; the
+    engine counts md5 digests — identical absent md5 collisions)."""
+    from ariadne_spark.operators.dedup import substring_dedup
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return substring_dedup(docs, k=5)
+
+
+def q_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: per source, keep md5-ranked docs
+    until 2000 tokens are reached (overshoot ≤ 1 doc)."""
+    from ariadne_spark.operators.corpus import budget_sample
+    from ariadne_spark.operators.text import token_count
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).withColumn(
+        "n_tokens", token_count("text")
+    )
+    return budget_sample(docs, "source", 2000, "n_tokens").select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+
+
+def q_corpus_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram heavy hitters: top 50 by total frequency with a
+    deterministic (tf desc, gram) tie-break; tf + distinct-doc df."""
+    from ariadne_spark.operators.corpus import ngram_stats
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return (
+        ngram_stats(docs, 2)
+        .orderBy(F.desc("tf"), "gram")
+        .limit(50)
+    )
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the planted near-dup corpus
+    of ``emb_near_dup``: connected components of the cosine≥0.98 pair
+    graph, min-id representative per component. Oracle: brute-force
+    pair graph + recursive-CTE closure."""
+    from ariadne_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    planted = emb.where(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.01).otherwise(x)
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(planted)
+    return semantic_dedup(corpus, threshold=0.98)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: index-pruned join."""
     return q_idx_join_regular(spark, "/root/testdata/sf0.001")
@@ -2125,6 +2184,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_locate": q_idx_locate,
         "text_bigram_lm": q_text_bigram_lm,
         "dedup_keep_longest": q_dedup_keep_longest,
+        "dedup_substring": q_dedup_substring,
+        "corpus_budget_sample": q_corpus_budget_sample,
+        "corpus_ngram_stats": q_corpus_ngram_stats,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
     }
 
 
@@ -3142,6 +3205,110 @@ def oracle_sql() -> dict[str, str]:
                CAST(min(o_totalprice) AS DOUBLE),
                CAST(max(o_totalprice) AS DOUBLE)
         FROM orders
+    """
+    oracles["dedup_substring"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents
+        ),
+        w AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS s,
+                 array_to_string(ts[i:i+4], ' ') AS wtext
+          FROM toks, unnest(range(1, len(ts) - 5 + 2)) AS r(i)
+        ),
+        dup AS (SELECT wtext FROM w GROUP BY wtext HAVING count(*) >= 2),
+        spans AS (SELECT w.doc_id, w.s FROM w JOIN dup USING (wtext)),
+        cov AS (SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS p
+                FROM spans, unnest(range(s, s + 5)) AS rr(p)),
+        pos AS (SELECT doc_id, CAST(p AS INTEGER) AS p,
+                       ts[CAST(p AS INTEGER)] AS tok
+                FROM toks, unnest(range(1, len(ts) + 1)) AS r(p)),
+        kept AS (
+          SELECT pos.doc_id, pos.p, pos.tok
+          FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+          WHERE cov.p IS NULL
+        ),
+        cleaned AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text
+          FROM kept GROUP BY doc_id
+        ),
+        nd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_tokens
+               FROM cov GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+               COALESCE(nd.n_dup_tokens, 0) AS n_dup_tokens,
+               COALESCE(c.cleaned_text, '') AS cleaned_text
+        FROM toks t
+        LEFT JOIN nd USING (doc_id)
+        LEFT JOIN cleaned c USING (doc_id)
+    """
+    oracles["corpus_budget_sample"] = r"""
+        WITH nt AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                     AS n_tokens,
+                 md5(CAST(doc_id AS VARCHAR)) AS rk
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY rk, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS cb
+          FROM nt
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(cb + n_tokens AS BIGINT) AS cum_tokens
+        FROM c WHERE cb < 2000
+    """
+    oracles["corpus_ngram_stats"] = r"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 ts[CAST(i AS INTEGER)] || ' ' || ts[CAST(i AS INTEGER)+1]
+                     AS gram
+          FROM toks, unnest(range(1, len(ts))) AS r(i)
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) AS tf,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM g GROUP BY gram ORDER BY tf DESC, gram LIMIT 50
+    """
+    oracles["emb_semantic_dedup"] = """
+        WITH RECURSIVE corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 1000000,
+                   list_prepend(embedding[1] * 1.01, embedding[2:])
+            FROM embeddings WHERE vec_id % 7 = 0
+        ),
+        n AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(
+                       embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+            FROM corpus
+        ),
+        p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(
+                      list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * p[2])) / (a.nrm * b.nrm),
+                      6) >= 0.98
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM p
+            UNION SELECT id_b, id_a FROM p
+        ),
+        reach AS (
+            SELECT vec_id AS node, vec_id AS r FROM corpus
+            UNION
+            SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a
+        )
+        SELECT node AS vec_id, min(r) AS rep_id, node = min(r) AS is_kept
+        FROM reach GROUP BY node
     """
     oracles.update(_tpch_r3_oracle_entries())
     return oracles

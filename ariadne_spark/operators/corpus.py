@@ -476,3 +476,94 @@ def chunk_documents(
         F.array_join("__ctoks", " ").alias("chunk_text"),
         F.size("__ctoks").cast("bigint").alias("n_tokens"),
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    group_col: str,
+    budget_tokens: int | dict[str, int],
+    n_tokens_col: str | Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget mixture sampling: per ``group_col`` (source,
+    domain, language, ...), keep an unbiased md5-ranked subset of
+    documents until the group's token budget is met — the data-mixture
+    primitive that turns "web 60%, code 25%, books 15% of N tokens"
+    into a concrete, reproducible document keep-set.
+
+    A document is kept while the cumulative token count of the
+    already-kept documents before it (in md5-of-id order) is below the
+    group's budget, so each group overshoots by at most one document —
+    the standard closed-form cut, deterministic on any cluster.
+    ``budget_tokens`` is one global number or a per-group dict
+    (groups absent from the dict keep everything).
+
+    Scale shape: one hash shuffle on the group column; the running sum
+    is a single window spec per group partition, and the md5 rank is a
+    projection. Group count is small in practice (domains, not keys),
+    so skew is bounded by corpus-per-domain — for a pathological
+    single-domain corpus the same window runs in one partition, which
+    is inherent to an exact global cut (approximate cuts can sample
+    per-shard; out of scope).
+    """
+    from pyspark.sql import Window
+
+    nt = (
+        F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
+    ).cast("bigint")
+    rank = F.md5(F.col(id_col).cast("string"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(rank, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(nt).over(w), F.lit(0)).cast("bigint")
+    if isinstance(budget_tokens, dict):
+        budget = None
+        for name, b in sorted(budget_tokens.items()):
+            cond = F.col(group_col) == name
+            budget = (
+                F.when(cond, F.lit(b))
+                if budget is None
+                else budget.when(cond, F.lit(b))
+            )
+        budget = budget.otherwise(F.lit(None)).cast("bigint")
+    else:
+        budget = F.lit(int(budget_tokens)).cast("bigint")
+    return (
+        df.withColumn("__cum_before", cum_before)
+        .where(budget.isNull() | (F.col("__cum_before") < budget))
+        .withColumn("cum_tokens", (F.col("__cum_before") + nt).cast("bigint"))
+        .drop("__cum_before")
+    )
+
+
+def ngram_stats(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus n-gram frequency table: per word ``n``-gram, total
+    occurrences (``tf``) and distinct-document frequency (``df``) —
+    the heavy-hitter input for boilerplate mining, template detection,
+    and the bigram-LM vocabulary. ``orderBy(tf desc).limit(N)``
+    composes as TakeOrdered (each partition ships only its top N).
+
+    Same shape as :func:`vocab_stats` one level up: tokenize once
+    into a materialized array, one pipelined explode, one hash shuffle
+    with map-side partial aggregation; ``df`` is a two-phase exact
+    count distinct. Zero driver-side state."""
+    toks = df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            word_ngrams(text_col, n, tokens_col=F.col("__toks"))
+        ).alias("gram"),
+    )
+    return grams.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(F.col(id_col)).alias("df"),
+    )

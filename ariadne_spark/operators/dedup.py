@@ -923,3 +923,124 @@ def incremental_near_dup(
     new_sigs.unpersist()
     _INCREMENTAL_LIVE.append(out)
     return out
+
+
+def duplicated_window_spans(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document start positions (1-based, token units) of every
+    ``k``-token window whose text occurs at least ``min_count`` times
+    across the whole corpus — the candidate set for exact substring
+    dedup. A window repeated twice inside one document counts.
+
+    Scale shape: the window table is |corpus tokens| rows but stays
+    pipelined (materialized token array → slice windows → posexplode);
+    windows travel the shuffle as fixed-width md5 digests, never as
+    k-token strings. One hash shuffle with map-side partial counts
+    finds the duplicated keys; on a clean corpus that set is small, so
+    the join back broadcasts under AQE. Nothing is ever all-pairs.
+    """
+    from .text import tokens
+
+    if k < 1:
+        raise ValueError(f"window length k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (1 would mark every window), got {min_count}"
+        )
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    nwin = F.size("__toks") - (k - 1)
+    keys = F.when(
+        nwin >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.md5(F.array_join(F.slice("__toks", i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = toks.select(
+        F.col(id_col), F.posexplode(keys).alias("__p0", "__wk")
+    ).select(
+        id_col, (F.col("__p0") + 1).cast("int").alias("start"), "__wk"
+    )
+    dup_keys = (
+        wins.groupBy("__wk")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= min_count)
+        .select("__wk")
+    )
+    return wins.join(dup_keys, "__wk").select(id_col, "start")
+
+
+def substring_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring deduplication (the ExactSubstr method of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499), re-expressed for a distributed engine:
+    instead of a monolithic suffix array, every ``k``-token window is
+    hashed and counted corpus-wide, and any window occurring ≥
+    ``min_count`` times marks its span as duplicated text. Per
+    document the overlapping duplicated spans are merged and the
+    covered tokens cut out.
+
+    Output, one row per input document:
+
+    - ``n_tokens``     — whitespace token count,
+    - ``n_dup_tokens`` — tokens covered by at least one duplicated
+      window (merged-interval size),
+    - ``cleaned_text`` — the surviving tokens space-joined in original
+      order (``''`` when the whole document is duplicated).
+
+    Matches the suffix-array formulation exactly for spans of length
+    ``k``: a duplicated run of length L ≥ k is covered by its L-k+1
+    duplicated windows, so the merged interval is the full run;
+    sub-``k`` duplications are deliberately below the resolution (same
+    threshold role as the paper's 50-token minimum).
+
+    Scale shape: windows shuffle once as md5 digests (see
+    :func:`duplicated_window_spans`); span merge is per-document array
+    algebra (``flatten`` + ``array_distinct`` over span sequences —
+    O(duplicated tokens), not O(n·spans)); the final token filter is
+    a map-only projection. Clean corpora pay one scan + one
+    partial-agg shuffle.
+    """
+    from .text import tokens
+
+    spans = duplicated_window_spans(
+        df, k=k, text_col=text_col, id_col=id_col, min_count=min_count
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_set("start").alias("__starts")
+    )
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (k - 1)),
+            )
+        )
+    )
+    out = toks.join(per_doc, id_col, "left").withColumn("__cov", covered)
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.array_contains(F.col("__cov"), (i + 1).cast("int")),
+    )
+    return out.select(
+        id_col,
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size("__cov").cast("bigint").alias("n_dup_tokens"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )

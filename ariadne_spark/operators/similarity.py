@@ -647,3 +647,60 @@ def embedding_near_dup(
     out.count()  # pair-proportional (small); free the chunked corpus
     base.unpersist()
     return out
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    bucket_cap: int = 20000,
+    bands: int = 3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023 —
+    public arXiv:2303.09540): collapse groups of embedding-space
+    near-duplicates to one representative each.
+
+    Pairs come from :func:`embedding_near_dup` (OR-amplified LSH
+    candidates, exact-cosine verified ≥ ``threshold``); groups are the
+    connected components of the pair graph (cosine-near-dup is not
+    transitive, so pairwise dropping alone is order-dependent — the
+    component closure makes the keep-set canonical and deterministic);
+    the representative is the minimum id of each component.
+
+    Output: one row per input id — ``(id, rep_id, is_kept)`` where
+    ``is_kept`` marks the component representative (singletons keep
+    themselves). Filtering ``is_kept`` gives the deduplicated corpus;
+    joining ``rep_id`` back re-labels duplicates for attribution.
+
+    Scale shape: inherits the near-dup pair machinery (banded LSH,
+    bucket-cap chunking, never all-pairs) plus the O(log n)
+    large-star/small-star component rounds from
+    :mod:`ariadne_spark.operators.graph` — no driver-side state
+    anywhere. Deterministic: sha256-seeded planes, exact verify,
+    min-id representatives.
+    """
+    from .graph import connected_components
+
+    pairs = embedding_near_dup(
+        df,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        bucket_cap=bucket_cap,
+        bands=bands,
+    )
+    comp = connected_components(
+        pairs,
+        src="id_a",
+        dst="id_b",
+        nodes=df.select(id_col),
+        node_col=id_col,
+    )
+    return comp.select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("rep_id"),
+        (F.col("node") == F.col("component")).alias("is_kept"),
+    )

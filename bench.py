@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "profile_footer",
     "sql_window_topn",
     "datasource_filter",
+    "dedup_substring",
+    "corpus_budget_sample",
+    "corpus_ngram_stats",
 ]
 
 

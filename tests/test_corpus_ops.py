@@ -765,3 +765,73 @@ def test_exact_dedup_keeper_policy(spark):
         .queryExecution().executedPlan().toString()
     assert "partial_min_by" in plan or "min_by" in plan
     assert "Window" not in plan
+
+
+# --- budget_sample -------------------------------------------------------
+
+
+def test_budget_sample_cut_semantics_hand_computed(spark):
+    # Single group, known md5 order: budget cut must keep docs while
+    # the cumulative tokens BEFORE the doc is < budget (overshoot <= 1
+    # doc) and report cum_tokens INCLUDING the doc.
+    import hashlib
+
+    rows = [(i, "web", 10 * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    order = sorted(rows, key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]))
+    kept_expect, cum = [], 0
+    for did, _, nt in order:
+        if cum < 45:
+            kept_expect.append((did, cum + nt))
+        cum += nt
+    out = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in corpus.budget_sample(df, "source", 45, "n_tokens").collect()
+    }
+    assert out == dict(kept_expect)
+
+
+def test_budget_sample_per_group_dict_and_absent_group_keeps_all(spark):
+    rows = [(i, "web" if i % 2 == 0 else "code", 5) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    out = corpus.budget_sample(df, "source", {"web": 12}, "n_tokens")
+    by_src = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    # web: kept while cum_before < 12 -> 3 docs (0,5,10); code: no
+    # budget entry -> everything survives
+    assert by_src == {"web": 3, "code": 10}
+
+
+def test_budget_sample_deterministic_under_repartition(spark, docs):
+    nt = docs.withColumn("n_tokens", text.token_count("text"))
+    a = rows_set(
+        corpus.budget_sample(nt, "source", 1500, "n_tokens").select(
+            "doc_id", "cum_tokens"
+        )
+    )
+    b = rows_set(
+        corpus.budget_sample(nt.repartition(17), "source", 1500, "n_tokens")
+        .select("doc_id", "cum_tokens")
+    )
+    assert a == b and len(a) > 0
+
+
+# --- ngram_stats ---------------------------------------------------------
+
+
+def test_ngram_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = {
+        r["gram"]: (r["tf"], r["df"])
+        for r in corpus.ngram_stats(df, 2).collect()
+    }
+    assert out == {"a b": (3, 2), "b a": (1, 1), "b c": (1, 1)}
+
+
+def test_ngram_stats_short_docs_emit_nothing(spark):
+    df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
+    assert corpus.ngram_stats(df, 2).count() == 0

@@ -817,3 +817,113 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_left")
         spark.sql("DROP TABLE IF EXISTS bk_right")
+
+
+# --- substring dedup ------------------------------------------------------
+
+
+def test_substring_dedup_hand_computed_spans(spark):
+    from ariadne_spark.operators import dedup as dd
+
+    # doc 1 and doc 2 share the 3-token run "x y z"; doc 3 is clean;
+    # doc 4 repeats a window WITHIN itself (counts toward min_count).
+    df = spark.createDataFrame(
+        [
+            (1, "a b x y z c"),
+            (2, "x y z q r"),
+            (3, "u v w s t"),
+            (4, "p q r m p q r m n"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["cleaned_text"])
+        for r in dd.substring_dedup(df, k=3).collect()
+    }
+    # doc1: window "x y z" at 3 -> covers 3..5
+    assert out[1] == (6, 3, "a b c")
+    assert out[2] == (5, 3, "q r")
+    assert out[3] == (5, 0, "u v w s t")
+    # doc4: "p q r" at 1 and 5, "q r m" at 2 and 6 -> merged 1..4 + 5..8
+    assert out[4] == (9, 8, "n")
+
+
+def test_substring_dedup_merges_overlapping_spans_once(spark):
+    from ariadne_spark.operators import dedup as dd
+
+    # long shared run: L=6 tokens shared, k=3 -> 4 windows, merged
+    # coverage must be exactly 6 (not 12)
+    df = spark.createDataFrame(
+        [(1, "s1 s2 s3 s4 s5 s6"), (2, "s1 s2 s3 s4 s5 s6 tail")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["n_dup_tokens"], r["cleaned_text"])
+        for r in dd.substring_dedup(df, k=3).collect()
+    }
+    assert out[1] == (6, "")
+    assert out[2] == (6, "tail")
+
+
+def test_substring_dedup_short_docs_untouched(spark):
+    from ariadne_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["cleaned_text"] for r in dd.substring_dedup(df, k=3).collect()}
+    # both docs are k-1 tokens -> zero windows -> untouched even
+    # though the FULL texts are equal (sub-k duplication is below
+    # resolution, exactly like the paper's minimum match length)
+    assert out == {1: "a b", 2: "a b"}
+
+
+# --- semantic dedup -------------------------------------------------------
+
+
+def test_semantic_dedup_components_and_reps(spark):
+    from ariadne_spark.operators import similarity
+
+    # 1~2~3 one chain (non-transitive pairs), 4 far away: reps must
+    # come from the component CLOSURE, not pairwise drops
+    base = [1.0, 0.0, 0.0, 0.0]
+    near1 = [0.999, 0.045, 0.0, 0.0]
+    near2 = [0.996, 0.09, 0.0, 0.0]
+    far = [0.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, base), (2, near1), (3, near2), (4, far)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["rep_id"], r["is_kept"])
+        for r in similarity.semantic_dedup(df, threshold=0.998).collect()
+    }
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+    }
+
+
+def test_semantic_dedup_no_pairs_keeps_everything(spark):
+    from ariadne_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.semantic_dedup(df, threshold=0.99).collect()
+    assert all(r["is_kept"] and r["rep_id"] == r["vec_id"] for r in out)
+    assert len(out) == 2
+
+
+def test_substring_dedup_rejects_degenerate_params(spark):
+    from ariadne_spark.operators import dedup as dd
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with _pt.raises(ValueError):
+        dd.substring_dedup(df, k=0)
+    with _pt.raises(ValueError):
+        dd.substring_dedup(df, k=3, min_count=1)
