@@ -927,3 +927,40 @@ def test_substring_dedup_rejects_degenerate_params(spark):
         dd.substring_dedup(df, k=0)
     with _pt.raises(ValueError):
         dd.substring_dedup(df, k=3, min_count=1)
+
+
+def test_substring_dedup_invariants_on_corpus(spark, docs):
+    """Structural invariants at corpus scale: token accounting adds
+    up, cleaned text is the uncovered-token subsequence, and a fully
+    replicated corpus is fully covered."""
+    from ariadne_spark.operators import dedup as dd
+
+    out = dd.substring_dedup(docs.select("doc_id", "text"), k=6).cache()
+    # n_tokens - n_dup_tokens == len(cleaned tokens); n_dup in range
+    bad = out.where(
+        (F.col("n_dup_tokens") < 0)
+        | (F.col("n_dup_tokens") > F.col("n_tokens"))
+        | (
+            F.col("n_tokens") - F.col("n_dup_tokens")
+            != F.when(
+                F.length("cleaned_text") > 0,
+                F.size(F.split("cleaned_text", " ")),
+            ).otherwise(F.lit(0))
+        )
+    ).count()
+    assert bad == 0
+    out.unpersist()
+
+    # replicate the corpus: every window now occurs >= 2x, so every
+    # >=k-token doc must be FULLY covered
+    rep = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    rout = dd.substring_dedup(rep, k=6)
+    assert (
+        rout.where(
+            (F.col("n_tokens") >= 6)
+            & (F.col("n_dup_tokens") != F.col("n_tokens"))
+        ).count()
+        == 0
+    )

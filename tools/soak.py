@@ -16,6 +16,9 @@ Scenarios
      vector corpus (complete clone/planted family recall required)
   7. corpus-bigram LM scoring over the NX corpus (the bigram-key
      join's corpus-count side grows with vocab coverage, not rows)
+  8. exact substring dedup over the NX corpus (100% duplicated text:
+     every >=k-token doc must come back fully covered) + SemDeDup
+     keep-set exactness on the scenario-6 vector corpus (6b)
 
 Usage: python tools/soak.py [N] (default 8; local[16])
 """
@@ -286,6 +289,23 @@ def main() -> None:
          missing=missing, complete_recall=missing == 0,
          extra_nonfamily_pairs=len(got - expected))
 
+    # ---- scenario 6b: SemDeDup keep-set on the same mass-dup corpus
+    # Every base id's clone/planted family must collapse to EXACTLY
+    # one component (distinct base vectors are near-orthogonal), so
+    # the keep-set size at NX must equal the 1X corpus size — the
+    # semantic analogue of scenario 3's cross-replica merge check.
+    from ariadne_spark.operators.similarity import semantic_dedup
+
+    t0 = time.time()
+    sem = semantic_dedup(corpus, threshold=0.999).cache()
+    n_ids = sem.count()
+    n_kept = sem.where("is_kept").count()
+    emit(stage="semantic_dedup_massdup", vectors=n_ids,
+         sec=round(time.time() - t0, 2), kept=n_kept,
+         expected_kept=len(base_ids),
+         keepset_exact=n_kept == len(base_ids))
+    sem.unpersist()
+
     # ---- scenario 7: bigram LM scoring at NX ----------------------
     from ariadne_spark.operators.text import bigram_lm_stats
 
@@ -294,6 +314,26 @@ def main() -> None:
     n_lm = lm.count()
     emit(stage="bigram_lm", sec=round(time.time() - t0, 2),
          docs=n_rep * dn, scored=n_lm)
+
+    # ---- scenario 8: exact substring dedup at NX ------------------
+    # The replicated corpus is 100% duplicated text: every >=k-token
+    # document's windows all occur N times, so EVERY such doc must
+    # come back fully covered (n_dup_tokens == n_tokens, empty
+    # cleaned_text) — complete span recall under maximal duplication,
+    # with the digest shuffle N× the 1X volume.
+    from ariadne_spark.operators.dedup import substring_dedup
+    from ariadne_spark.operators.text import token_count
+
+    t0 = time.time()
+    sd = substring_dedup(drep, k=8).cache()
+    n_docs = sd.count()
+    uncovered = sd.where(
+        (F.col("n_tokens") >= 8) & (F.col("n_dup_tokens") != F.col("n_tokens"))
+    ).count()
+    emit(stage="substring_dedup_massdup", docs=n_docs,
+         sec=round(time.time() - t0, 2),
+         uncovered_long_docs=uncovered, full_coverage=uncovered == 0)
+    sd.unpersist()
 
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
