@@ -2089,6 +2089,18 @@ def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(corpus, threshold=0.98)
 
 
+def q_corpus_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-bigram importance weights with lang='en' docs
+    as the target domain: integer frequency-mass sums + the
+    pure-arithmetic add-one ratio score (bit-exact across engines; the
+    transcendental log-LR variant is library-only)."""
+    from ariadne_spark.operators.corpus import importance_weights
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    target = docs.where(F.col("lang") == "en")
+    return importance_weights(docs, target, n=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: index-pruned join."""
     return q_idx_join_regular(spark, "/root/testdata/sf0.001")
@@ -2188,6 +2200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_sample": q_corpus_budget_sample,
         "corpus_ngram_stats": q_corpus_ngram_stats,
         "emb_semantic_dedup": q_emb_semantic_dedup,
+        "corpus_importance": q_corpus_importance,
     }
 
 
@@ -3309,6 +3322,58 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS vec_id, min(r) AS rep_id, node = min(r) AS is_kept
         FROM reach GROUP BY node
+    """
+    oracles["corpus_importance"] = r"""
+        WITH tg AS (
+          SELECT string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE lang = 'en'
+        ),
+        tgrams AS (
+          SELECT ('0x' || substr(md5(ts[CAST(i AS INTEGER)] || ' '
+                     || ts[CAST(i AS INTEGER)+1]), 1, 6))::BIGINT % 4096 AS b
+          FROM tg, unnest(range(1, len(ts))) AS r(i)
+        ),
+        ct AS (SELECT b, CAST(count(*) AS BIGINT) AS ct
+               FROM tgrams GROUP BY b),
+        bg AS (
+          SELECT string_split_regex(trim(text), '\s+') AS ts FROM documents
+        ),
+        bgrams AS (
+          SELECT ('0x' || substr(md5(ts[CAST(i AS INTEGER)] || ' '
+                     || ts[CAST(i AS INTEGER)+1]), 1, 6))::BIGINT % 4096 AS b
+          FROM bg, unnest(range(1, len(ts))) AS r(i)
+        ),
+        cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb
+               FROM bgrams GROUP BY b),
+        tot AS (SELECT (SELECT sum(ct) FROM ct) AS nt,
+                       (SELECT sum(cb) FROM cb) AS nb),
+        dg AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(ts[CAST(i AS INTEGER)] || ' '
+                     || ts[CAST(i AS INTEGER)+1]), 1, 6))::BIGINT % 4096 AS b
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+                FROM documents),
+               unnest(range(1, len(ts))) AS r(i)
+        ),
+        sc AS (
+          SELECT dg.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(COALESCE(ct.ct, 0)) AS BIGINT) AS sum_target,
+                 CAST(sum(COALESCE(cb.cb, 0)) AS BIGINT) AS sum_background
+          FROM dg LEFT JOIN ct USING (b) LEFT JOIN cb USING (b)
+          GROUP BY dg.doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(sc.n_grams, 0) AS n_grams,
+               COALESCE(sc.sum_target, 0) AS sum_target,
+               COALESCE(sc.sum_background, 0) AS sum_background,
+               COALESCE(round(
+                   (CAST(sc.sum_target + 1 AS DOUBLE) * CAST(tot.nb AS DOUBLE))
+                 / (CAST(sc.sum_background + 1 AS DOUBLE)
+                    * CAST(tot.nt AS DOUBLE)), 6), 0.0) AS score
+        FROM documents d
+        LEFT JOIN sc ON d.doc_id = sc.doc_id
+        CROSS JOIN tot
     """
     oracles.update(_tpch_r3_oracle_entries())
     return oracles

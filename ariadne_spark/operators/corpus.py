@@ -567,3 +567,142 @@ def ngram_stats(
         F.count(F.lit(1)).alias("tf"),
         F.count_distinct(F.col(id_col)).alias("df"),
     )
+
+
+def gram_bucket(gram: str | Column, n_buckets: int) -> Column:
+    """Deterministic hash bucket in ``[0, n_buckets)`` for an n-gram:
+    24-bit md5 prefix mod bucket count. Portable across engines
+    (DuckDB: ``('0x' || substr(md5(g),1,6))::BIGINT % n``)."""
+    g = F.col(gram) if isinstance(gram, str) else gram
+    return F.pmod(
+        F.conv(F.substring(F.md5(g.cast("binary")), 1, 6), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_text_col: str | None = None,
+    log_weight: bool = False,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): score every corpus document by how much its
+    hashed n-gram profile looks like the ``target`` domain relative to
+    the corpus itself — the data-selection primitive for "pick the N
+    corpus documents most like Wikipedia/books/code".
+
+    Per document:
+
+    - ``n_grams``         — word ``n``-gram occurrences,
+    - ``sum_target``      — Σ over its grams of the target corpus's
+      bucket frequency,
+    - ``sum_background``  — same against the corpus itself,
+    - ``score``           — add-one-smoothed frequency-mass ratio
+      ``round(((sum_target+1)·Nb) / ((sum_background+1)·Nt), 6)``
+      with ``Nt``/``Nb`` the total gram masses; > the corpus median
+      means target-like. A pure-arithmetic analogue of the DSIR
+      log-likelihood ratio — monotone in the same aggregate evidence
+      but bit-exact across engines (no transcendentals), so it is
+      oracle-checkable. ``log_weight=True`` appends ``log_ratio``,
+      the paper's per-gram sum
+      ``Σ_g [log((ct+1)/(Nt+V)) − log((cb+1)/(Nb+V))]`` — the real
+      resampling weight, excluded from oracle checks (libm drift).
+
+    Scale shape: both frequency tables aggregate map-side to ≤
+    ``n_buckets`` rows and BROADCAST; corpus scoring is one pipelined
+    gram explode, a broadcast hash join, and one partial-agg shuffle
+    on the doc id. The 100-TB side shuffles only (id, three longs).
+    Deterministic: md5 buckets, integer counts."""
+    from pyspark.sql import Window
+
+    bcol = target_text_col or text_col
+
+    def bucket_counts(src: DataFrame, col: str, out: str) -> DataFrame:
+        toks_df = src.select(col, tokens(col).alias("__toks"))
+        grams = toks_df.select(
+            F.explode(
+                word_ngrams(col, n, tokens_col=F.col("__toks"))
+            ).alias("__g")
+        )
+        return grams.select(
+            gram_bucket(F.col("__g"), n_buckets).alias("__b")
+        ).groupBy("__b").agg(F.count(F.lit(1)).alias(out))
+
+    ct = bucket_counts(target, bcol, "__ct")
+    cb = bucket_counts(df, text_col, "__cb")
+    lookup = (
+        ct.join(cb, "__b", "full")
+        .select(
+            "__b",
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+        .withColumn("__nt", F.sum("__ct").over(Window.partitionBy()))
+        .withColumn("__nb", F.sum("__cb").over(Window.partitionBy()))
+    )
+    toks_df = df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
+    )
+    doc_grams = toks_df.select(
+        F.col(id_col),
+        F.explode(
+            word_ngrams(text_col, n, tokens_col=F.col("__toks"))
+        ).alias("__g"),
+    ).withColumn("__b", gram_bucket(F.col("__g"), n_buckets))
+    joined = doc_grams.join(F.broadcast(lookup), "__b")
+    aggs = [
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum("__ct").alias("sum_target"),
+        F.sum("__cb").alias("sum_background"),
+        F.first("__nt").alias("__nt"),
+        F.first("__nb").alias("__nb"),
+    ]
+    if log_weight:
+        v = float(n_buckets)
+        per_gram_log = (
+            F.log((F.col("__ct") + 1).cast("double"))
+            - F.log(F.col("__nt").cast("double") + v)
+            - F.log((F.col("__cb") + 1).cast("double"))
+            + F.log(F.col("__nb").cast("double") + v)
+        )
+        joined = joined.withColumn("__lw", per_gram_log)
+        aggs.append(F.sum("__lw").alias("log_ratio"))
+    scored = joined.groupBy(id_col).agg(*aggs)
+    score = F.round(
+        ((F.col("sum_target") + 1).cast("double") * F.col("__nb").cast("double"))
+        / ((F.col("sum_background") + 1).cast("double") * F.col("__nt").cast("double")),
+        6,
+    )
+    out_cols = [
+        F.col(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("sum_target").cast("bigint").alias("sum_target"),
+        F.col("sum_background").cast("bigint").alias("sum_background"),
+        score.alias("score"),
+    ]
+    if log_weight:
+        out_cols.append(F.col("log_ratio"))
+    scored = scored.select(*out_cols)
+    # short documents (< n tokens) emit no grams: keep them with a
+    # neutral profile so selection never silently drops rows
+    base = df.select(F.col(id_col))
+    fill = [
+        F.col(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("sum_target", F.lit(0)).cast("bigint").alias("sum_target"),
+        F.coalesce("sum_background", F.lit(0)).cast("bigint").alias(
+            "sum_background"
+        ),
+        F.coalesce("score", F.lit(0.0)).alias("score"),
+    ]
+    if log_weight:
+        fill.append(F.coalesce("log_ratio", F.lit(0.0)).alias("log_ratio"))
+    return base.join(scored, id_col, "left").select(*fill)

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "dedup_substring",
     "corpus_budget_sample",
     "corpus_ngram_stats",
+    "corpus_importance",
 ]
 
 

@@ -835,3 +835,59 @@ def test_ngram_stats_hand_computed(spark):
 def test_ngram_stats_short_docs_emit_nothing(spark):
     df = spark.createDataFrame([(1, "solo"), (2, "")], ["doc_id", "text"])
     assert corpus.ngram_stats(df, 2).count() == 0
+
+
+# --- importance_weights --------------------------------------------------
+
+
+def test_importance_weights_favors_target_like_docs(spark):
+    # target: fruit domain; corpus: fruit docs + machine docs. The
+    # fruit docs' bigrams all occur in the target -> score above the
+    # machine docs'.
+    target = spark.createDataFrame(
+        [(100 + i, "apple banana cherry apple banana") for i in range(3)],
+        ["doc_id", "text"],
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "gear piston valve crank"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus.importance_weights(df, target, n=2).collect()
+    }
+    assert out[1]["score"] > out[2]["score"]
+    assert out[1]["sum_target"] > 0
+    assert out[2]["sum_target"] == 0
+    assert out[1]["n_grams"] == 2 and out[2]["n_grams"] == 3
+
+
+def test_importance_weights_short_docs_kept_neutral(spark):
+    target = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+    df = spark.createDataFrame([(1, "solo"), (2, "a b")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_grams"], r["score"])
+        for r in corpus.importance_weights(df, target, n=2).collect()
+    }
+    assert out[1] == (0, 0.0)  # no bigrams -> kept with neutral zeros
+    assert out[2][0] == 1
+
+
+def test_importance_weights_log_variant_monotone(spark):
+    target = spark.createDataFrame(
+        [(100, "apple banana cherry apple banana")], ["doc_id", "text"]
+    )
+    df = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "gear piston valve crank")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["log_ratio"]
+        for r in corpus.importance_weights(
+            df, target, n=2, log_weight=True
+        ).collect()
+    }
+    assert out[1] > out[2]
