@@ -925,6 +925,77 @@ def incremental_near_dup(
     return out
 
 
+def _validate_window_params(k: int, min_count: int) -> None:
+    if k < 1:
+        raise ValueError(f"window length k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(
+            f"min_count must be >= 2 (1 would mark every window), got {min_count}"
+        )
+
+
+def _window_rows(
+    df: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, start, __wk) — one row per k-token window, ``start``
+    1-based in token units, ``__wk`` the md5 digest of the
+    space-joined window. Pipelined: materialized token array → slice
+    windows → posexplode; window text never leaves the map side."""
+    from .text import tokens
+
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    nwin = F.size("__toks") - (k - 1)
+    keys = F.when(
+        nwin >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nwin),
+            lambda i: F.md5(F.array_join(F.slice("__toks", i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        F.col(id_col), F.posexplode(keys).alias("__p0", "__wk")
+    ).select(
+        id_col, (F.col("__p0") + 1).cast("int").alias("start"), "__wk"
+    )
+
+
+def _remove_spans(
+    df: DataFrame, spans: DataFrame, k: int, text_col: str, id_col: str
+) -> DataFrame:
+    """Merge each document's duplicated-window spans and cut the
+    covered tokens out: (id, n_tokens, n_dup_tokens, cleaned_text).
+    Span merge is per-doc array algebra — O(duplicated tokens)."""
+    from .text import tokens
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_set("start").alias("__starts")
+    )
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (k - 1)),
+            )
+        )
+    )
+    out = toks.join(per_doc, id_col, "left").withColumn("__cov", covered)
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.array_contains(F.col("__cov"), (i + 1).cast("int")),
+    )
+    return out.select(
+        id_col,
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        F.size("__cov").cast("bigint").alias("n_dup_tokens"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 def duplicated_window_spans(
     df: DataFrame,
     k: int = 8,
@@ -944,30 +1015,8 @@ def duplicated_window_spans(
     finds the duplicated keys; on a clean corpus that set is small, so
     the join back broadcasts under AQE. Nothing is ever all-pairs.
     """
-    from .text import tokens
-
-    if k < 1:
-        raise ValueError(f"window length k must be >= 1, got {k}")
-    if min_count < 2:
-        raise ValueError(
-            f"min_count must be >= 2 (1 would mark every window), got {min_count}"
-        )
-    toks = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    )
-    nwin = F.size("__toks") - (k - 1)
-    keys = F.when(
-        nwin >= 1,
-        F.transform(
-            F.sequence(F.lit(1), nwin),
-            lambda i: F.md5(F.array_join(F.slice("__toks", i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wins = toks.select(
-        F.col(id_col), F.posexplode(keys).alias("__p0", "__wk")
-    ).select(
-        id_col, (F.col("__p0") + 1).cast("int").alias("start"), "__wk"
-    )
+    _validate_window_params(k, min_count)
+    wins = _window_rows(df, k, text_col, id_col)
     dup_keys = (
         wins.groupBy("__wk")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1014,33 +1063,161 @@ def substring_dedup(
     a map-only projection. Clean corpora pay one scan + one
     partial-agg shuffle.
     """
-    from .text import tokens
-
     spans = duplicated_window_spans(
         df, k=k, text_col=text_col, id_col=id_col, min_count=min_count
     )
-    per_doc = spans.groupBy(id_col).agg(
-        F.collect_set("start").alias("__starts")
-    )
-    toks = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    )
-    covered = F.array_distinct(
-        F.flatten(
-            F.transform(
-                F.coalesce(F.col("__starts"), F.array().cast("array<int>")),
-                lambda s: F.sequence(s, s + (k - 1)),
+    return _remove_spans(df, spans, k, text_col, id_col)
+
+
+def window_store_write(
+    counts: DataFrame, store_path: str, mode: str = "append"
+) -> None:
+    """Persist per-window-digest counts (``__wk``, ``count``) as
+    parquet — the corpus-history side of incremental substring dedup.
+    Counts are ADDITIVE across appends (the store is a multiset of the
+    crawl stream's windows), so no supersede stamp is needed: the read
+    side sums per digest."""
+    counts.select(
+        F.col("__wk"), F.col("count").cast("bigint").alias("count")
+    ).write.mode(mode).parquet(store_path)
+
+
+def window_store_compact(
+    spark, store_path: str, rows_per_file: int = 8_000_000
+) -> int:
+    """Fold the append-per-batch window-count store into few large
+    files, sum-merging duplicate digests. Same single-writer contract
+    and crash-safe rename-aside swap as
+    :func:`signature_store_compact` (the store is renamed ASIDE, the
+    compacted copy renamed into place, then the old copy deleted — at
+    every intermediate state the history exists under a well-known
+    name and the read path refuses a missing store with an ``.__old``
+    sibling). Returns the number of distinct digests kept."""
+    import math
+
+    from ..storage.fs import get_fs
+
+    fs = get_fs(spark, store_path)
+    old = store_path.rstrip("/") + ".__old"
+    tmp = store_path.rstrip("/") + ".__compact"
+    if fs.exists(old):
+        if not fs.exists(store_path):
+            raise OSError(
+                f"window store {store_path} missing but {old} exists: "
+                "a prior compact crashed mid-swap; rename it back before "
+                "compacting"
             )
+        fs.delete(old, recursive=True)  # stale leftover, store is whole
+
+    merged = (
+        spark.read.parquet(store_path)
+        .groupBy("__wk")
+        .agg(F.sum("count").alias("count"))
+    )
+    n = merged.count()
+    files = max(1, math.ceil(n / rows_per_file))
+    merged.repartition(files).write.mode("overwrite").parquet(tmp)
+    if not fs.rename(store_path, old):
+        raise OSError(f"rename {store_path} -> {old} failed")
+    if not fs.rename(tmp, store_path):
+        fs.rename(old, store_path)
+        raise OSError(f"rename {tmp} -> {store_path} failed")
+    fs.delete(old, recursive=True)
+    return n
+
+
+def incremental_substring_dedup(
+    new_docs: DataFrame,
+    store_path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    update_store: bool = True,
+) -> DataFrame:
+    """Continuous-crawl exact substring dedup: clean a NEW batch of
+    documents against the window history of everything ingested so
+    far WITHOUT rescanning historical text. A batch window is
+    duplicated when its batch count plus its stored historical count
+    reaches ``min_count`` — exactly the spans
+    :func:`substring_dedup` over (history ∪ batch) would cut from the
+    batch documents (equivalence pinned by
+    ``test_incremental_substring_matches_full``). Output shape is
+    :func:`substring_dedup`'s, restricted to the batch.
+
+    Re-crawl semantics: counts are a multiset of the CRAWL STREAM —
+    ingesting the same document twice legitimately makes its windows
+    duplicated (that is what a re-crawl is). Deduplicate batch ids
+    upstream if re-crawls should supersede instead of accumulate.
+
+    Scale shape: batch windows are computed pipelined and cached for
+    their three uses (count, dup test, span extraction); the history
+    side is a parquet scan of (digest, count) joined against the
+    batch's distinct digests BEFORE its aggregation, so only
+    digest-colliding history rows reach the sum shuffle — per-batch
+    cost is O(batch + colliding history) plus the store's columnar
+    digest scan (index the store with a bloom
+    :class:`~ariadne_spark.index.Index` to file-prune that scan when
+    batches are small relative to history). Appending the batch's
+    counts is one columnar write.
+    """
+    _validate_window_params(k, min_count)
+    spark = new_docs.sparkSession
+    while _INCREMENTAL_LIVE:
+        try:
+            _INCREMENTAL_LIVE.pop().unpersist()
+        except Exception:
+            pass
+    wins = _window_rows(new_docs, k, text_col, id_col).cache()
+    batch_counts = wins.groupBy("__wk").agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    # Missing store = first batch; any OTHER read failure must
+    # PROPAGATE (treating it as "no history" would silently keep
+    # text duplicated against everything already ingested), and a
+    # crashed compact's .__old orphan must fail loudly.
+    from pyspark.errors import AnalysisException
+
+    hist = None
+    try:
+        hist = spark.read.parquet(store_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        from ..storage.fs import get_fs
+
+        if get_fs(spark, store_path).exists(
+            store_path.rstrip("/") + ".__old"
+        ):
+            raise OSError(
+                f"window store {store_path} missing but a .__old sibling "
+                "exists: a compact crashed mid-swap; rename it back "
+                "before running incremental dedup"
+            ) from e
+    if hist is not None:
+        hist_counts = (
+            hist.join(batch_counts.select("__wk").distinct(), "__wk")
+            .groupBy("__wk")
+            .agg(F.sum("count").alias("__hc"))
         )
-    )
-    out = toks.join(per_doc, id_col, "left").withColumn("__cov", covered)
-    kept = F.filter(
-        F.col("__toks"),
-        lambda t, i: ~F.array_contains(F.col("__cov"), (i + 1).cast("int")),
-    )
-    return out.select(
-        id_col,
-        F.size("__toks").cast("bigint").alias("n_tokens"),
-        F.size("__cov").cast("bigint").alias("n_dup_tokens"),
-        F.array_join(kept, " ").alias("cleaned_text"),
-    )
+        total = batch_counts.join(hist_counts, "__wk", "left").select(
+            "__wk",
+            (
+                F.col("count") + F.coalesce("__hc", F.lit(0))
+            ).alias("__total"),
+        )
+    else:
+        total = batch_counts.select(
+            "__wk", F.col("count").alias("__total")
+        )
+    dup_keys = total.where(F.col("__total") >= min_count).select("__wk")
+    spans = wins.join(dup_keys, "__wk").select(id_col, "start")
+    out = _remove_spans(new_docs, spans, k, text_col, id_col).cache()
+    if update_store:
+        # pin the result before the append changes the store the lazy
+        # plan reads
+        out.count()
+        window_store_write(batch_counts, store_path, mode="append")
+    wins.unpersist()
+    _INCREMENTAL_LIVE.append(out)
+    return out

@@ -964,3 +964,87 @@ def test_substring_dedup_invariants_on_corpus(spark, docs):
         ).count()
         == 0
     )
+
+
+# --- incremental substring dedup ------------------------------------------
+
+
+def test_incremental_substring_matches_full(spark, docs, tmp_path):
+    """Batch result == substring_dedup(history ∪ batch) restricted to
+    the batch — the defining equivalence of the window-count store."""
+    from ariadne_spark.operators import dedup as dd
+
+    store = str(tmp_path / "winstore")
+    hist = docs.select("doc_id", "text").where("doc_id < 300")
+    batch = docs.select("doc_id", "text").where("doc_id >= 300")
+    # ingest history as two appends (multi-batch store shape)
+    for lo, hi in ((0, 150), (150, 300)):
+        dd.incremental_substring_dedup(
+            hist.where(f"doc_id >= {lo} and doc_id < {hi}"),
+            store, k=5,
+        )
+    inc = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["cleaned_text"])
+        for r in dd.incremental_substring_dedup(
+            batch, store, k=5, update_store=False
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"], r["cleaned_text"])
+        for r in dd.substring_dedup(
+            hist.unionByName(batch), k=5
+        ).collect()
+        if r["doc_id"] >= 300
+    }
+    assert inc == full and len(inc) == 200
+
+
+def test_incremental_substring_recrawl_accumulates(spark, tmp_path):
+    from ariadne_spark.operators import dedup as dd
+
+    store = str(tmp_path / "winstore")
+    d = spark.createDataFrame(
+        [(1, "u1 u2 u3 u4 u5")], ["doc_id", "text"]
+    )
+    first = dd.incremental_substring_dedup(d, store, k=3).collect()[0]
+    assert first["n_dup_tokens"] == 0  # clean on first sight
+    again = dd.incremental_substring_dedup(
+        d.select((F.col("doc_id") + 1).alias("doc_id"), "text"), store, k=3
+    ).collect()[0]
+    assert again["n_dup_tokens"] == 5 and again["cleaned_text"] == ""
+
+
+def test_window_store_compact_sum_merges_and_swaps(spark, tmp_path):
+    from ariadne_spark.operators import dedup as dd
+
+    store = str(tmp_path / "winstore")
+    d1 = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    d2 = spark.createDataFrame([(2, "a b c e")], ["doc_id", "text"])
+    dd.incremental_substring_dedup(d1, store, k=3)
+    dd.incremental_substring_dedup(d2, store, k=3)
+    n = dd.window_store_compact(spark, store)
+    merged = {
+        r["__wk"]: r["count"]
+        for r in spark.read.parquet(store).collect()
+    }
+    assert n == len(merged) == 3  # 'a b c' merged to count 2, plus two singles
+    assert sorted(merged.values()) == [1, 1, 2]
+    # compacted store behaves identically: 'a b c' historical count 2
+    out = dd.incremental_substring_dedup(
+        spark.createDataFrame([(3, "a b c z")], ["doc_id", "text"]),
+        store, k=3, update_store=False,
+    ).collect()[0]
+    assert out["n_dup_tokens"] == 3 and out["cleaned_text"] == "z"
+
+
+def test_incremental_substring_orphan_store_fails_loudly(spark, tmp_path):
+    import os
+
+    from ariadne_spark.operators import dedup as dd
+
+    store = str(tmp_path / "winstore")
+    d = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    dd.incremental_substring_dedup(d, store, k=3)
+    os.rename(store, store + ".__old")  # simulate crash mid-compact
+    with pytest.raises(OSError, match="__old"):
+        dd.incremental_substring_dedup(d, store, k=3)
