@@ -2043,6 +2043,45 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dedup(docs, k=5)
 
 
+def q_dedup_substring_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl exact substring dedup: the history's window
+    counts are persisted once (two appends — multi-batch store shape);
+    the new batch is cleaned against history + itself WITHOUT
+    rescanning historical text. By the window-count equivalence the
+    result is exactly ``substring_dedup(history ∪ batch)`` restricted
+    to the batch, which is what the oracle states in SQL."""
+    from ariadne_spark.operators.dedup import incremental_substring_dedup
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    cut = 250
+    store = f"{WORK}/{_tag(sf_dir)}/winstore"
+    # the store persists across batches in production — build it once
+    # per scale factor (deterministic content); locked like every
+    # shared prepare step so concurrent sessions can't race
+    if not os.path.isdir(store):
+        from ariadne_spark.storage.lock import IndexLock
+
+        with IndexLock(
+            f"{WORK}/{_tag(sf_dir)}/locks", "winstore",
+            timeout=1800, max_wait=1800,
+        ):
+            if not os.path.isdir(store):
+                tmp = store + ".__build"
+                for lo, hi in ((0, cut // 2), (cut // 2, cut)):
+                    incremental_substring_dedup(
+                        docs.where(
+                            (F.col("doc_id") >= lo)
+                            & (F.col("doc_id") < hi)
+                        ),
+                        tmp, k=5,
+                    )
+                os.rename(tmp, store)
+    batch = docs.where(F.col("doc_id") >= cut)
+    return incremental_substring_dedup(
+        batch, store, k=5, update_store=False
+    )
+
+
 def q_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling: per source, keep md5-ranked docs
     until 2000 tokens are reached (overshoot ≤ 1 doc)."""
@@ -2197,6 +2236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "dedup_keep_longest": q_dedup_keep_longest,
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_inc": q_dedup_substring_inc,
         "corpus_budget_sample": q_corpus_budget_sample,
         "corpus_ngram_stats": q_corpus_ngram_stats,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -3219,7 +3259,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(o_totalprice) AS DOUBLE)
         FROM orders
     """
-    oracles["dedup_substring"] = r"""
+    # shared template: the incremental twin is the SAME corpus-wide
+    # window-count computation (history ∪ batch = all documents), the
+    # output merely restricted to the batch — a single source so the
+    # two oracles cannot drift
+    substr_oracle = r"""
         WITH toks AS (
           SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
           FROM documents
@@ -3253,7 +3297,12 @@ def oracle_sql() -> dict[str, str]:
         FROM toks t
         LEFT JOIN nd USING (doc_id)
         LEFT JOIN cleaned c USING (doc_id)
+        {batch_where}
     """
+    oracles["dedup_substring"] = substr_oracle.format(batch_where="")
+    oracles["dedup_substring_inc"] = substr_oracle.format(
+        batch_where="WHERE t.doc_id >= 250"
+    )
     oracles["corpus_budget_sample"] = r"""
         WITH nt AS (
           SELECT doc_id, source,

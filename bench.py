@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "sql_window_topn",
     "datasource_filter",
     "dedup_substring",
+    "dedup_substring_inc",
     "corpus_budget_sample",
     "corpus_ngram_stats",
     "corpus_importance",
