@@ -920,7 +920,12 @@ def incremental_near_dup(
         # store the lazy plan reads
         out.count()
         signature_store_write(new_sigs, store_path, mode="append")
-    new_sigs.unpersist()
+        new_sigs.unpersist()
+    else:
+        # out is still lazy: new_sigs must stay cached until the
+        # caller's first action (it feeds three subtrees), so release
+        # it with the result on the NEXT call
+        _INCREMENTAL_LIVE.append(new_sigs)
     _INCREMENTAL_LIVE.append(out)
     return out
 
@@ -1218,6 +1223,12 @@ def incremental_substring_dedup(
         # plan reads
         out.count()
         window_store_write(batch_counts, store_path, mode="append")
-    wins.unpersist()
+        wins.unpersist()
+    else:
+        # out is still lazy: the window rows feed three subtrees
+        # (batch counts, the history digest probe, span extraction),
+        # so the cache must survive until the caller's first action —
+        # release it with the result on the NEXT call
+        _INCREMENTAL_LIVE.append(wins)
     _INCREMENTAL_LIVE.append(out)
     return out
