@@ -719,6 +719,39 @@ def signature_store_write(
     )
 
 
+def _store_snapshot(
+    spark, store_path: str, kind: str, merge_schema: bool = False
+) -> DataFrame | None:
+    """The store's CURRENT part files as a DataFrame, or ``None`` when
+    the store has never been written. Pinning the plan to explicit
+    files (directories are append-mutable; written part files are
+    immutable) makes lazy downstream results recompute-safe across the
+    caller's own subsequent append — a cache eviction or executor loss
+    re-reads exactly the pre-append history instead of counting the
+    batch against itself. A missing store with a crashed-compact
+    ``.__old`` sibling fails loudly instead of reading as "first
+    batch"; any other listing failure (credentials, transport)
+    propagates."""
+    from ..storage.fs import get_fs
+
+    fs = get_fs(spark, store_path)
+    if not fs.exists(store_path):
+        if fs.exists(store_path.rstrip("/") + ".__old"):
+            raise OSError(
+                f"{kind} store {store_path} missing but a .__old "
+                "sibling exists: a compact crashed mid-swap; rename it "
+                "back before running incremental dedup"
+            )
+        return None
+    files = fs.list_files(store_path, suffix=".parquet")
+    if not files:
+        return None
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*sorted(files))
+
+
 def _read_signature_store(spark, store_path: str) -> DataFrame:
     """Read the store with schema merging: batches appended before the
     ``__seq`` stamp existed coexist with stamped ones, and the sampled
@@ -845,36 +878,17 @@ def incremental_near_dup(
     new_sigs = minhash_signatures_fast(
         new_docs, text_col, id_col, num_hashes, shingle_len
     ).cache()
-    if update_store:
-        # materialize BEFORE the store append below mutates what a
-        # recompute would read; read-only callers let the first
-        # consumer (the band join) trigger the cache — one less job
-        new_sigs.count()
     # Missing store = first batch; any OTHER read failure (credential,
-    # corrupt footer) must PROPAGATE — treating it as "no history"
-    # would silently admit every historical near-duplicate.
-    from pyspark.errors import AnalysisException
-
-    old_sigs = None
-    try:
-        old_sigs = _read_signature_store(spark, store_path).drop("__seq")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
-        # a crashed compact leaves the history under store.__old with
-        # no store at store_path — "first batch" here would silently
-        # re-admit every historical near-duplicate
-        from ..storage.fs import get_fs
-
-        if get_fs(spark, store_path).exists(
-            store_path.rstrip("/") + ".__old"
-        ):
-            raise OSError(
-                f"signature store {store_path} missing but a .__old "
-                "sibling exists: a compact crashed mid-swap; rename it "
-                "back before running incremental dedup"
-            ) from e
+    # corrupt footer, crashed-compact orphan) must PROPAGATE —
+    # treating it as "no history" would silently admit every
+    # historical near-duplicate. The read is pinned to the store's
+    # CURRENT part files so a recompute of the lazy result after this
+    # call's own append cannot band-join the batch against itself.
+    old_sigs = _store_snapshot(
+        spark, store_path, "signature", merge_schema=True
+    )
     if old_sigs is not None:
+        old_sigs = old_sigs.drop("__seq")
         # re-crawled ids: the NEW signature supersedes the stored one
         # (duplicate __id rows would multiply the est joins below)
         old_sigs = old_sigs.join(
@@ -916,16 +930,14 @@ def incremental_near_dup(
         .cache()
     )
     if update_store:
-        # same reason: pin the result before the append changes the
-        # store the lazy plan reads
-        out.count()
+        # safe to append before the caller consumes `out`: the history
+        # side is snapshot-pinned, so even a post-append recompute of
+        # the lazy plan band-joins against exactly the pre-append store
         signature_store_write(new_sigs, store_path, mode="append")
-        new_sigs.unpersist()
-    else:
-        # out is still lazy: new_sigs must stay cached until the
-        # caller's first action (it feeds three subtrees), so release
-        # it with the result on the NEXT call
-        _INCREMENTAL_LIVE.append(new_sigs)
+    # out is still lazy: new_sigs must stay cached until the caller's
+    # first action (it feeds three subtrees), so release it with the
+    # result on the NEXT call
+    _INCREMENTAL_LIVE.append(new_sigs)
     _INCREMENTAL_LIVE.append(out)
     return out
 
@@ -1180,25 +1192,11 @@ def incremental_substring_dedup(
     # Missing store = first batch; any OTHER read failure must
     # PROPAGATE (treating it as "no history" would silently keep
     # text duplicated against everything already ingested), and a
-    # crashed compact's .__old orphan must fail loudly.
-    from pyspark.errors import AnalysisException
-
-    hist = None
-    try:
-        hist = spark.read.parquet(store_path)
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
-        from ..storage.fs import get_fs
-
-        if get_fs(spark, store_path).exists(
-            store_path.rstrip("/") + ".__old"
-        ):
-            raise OSError(
-                f"window store {store_path} missing but a .__old sibling "
-                "exists: a compact crashed mid-swap; rename it back "
-                "before running incremental dedup"
-            ) from e
+    # crashed compact's .__old orphan must fail loudly. The read is
+    # pinned to the store's CURRENT part files so that a recompute of
+    # the (lazy) result after this call's own append — cache eviction,
+    # executor loss — cannot see the batch's own counts as history.
+    hist = _store_snapshot(spark, store_path, "window")
     if hist is not None:
         hist_counts = (
             hist.join(batch_counts.select("__wk").distinct(), "__wk")
@@ -1219,16 +1217,14 @@ def incremental_substring_dedup(
     spans = wins.join(dup_keys, "__wk").select(id_col, "start")
     out = _remove_spans(new_docs, spans, k, text_col, id_col).cache()
     if update_store:
-        # pin the result before the append changes the store the lazy
-        # plan reads
-        out.count()
+        # safe to append before the caller consumes `out`: the history
+        # side is snapshot-pinned, so even a post-append recompute of
+        # the lazy plan reads exactly the pre-append store
         window_store_write(batch_counts, store_path, mode="append")
-        wins.unpersist()
-    else:
-        # out is still lazy: the window rows feed three subtrees
-        # (batch counts, the history digest probe, span extraction),
-        # so the cache must survive until the caller's first action —
-        # release it with the result on the NEXT call
-        _INCREMENTAL_LIVE.append(wins)
+    # out is still lazy: the window rows feed three subtrees (batch
+    # counts, the history digest probe, span extraction), so the cache
+    # must survive until the caller's first action — release it with
+    # the result on the NEXT call
+    _INCREMENTAL_LIVE.append(wins)
     _INCREMENTAL_LIVE.append(out)
     return out

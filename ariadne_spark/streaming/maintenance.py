@@ -16,6 +16,9 @@ streaming surface a lake-index engine needs in production:
   greatest timestamp seen so far.
 * ``streaming_exact_dedup`` — watermarked ``dropDuplicates`` for
   exactly-once-ish event dedup with bounded state.
+* ``attach_near_dup_maintenance`` / ``attach_substring_dedup_maintenance``
+  — continuous-crawl dedup sinks over the persisted signature /
+  window-count stores (state on disk, restart-safe).
 """
 
 from __future__ import annotations
@@ -222,6 +225,56 @@ def attach_near_dup_maintenance(
         log.info(
             "near-dup maintenance: batch %d flagged %d pairs",
             batch_id, pairs.count(),
+        )
+
+    writer = stream_df.writeStream.foreachBatch(do_batch)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def attach_substring_dedup_maintenance(
+    stream_df: DataFrame,
+    store_path: str,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    trigger: dict | None = None,
+):
+    """Continuous-crawl exact substring dedup as a streaming sink:
+    every micro-batch of documents is cleaned against the persisted
+    window-count store (history text never rescanned), cleaned rows
+    append to ``out_path`` as parquet, and the batch's window counts
+    join the store for the next batch.
+
+    Same foreachBatch/idempotent-store posture as
+    :func:`attach_near_dup_maintenance`: all state lives in the store
+    (restart-safe, no in-memory window state), and each batch costs
+    O(batch + digest-colliding history)."""
+    from ..operators.dedup import incremental_substring_dedup
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        cleaned = incremental_substring_dedup(
+            batch_df,
+            store_path,
+            k=k,
+            text_col=text_col,
+            id_col=id_col,
+            min_count=min_count,
+            update_store=True,
+        )
+        (
+            cleaned.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+        log.info(
+            "substring-dedup maintenance: batch %d cleaned %d docs",
+            batch_id, cleaned.count(),
         )
 
     writer = stream_df.writeStream.foreachBatch(do_batch)

@@ -199,6 +199,52 @@ def test_attach_near_dup_maintenance_flags_cross_batch_dups(spark, tmp_path):
     assert spark.read.parquet(store).count() == 4
 
 
+def test_attach_substring_dedup_maintenance_cleans_cross_batch(spark, tmp_path):
+    """Streaming substring dedup: a k-token span repeated in a LATER
+    micro-batch is cut there against the persisted window history,
+    while its first sighting stayed clean."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark.streaming.maintenance import (
+        attach_substring_dedup_maintenance,
+    )
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "stream_src")
+    span = "w1 w2 w3 w4"
+    spark.createDataFrame(
+        [(0, span + " tailA"), (1, "fully distinct content one")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/fa")
+    spark.createDataFrame(
+        [(2, span + " tailB"), (3, "fully distinct content two")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/fb")
+
+    store = str(tmp_path / "winstore")
+    out = str(tmp_path / "cleaned")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = attach_substring_dedup_maintenance(
+        stream, store, out, k=4, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    got = {
+        r["doc_id"]: (r["n_dup_tokens"], r["cleaned_text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[0] == (0, span + " tailA")  # first sighting: clean
+    assert got[2] == (4, "tailB")  # later batch: span cut vs history
+    assert got[1][0] == 0 and got[3][0] == 0
+    # window counts persisted for the NEXT run: the shared window has
+    # total count 2 across batches
+    wk = spark.read.parquet(store).groupBy("__wk").sum("count")
+    assert wk.where("`sum(count)` = 2").count() == 1
+
+
 def test_streaming_latest_version_restart_recovers_state(spark, tmp_path):
     """Stateful latest-per-key survives a stop/restart on the SAME
     checkpoint: batch 2 events older than batch 1's winners must lose
