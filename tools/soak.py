@@ -19,6 +19,9 @@ Scenarios
   8. exact substring dedup over the NX corpus (100% duplicated text:
      every >=k-token doc must come back fully covered) + SemDeDup
      keep-set exactness on the scenario-6 vector corpus (6b)
+  8b. incremental substring dedup: the last replica as a crawl batch
+     against the first N-1 replicas' persisted window counts —
+     complete coverage required, batch cost vs full-corpus cost
 
 Usage: python tools/soak.py [N] (default 8; local[16])
 """
@@ -334,6 +337,34 @@ def main() -> None:
          sec=round(time.time() - t0, 2),
          uncovered_long_docs=uncovered, full_coverage=uncovered == 0)
     sd.unpersist()
+
+    # ---- scenario 8b: incremental substring dedup vs NX history ----
+    # The last replica arrives as a crawl batch against the first
+    # N-1 replicas' persisted window counts: every >=k-token batch doc
+    # duplicates history exactly, so all must come back fully covered.
+    # The batch path must stay O(batch + colliding history) — compare
+    # batch_sec against scenario 8's full-corpus sec.
+    from ariadne_spark.operators.dedup import incremental_substring_dedup
+
+    wstore = f"{WORK}/winstore"
+    t0 = time.time()
+    incremental_substring_dedup(
+        drep.where(F.col("doc_id") < (n_rep - 1) * dspan), wstore, k=8
+    )
+    ingest_sec = round(time.time() - t0, 2)
+    t0 = time.time()
+    isd = incremental_substring_dedup(
+        drep.where(F.col("doc_id") >= (n_rep - 1) * dspan),
+        wstore, k=8, update_store=False,
+    )
+    n_batch = isd.count()
+    inc_uncov = isd.where(
+        (F.col("n_tokens") >= 8) & (F.col("n_dup_tokens") != F.col("n_tokens"))
+    ).count()
+    emit(stage="incremental_substring_dedup", history_docs=(n_rep - 1) * dn,
+         batch_docs=n_batch, ingest_sec=ingest_sec,
+         batch_sec=round(time.time() - t0, 2),
+         uncovered_long_docs=inc_uncov, full_coverage=inc_uncov == 0)
 
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
