@@ -913,31 +913,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-pass dedup clustering: exact-normalized duplicate stars ∪
-    3-gram-set duplicate stars, merged transitively by distributed
-    connected components (alternating large-star/small-star, Kiveris
-    et al. SoCC'14 — O(log n) groupBy rounds, no driver-side graph).
-    Returns every document with its merged cluster label; the oracle
-    is a DuckDB recursive-CTE transitive closure over the same edges."""
+def _dup_star_pairs(spark: SparkSession, sf_dir: str):
+    """(docs, pairs): exact-normalized duplicate stars ∪ 3-gram-set
+    duplicate stars over the documents table — the edge construction
+    shared by ``dedup_cluster`` and ``corpus_cluster_split``.
+
+    Digest both keys so the window shuffle carries 32-byte keys, and
+    spread the single-file read before the Arrow gram UDF (same
+    vectorized digest the oracle-green dedup_ngramset query uses — a
+    built-in char_ngrams expression is a per-element HOF, ~50x slower
+    at this gram volume). Both relations' star edges come from ONE
+    pass (two window shuffles chained in a single plan; the gram UDF
+    runs once because connected_components checkpoints the pair frame
+    eagerly)."""
+    from pyspark.sql import Window
+
     from ariadne_spark.operators.dedup import _gram_set_key_udf
-    from ariadne_spark.operators.graph import connected_components, star_edges
     from ariadne_spark.operators.util import ensure_parallelism
 
-    # Digest both keys so the window shuffle carries 32-byte keys, and
-    # spread the single-file read before the Arrow gram UDF (same
-    # vectorized digest the oracle-green dedup_ngramset query uses —
-    # a built-in char_ngrams expression is a per-element HOF, ~50x
-    # slower at this gram volume).
     docs = ensure_parallelism(spark.read.parquet(_t(sf_dir, "documents")))
     tkey = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
     gkey = _gram_set_key_udf(3)(F.col("text"))
     keyed = docs.select("doc_id", tkey.alias("__tk"), gkey.alias("__gk"))
-    # both relations' star edges from ONE pass over `keyed` (two
-    # window shuffles chained in a single plan; the gram UDF runs once
-    # because connected_components checkpoints the pair frame eagerly)
-    from pyspark.sql import Window
-
     mins = keyed.select(
         "doc_id",
         F.min("doc_id").over(Window.partitionBy("__tk")).alias("__tm"),
@@ -947,10 +944,52 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("src"),
         F.explode(F.array("__tm", "__gm")).alias("dst"),
     ).where(F.col("src") != F.col("dst"))
+    return docs, pairs
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass dedup clustering: exact-normalized duplicate stars ∪
+    3-gram-set duplicate stars, merged transitively by distributed
+    connected components (alternating large-star/small-star, Kiveris
+    et al. SoCC'14 — O(log n) groupBy rounds, no driver-side graph).
+    Returns every document with its merged cluster label; the oracle
+    is a DuckDB recursive-CTE transitive closure over the same edges."""
+    from ariadne_spark.operators.graph import connected_components
+
+    docs, pairs = _dup_star_pairs(spark, sf_dir)
     comp = connected_components(
         pairs, nodes=docs.select("doc_id"), node_col="doc_id"
     )
     return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+def q_corpus_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: every document inherits its
+    dedup-cluster representative's md5 split, so no duplicate pair
+    straddles the train/test boundary (the contamination plain
+    id-hash splits permit when dedup is fuzzy or partial). Oracle:
+    the dedup_cluster recursive closure + the shared md5 bound grid
+    applied to the component id."""
+    from ariadne_spark.operators.corpus import cluster_safe_split
+
+    docs, pairs = _dup_star_pairs(spark, sf_dir)
+    out = cluster_safe_split(
+        docs, pairs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "source", "split")
+
+
+def q_corpus_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (mBERT/XLM-R/T5 sampling rule):
+    source quotas ∝ n_s**0.5 against a 100-doc budget, filled by
+    smallest-md5(id) — up-samples small sources deterministically,
+    quotas computed in-plan (no driver collect)."""
+    from ariadne_spark.operators.corpus import temperature_sample
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return temperature_sample(docs, "source", budget=100, alpha=0.5).select(
+        "doc_id", "source", "n_chars"
+    )
 
 
 def q_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2238,6 +2277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "dedup_substring_inc": q_dedup_substring_inc,
         "corpus_budget_sample": q_corpus_budget_sample,
+        "corpus_cluster_split": q_corpus_cluster_split,
+        "corpus_temperature_sample": q_corpus_temperature_sample,
         "corpus_ngram_stats": q_corpus_ngram_stats,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "corpus_importance": q_corpus_importance,
@@ -2272,20 +2313,76 @@ def _lang_id_sql() -> str:
     )
 
 
-def _corpus_split_sql() -> str:
-    """Oracle twin of q_corpus_split: identical md5-prefix bucketing,
-    bounds imported from the operator so both sides share one grid."""
+def _split_case_sql(key_sql: str) -> str:
+    """The md5-prefix split CASE over an arbitrary key expression —
+    bounds imported from the operator so every twin shares one grid."""
     from ariadne_spark.operators.corpus import split_thresholds
 
     pairs = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
     case = "CASE "
     for name, bound in pairs[:-1]:
         case += (
-            f"WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 3) < '{bound}' "
+            f"WHEN substr(md5(CAST({key_sql} AS VARCHAR)), 1, 3) < '{bound}' "
             f"THEN '{name}' "
         )
     case += f"ELSE '{pairs[-1][0]}' END"
-    return f"SELECT doc_id, source, {case} AS split FROM documents"
+    return case
+
+
+def _corpus_split_sql() -> str:
+    """Oracle twin of q_corpus_split: identical md5-prefix bucketing."""
+    return (
+        f"SELECT doc_id, source, {_split_case_sql('doc_id')} AS split "
+        "FROM documents"
+    )
+
+
+# the dedup_cluster transitive closure, shared with corpus_cluster_split
+# so the two oracles cannot drift
+_CLUSTER_CLOSURE_CTES = r"""
+            tkey AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
+                FROM documents
+            ),
+            gkey AS (
+                SELECT doc_id, list_sort(list_distinct(
+                    list_transform(range(1, greatest(length(lower(text)) - 1, 1)),
+                                   i -> substring(lower(text), i, 3)))) AS k
+                FROM documents
+            ),
+            e0 AS (
+                SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k) AS b
+                FROM tkey
+                UNION
+                SELECT doc_id, min(doc_id) OVER (PARTITION BY k) FROM gkey
+            ),
+            edges AS (
+                SELECT a, b FROM e0 WHERE a <> b
+                UNION
+                SELECT b, a FROM e0 WHERE a <> b
+            ),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS r FROM documents
+                UNION
+                SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a
+            )
+"""
+
+
+def _cluster_split_sql() -> str:
+    """Oracle twin of q_corpus_cluster_split: the dedup_cluster
+    closure's component id fed through the shared md5 bound grid."""
+    return f"""
+        WITH RECURSIVE {_CLUSTER_CLOSURE_CTES},
+        comp AS (
+            SELECT node AS doc_id, min(r) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT d.doc_id, d.source,
+               {_split_case_sql('c.component')} AS split
+        FROM documents d JOIN comp c USING (doc_id)
+    """
 
 
 def _pii_sql() -> str:
@@ -2722,38 +2819,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id FROM g GROUP BY k
         """,
-        "dedup_cluster": r"""
-            WITH RECURSIVE
-            tkey AS (
-                SELECT doc_id,
-                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS k
-                FROM documents
-            ),
-            gkey AS (
-                SELECT doc_id, list_sort(list_distinct(
-                    list_transform(range(1, greatest(length(lower(text)) - 1, 1)),
-                                   i -> substring(lower(text), i, 3)))) AS k
-                FROM documents
-            ),
-            e0 AS (
-                SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY k) AS b
-                FROM tkey
-                UNION
-                SELECT doc_id, min(doc_id) OVER (PARTITION BY k) FROM gkey
-            ),
-            edges AS (
-                SELECT a, b FROM e0 WHERE a <> b
-                UNION
-                SELECT b, a FROM e0 WHERE a <> b
-            ),
-            reach AS (
-                SELECT doc_id AS node, doc_id AS r FROM documents
-                UNION
-                SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a
-            )
+        "dedup_cluster": f"""
+            WITH RECURSIVE {_CLUSTER_CLOSURE_CTES}
             SELECT node AS doc_id, min(r) AS component
             FROM reach GROUP BY node
         """,
+        "corpus_cluster_split": _cluster_split_sql(),
         "pipeline_clean": rf"""
             WITH q AS (
                 SELECT doc_id, text,
@@ -3303,6 +3374,26 @@ def oracle_sql() -> dict[str, str]:
     oracles["dedup_substring_inc"] = substr_oracle.format(
         batch_where="WHERE t.doc_id >= 250"
     )
+    oracles["corpus_temperature_sample"] = r"""
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        w AS (SELECT sum(pow(n, 0.5)) AS wsum FROM c),
+        q AS (
+            SELECT source,
+                   least(n, CAST(round(100 * pow(n, 0.5) / wsum) AS BIGINT))
+                       AS quota
+            FROM c, w
+        ),
+        r AS (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        SELECT r.doc_id, r.source, r.n_chars
+        FROM r JOIN q USING (source) WHERE r.rn <= q.quota
+    """
     oracles["corpus_budget_sample"] = r"""
         WITH nt AS (
           SELECT doc_id, source,

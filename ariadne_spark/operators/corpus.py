@@ -87,6 +87,93 @@ def deterministic_split(
     return df.withColumn(split_col, split_column(id_col, fractions))
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    src: str = "src",
+    dst: str = "dst",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: every document inherits the split of its
+    duplicate-cluster REPRESENTATIVE (the cluster's minimum id via
+    distributed connected components over ``pairs``), so two
+    near-duplicates can never straddle the train/test boundary — the
+    contamination mode plain id-hash splitting permits whenever dedup
+    is fuzzy or deliberately partial. Documents in no pair hash their
+    own id (identical to :func:`deterministic_split` for them).
+
+    Scale shape: the component table covers only documents appearing
+    in ``pairs`` (≪ corpus after upstream dedup), so the attach join
+    broadcasts under AQE; the split itself is a pure projection. Split
+    SIZES remain ~fractions only while clusters are small relative to
+    the corpus — a giant near-dup cluster moves as one unit, which is
+    exactly the point.
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs, src=src, dst=dst).select(
+        F.col("node").alias(id_col), "component"
+    )
+    joined = df.join(comp, id_col, "left")
+    key = F.coalesce(F.col("component"), F.col(id_col))
+    return joined.withColumn(
+        split_col, split_column(key, fractions)
+    ).drop("component")
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-corpus
+    sampling rule of mBERT/XLM-R/T5): source ``s`` with ``n_s`` rows
+    gets a quota proportional to ``n_s**alpha`` — ``alpha=1`` keeps
+    natural proportions, ``alpha=0`` gives uniform-by-source,
+    in-between up-samples small sources. Quotas are
+    ``round(budget * n_s**alpha / Σ n**alpha)`` capped at ``n_s``;
+    within a source the quota is filled by the smallest-md5(id) rows
+    (deterministic, unbiased, reproducible across runs and engines).
+
+    Two aggregations over the same single hash exchange on
+    ``group_col`` (per-source counts are a 1-row-per-source frame the
+    quota join broadcasts); the rank is one window over that same
+    partitioning. No RNG state and no driver collect — quotas are
+    computed IN the plan.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    w_sum = counts.agg(
+        F.sum(F.pow("__n", F.lit(alpha))).alias("__wsum")
+    )
+    quotas = counts.crossJoin(F.broadcast(w_sum)).select(
+        group_col,
+        F.least(
+            F.col("__n"),
+            F.round(
+                F.lit(budget) * F.pow("__n", F.lit(alpha)) / F.col("__wsum")
+            ).cast("bigint"),
+        ).alias("__quota"),
+    )
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("__ts_rn", F.row_number().over(w))
+        .join(F.broadcast(quotas), group_col)
+        .where(F.col("__ts_rn") <= F.col("__quota"))
+        .drop("__ts_rn", "__quota")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "dedup_substring_inc",
     "corpus_budget_sample",
     "corpus_ngram_stats",
+    "corpus_cluster_split",
+    "corpus_temperature_sample",
     "corpus_importance",
 ]
 

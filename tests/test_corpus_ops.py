@@ -49,6 +49,97 @@ def test_split_fractions_must_sum_to_one(spark):
         corpus.split_thresholds({"a": 0.5, "b": 0.2})
 
 
+# --- cluster_safe_split ---------------------------------------------------
+
+
+def test_cluster_safe_split_no_pair_straddles_boundary(spark, docs):
+    """Every duplicate pair (and transitively-linked chain) lands in
+    ONE split, and unpaired docs match deterministic_split exactly."""
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    # synthetic transitive chains: (0,1),(1,2) must end up together
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (300, 420)], ["src", "dst"]
+    )
+    out = corpus.cluster_safe_split(docs, pairs, frac).cache()
+    lbl = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    assert lbl[0] == lbl[1] == lbl[2]
+    assert lbl[10] == lbl[11]
+    assert lbl[300] == lbl[420]
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in corpus.deterministic_split(docs, frac)
+        .select("doc_id", "split")
+        .collect()
+    }
+    clustered = {0, 1, 2, 10, 11, 300, 420}
+    for did, s in lbl.items():
+        if did not in clustered:
+            assert s == plain[did]
+    # cluster members take the REPRESENTATIVE's (min id) hash
+    assert lbl[2] == plain[0] and lbl[420] == plain[300]
+    assert len(lbl) == docs.count()
+    out.unpersist()
+
+
+def test_cluster_safe_split_stable_under_repartition(spark, docs):
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    pairs = spark.createDataFrame([(5, 7), (7, 9)], ["src", "dst"])
+    a = rows_set(
+        corpus.cluster_safe_split(docs, pairs, frac).select("doc_id", "split")
+    )
+    b = rows_set(
+        corpus.cluster_safe_split(
+            docs.repartition(11), pairs.repartition(3), frac
+        ).select("doc_id", "split")
+    )
+    assert a == b
+
+
+# --- temperature_sample ----------------------------------------------------
+
+
+def test_temperature_sample_quotas_follow_power_law(spark):
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(i + 1000, "mid") for i in range(100)]
+        + [(i + 2000, "small") for i in range(25)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = corpus.temperature_sample(df, "source", budget=100, alpha=0.5)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # weights: 20, 10, 5 -> quotas 100*(20,10,5)/35 = 57, 29, 14
+    assert got == {"big": 57, "mid": 29, "small": 14}
+    # alpha=0: uniform by source; alpha=1: natural proportions
+    uni = {
+        r["source"]: r["count"]
+        for r in corpus.temperature_sample(df, "source", 99, alpha=0.0)
+        .groupBy("source").count().collect()
+    }
+    assert uni == {"big": 33, "mid": 33, "small": 25}  # small capped at n_s
+    nat = {
+        r["source"]: r["count"]
+        for r in corpus.temperature_sample(df, "source", 105, alpha=1.0)
+        .groupBy("source").count().collect()
+    }
+    assert nat == {"big": 80, "mid": 20, "small": 5}
+
+
+def test_temperature_sample_deterministic_and_validated(spark, docs):
+    out1 = rows_set(
+        corpus.temperature_sample(docs, "source", 100).select("doc_id")
+    )
+    out2 = rows_set(
+        corpus.temperature_sample(docs.repartition(9), "source", 100).select(
+            "doc_id"
+        )
+    )
+    assert out1 == out2 and len(out1) > 0
+    with pytest.raises(ValueError):
+        corpus.temperature_sample(docs, "source", 0)
+    with pytest.raises(ValueError):
+        corpus.temperature_sample(docs, "source", 10, alpha=-1)
+
+
 # --- quota_sample --------------------------------------------------------
 
 
