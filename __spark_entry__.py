@@ -2121,6 +2121,56 @@ def q_dedup_substring_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> str:
+    """Learn-once-per-scale-factor BPE merges (30 rounds over the
+    documents table), persisted like the dedup stores: production
+    learns a vocabulary once and encodes many corpora with it."""
+    from ariadne_spark.operators.bpe import learn_bpe
+
+    path = f"{WORK}/{_tag(sf_dir)}/bpe_merges"
+    if not os.path.isdir(path):
+        from ariadne_spark.storage.lock import IndexLock
+
+        with IndexLock(
+            f"{WORK}/{_tag(sf_dir)}/locks", "bpe_merges",
+            timeout=1800, max_wait=1800,
+        ):
+            if not os.path.isdir(path):
+                docs = spark.read.parquet(_t(sf_dir, "documents"))
+                learn_bpe(docs, 30).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(path + ".__build")
+                os.rename(path + ".__build", path)
+    return path
+
+
+def q_text_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016): state is
+    the distinct-word table (ONE corpus shuffle), each round is a
+    pair-explode partial-sum agg + 1-row argmax + codegen'd greedy
+    fold, localCheckpoint-capped plan depth. No SQL oracle (iterative
+    argmax rounds); pinned instead by `tests/test_bpe.py`'s exact
+    merge-list match against a pure-Python reference implementation."""
+    return (
+        spark.read.parquet(_bpe_merges(spark, sf_dir))
+        .select("rank", "left", "right", "pair_count")
+        .orderBy("rank")
+    )
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding with the learned merges: map-only Arrow-batched
+    lowest-rank-first merge loop, memoized per distinct word per
+    batch. No SQL oracle (BPE apply is not SQL-expressible); pinned by
+    `tests/test_bpe.py`'s per-document equality against in-rank-order
+    reference application plus the lossless roundtrip invariant."""
+    from ariadne_spark.operators.bpe import bpe_encode
+
+    merges = spark.read.parquet(_bpe_merges(spark, sf_dir))
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
 def q_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling: per source, keep md5-ranked docs
     until 2000 tokens are reached (overshoot ≤ 1 doc)."""
@@ -2279,6 +2329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_sample": q_corpus_budget_sample,
         "corpus_cluster_split": q_corpus_cluster_split,
         "corpus_temperature_sample": q_corpus_temperature_sample,
+        "text_bpe_learn": q_text_bpe_learn,
+        "text_bpe_encode": q_text_bpe_encode,
         "corpus_ngram_stats": q_corpus_ngram_stats,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "corpus_importance": q_corpus_importance,

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "corpus_ngram_stats",
     "corpus_cluster_split",
     "corpus_temperature_sample",
+    "text_bpe_encode",
     "corpus_importance",
 ]
 
