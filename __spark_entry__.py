@@ -2236,8 +2236,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- entries 1-50 (the driver gate window): one representative
+        # per operator class INCLUDING each round's new operators; the
+        # remainder is verified by the full replica sweep
+        # (tools/check_correctness.py covers all entries) ---
         "idx_join_regular": q_idx_join_regular,
-        "idx_join_reverse": q_idx_join_reverse,
         "idx_filter_computed": q_idx_filter_computed,
         "idx_filter_range": q_idx_filter_range,
         "idx_filter_band": q_idx_filter_band,
@@ -2248,49 +2251,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_latest": q_streaming_latest,
         "streaming_window": q_streaming_window,
         "ts_sessionize": q_ts_sessionize,
-        "ts_rollup": q_ts_rollup,
         "ts_asof_join": q_ts_asof_join,
         "idx_multi_and": q_idx_multi_and,
         "idx_large_matching": q_idx_large_matching,
         "idx_incremental": q_idx_incremental,
         "idx_delete_files": q_idx_delete_files,
-        "idx_filter_range_bbox": q_idx_filter_range_bbox,
-        "idx_select_pushdown": q_idx_select_pushdown,
         "source_csv": q_source_csv,
-        "source_json": q_source_json,
-        # --- entries 23-50: one representative per operator class, so a
-        # gate that samples the first 50 entries still touches dedup, text,
-        # corpus, profile, similarity/ANN, multimodal, SQL, and datasource.
-        # Redundant same-class variants live past 50.
         "dedup_exact": q_dedup_exact,
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_cluster": q_dedup_cluster,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_substring": q_dedup_substring,
+        "dedup_substring_inc": q_dedup_substring_inc,
         "pipeline_clean": q_pipeline_clean,
         "corpus_pack": q_corpus_pack,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
+        "text_bpe_learn": q_text_bpe_learn,
+        "text_bpe_encode": q_text_bpe_encode,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_contamination": q_corpus_contamination,
+        "corpus_budget_sample": q_corpus_budget_sample,
+        "corpus_temperature_sample": q_corpus_temperature_sample,
+        "corpus_cluster_split": q_corpus_cluster_split,
+        "corpus_importance": q_corpus_importance,
         "profile_docs": q_profile_docs,
         "sim_topk": q_sim_topk,
         "sim_ann_ivf": q_sim_ann_ivf,
-        "sim_ann_ivf_indexed": q_sim_ann_ivf_indexed,
         "emb_near_dup": q_emb_near_dup,
+        "emb_semantic_dedup": q_emb_semantic_dedup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "multimodal_decode_png": q_multimodal_decode_png,
-        "multimodal_frames": q_multimodal_frames,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
         "sql_tpch_q3": q_sql_tpch_q3,
         "sql_tpch_q5": q_sql_tpch_q5,
-        "sql_tpch_q6": q_sql_tpch_q6,
-        "sql_tpch_q14": q_sql_tpch_q14,
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
-        # --- entries 51+: same-class variants and environment-shaped checks
+        "idx_join_reverse": q_idx_join_reverse,
+        "idx_filter_range_bbox": q_idx_filter_range_bbox,
+        "idx_select_pushdown": q_idx_select_pushdown,
+        "source_json": q_source_json,
+        "ts_rollup": q_ts_rollup,
+        "multimodal_frames": q_multimodal_frames,
+        "sim_ann_ivf_indexed": q_sim_ann_ivf_indexed,
+        "sql_tpch_q6": q_sql_tpch_q6,
+        "sql_tpch_q14": q_sql_tpch_q14,
         "text_token_count": q_text_token_count,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
@@ -2324,16 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_locate": q_idx_locate,
         "text_bigram_lm": q_text_bigram_lm,
         "dedup_keep_longest": q_dedup_keep_longest,
-        "dedup_substring": q_dedup_substring,
-        "dedup_substring_inc": q_dedup_substring_inc,
-        "corpus_budget_sample": q_corpus_budget_sample,
-        "corpus_cluster_split": q_corpus_cluster_split,
-        "corpus_temperature_sample": q_corpus_temperature_sample,
-        "text_bpe_learn": q_text_bpe_learn,
-        "text_bpe_encode": q_text_bpe_encode,
         "corpus_ngram_stats": q_corpus_ngram_stats,
-        "emb_semantic_dedup": q_emb_semantic_dedup,
-        "corpus_importance": q_corpus_importance,
     }
 
 
