@@ -174,7 +174,49 @@ signature_store_write(
 inc = incremental_near_dup(batch, store, threshold=0.8, update_store=False)
 print("9) incremental near-dup pairs (batch vs history):", inc.count())
 
-# 10) engine extras: the workload advisor -----------------------------
+# 10) incremental substring dedup: clean the same batch against the
+#     window-count history of everything already ingested ------------
+from ariadne_spark.operators.dedup import incremental_substring_dedup
+
+wstore = "/tmp/ariadne_pipeline_winstore"
+shutil.rmtree(wstore, ignore_errors=True)
+incremental_substring_dedup(hist, wstore, k=8)
+cleaned_batch = incremental_substring_dedup(
+    batch, wstore, k=8, update_store=False
+)
+cut = cleaned_batch.where("n_dup_tokens > 0").count()
+print("10) substring-cleaned batch docs with cut spans:", cut)
+
+# 11) leakage-safe splits + mixture sampling ---------------------------
+from ariadne_spark.operators.corpus import (
+    cluster_safe_split,
+    temperature_sample,
+)
+
+splits = cluster_safe_split(
+    docs, pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    {"train": 0.8, "val": 0.1, "test": 0.1},
+)
+mix = temperature_sample(docs, "source", budget=100, alpha=0.5)
+print(
+    "11) cluster-safe split sizes:",
+    {r["split"]: r["count"] for r in splits.groupBy("split").count().collect()},
+    "; temperature mix:", mix.count(), "docs",
+)
+
+# 12) BPE: learn a vocabulary, encode the corpus -----------------------
+from ariadne_spark.operators.bpe import bpe_encode, learn_bpe
+
+merges = learn_bpe(docs, 15)
+enc = bpe_encode(docs, merges)
+print(
+    "12) bpe merges:",
+    [(r["left"], r["right"]) for r in merges.orderBy("rank").limit(5).collect()],
+    "... ; encoded tokens:",
+    enc.agg(F.sum("n_bpe_tokens")).collect()[0][0],
+)
+
+# 13) engine extras: the workload advisor -----------------------------
 import ariadne_spark
 
 adv = ariadne_spark.advise_indexes(
@@ -183,6 +225,6 @@ adv = ariadne_spark.advise_indexes(
     spark,
     tables={"orders": orders},
 )
-print("10) advisor:", [(r["column"], r["suggested"]) for r in adv.collect()])
+print("13) advisor:", [(r["column"], r["suggested"]) for r in adv.collect()])
 
 spark.stop()
