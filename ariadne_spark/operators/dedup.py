@@ -694,7 +694,11 @@ def ngram_set_dedup(
 
 # --------------------------------------------------- incremental minhash
 
-# results of prior incremental_near_dup calls still holding cache
+# Frames (results + their intermediate inputs) from prior incremental
+# dedup calls still holding cache. Any incremental_* call releases ALL
+# of them — so consume a batch's result before issuing the next batch.
+# An unconsumed result stays CORRECT after release (its history read
+# is snapshot-pinned to pre-append part files), it just recomputes.
 _INCREMENTAL_LIVE: list = []
 
 
