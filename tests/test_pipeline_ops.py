@@ -1037,6 +1037,46 @@ def test_window_store_compact_sum_merges_and_swaps(spark, tmp_path):
     assert out["n_dup_tokens"] == 3 and out["cleaned_text"] == "z"
 
 
+def test_incremental_results_recompute_safe_after_own_append(spark, tmp_path):
+    """A recompute of the batch result AFTER the call's own store
+    append (cache eviction / executor loss in production) must read
+    the PRE-append history snapshot — not count the batch against
+    itself. Regression: directory-bound store reads re-listed the
+    appended files and flagged every batch row."""
+    from ariadne_spark.operators import dedup as dd
+
+    store = str(tmp_path / "winstore")
+    fa = spark.createDataFrame(
+        [(0, "w1 w2 w3 w4 tailA"), (1, "fully distinct content one")],
+        ["doc_id", "text"],
+    )
+    fb = spark.createDataFrame(
+        [(2, "w1 w2 w3 w4 tailB"), (3, "fully distinct content two")],
+        ["doc_id", "text"],
+    )
+    dd.incremental_substring_dedup(fa, store, k=4)
+    out = dd.incremental_substring_dedup(fb, store, k=4)  # appends
+    want = {(2, 5, 4, "tailB"), (3, 4, 0, "fully distinct content two")}
+    assert {tuple(r) for r in out.collect()} == want
+    out.unpersist()  # drop the cache -> forces a full recompute
+    assert {tuple(r) for r in out.collect()} == want
+
+    sstore = str(tmp_path / "sigstore")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    dd.incremental_near_dup(
+        spark.createDataFrame([(0, base)], ["doc_id", "text"]), sstore
+    )
+    pairs = dd.incremental_near_dup(
+        spark.createDataFrame([(1, base + " ")], ["doc_id", "text"]), sstore
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(0, 1)}
+    pairs.unpersist()
+    # recompute must not band-join doc 1 against its own appended
+    # signature (snapshot excludes it; self-pairs are also id-guarded)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(0, 1)}
+
+
 def test_incremental_substring_orphan_store_fails_loudly(spark, tmp_path):
     import os
 
