@@ -1171,13 +1171,16 @@ def incremental_substring_dedup(
     duplicated (that is what a re-crawl is). Deduplicate batch ids
     upstream if re-crawls should supersede instead of accumulate.
 
-    Scale shape: batch windows are computed pipelined and cached for
-    their three uses (count, dup test, span extraction); the history
-    side is a parquet scan of (digest, count) joined against the
-    batch's distinct digests BEFORE its aggregation, so only
-    digest-colliding history rows reach the sum shuffle — per-batch
-    cost is O(batch + colliding history) plus the store's columnar
-    digest scan (index the store with a bloom
+    Scale shape: batch window rows stream pipelined twice (the
+    aggregated count and the span extraction — the same two passes
+    :func:`substring_dedup` pays); what gets CACHED is the small
+    aggregated (digest, count) frame, reused for the duplicate test,
+    the history digest probe, and the store append. The history side
+    is a parquet scan of (digest, count) joined against the batch's
+    distinct digests BEFORE its aggregation, so only digest-colliding
+    history rows reach the sum shuffle — per-batch cost is
+    O(batch + colliding history) plus the store's columnar digest
+    scan (index the store with a bloom
     :class:`~ariadne_spark.index.Index` to file-prune that scan when
     batches are small relative to history). Appending the batch's
     counts is one columnar write.
@@ -1189,9 +1192,11 @@ def incremental_substring_dedup(
             _INCREMENTAL_LIVE.pop().unpersist()
         except Exception:
             pass
-    wins = _window_rows(new_docs, k, text_col, id_col).cache()
-    batch_counts = wins.groupBy("__wk").agg(
-        F.count(F.lit(1)).alias("count")
+    wins = _window_rows(new_docs, k, text_col, id_col)
+    batch_counts = (
+        wins.groupBy("__wk")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .cache()
     )
     # Missing store = first batch; any OTHER read failure must
     # PROPAGATE (treating it as "no history" would silently keep
@@ -1225,10 +1230,10 @@ def incremental_substring_dedup(
         # side is snapshot-pinned, so even a post-append recompute of
         # the lazy plan reads exactly the pre-append store
         window_store_write(batch_counts, store_path, mode="append")
-    # out is still lazy: the window rows feed three subtrees (batch
-    # counts, the history digest probe, span extraction), so the cache
-    # must survive until the caller's first action — release it with
-    # the result on the NEXT call
-    _INCREMENTAL_LIVE.append(wins)
+    # out is still lazy: the aggregated counts feed three subtrees
+    # (duplicate test, history digest probe, store append), so the
+    # cache must survive until the caller's first action — release it
+    # with the result on the NEXT call
+    _INCREMENTAL_LIVE.append(batch_counts)
     _INCREMENTAL_LIVE.append(out)
     return out
