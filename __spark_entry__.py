@@ -899,6 +899,22 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_minhash(docs, "text", "doc_id", threshold=0.8)
 
 
+def q_dedup_fuzzy_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard end-to-end fuzzy-dedup pipeline as ONE call
+    (NeMo-Curator-style): MinHash+LSH candidates → estimate prefilter
+    → exact-Jaccard verify → connected components → keep the
+    minimum-id survivor per duplicate cluster. Oracle: lossless
+    AllPairs/PPJoin brute-force pair set (the dedup_minhash twin) fed
+    through a recursive-CTE closure with the same min-id keep rule —
+    value-hash equality means the LSH stage missed NO true pair AND
+    the distributed closure matched the exact transitive closure."""
+    from ariadne_spark.operators.dedup import near_dup_clusters
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    kept = near_dup_clusters(docs, "text", "doc_id", threshold=0.8)
+    return kept.select("doc_id", "source", "n_chars")
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-pairs (hash-dependent: rows-only check).
 
@@ -2261,7 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_cluster": q_dedup_cluster,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
+        "dedup_fuzzy_keepset": q_dedup_fuzzy_keepset,
         "dedup_incremental": q_dedup_incremental,
         "dedup_substring": q_dedup_substring,
         "dedup_substring_inc": q_dedup_substring_inc,
@@ -2291,6 +2307,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
         "idx_join_reverse": q_idx_join_reverse,
+        "dedup_simhash": q_dedup_simhash,
         "idx_filter_range_bbox": q_idx_filter_range_bbox,
         "idx_select_pushdown": q_idx_select_pushdown,
         "source_json": q_source_json,
@@ -2856,6 +2873,28 @@ def oracle_sql() -> dict[str, str]:
         # in ~2 min, MATERIALIZED hints pinned — DuckDB's inlined-CTE
         # plan re-evaluates the verify and runs 2x slower).
         "dedup_minhash": _MINHASH_ORACLE_SQL.format(extra_pred="TRUE"),
+        "dedup_fuzzy_keepset": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT id_a, id_b
+                FROM ({_MINHASH_ORACLE_SQL.format(extra_pred="TRUE")}) mh
+            ),
+            edges AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS r FROM documents
+                UNION
+                SELECT rr.node, e.b FROM reach rr JOIN edges e ON rr.r = e.a
+            ),
+            comp AS (
+                SELECT node, min(r) AS component FROM reach GROUP BY node
+            )
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN comp c ON d.doc_id = c.node
+            WHERE c.node = c.component
+        """,
         # Same truth set restricted to pairs touching the "new" half
         # (id >= 250; id_a < id_b makes id_b >= 250 the exact condition)
         "dedup_incremental": _MINHASH_ORACLE_SQL.format(

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dedup_keep_longest",
     "dedup_ngramset",
     "dedup_minhash",
+    "dedup_fuzzy_keepset",
     "dedup_simhash",
     "dedup_cluster",
     "text_quality",
