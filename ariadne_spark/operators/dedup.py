@@ -723,19 +723,11 @@ def signature_store_write(
     )
 
 
-def _store_snapshot(
-    spark, store_path: str, kind: str, merge_schema: bool = False
-) -> DataFrame | None:
-    """The store's CURRENT part files as a DataFrame, or ``None`` when
-    the store has never been written. Pinning the plan to explicit
-    files (directories are append-mutable; written part files are
-    immutable) makes lazy downstream results recompute-safe across the
-    caller's own subsequent append — a cache eviction or executor loss
-    re-reads exactly the pre-append history instead of counting the
-    batch against itself. A missing store with a crashed-compact
-    ``.__old`` sibling fails loudly instead of reading as "first
-    batch"; any other listing failure (credentials, transport)
-    propagates."""
+def _snapshot_files(spark, store_path: str, kind: str) -> list[str]:
+    """The store's CURRENT part files (empty when the store has never
+    been written). A missing store with a crashed-compact ``.__old``
+    sibling fails loudly instead of reading as "first batch"; any
+    other listing failure (credentials, transport) propagates."""
     from ..storage.fs import get_fs
 
     fs = get_fs(spark, store_path)
@@ -746,14 +738,33 @@ def _store_snapshot(
                 "sibling exists: a compact crashed mid-swap; rename it "
                 "back before running incremental dedup"
             )
-        return None
-    files = fs.list_files(store_path, suffix=".parquet")
+        return []
+    return sorted(fs.list_files(store_path, suffix=".parquet"))
+
+
+def _snapshot_read(
+    spark, files: list[str], merge_schema: bool = False
+) -> DataFrame | None:
+    """Read an explicit part-file list. Pinning the plan to files
+    (directories are append-mutable; written part files are immutable)
+    makes lazy downstream results recompute-safe across the caller's
+    own subsequent append — a cache eviction or executor loss re-reads
+    exactly the pre-append history instead of counting the batch
+    against itself."""
     if not files:
         return None
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*sorted(files))
+    return reader.parquet(*files)
+
+
+def _store_snapshot(
+    spark, store_path: str, kind: str, merge_schema: bool = False
+) -> DataFrame | None:
+    return _snapshot_read(
+        spark, _snapshot_files(spark, store_path, kind), merge_schema
+    )
 
 
 def _read_signature_store(spark, store_path: str) -> DataFrame:
@@ -1147,6 +1158,56 @@ def window_store_compact(
     return n
 
 
+def window_store_index(spark, store_path: str, name: str, fpr: float = 0.01):
+    """Maintain a bloom file-index over the window-count store — the
+    engine's own file-level pruning applied to the pipeline's history
+    store. Call after appends (or from the compaction window): only
+    files not yet indexed are scanned (the engine's J1 left_anti), so
+    steady-state maintenance costs one pass over the NEW batch's
+    files. At production ratios (small batch vs deep history) the
+    per-batch history read then touches only store files whose bloom
+    may contain a batch digest — pass the returned index to
+    :func:`incremental_substring_dedup` as ``store_index``."""
+    from pyspark.sql import types as T
+
+    from ..index import Index
+
+    schema = T.StructType(
+        [
+            T.StructField("__wk", T.StringType()),
+            T.StructField("count", T.LongType()),
+        ]
+    )
+    idx = Index.for_name(name, schema=schema, format="parquet", spark=spark)
+    if "__wk" not in idx.indexes:
+        idx.add_bloom_index("__wk", fpr=fpr)
+    files = _snapshot_files(spark, store_path, "window")
+    if files:
+        idx.add_files(files)
+        idx.update()
+    return idx
+
+
+def _prune_snapshot_with_index(
+    spark, files: list[str], store_index, keys: DataFrame
+) -> list[str]:
+    """Drop snapshot files the index POSITIVELY vouches cannot contain
+    any of ``keys``. Files the index does not know (an append newer
+    than the last ``window_store_index`` call, or any listing drift)
+    are kept unconditionally — pruning can only ever remove files the
+    bloom has seen, so an out-of-date index degrades to a larger scan,
+    never to a wrong answer."""
+    from ..sources.files import normalize_path
+
+    indexed = set(store_index.filelist.filenames())
+    cand = set(store_index.locate_files(keys, columns=["__wk"]))
+    return [
+        f
+        for f in files
+        if normalize_path(f) not in indexed or normalize_path(f) in cand
+    ]
+
+
 def incremental_substring_dedup(
     new_docs: DataFrame,
     store_path: str,
@@ -1155,6 +1216,7 @@ def incremental_substring_dedup(
     id_col: str = "doc_id",
     min_count: int = 2,
     update_store: bool = True,
+    store_index=None,
 ) -> DataFrame:
     """Continuous-crawl exact substring dedup: clean a NEW batch of
     documents against the window history of everything ingested so
@@ -1180,10 +1242,13 @@ def incremental_substring_dedup(
     distinct digests BEFORE its aggregation, so only digest-colliding
     history rows reach the sum shuffle — per-batch cost is
     O(batch + colliding history) plus the store's columnar digest
-    scan (index the store with a bloom
-    :class:`~ariadne_spark.index.Index` to file-prune that scan when
-    batches are small relative to history). Appending the batch's
-    counts is one columnar write.
+    scan — build a bloom :class:`~ariadne_spark.index.Index` over the
+    store with :func:`window_store_index` and pass it as
+    ``store_index`` to file-prune that scan when batches are small
+    relative to history (files the index hasn't seen yet are read
+    unconditionally, so a lagging index can only widen the scan,
+    never miss history). Appending the batch's counts is one columnar
+    write.
     """
     _validate_window_params(k, min_count)
     spark = new_docs.sparkSession
@@ -1205,7 +1270,12 @@ def incremental_substring_dedup(
     # pinned to the store's CURRENT part files so that a recompute of
     # the (lazy) result after this call's own append — cache eviction,
     # executor loss — cannot see the batch's own counts as history.
-    hist = _store_snapshot(spark, store_path, "window")
+    hist_files = _snapshot_files(spark, store_path, "window")
+    if hist_files and store_index is not None:
+        hist_files = _prune_snapshot_with_index(
+            spark, hist_files, store_index, batch_counts.select("__wk")
+        )
+    hist = _snapshot_read(spark, hist_files)
     if hist is not None:
         hist_counts = (
             hist.join(batch_counts.select("__wk").distinct(), "__wk")

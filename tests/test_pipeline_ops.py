@@ -1077,6 +1077,73 @@ def test_incremental_results_recompute_safe_after_own_append(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(0, 1)}
 
 
+def test_window_store_index_prunes_without_changing_results(spark, tmp_path):
+    """Engine × pipeline composition: a bloom file-index over the
+    window store prunes history files that cannot contain any batch
+    digest — identical results, fewer files read; files appended
+    AFTER the last index refresh are read unconditionally (a lagging
+    index widens the scan, never misses history)."""
+    from ariadne_spark.operators import dedup as dd
+
+    spark.conf.set(
+        "spark.ariadne.storagePath", str(tmp_path / "ariadne_store")
+    )
+    store = str(tmp_path / "winstore")
+    # two history batches with DISJOINT vocabularies -> disjoint
+    # digest sets in separate part files
+    h1 = spark.createDataFrame(
+        [(i, f"a{i} a{i+1} a{i+2} common1 tail{i}") for i in range(0, 40)],
+        ["doc_id", "text"],
+    )
+    h2 = spark.createDataFrame(
+        [(i, f"b{i} b{i+1} b{i+2} zz{i} yy{i}") for i in range(40, 80)],
+        ["doc_id", "text"],
+    )
+    dd.incremental_substring_dedup(h1, store, k=3)
+    dd.incremental_substring_dedup(h2, store, k=3)
+    idx = dd.window_store_index(spark, store, "winstore_idx_test")
+
+    # batch repeats an h1 window only -> h2's files must prune
+    batch = spark.createDataFrame(
+        [(100, "a0 a1 a2 common1 tail0"), (101, "totally novel words here")],
+        ["doc_id", "text"],
+    )
+    bc = (
+        dd._window_rows(batch, 3, "text", "doc_id")
+        .groupBy("__wk").count().select("__wk")
+    )
+    all_files = dd._snapshot_files(spark, store, "window")
+    pruned = dd._prune_snapshot_with_index(spark, all_files, idx, bc)
+    assert 0 < len(pruned) < len(all_files)  # pruning actually fired
+
+    plain = {
+        tuple(r)
+        for r in dd.incremental_substring_dedup(
+            batch, store, k=3, update_store=False
+        ).collect()
+    }
+    indexed = {
+        tuple(r)
+        for r in dd.incremental_substring_dedup(
+            batch, store, k=3, update_store=False, store_index=idx
+        ).collect()
+    }
+    assert indexed == plain
+    assert next(r for r in plain if r[0] == 100)[2] > 0  # dup tokens cut
+
+    # lagging index: a THIRD append the index never saw must still be
+    # counted as history even though its digests miss the blooms
+    h3 = spark.createDataFrame(
+        [(200, "q1 q2 q3 q4")], ["doc_id", "text"]
+    )
+    dd.incremental_substring_dedup(h3, store, k=3)
+    late = spark.createDataFrame([(300, "q1 q2 q3 rest")], ["doc_id", "text"])
+    out = dd.incremental_substring_dedup(
+        late, store, k=3, update_store=False, store_index=idx
+    ).collect()[0]
+    assert out["n_dup_tokens"] == 3 and out["cleaned_text"] == "rest"
+
+
 def test_incremental_substring_orphan_store_fails_loudly(spark, tmp_path):
     import os
 
