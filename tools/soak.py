@@ -22,6 +22,9 @@ Scenarios
   8b. incremental substring dedup: the last replica as a crawl batch
      against the first N-1 replicas' persisted window counts —
      complete coverage required, batch cost vs full-corpus cost
+  8c. engine x pipeline: bloom file-index over the window store; a
+     novel-content batch must prune the indexed history read entirely
+     and still come back clean
 
 Usage: python tools/soak.py [N] (default 8; local[16])
 """
@@ -365,6 +368,44 @@ def main() -> None:
          batch_docs=n_batch, ingest_sec=ingest_sec,
          batch_sec=round(time.time() - t0, 2),
          uncovered_long_docs=inc_uncov, full_coverage=inc_uncov == 0)
+
+    # ---- scenario 8c: store-index composition -----------------------
+    # Bloom file-index over the window store; a NOVEL-content batch
+    # (its digests in no history file) must prune the whole indexed
+    # history read while producing the identical (clean) result.
+    from ariadne_spark.operators.dedup import (
+        _prune_snapshot_with_index,
+        _snapshot_files,
+        _window_rows,
+        window_store_index,
+    )
+
+    # the 32 MiB probe-cost floor correctly skips frame probes on a
+    # toy store (scanning 16 files is cheaper than running the probe);
+    # lower it here because the POINT of this scenario is to exercise
+    # the prune path end-to-end
+    spark.conf.set("spark.ariadne.minBloomPruneBytes", "0")
+    t0 = time.time()
+    widx = window_store_index(spark, wstore, "soak_winstore_idx")
+    idx_sec = round(time.time() - t0, 2)
+    novel = spark.range(1).select(
+        F.lit(99_000_000).alias("doc_id"),
+        F.lit(" ".join(f"novelword{i}" for i in range(32))).alias("text"),
+    )
+    keys = (
+        _window_rows(novel, 8, "text", "doc_id")
+        .groupBy("__wk").count().select("__wk")
+    )
+    snap = _snapshot_files(spark, wstore, "window")
+    t0 = time.time()
+    kept_files = _prune_snapshot_with_index(spark, snap, widx, keys)
+    out = incremental_substring_dedup(
+        novel, wstore, k=8, update_store=False, store_index=widx
+    ).collect()[0]
+    emit(stage="winstore_index_prune", index_build_sec=idx_sec,
+         store_files=len(snap), files_after_prune=len(kept_files),
+         batch_sec=round(time.time() - t0, 2),
+         novel_doc_clean=out["n_dup_tokens"] == 0)
 
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
