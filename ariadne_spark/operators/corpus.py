@@ -50,7 +50,17 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, str]]:
     for name, frac in fractions.items():
         cum += frac
         bound = min(round(cum * _SPLIT_BUCKETS), _SPLIT_BUCKETS)
-        out.append((name, format(bound, f"0{_SPLIT_HEX_CHARS}x")))
+        # bounds compare LEXICOGRAPHICALLY against the 3-hex-char md5
+        # prefix; the full-space bound (4096) would format as a 4-char
+        # "1000" that sorts BELOW most prefixes and misroute rows, so
+        # emit "g" — one past 'f', lexicographically above every
+        # possible prefix
+        hexb = (
+            format(bound, f"0{_SPLIT_HEX_CHARS}x")
+            if bound < _SPLIT_BUCKETS
+            else "g"
+        )
+        out.append((name, hexb))
     return out
 
 

@@ -49,6 +49,18 @@ def test_split_fractions_must_sum_to_one(spark):
         corpus.split_thresholds({"a": 0.5, "b": 0.2})
 
 
+def test_split_extreme_fraction_routes_correctly(spark, docs):
+    """Regression: a fraction whose cumulative bound rounds to the
+    full bucket space used to emit a 4-char hex bound that
+    lexicographically sorts below most prefixes, routing ~94% of the
+    dominant split's rows to the residual label."""
+    out = corpus.deterministic_split(
+        docs, {"a": 0.9999, "b": 0.0001}, "doc_id"
+    )
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts.get("a", 0) >= 499  # 500 docs: essentially all 'a'
+
+
 # --- cluster_safe_split ---------------------------------------------------
 
 

@@ -77,3 +77,32 @@ def test_name_validation_never_escapes(name):
     path = os.path.normpath(os.path.join("/store/indexes", name))
     assert path.startswith("/store/indexes/")
     assert "/" not in name and "\\" not in name
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    ).filter(lambda fs: 0.999 <= sum(fs) <= 1.001 or True)
+)
+@settings(max_examples=200, deadline=None)
+def test_split_thresholds_monotonic_and_complete(raw):
+    """Bounds are monotonically non-decreasing hex strings of fixed
+    width, and the final bound covers the whole md5-prefix space, so
+    every row gets exactly one label."""
+    from ariadne_spark.operators.corpus import (
+        _SPLIT_HEX_CHARS,
+        split_thresholds,
+    )
+
+    total = sum(raw)
+    fractions = {f"s{i}": v / total for i, v in enumerate(raw)}
+    pairs = split_thresholds(fractions)
+    bounds = [b for _, b in pairs]
+    # every bound is a fixed-width hex string or the "g" sentinel that
+    # lex-sorts above every possible prefix (a 4-char "1000" would
+    # sort BELOW most 3-char prefixes and misroute rows — regression)
+    assert all(len(b) == _SPLIT_HEX_CHARS or b == "g" for b in bounds)
+    assert bounds == sorted(bounds)  # lexicographic == routing order
+    assert bounds[-1] == "g" or int(bounds[-1], 16) <= 16 ** _SPLIT_HEX_CHARS
