@@ -2187,6 +2187,52 @@ def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
 
 
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: deterministic md5-textured 24×24 PPMs
+    (one per document), every 5th document also present as a
+    noise-perturbed re-encode (different bytes, different
+    content_hash) — image_near_dup must pair each perturbed copy with
+    its original via DCT-pHash hamming blocking and pair nothing
+    else. No SQL oracle (DCT is not SQL-expressible); deterministic
+    rows-only + the robustness/corrupt-blob pytest battery."""
+    import pandas as pd
+
+    from ariadne_spark.operators.multimodal import image_near_dup
+
+    ids = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def tex_ppm(ids_):
+        import hashlib
+
+        def mk(i):
+            i = int(i)
+            orig = i % 1_000_000
+            raw = b"".join(
+                hashlib.md5(f"{orig}:{j}".encode()).digest()
+                for j in range(108)
+            )[: 24 * 24 * 3]
+            px = bytearray(raw)
+            if i >= 1_000_000:  # perturbed re-encode of the original
+                for off in (100, 700, 1300):
+                    px[off] = min(255, px[off] + 2)
+            return bytes(b"P6 24 24 255\n" + bytes(px))
+
+        return ids_.map(mk)
+
+    tex_ppm.__annotations__ = {"ids_": pd.Series, "return": pd.Series}
+    tex_ppm = F.pandas_udf(tex_ppm, "binary")
+
+    clones = ids.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    packed = ids.unionByName(clones).select(
+        "doc_id", tex_ppm("doc_id").alias("media")
+    )
+    return image_near_dup(
+        packed, "media", "doc_id", codec="ppm", max_hamming=8
+    )
+
+
 def q_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling: per source, keep md5-ranked docs
     until 2000 tokens are reached (overshoot ≤ 1 doc)."""
@@ -2300,12 +2346,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "multimodal_decode_png": q_multimodal_decode_png,
+        "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
         "sql_tpch_q3": q_sql_tpch_q3,
-        "sql_tpch_q5": q_sql_tpch_q5,
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
+        "sql_tpch_q5": q_sql_tpch_q5,
         "idx_join_reverse": q_idx_join_reverse,
         "dedup_simhash": q_dedup_simhash,
         "idx_filter_range_bbox": q_idx_filter_range_bbox,

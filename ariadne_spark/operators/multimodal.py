@@ -44,6 +44,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("feature", T.ArrayType(T.FloatType())),
         T.StructField("decoded_width", T.IntegerType()),
         T.StructField("decoded_height", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
     ]
 )
 
@@ -53,7 +54,49 @@ _NO_DECODE = {
     "feature": None,
     "decoded_width": None,
     "decoded_height": None,
+    "phash": None,
 }
+
+
+def _resize_bilinear(gray, out_h: int, out_w: int):
+    """Separable bilinear resample (pixel-center aligned) — smooth for
+    both up- and down-scaling, so a single-pixel perturbation moves
+    low-frequency DCT coefficients only marginally (integer-bin area
+    pooling on sub-32 inputs produced zero-area comb artifacts that
+    made the median threshold flip ~20 bits on 1-pixel noise)."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)
+    rows = gray[y0] * (1.0 - fy)[:, None] + gray[y1] * fy[:, None]
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fx = np.clip(xs - x0, 0.0, 1.0)
+    return rows[:, x0] * (1.0 - fx)[None, :] + rows[:, x1] * fx[None, :]
+
+
+def _phash64(gray) -> int:
+    """64-bit DCT perceptual hash of a 2-D grayscale array: bilinear
+    resample to 32×32, 2-D DCT-II by matrix product (pure numpy, no
+    scipy), keep the 8×8 low-frequency block, threshold at the median
+    of its 63 non-DC coefficients. Robust to small pixel
+    perturbations, resizes, and re-encodes; hamming distance on the
+    result measures visual similarity."""
+    import numpy as np
+
+    small = _resize_bilinear(gray.astype(np.float64), 32, 32)
+    n = np.arange(32)
+    c = np.cos(np.pi * (n[None, :] + 0.5) * n[:, None] / 32.0)
+    dct = c @ small @ c.T
+    low = dct[:8, :8].reshape(-1)
+    med = np.median(low[1:])  # DC excluded from the threshold
+    bits = (low > med).astype(np.uint8)
+    packed = np.packbits(bits)
+    return int.from_bytes(packed.tobytes(), "big", signed=True)
 
 
 def pack_fake_media(
@@ -91,12 +134,31 @@ def _pixel_features(pixels, w: int, h: int) -> dict:
     # 8-dim "feature": byte-histogram over 8 bins, L1-normalized
     hist = np.histogram(arr, bins=8, range=(0, 256))[0].astype("float64")
     total = hist.sum() or 1.0
+    # grayscale plane for the perceptual hash: RGB mean when the
+    # payload is exactly w*h*3 (every real codec), else the raw bytes
+    # zero-padded to the declared shape (fake-codec payloads are
+    # arbitrary-length)
+    n = max(w, 0) * max(h, 0)
+    if n > 0:
+        if len(arr) == n * 3:
+            gray = (
+                arr.reshape(h, w, 3).astype(np.float64).mean(axis=2)
+            )
+        else:
+            flat = np.zeros(n, dtype=np.float64)
+            take = min(len(arr), n)
+            flat[:take] = arr[:take]
+            gray = flat.reshape(h, w)
+        phash = _phash64(gray)
+    else:
+        phash = None
     return {
         "content_hash": hashlib.md5(arr.tobytes()).hexdigest(),
         "mean_byte": round(mean, 6),
         "feature": [float(x) for x in (hist / total).round(6)],
         "decoded_width": w,
         "decoded_height": h,
+        "phash": phash,
     }
 
 
@@ -356,6 +418,33 @@ def decode_media(
             yield res
 
     return df.mapInPandas(run, out_schema)
+
+
+def image_near_dup(
+    df: DataFrame,
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+    codec: str = "ppm",
+    max_hamming: int = 3,
+    block_cap: int = 10000,
+) -> DataFrame:
+    """Perceptual near-duplicate image pairs: decode → 64-bit DCT
+    pHash (:func:`_phash64` — robust to small pixel perturbations and
+    re-encodes, unlike the byte-exact ``content_hash``) → the simhash
+    hamming machinery (16-bit chunk blocking with the capped
+    re-blocking scale guard, never all-pairs) → exact
+    ``bit_count(xor)`` filter. Returns (id_a, id_b, hamming).
+    Undecodable blobs are dropped, not errored — a crawl's corrupt
+    images shouldn't kill the dedup pass."""
+    from .dedup import simhash_near_pairs
+
+    feats = decode_media(
+        df.select(id_col, blob_col), blob_col, codec, batch_cols=[id_col]
+    )
+    sigs = feats.where(F.col("phash").isNotNull()).select(
+        id_col, F.col("phash").alias("simhash")
+    )
+    return simhash_near_pairs(sigs, id_col, max_hamming, block_cap)
 
 
 def pack_synthetic_ppm(df: DataFrame, id_col: str) -> DataFrame:

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "sim_ann_banded",
     "sim_ann_ivf",
     "multimodal_fingerprint",
+    "multimodal_phash_dedup",
     "sql_tpch_q1",
     "sql_join_pruned",
     "sql_tpch_q3",

@@ -423,6 +423,67 @@ def test_bmp_codec_decodes_real_image(spark):
     assert r["content_hash"] == hashlib.md5(rgb.tobytes()).hexdigest()
 
 
+def test_image_phash_near_dup_finds_perturbed_clones(spark):
+    """Perceptual image dedup: a slightly perturbed re-encode of an
+    image (different content_hash — byte-exact dedup misses it) must
+    pair with its original at small hamming; a structurally different
+    image must not pair with either."""
+    import numpy as np
+
+    def ppm(arr):
+        h, w, _ = arr.shape
+        return bytearray(
+            f"P6 {w} {h} 255\n".encode()
+            + np.ascontiguousarray(arr.astype(np.uint8)).tobytes()
+        )
+
+    # textured (dense-spectrum) images — the regime pHash is
+    # characterized for; synthetic gradients have near-zero spectra
+    # where the median threshold is inherently unstable
+    base = np.random.RandomState(0).randint(0, 256, (24, 24, 3)).astype(
+        np.uint8
+    )
+    pert = np.clip(
+        base.astype(int)
+        + np.random.RandomState(7).randint(-2, 3, base.shape),
+        0, 255,
+    ).astype(np.uint8)  # mild global noise, a re-encode analogue
+    other = np.random.RandomState(99).randint(0, 256, (24, 24, 3)).astype(
+        np.uint8
+    )
+
+    df = spark.createDataFrame(
+        [(1, ppm(base)), (2, ppm(pert)), (3, ppm(other))],
+        "doc_id long, media binary",
+    )
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.decode_media(
+            df, "media", codec="ppm", batch_cols=["doc_id"]
+        ).collect()
+    }
+    assert feats[1]["content_hash"] != feats[2]["content_hash"]
+    assert feats[1]["phash"] is not None
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dup(
+            df, "media", "doc_id", codec="ppm", max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    # corrupt blob: dropped, not errored
+    df2 = df.unionByName(
+        spark.createDataFrame(
+            [(4, bytearray(b"NOTPPM!!"))], "doc_id long, media binary"
+        )
+    )
+    pairs2 = multimodal.image_near_dup(df2, "media", "doc_id", codec="ppm")
+    assert {(r["id_a"], r["id_b"]) for r in pairs2.collect()} == {(1, 2)}
+
+
 def test_synthetic_ppm_roundtrip(spark):
     from ariadne_spark.operators.multimodal import pack_synthetic_ppm
 
