@@ -125,6 +125,11 @@ def pack_fake_media(
     return df.withColumn("media", blob).withColumn("media_meta", meta)
 
 
+# per-worker-process flag: decode_media's task body sets it (python
+# workers run one task at a time, so per-task assignment is race-free)
+_COMPUTE_PHASH = False
+
+
 def _pixel_features(pixels, w: int, h: int) -> dict:
     """Shared feature extraction over decoded pixel bytes (uint8)."""
     import numpy as np
@@ -137,9 +142,11 @@ def _pixel_features(pixels, w: int, h: int) -> dict:
     # grayscale plane for the perceptual hash: RGB mean when the
     # payload is exactly w*h*3 (every real codec), else the raw bytes
     # zero-padded to the declared shape (fake-codec payloads are
-    # arbitrary-length)
+    # arbitrary-length). Computed only when the caller asked
+    # (decode_media(with_phash=True) — the resample+DCT is real work
+    # per image and most feature passes don't want it).
     n = max(w, 0) * max(h, 0)
-    if n > 0:
+    if n > 0 and _COMPUTE_PHASH:
         if len(arr) == n * 3:
             gray = (
                 arr.reshape(h, w, 3).astype(np.float64).mean(axis=2)
@@ -379,6 +386,7 @@ def decode_media(
     blob_col: str = "media",
     codec: str = "fake",
     batch_cols: list[str] | None = None,
+    with_phash: bool = False,
 ) -> DataFrame:
     """Feature-extract media blobs with ``mapInPandas`` (Arrow
     batches). Real pure-numpy codecs: ``'ppm'`` (binary P6), ``'bmp'``
@@ -410,6 +418,9 @@ def decode_media(
     )
 
     def run(batches: Iterator) -> Iterator:
+        import ariadne_spark.operators.multimodal as _mm
+
+        _mm._COMPUTE_PHASH = with_phash
         for pdf in batches:
             feats = pdf[blob_col].map(decode)
             res = pdf[keep].copy()
@@ -439,7 +450,11 @@ def image_near_dup(
     from .dedup import simhash_near_pairs
 
     feats = decode_media(
-        df.select(id_col, blob_col), blob_col, codec, batch_cols=[id_col]
+        df.select(id_col, blob_col),
+        blob_col,
+        codec,
+        batch_cols=[id_col],
+        with_phash=True,
     )
     sigs = feats.where(F.col("phash").isNotNull()).select(
         id_col, F.col("phash").alias("simhash")

@@ -459,11 +459,16 @@ def test_image_phash_near_dup_finds_perturbed_clones(spark):
     feats = {
         r["doc_id"]: r
         for r in multimodal.decode_media(
-            df, "media", codec="ppm", batch_cols=["doc_id"]
+            df, "media", codec="ppm", batch_cols=["doc_id"], with_phash=True
         ).collect()
     }
     assert feats[1]["content_hash"] != feats[2]["content_hash"]
     assert feats[1]["phash"] is not None
+    # default decode pass skips the resample+DCT work
+    cheap = multimodal.decode_media(
+        df, "media", codec="ppm", batch_cols=["doc_id"]
+    ).collect()[0]
+    assert cheap["phash"] is None
 
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]
