@@ -2233,6 +2233,69 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_afp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic dedup: deterministic random-walk WAVs (md5-seeded, one
+    per document), every 5th document also present as a mildly-noised
+    re-encode — audio_near_dup must pair each noised copy with its
+    original via spectral-fingerprint hamming blocking and pair
+    nothing else. No SQL oracle (FFT is not SQL-expressible);
+    deterministic rows-only + the invariance pytest battery."""
+    import pandas as pd
+
+    from ariadne_spark.operators.multimodal import audio_near_dup
+
+    ids = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+
+    def mk_wav(ids_):
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        def mk(i):
+            i = int(i)
+            orig = i % 1_000_000
+            raw = b"".join(
+                hashlib.md5(f"wav:{orig}:{j}".encode()).digest()
+                for j in range(250)
+            )
+            # white noise (flat, dense spectrum) — random-walk audio
+            # is 1/f^2-dominated and its near-zero high-band
+            # differences made unrelated fingerprints collide
+            samples = (
+                np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                - 127.5
+            ) * 200.0
+            if i >= 1_000_000:  # noised re-encode of the original
+                nraw = b"".join(
+                    hashlib.md5(f"noise:{orig}:{j}".encode()).digest()
+                    for j in range(250)
+                )
+                noise = np.frombuffer(nraw, dtype=np.uint8).astype(
+                    np.float64
+                ) - 127.5
+                samples = samples + noise * 2.0
+            pcm = np.clip(samples, -32768, 32767).astype("<i2").tobytes()
+            return bytes(
+                b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                + b"data" + struct.pack("<I", len(pcm)) + pcm
+            )
+
+        return ids_.map(mk)
+
+    mk_wav.__annotations__ = {"ids_": pd.Series, "return": pd.Series}
+    mk_wav = F.pandas_udf(mk_wav, "binary")
+
+    clones = ids.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id")
+    )
+    packed = ids.unionByName(clones).select(
+        "doc_id", mk_wav("doc_id").alias("media")
+    )
+    return audio_near_dup(packed, "media", "doc_id", max_hamming=8)
+
+
 def q_corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling: per source, keep md5-ranked docs
     until 2000 tokens are reached (overshoot ≤ 1 doc)."""
@@ -2378,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_banded": q_sim_ann_banded,
         "multimodal_decode_ppm": q_multimodal_decode_ppm,
         "multimodal_decode_wav": q_multimodal_decode_wav,
+        "multimodal_afp_dedup": q_multimodal_afp_dedup,
         "sql_tpch_q4": q_sql_tpch_q4,
         "sql_window_topn": q_sql_window_topn,
         "sql_tpch_q10": q_sql_tpch_q10,

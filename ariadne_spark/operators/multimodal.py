@@ -503,10 +503,52 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
         T.StructField("sample_rate_hz", T.IntegerType()),
         T.StructField("duration_ms", T.DoubleType()),
         T.StructField("rms", T.DoubleType()),
+        T.StructField("afp", T.LongType()),
     ]
 )
 
 _NO_AUDIO = {f.name: None for f in AUDIO_FEATURE_SCHEMA.fields}
+
+# per-worker-process flag, same contract as _COMPUTE_PHASH: set by
+# decode_audio's task body (one task at a time per python worker)
+_COMPUTE_AFP = False
+
+
+def _audio_fp64(amp, ch: int) -> int:
+    """64-bit spectral audio fingerprint (Haitsma & Kalker 2002
+    shape, pure numpy): mono mixdown → linear resample to a fixed
+    8192-sample grid (sample-rate invariance) → 9 overlapping frames
+    → rFFT magnitude → 9 log-spaced band energies per frame → bit =
+    sign of the time-and-frequency energy difference
+    (E[n+1,m]−E[n+1,m+1])−(E[n,m]−E[n,m+1]) over the 8×8 grid.
+    Robust to mild PCM noise, re-encodes, and resampling; hamming
+    distance measures acoustic similarity. Same caveat as the image
+    pHash: characterized for dense-spectrum audio — a pure tone's
+    near-zero band differences flip freely."""
+    import numpy as np
+
+    mono = amp.reshape(-1, ch).mean(axis=1)
+    n = 8192
+    src = np.arange(len(mono), dtype=np.float64)
+    dst = np.linspace(0.0, max(len(mono) - 1, 1), n)
+    x = np.interp(dst, src, mono) if len(mono) > 1 else np.zeros(n)
+    frame_len, hop = 2048, 768
+    window = np.hanning(frame_len)
+    bands = np.unique(
+        np.rint(np.logspace(np.log10(2), np.log10(frame_len // 2), 10))
+    ).astype(int)
+    while len(bands) < 10:  # degenerate tiny frames: pad the grid
+        bands = np.append(bands, bands[-1] + 1)
+    e = np.empty((9, 9), dtype=np.float64)
+    for i in range(9):
+        seg = x[i * hop : i * hop + frame_len]
+        mag = np.abs(np.fft.rfft(seg * window)) ** 2
+        for m in range(9):
+            e[i, m] = mag[bands[m] : bands[m + 1]].sum()
+    d = e[:, :8] - e[:, 1:9]  # frequency-adjacent differences
+    bits = ((d[1:, :] - d[:-1, :]) > 0).astype(np.uint8).reshape(-1)
+    packed = np.packbits(bits)
+    return int.from_bytes(packed.tobytes(), "big", signed=True)
 
 
 def _decode_wav(blob: bytes) -> dict:
@@ -555,6 +597,7 @@ def _decode_wav(blob: bytes) -> dict:
         "sample_rate_hz": int(rate),
         "duration_ms": frames * 1000.0 / rate,
         "rms": round(float(np.sqrt(np.mean(amp * amp))), 6),
+        "afp": _audio_fp64(amp, ch) if _COMPUTE_AFP else None,
     }
 
 
@@ -602,6 +645,7 @@ def _decode_soundfile(blob: bytes) -> dict:
         "sample_rate_hz": int(rate),
         "duration_ms": frames * 1000.0 / rate,
         "rms": round(float(np.sqrt(np.mean(amp * amp))), 6),
+        "afp": _audio_fp64(amp, ch) if _COMPUTE_AFP else None,
     }
 
 
@@ -620,6 +664,7 @@ def decode_audio(
     blob_col: str = "media",
     codec: str = "wav",
     batch_cols: list[str] | None = None,
+    with_fingerprint: bool = False,
 ) -> DataFrame:
     """Feature-extract audio blobs with ``mapInPandas`` (Arrow
     batches). ``'wav'`` (RIFF PCM) is a real pure-numpy codec;
@@ -649,6 +694,9 @@ def decode_audio(
     )
 
     def run(batches: Iterator) -> Iterator:
+        import ariadne_spark.operators.multimodal as _mm
+
+        _mm._COMPUTE_AFP = with_fingerprint
         for pdf in batches:
             feats = pdf[blob_col].map(decode)
             res = pdf[keep].copy()
@@ -657,6 +705,35 @@ def decode_audio(
             yield res
 
     return df.mapInPandas(run, out_schema)
+
+
+def audio_near_dup(
+    df: DataFrame,
+    blob_col: str = "media",
+    id_col: str = "doc_id",
+    codec: str = "wav",
+    max_hamming: int = 3,
+    block_cap: int = 10000,
+) -> DataFrame:
+    """Acoustic near-duplicate pairs: decode → 64-bit spectral
+    fingerprint (:func:`_audio_fp64` — robust to mild PCM noise and
+    re-encodes, unlike the byte-exact ``content_hash``) → the simhash
+    hamming machinery (chunk blocking + capped re-blocking, never
+    all-pairs) → exact ``bit_count(xor)`` filter. Returns
+    (id_a, id_b, hamming); undecodable blobs are dropped."""
+    from .dedup import simhash_near_pairs
+
+    feats = decode_audio(
+        df.select(id_col, blob_col),
+        blob_col,
+        codec,
+        batch_cols=[id_col],
+        with_fingerprint=True,
+    )
+    sigs = feats.where(F.col("afp").isNotNull()).select(
+        id_col, F.col("afp").alias("simhash")
+    )
+    return simhash_near_pairs(sigs, id_col, max_hamming, block_cap)
 
 
 def pack_synthetic_wav(df: DataFrame, id_col: str) -> DataFrame:

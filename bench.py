@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sim_ann_ivf",
     "multimodal_fingerprint",
     "multimodal_phash_dedup",
+    "multimodal_afp_dedup",
     "sql_tpch_q1",
     "sql_join_pruned",
     "sql_tpch_q3",

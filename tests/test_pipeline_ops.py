@@ -489,6 +489,63 @@ def test_image_phash_near_dup_finds_perturbed_clones(spark):
     assert {(r["id_a"], r["id_b"]) for r in pairs2.collect()} == {(1, 2)}
 
 
+def test_audio_fingerprint_near_dup_and_invariances(spark):
+    """Acoustic dedup: a mildly noised re-encode pairs with its
+    original (different content_hash); a 2x-resampled copy pairs too
+    (fingerprint normalizes the time grid); unrelated audio does not;
+    corrupt blobs drop."""
+    import struct
+
+    import numpy as np
+
+    def wav(samples, rate=8000):
+        pcm = np.clip(samples, -32768, 32767).astype("<i2").tobytes()
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(pcm))
+        )
+        return bytearray(hdr + pcm)
+
+    base = (np.random.RandomState(0).randn(4000).cumsum() * 50)
+    pert = base + np.random.RandomState(7).randn(4000) * 2
+    other = np.random.RandomState(99).randn(4000).cumsum() * 50
+    up = np.interp(np.linspace(0, 3999, 8000), np.arange(4000), base)
+
+    df = spark.createDataFrame(
+        [
+            (1, wav(base)),
+            (2, wav(pert)),
+            (3, wav(other)),
+            (4, wav(up, rate=16000)),
+            (5, bytearray(b"NOTAWAV")),
+        ],
+        "doc_id long, media binary",
+    )
+    feats = {
+        r["doc_id"]: r
+        for r in multimodal.decode_audio(
+            df, "media", batch_cols=["doc_id"], with_fingerprint=True
+        ).collect()
+    }
+    assert feats[1]["content_hash"] != feats[2]["content_hash"]
+    assert feats[1]["afp"] is not None and feats[5]["afp"] is None
+    # default decode skips the FFT work
+    assert (
+        multimodal.decode_audio(df, "media", batch_cols=["doc_id"])
+        .where("doc_id = 1").collect()[0]["afp"] is None
+    )
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.audio_near_dup(
+            df, "media", "doc_id", max_hamming=3
+        ).collect()
+    }
+    assert (1, 2) in pairs and (1, 4) in pairs and (2, 4) in pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
 def test_synthetic_ppm_roundtrip(spark):
     from ariadne_spark.operators.multimodal import pack_synthetic_ppm
 
