@@ -216,7 +216,24 @@ print(
     enc.agg(F.sum("n_bpe_tokens")).collect()[0][0],
 )
 
-# 13) engine extras: the workload advisor -----------------------------
+# 13) multimodal dedup: perceptual image + acoustic audio -------------
+from ariadne_spark.operators.multimodal import (
+    audio_near_dup,
+    image_near_dup,
+    pack_synthetic_ppm,
+    pack_synthetic_wav,
+)
+
+imgs = pack_synthetic_ppm(docs.select("doc_id"), "doc_id")
+img_pairs = image_near_dup(imgs, "media", "doc_id", codec="ppm")
+wavs = pack_synthetic_wav(docs.select("doc_id").limit(100), "doc_id")
+wav_pairs = audio_near_dup(wavs, "media", "doc_id")
+print(
+    "13) image near-dup pairs:", img_pairs.count(),
+    "; audio near-dup pairs:", wav_pairs.count(),
+)
+
+# 14) engine extras: the workload advisor -----------------------------
 import ariadne_spark
 
 adv = ariadne_spark.advise_indexes(
@@ -225,6 +242,6 @@ adv = ariadne_spark.advise_indexes(
     spark,
     tables={"orders": orders},
 )
-print("13) advisor:", [(r["column"], r["suggested"]) for r in adv.collect()])
+print("14) advisor:", [(r["column"], r["suggested"]) for r in adv.collect()])
 
 spark.stop()
