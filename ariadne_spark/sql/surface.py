@@ -426,6 +426,100 @@ def _join_equi_cols(cond, indexed: set[str]) -> list[tuple[str, str]]:
     return pairs
 
 
+# ------------------------------------------------------------ plan rewrite
+
+
+def _to_seq(spark, items: list):
+    """Python list of JVM nodes -> Scala Seq (PythonUtils is the same
+    bridge PySpark's own column helpers use)."""
+    return spark._jvm.PythonUtils.toSeq(items)
+
+
+def _substitute_plan(spark, node, subst: dict[str, object]):
+    """Rebuild the parsed plan bottom-up, replacing each
+    ``UnresolvedRelation`` whose name is in ``subst`` with the mapped
+    node (a ``SubqueryAlias(original_name, pruned_unique_view)`` so
+    qualified attribute references keep resolving). Untouched subtrees
+    are returned as the SAME JVM objects — Spark's cache manager can
+    still canonically match a persisted probe side against the final
+    plan. Returns ``(new_node, changed)``."""
+    name = _relation_name(node)
+    if name is not None:
+        rep = subst.get(name)
+        return (rep, True) if rep is not None else (node, False)
+    children = _children(node)
+    if not children:
+        return node, False
+    rebuilt = []
+    changed = False
+    for c in children:
+        nc, ch = _substitute_plan(spark, c, subst)
+        rebuilt.append(nc)
+        changed = changed or ch
+    if not changed:
+        return node, False
+    return node.withNewChildren(_to_seq(spark, rebuilt)), True
+
+
+class _RewriteContext:
+    """Per-call pruning state. Pruned reads live ONLY under per-call
+    unique temp-view names and are substituted into the parsed plan —
+    the shared index views are NEVER redefined, so concurrent ``sql()``
+    calls on one session cannot observe each other's pruning (the
+    reference rule is stateless per-plan, AriadneJoinRule.scala:126-250;
+    the previous global view swap could over-prune a racing query)."""
+
+    def __init__(self, spark: SparkSession, parser, token: str):
+        self.spark = spark
+        self.parser = parser
+        self.token = token
+        self.subst: dict[str, object] = {}  # view -> replacement node
+        self.unique: dict[str, str] = {}  # view -> unique temp view
+        self.report: dict = {}
+        self.swaps: list[tuple[str, list[str]]] = []
+
+    def swap(self, name: str, df: DataFrame, files: list[str]) -> None:
+        uname = self.unique.get(name)
+        if uname is None:
+            uname = f"ariadne_pruned_{self.token}_{name}"
+            self.unique[name] = uname
+        df.createOrReplaceTempView(uname)
+        if name not in self.subst:
+            # SubqueryAlias(name, UnresolvedRelation(uname)) via the
+            # session's own parser — no hand-built case-class plumbing
+            p = self.parser.parsePlan(f"SELECT * FROM {uname} AS {name}")
+            self.subst[name] = _children(p)[0]
+        self.swaps = [
+            (n, f) for n, f in self.swaps if n != name
+        ] + [(name, list(files))]
+
+    def substituted(self, node):
+        """``node`` with every pruned view substituted (used both for
+        probe-side execution — an already-pruned other side executes
+        its pruned read — and for the final plan)."""
+        if not self.subst:
+            return node
+        new, _ = _substitute_plan(self.spark, node, self.subst)
+        return new
+
+    def drop_views(self) -> None:
+        """Analysis is eager in both ``Dataset.ofRows`` and
+        ``SparkSession.sql`` — once the result DataFrame exists its
+        resolved plan no longer needs the unique views."""
+        for uname in self.unique.values():
+            try:
+                self.spark.catalog.dropTempView(uname)
+            except Exception:
+                pass
+        self.unique = {}
+
+    def clear(self) -> None:
+        self.drop_views()
+        self.subst.clear()
+        self.report.clear()
+        self.swaps = []
+
+
 # ------------------------------------------------------------ public api
 
 _VIEW_CACHE: dict[tuple, tuple] = {}
@@ -475,24 +569,6 @@ def register_views(
             continue
         registered.append(name)
     return registered
-
-
-class _ViewSwap:
-    """Temporarily replace index views with pruned reads."""
-
-    def __init__(self, spark: SparkSession):
-        self.spark = spark
-        self.swapped: list[str] = []
-
-    def swap(self, name: str, df: DataFrame) -> None:
-        df.createOrReplaceTempView(name)
-        self.swapped.append(name)
-
-    def restore(self) -> None:
-        for name in self.swapped:
-            idx = Index.for_name(name, spark=self.spark)
-            idx.read_all().createOrReplaceTempView(name)
-        self.swapped = []
 
 
 def _raw_sql(spark: SparkSession, query: str) -> DataFrame:
@@ -602,16 +678,78 @@ def _cache_enabled(spark: SparkSession) -> bool:
     return str(raw).lower() != "false"
 
 
+def _make_walkers(spark: SparkSession):
+    """Memoized tree walkers: every ``_walk`` over py4j costs one JVM
+    round trip per ``children()`` call, and the join cascade re-walks
+    the same subtrees on every pass. Parsed plans are immutable here,
+    so node lists cache by the proxy's JVM object id."""
+    _walk_cache: dict = {}
+
+    def walk(node):
+        key = getattr(node, "_target_id", None) or id(node)
+        got = _walk_cache.get(key)
+        if got is None:
+            got = [node]
+            for c in _children(node):
+                got.extend(walk(c))
+            _walk_cache[key] = got
+        return got
+
+    def rel_names(node) -> list[str]:
+        key = ("rels", getattr(node, "_target_id", None) or id(node))
+        got = _walk_cache.get(key)
+        if got is None:
+            got = [
+                r
+                for r in (_relation_name(x) for x in walk(node))
+                if r is not None
+            ]
+            _walk_cache[key] = got
+        return got
+
+    return walk, rel_names
+
+
 def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
     """Run ``query`` with transparent index-based file pruning; falls
-    back to the unmodified query on any extraction surprise."""
+    back to the unmodified query on any extraction surprise.
+
+    Thread-safe: pruned reads are registered under per-call unique
+    temp-view names and substituted into the parsed plan — the shared
+    index views are never redefined, so any number of threads may issue
+    ``sql()`` on one session concurrently (observability state such as
+    :func:`prune_report` is last-call-wins under concurrency). Only
+    views the query actually references are registered/fingerprinted —
+    per-call overhead no longer grows with catalog size."""
+    import uuid
+
     from .. import context
 
     spark = spark or context.get_spark()
     _PRUNE_REPORT.clear()
     _PROBE_TRACE.clear()
     _release_probes()  # previous call's result has been consumed by now
-    index_names = set(register_views(spark))
+    try:
+        parser = spark._jsparkSession.sessionState().sqlParser()
+        jplan = parser.parsePlan(query)
+    except Exception:
+        # let Spark raise its own (identical) parse error
+        return _raw_sql(spark, query)
+    walk, rel_names = _make_walkers(spark)
+    try:
+        by_lower = {n.lower(): n for n in _catalog.list_indexes(spark)}
+        referenced = sorted(
+            {
+                by_lower[r.lower()]
+                for r in rel_names(jplan)
+                if r.lower() in by_lower
+            }
+        )
+    except Exception:
+        referenced = []
+    if not referenced:
+        return _raw_sql(spark, query)
+    index_names = set(register_views(spark, referenced))
     cache_key = (
         id(spark),
         query,
@@ -620,31 +758,55 @@ def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
         ),
     )
     use_cache = _cache_enabled(spark)
-    swap = _ViewSwap(spark)
+    ctx = _RewriteContext(spark, parser, uuid.uuid4().hex[:12])
     try:
         cached = _SWAP_CACHE.get(cache_key) if use_cache else None
         if cached is not None:
             for name, files in cached["swaps"]:
                 idx = Index.for_name(name, spark=spark)
-                swap.swap(name, idx.read_files(files, include_all_virtuals=True))
-            _PRUNE_REPORT.update(cached["report"])
+                ctx.swap(
+                    name,
+                    idx.read_files(files, include_all_virtuals=True),
+                    files,
+                )
+            ctx.report = dict(cached["report"])
         else:
-            record: dict = {"swaps": [], "report": {}}
+            failed = False
             try:
-                _plan_and_swap(spark, query, index_names, swap, record)
+                _plan_and_swap(
+                    spark, jplan, index_names, ctx, walk, rel_names
+                )
             except Exception as e:  # fallback = run unmodified (rule parity)
-                record = None
+                failed = True
+                ctx.clear()
                 log.info(
                     "ariadne.sql: no rewrite (%s: %s)", type(e).__name__, e
                 )
-            if use_cache and record is not None:
-                record["report"] = dict(_PRUNE_REPORT)
+            if use_cache and not failed:
+                record = {"swaps": list(ctx.swaps), "report": dict(ctx.report)}
                 if len(_SWAP_CACHE) >= _SWAP_CACHE_MAX:
-                    _SWAP_CACHE.pop(next(iter(_SWAP_CACHE)))
+                    try:
+                        _SWAP_CACHE.pop(next(iter(_SWAP_CACHE)))
+                    except (KeyError, StopIteration):
+                        pass
                 _SWAP_CACHE[cache_key] = record
-        return _raw_sql(spark, query)
+        _PRUNE_REPORT.update(ctx.report)
+        if not ctx.subst:
+            return _raw_sql(spark, query)
+        try:
+            new_plan = ctx.substituted(jplan)
+            return _dataset_of_rows(spark, new_plan)  # analysis is eager
+        except Exception as e:
+            log.info(
+                "ariadne.sql: substitution fell back (%s: %s)",
+                type(e).__name__, e,
+            )
+            _PRUNE_REPORT.clear()
+            return _raw_sql(spark, query)
     finally:
-        swap.restore()
+        # eager analysis has resolved the unique views into the
+        # returned DataFrame's plan; they are no longer needed
+        ctx.drop_views()
 
 
 def enable_sql_interception(spark: SparkSession) -> None:
@@ -681,41 +843,12 @@ def disable_sql_interception(spark: SparkSession) -> None:
 
 def _plan_and_swap(
     spark: SparkSession,
-    query: str,
+    jplan,
     index_names: set[str],
-    swap: _ViewSwap,
-    record: dict | None = None,
+    ctx: _RewriteContext,
+    walk,
+    rel_names,
 ) -> None:
-    jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(query)
-
-    # Memoized tree walk: every _walk over py4j costs one JVM round
-    # trip per children() call, and the join cascade re-walks the same
-    # subtrees on every pass. The parsed plan is immutable here, so
-    # cache node lists by the proxy's JVM object id.
-    _walk_cache: dict = {}
-
-    def walk(node):
-        key = getattr(node, "_target_id", None) or id(node)
-        got = _walk_cache.get(key)
-        if got is None:
-            got = [node]
-            for c in _children(node):
-                got.extend(walk(c))
-            _walk_cache[key] = got
-        return got
-
-    def rel_names(node) -> list[str]:
-        key = ("rels", getattr(node, "_target_id", None) or id(node))
-        got = _walk_cache.get(key)
-        if got is None:
-            got = [
-                r
-                for r in (_relation_name(x) for x in walk(node))
-                if r is not None
-            ]
-            _walk_cache[key] = got
-        return got
-
     metas = {n: Index.for_name(n, spark=spark) for n in index_names}
     indexed_cols = {
         n: {c.column for c in idx.meta.indexes} for n, idx in metas.items()
@@ -821,15 +954,11 @@ def _plan_and_swap(
             query_map.setdefault(icol, frame)
         files = idx.locate_files(query_map)
         pruned = idx.read_files(files, include_all_virtuals=True)
-        swap.swap(name, pruned)
-        if record is not None:
-            # last swap per view wins (monotone refinement re-swaps)
-            record["swaps"] = [
-                (n, f) for n, f in record["swaps"] if n != name
-            ] + [(name, list(files))]
+        # last swap per view wins (monotone refinement re-swaps)
+        ctx.swap(name, pruned, files)
         total_f, total_b = idx._index_totals()
         sizes = idx._last_locate_stats.sizes
-        _PRUNE_REPORT[name] = {
+        ctx.report[name] = {
             "files_selected": len(files),
             "files_total": int(total_f),
             "bytes_selected": int(sum(sizes.get(f) or 0 for f in files)),
@@ -890,13 +1019,13 @@ def _plan_and_swap(
                 pairs = _join_equi_cols(cond, indexed_cols[name])
                 if not pairs:
                     continue
-                # resolves against the CURRENT temp views, so an
-                # already-pruned other side executes its pruned read;
+                # an already-pruned other side executes its pruned read
+                # (substituted, since the shared views stay full);
                 # ancestor WHERE conjuncts that belong to the probe are
                 # applied to it (filtered probe = cheaper to execute
                 # and far more selective keys for pruning)
                 other_df, filtered = _filtered_probe(
-                    spark, jplan, node, other_side, walk
+                    spark, jplan, node, ctx.substituted(other_side), walk
                 )
                 _PROBE_TRACE.append((filtered, other_df))
                 if not filtered:

@@ -726,6 +726,58 @@ def test_analysis_trial_emits_no_error_logs(spark, orders_view):
     assert not records, [r.getMessage() for r in records]
 
 
+def test_concurrent_sql_pruning_is_isolated(spark, orders_view):
+    """Two threads racing pruned SQL on ONE session must each see their
+    own (correct) answer: pruned reads live under per-call unique view
+    names, never the shared index view (r05 verdict #1 — the old global
+    createOrReplaceTempView swap let query B analyze against query A's
+    pruned view and silently lose files)."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    df = orders_view
+    q_pruned = (
+        "SELECT count(*) AS n FROM orders_sql WHERE o_custkey IN (1, 2, 3)"
+    )
+    # full scan over the same view: over-pruning shows up as undercount
+    q_full = "SELECT count(*) AS n FROM orders_sql"
+    want_pruned = df.where(F.col("o_custkey").isin([1, 2, 3])).count()
+    want_full = df.count()
+    surface.clear_sql_cache()
+    spark.conf.set("spark.ariadne.sqlRewriteCache", "false")
+    barrier = threading.Barrier(2)
+
+    def run(q):
+        barrier.wait()
+        return [surface.sql(q, spark).collect()[0]["n"] for _ in range(6)]
+
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(run, q_pruned)
+            f2 = ex.submit(run, q_full)
+            got_pruned, got_full = f1.result(), f2.result()
+    finally:
+        spark.conf.unset("spark.ariadne.sqlRewriteCache")
+    assert got_pruned == [want_pruned] * 6, got_pruned
+    assert got_full == [want_full] * 6, got_full
+    # the shared view itself was never left pruned
+    assert spark.table("orders_sql").count() == want_full
+
+
+def test_sql_leaves_no_unique_views_behind(spark, orders_view):
+    """Per-call pruned views are dropped after (eager) analysis — the
+    session's temp-view namespace does not grow with sql() calls."""
+    surface.sql(
+        "SELECT o_orderkey FROM orders_sql WHERE o_custkey IN (5, 6)", spark
+    ).count()
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("ariadne_pruned_")
+    ]
+    assert leftovers == [], leftovers
+
+
 def test_swap_cache_invalidated_by_index_update(spark, storage, orders_files):
     """The memoized rewrite keys on every index view's manifest
     fingerprint: adding files to the index between two identical
