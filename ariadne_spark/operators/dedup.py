@@ -199,21 +199,73 @@ def band_projection(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 64, bands: int = 8
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 8,
+    bucket_cap: int = 20000,
 ) -> DataFrame:
     """Band the signature (rows per band = k/bands), hash each band,
-    and equi-join on (band, hash) to get candidate pairs (a < b)."""
+    and equi-join on (band, hash) to get candidate pairs (a < b).
+
+    Scale guard (same pattern as similarity.embedding_near_dup): a
+    mass-duplicated corpus — one boilerplate string cloned millions of
+    times — collapses into one (band, sig) bucket, and a plain
+    within-bucket self-join then builds the whole n²/2 in ONE task.
+    Buckets over ``bucket_cap`` rows are cut into ceil(n/bucket_cap)
+    hash-assigned chunks and joined chunk-pair by chunk-pair: the left
+    side replicates each row to every chunk ≥ its own, the right side
+    keys by its chunk, so every within-bucket pair lands in exactly one
+    (ca ≤ cb) cell. The candidate set is IDENTICAL to the uncapped join
+    (total work stays pair-proportional — inherent) but each join cell
+    is at most ~bucket_cap² and the quadratic work spreads across the
+    cluster instead of one straggler task. Buckets under the cap
+    degenerate to the plain single-cell join (replication factor 1);
+    bucket sizes come from one broadcastable groupBy (≤ bands·|buckets|
+    rows) whose exchange Spark reuses across the two join sides."""
     banded = band_projection(signatures, num_hashes, bands)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l.__id") < F.col("r.__id")),
+    # only buckets of ≥2 rows can produce pairs: filtering them first
+    # shrinks BOTH self-join sides from O(corpus·bands) to
+    # O(colliding rows), and makes the bucket-size broadcast
+    # duplicate-proportional instead of corpus-proportional
+    counts = (
+        banded.groupBy("band", "sig")
+        .agg(F.count("*").alias("__bn"))
+        .where(F.col("__bn") > 1)
+    )
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.col("__bn") / F.lit(bucket_cap))
+    ).cast("int")
+    base = (
+        banded.join(F.broadcast(counts), ["band", "sig"])
+        .withColumn("__nch", n_chunks)
+        .withColumn(
+            "__ch",
+            F.pmod(
+                F.xxhash64(F.col("__id").cast("string"), F.lit("minhash-chunk")),
+                F.col("__nch"),
+            ).cast("int"),
         )
-        .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    )
+    l = base.select(
+        "band",
+        "sig",
+        F.col("__id").alias("__ida"),
+        F.explode(F.sequence(F.col("__ch"), F.col("__nch") - F.lit(1))).alias(
+            "__cb"
+        ),
+    )
+    r = base.select(
+        "band", "sig", F.col("__id").alias("__idb"), F.col("__ch").alias("__cb")
+    )
+    return (
+        l.join(r, ["band", "sig", "__cb"])
+        # pairs straddling two chunks appear in ONE orientation only, so
+        # order with least/greatest rather than filtering __ida < __idb
+        .where(F.col("__ida") != F.col("__idb"))
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
         .distinct()
     )
 
@@ -285,24 +337,32 @@ def near_dup_minhash(
     import math
 
     margin = 3 * math.sqrt(threshold * (1 - threshold) / num_hashes)
-    agree = sum(
-        F.when(F.col(f"l.h{i}") == F.col(f"r.h{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
+    # agreement from ONE signature-array zip_with/aggregate, not 64
+    # per-column `when` terms: the 64-term codegen expression over a
+    # 128-column join was the r05 bench regression suspect, and the
+    # array form also keeps the candidate join two narrow columns wide
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    arr_a = sigs.select(F.col("__id").alias("id_a"), sig_arr.alias("__sa"))
+    arr_b = sigs.select(F.col("__id").alias("id_b"), sig_arr.alias("__sb"))
+    agree = F.aggregate(
+        F.zip_with("__sa", "__sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
-    l = sigs.alias("l")
-    r = sigs.alias("r")
     est = (
-        cands.join(l, F.col("l.__id") == F.col("id_a"))
-        .join(r, F.col("r.__id") == F.col("id_b"))
+        cands.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
         .withColumn("__est", agree / F.lit(num_hashes))
         .where(F.col("__est") >= threshold - margin)
         .select("id_a", "id_b")
     ).cache()
-    est.count()  # materialize candidates so the signature cache can go
-    sigs.unpersist()
+    # no standalone est.count(): verify_jaccard_arrays' first action
+    # (the candidate-id semi-join) materializes the est cache, saving a
+    # full extra job; the sigs cache stays alive until then
     verified = verify_jaccard_arrays(
         est, df, text_col, id_col, shingle_len, threshold
     )
+    sigs.unpersist()
     est.unpersist()
     return verified
 

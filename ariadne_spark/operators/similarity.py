@@ -598,7 +598,14 @@ def embedding_near_dup(
         .select(F.col(id_col), F.col(vec_col), sig(F.col(vec_col)).alias("__sigs"))
         .select(id_col, vec_col, F.posexplode("__sigs").alias("__band", "__sig"))
     )
-    counts = with_b.groupBy("__band", "__sig").agg(F.count("*").alias("__bn"))
+    # only buckets of ≥2 rows can produce pairs: filtering them first
+    # shrinks both self-join sides to the colliding rows and makes the
+    # bucket-size broadcast duplicate-proportional, not corpus-sized
+    counts = (
+        with_b.groupBy("__band", "__sig")
+        .agg(F.count("*").alias("__bn"))
+        .where(F.col("__bn") > 1)
+    )
     n_chunks = F.greatest(
         F.lit(1), F.ceil(F.col("__bn") / F.lit(bucket_cap))
     ).cast("int")

@@ -46,6 +46,62 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     assert planted <= found
 
 
+def test_lsh_candidate_pairs_bucket_cap_preserves_results(spark, docs):
+    """Chunk-pair fan-out over oversized MinHash band buckets returns
+    EXACTLY the uncapped pair set (twin of the embedding_near_dup cap
+    test): a mass-duplicated corpus collapses into one (band, sig)
+    bucket, a tiny cap must split it into bounded cells without losing
+    or inventing a single candidate pair."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(60)]  # one hot bucket, n=60
+    rows += [(100 + i, f"unique document number {i} with its own words {i*7}")
+             for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures_fast(df, "text", "doc_id").cache()
+    uncapped = dedup.lsh_candidate_pairs(sigs, bucket_cap=10**9)
+    capped = dedup.lsh_candidate_pairs(sigs, bucket_cap=7)
+    as_set = lambda d: {(r["id_a"], r["id_b"]) for r in d.collect()}
+    want = as_set(uncapped)
+    assert as_set(capped) == want
+    # the hot bucket's 60·59/2 clone pairs are all present
+    assert {(a, b) for a in range(60) for b in range(a + 1, 60)} <= want
+    # and the cap genuinely engaged: with cap=7 the 60-row bucket splits
+    # into ceil(60/7)=9 chunks, so no single join cell can exceed ~cap²
+    from ariadne_spark.operators.dedup import band_projection
+
+    counts = (
+        band_projection(sigs).groupBy("band", "sig").count().collect()
+    )
+    assert max(r["count"] for r in counts) >= 60 > 7
+    sigs.unpersist()
+
+
+def test_near_dup_minhash_mass_duplication_bounded(spark):
+    """End-to-end near_dup_minhash on a mass-duplicated corpus with a
+    capped band join still verifies every clone pair at jaccard 1.0."""
+    boiler = "same boilerplate sentence repeated across the whole crawl"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(40)]
+        + [(1000, "completely different content here")],
+        ["doc_id", "text"],
+    )
+    import ariadne_spark.operators.dedup as dd
+
+    orig = dd.lsh_candidate_pairs
+    try:
+        dd.lsh_candidate_pairs = (
+            lambda sigs, num_hashes=64, bands=8, bucket_cap=20000: orig(
+                sigs, num_hashes, bands, bucket_cap=5
+            )
+        )
+        pairs = dedup.near_dup_minhash(df, "text", "doc_id", threshold=0.8)
+        got = {(a, b): j for a, b, j in pairs.collect()}
+    finally:
+        dd.lsh_candidate_pairs = orig
+    assert len(got) == 40 * 39 // 2
+    assert all(j == 1.0 for j in got.values())
+
+
 def test_simhash_hamming_zero_for_identical(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz qqq")],
