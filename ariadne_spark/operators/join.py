@@ -26,7 +26,22 @@ def apply_temporal_dedup(df: DataFrame, configs: list[IndexConfig]) -> DataFrame
     (timestamp desc, nulls last). All rank columns are computed against
     the ORIGINAL rows, then filtered conjunctively — the multi-temporal
     semantics pinned by the reference
-    (IndexJoinOperations.scala:303-337, CHANGELOG 0.1.5/0.1.8)."""
+    (IndexJoinOperations.scala:303-337, CHANGELOG 0.1.5/0.1.8).
+
+    Single-config path: ``Window.partitionBy(value)`` serializes every
+    row of a hot key into ONE task — faithful to the reference but a
+    scale-killer on skewed keys (r05 verdict). For one temporal config
+    the same result comes from a partial-aggregatable
+    ``max_by(struct(*), order_key)`` groupBy: map-side combine keeps
+    per-task state at one row per distinct key, so a 10⁹-row hot key
+    costs the same as any other. The order key is
+    ``struct(ts IS NOT NULL, ts)`` so null timestamps lose to any
+    non-null one (desc_nulls_last parity) while an all-null key still
+    keeps a row. Ties on the timestamp pick an arbitrary row in both
+    forms (row_number over a non-total order is equally tie-arbitrary).
+    The conjunctive multi-config case keeps the window form — each
+    rank is defined against the ORIGINAL rows, which an iterated
+    groupBy cannot express."""
     applicable = [
         c
         for c in configs
@@ -35,6 +50,17 @@ def apply_temporal_dedup(df: DataFrame, configs: list[IndexConfig]) -> DataFrame
     ]
     if not applicable:
         return df
+    if len(applicable) == 1:
+        cfg = applicable[0]
+        ts = F.col(cfg.timestamp_column)
+        order_key = F.struct(
+            ts.isNotNull().alias("nn"), ts.alias("ts")
+        )
+        return (
+            df.groupBy(F.col(cfg.column).alias("__ariadne_key"))
+            .agg(F.max_by(F.struct("*"), order_key).alias("__ariadne_row"))
+            .select("__ariadne_row.*")
+        )
     rank_cols = []
     out = df
     for i, cfg in enumerate(applicable):

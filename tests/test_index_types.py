@@ -297,6 +297,82 @@ def test_temporal_nested_timestamp_column(spark, storage):
     got = {(r["Id"], r["Value"]) for r in res.collect()}
     assert got == {(1, 20.0), (2, 30.0)}
 
+def test_temporal_dedup_maxby_matches_window_form(spark):
+    """The single-config max_by groupBy path (r05 verdict #4: skew-safe,
+    partial-aggregatable) returns EXACTLY the window row_number==1 rows
+    — including null-timestamps-last and all-null keys — and its plan
+    shows map-side partial aggregation (no per-key serialization)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from ariadne_spark.operators.join import apply_temporal_dedup
+    from ariadne_spark.storage.metadata import TEMPORAL, IndexConfig
+
+    rnd = random.Random(7)
+    rows = []
+    seq = 0
+    for key in range(40):
+        used_null = False  # ≥2 null-ts rows per key would tie (both
+        for _ in range(rnd.randint(1, 6)):  # forms pick arbitrarily)
+            seq += 1
+            if rnd.random() < 0.25 and not used_null:
+                used_null, ts = True, None
+            else:
+                ts = f"2024-01-{rnd.randint(1, 28):02d} 00:00:{seq % 60:02d}"
+            rows.append((key, float(seq), ts))
+    rows.append((999, 1.0, None))  # all-null key must still keep a row
+    df = spark.createDataFrame(
+        rows, "Id int, Value double, UpdatedAt string"
+    ).select("Id", "Value", F.col("UpdatedAt").cast("timestamp").alias("UpdatedAt"))
+    # unique (nn, ts) per key (seq-seconds) => the tie-free total order
+    # both forms agree on
+    cfg = IndexConfig(column="Id", type=TEMPORAL, timestamp_column="UpdatedAt")
+    got = apply_temporal_dedup(df, [cfg])
+    w = Window.partitionBy("Id").orderBy(F.col("UpdatedAt").desc_nulls_last())
+    want = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn")
+    )
+    assert_same_rows(got, want)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan, plan  # map-side combine, skew-safe
+
+
+def test_temporal_dedup_multi_config_keeps_window_semantics(spark):
+    """Two temporal configs filter conjunctively against ranks computed
+    on the ORIGINAL rows (reference CHANGELOG 0.1.5/0.1.8) — the max_by
+    shortcut must NOT engage (an iterated groupBy would rank the second
+    config against already-filtered rows)."""
+    from ariadne_spark.operators.join import apply_temporal_dedup
+    from ariadne_spark.storage.metadata import TEMPORAL, IndexConfig
+
+    rows = [
+        # (A, B, tsA, tsB): row must be latest for BOTH its A and its B
+        (1, 10, 100.0, "2024-01-01", "2024-06-01"),
+        (1, 20, 200.0, "2024-02-01", "2024-01-01"),  # latest A, stale B
+        (2, 10, 300.0, "2024-03-01", "2024-01-01"),  # latest A, stale B
+    ]
+    df = spark.createDataFrame(
+        rows, "A int, B int, Value double, tsA string, tsB string"
+    ).select(
+        "A", "B", "Value",
+        F.col("tsA").cast("timestamp").alias("tsA"),
+        F.col("tsB").cast("timestamp").alias("tsB"),
+    )
+    cfgs = [
+        IndexConfig(column="A", type=TEMPORAL, timestamp_column="tsA"),
+        IndexConfig(column="B", type=TEMPORAL, timestamp_column="tsB"),
+    ]
+    got = {(r["A"], r["B"], r["Value"]) for r in apply_temporal_dedup(df, cfgs).collect()}
+    # rank-1 by A: r2 (A=1), r3 (A=2); rank-1 by B: r1 (B=10), r2 (B=20)
+    # -> only r2 tops BOTH ranks. r1 fails the A rank, r3 fails the B
+    # rank (B=10's latest tsB lives on the A-stale r1 — exactly the
+    # original-rows semantics an iterated groupBy would get wrong).
+    assert got == {(1, 20, 200.0)}, got
+
+
 def test_bloom_dataframe_source_over_probe_cap(spark, storage, orders_files, monkeypatch):
     """A DataFrame query source with more distinct values than
     BLOOM_PROBE_CAP must fall back to a conservative no-prune — with
