@@ -788,9 +788,19 @@ def importance_weights(
     if log_weight:
         out_cols.append(F.col("log_ratio"))
     scored = scored.select(*out_cols)
-    # short documents (< n tokens) emit no grams: keep them with a
-    # neutral profile so selection never silently drops rows
+    # short documents (< n tokens) emit no grams: keep them, scored at
+    # the same add-one formula's zero-evidence value
+    # ((0+1)·Nb)/((0+1)·Nt) = Nb/Nt — the smoothed prior ratio. (A 0.0
+    # fill would be the most background-like score possible, so any
+    # threshold/median selection would systematically drop all short
+    # documents instead of treating them neutrally.) log_ratio's
+    # zero-gram sum is legitimately 0. An empty corpus (no grams
+    # anywhere) has no prior; 0.0 then.
     base = df.select(F.col(id_col))
+    totals = lookup.select("__nt", "__nb").limit(1)
+    prior = F.round(
+        F.col("__nb").cast("double") / F.col("__nt").cast("double"), 6
+    )
     fill = [
         F.col(id_col),
         F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
@@ -798,8 +808,12 @@ def importance_weights(
         F.coalesce("sum_background", F.lit(0)).cast("bigint").alias(
             "sum_background"
         ),
-        F.coalesce("score", F.lit(0.0)).alias("score"),
+        F.coalesce("score", prior, F.lit(0.0)).alias("score"),
     ]
     if log_weight:
         fill.append(F.coalesce("log_ratio", F.lit(0.0)).alias("log_ratio"))
-    return base.join(scored, id_col, "left").select(*fill)
+    return (
+        base.join(scored, id_col, "left")
+        .join(F.broadcast(totals), F.lit(True), "left")
+        .select(*fill)
+    )

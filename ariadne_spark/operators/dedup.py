@@ -758,7 +758,12 @@ def ngram_set_dedup(
 # dedup calls still holding cache. Any incremental_* call releases ALL
 # of them — so consume a batch's result before issuing the next batch.
 # An unconsumed result stays CORRECT after release (its history read
-# is snapshot-pinned to pre-append part files), it just recomputes.
+# is snapshot-pinned to pre-append part files), it just recomputes —
+# UNLESS signature_store_compact / window_store_compact runs in
+# between: compaction DELETES the pinned part files, and a
+# post-eviction recompute then fails with FileNotFound rather than
+# recomputing. Consume (or checkpoint) every incremental result before
+# compacting its store; the compact docstrings repeat this contract.
 _INCREMENTAL_LIVE: list = []
 
 
@@ -845,6 +850,11 @@ def signature_store_compact(
     Re-crawled ids may appear once per crawl in the store; the NEWEST
     signature wins here (same supersede rule the incremental join
     applies at read time), so compaction also discards dead history.
+
+    Consume (or checkpoint) any in-flight ``incremental_*`` result
+    BEFORE compacting: those results pin the store's pre-append part
+    files, which compaction deletes — a post-compaction recompute of an
+    unconsumed lazy result fails with FileNotFound.
 
     NOT concurrent-writer-safe (plain directory swap — run it from the
     maintenance window that owns the store, e.g. under the same lock
@@ -1076,9 +1086,17 @@ def _remove_spans(
         )
     )
     out = toks.join(per_doc, id_col, "left").withColumn("__cov", covered)
-    kept = F.filter(
-        F.col("__toks"),
-        lambda t, i: ~F.array_contains(F.col("__cov"), (i + 1).cast("int")),
+    # kept positions via array_except (hash-set semantics, O(n_tokens +
+    # covered), order-preserving) — a per-token array_contains filter
+    # would be O(n_tokens × covered), quadratic on long heavily-
+    # duplicated docs (r06 ADVICE). Guard the sequence: Spark's
+    # sequence(1, 0) steps DOWN, so empty docs need an explicit [].
+    positions = F.when(
+        F.size("__toks") > 0, F.sequence(F.lit(1), F.size("__toks"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.transform(
+        F.array_except(positions, F.col("__cov")),
+        lambda p: F.element_at(F.col("__toks"), p),
     )
     return out.select(
         id_col,
@@ -1184,7 +1202,10 @@ def window_store_compact(
     compacted copy renamed into place, then the old copy deleted — at
     every intermediate state the history exists under a well-known
     name and the read path refuses a missing store with an ``.__old``
-    sibling). Returns the number of distinct digests kept."""
+    sibling). Same consumption contract too: materialize any in-flight
+    ``incremental_substring_dedup`` result first — compaction deletes
+    the part files its snapshot pins. Returns the number of distinct
+    digests kept."""
     import math
 
     from ..storage.fs import get_fs

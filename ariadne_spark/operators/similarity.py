@@ -305,12 +305,14 @@ def lsh_ann_topk_banded(
 
 def _centroids(corpus: DataFrame, corpus_id: str, vec_col: str, n: int) -> np.ndarray:
     """Deterministic centroid pick: the n corpus vectors with the
-    smallest xxhash64(id) — a uniform pseudo-random sample that needs
-    no RNG state and no iterative k-means (collect is n×dim floats,
-    driver-bounded)."""
+    smallest md5(id) — a uniform pseudo-random sample that needs no RNG
+    state and no iterative k-means (collect is n×dim floats,
+    driver-bounded). md5 (not xxhash64) so an external SQL engine can
+    reproduce the exact pick — the sim_ann_ivf oracle twin recomputes
+    these centroids in DuckDB."""
     rows = (
         corpus.select(F.col(corpus_id).alias("__id"), F.col(vec_col).alias("__v"))
-        .orderBy(F.xxhash64(F.col("__id").cast("string")), F.col("__id"))
+        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
         .limit(n)
         .collect()
     )

@@ -37,13 +37,30 @@ Scope (documented divergences from the view/API surfaces):
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import (
-    DataSource,
-    DataSourceReader,
-    EqualTo,
-    In,
-    InputPartition,
-)
+try:  # Spark >= 4.0 only — the module does not exist on 3.5
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        In,
+        InputPartition,
+    )
+
+    HAS_PYTHON_DATASOURCE = True
+except ImportError:  # pragma: no cover - exercised via mocked import
+    HAS_PYTHON_DATASOURCE = False
+
+    class DataSource:  # type: ignore[no-redef]  # placeholder bases so
+        pass  # the class definitions below still parse on Spark 3.5
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        pass
+
+    EqualTo = In = ()  # isinstance(x, ()) is always False
+
 from pyspark.sql.types import StructType
 
 from ..plans.locate_local import list_filenames, locate_files_local
@@ -243,6 +260,15 @@ class AriadneReader(DataSourceReader):
 
 
 def register(spark) -> None:
+    if not HAS_PYTHON_DATASOURCE:
+        raise RuntimeError(
+            "the ariadne Python Data Source needs the Spark 4 "
+            "pyspark.sql.datasource API, which this Spark "
+            "installation does not provide — on Spark 3.5 use the SQL "
+            "view surface (ariadne_spark.register_views + "
+            "ariadne_spark.sql) or Index.read_matching instead; both "
+            "give the same pruned reads"
+        )
     from .. import context
 
     context.ship_package(spark)

@@ -92,6 +92,41 @@ BENCH_QUERIES = [
     "corpus_temperature_sample",
     "text_bpe_encode",
     "corpus_importance",
+    # r06: full-registry coverage (r05 verdict #5) — every queries()
+    # entry is benched; one-time fixture builds (BPE learn, dedup
+    # stores, indexes) happen in the warmup pass and are reported as
+    # warmup_sec, timed passes measure the steady-state query path
+    "idx_filter_computed",
+    "idx_filter_range_bbox",
+    "idx_join_reverse",
+    "idx_large_matching",
+    "idx_incremental",
+    "idx_delete_files",
+    "idx_select_pushdown",
+    "idx_stats",
+    "idx_locate",
+    "source_csv",
+    "source_json",
+    "source_orc",
+    "sql_json_filter",
+    "sql_tpch_q4",
+    "sql_tpch_q10",
+    "sql_tpch_q18",
+    "catalog_describe",
+    "corpus_pack",
+    "emb_near_dup",
+    "emb_semantic_dedup",
+    "sim_ann_ivf_indexed",
+    "multimodal_decode_png",
+    "multimodal_decode_ppm",
+    "multimodal_decode_wav",
+    "multimodal_frames",
+    "text_bpe_learn",
+    "text_fingerprint",
+    "text_token_count",
+    "ts_sessionize",
+    "ts_rollup",
+    "ts_asof_join",
 ]
 
 
@@ -125,9 +160,11 @@ def main() -> None:
     # Python-worker spin-up (~1-6 s per distinct plan shape) that a
     # long-lived cluster session never sees again; the metric reports
     # the steady-state query path. Disable with SPARK_GRAFT_WARMUP=0.
+    t0 = time.time()
     if os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
         for name in BENCH_QUERIES:
             qs[name](spark, sf_dir).count()
+    warmup_sec = round(time.time() - t0, 3)
 
     # Two timed passes, keep the min: a single pass is hostage to
     # driver GC pauses and machine noise (observed 0.6 s -> 4.3 s
@@ -160,6 +197,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_num,
                 "build_sec": build_sec,
+                "warmup_sec": warmup_sec,
+                "n_queries": len(BENCH_QUERIES),
             }
         )
     )

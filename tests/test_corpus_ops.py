@@ -969,14 +969,21 @@ def test_importance_weights_favors_target_like_docs(spark):
 
 
 def test_importance_weights_short_docs_kept_neutral(spark):
+    """Zero-gram docs score the smoothed prior Nb/Nt — the add-one
+    formula at zero evidence — NOT 0.0, which would be the most
+    background-like score possible and make any threshold/median
+    selection silently drop all short documents (r06 ADVICE)."""
     target = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
     df = spark.createDataFrame([(1, "solo"), (2, "a b")], ["doc_id", "text"])
     out = {
         r["doc_id"]: (r["n_grams"], r["score"])
         for r in corpus.importance_weights(df, target, n=2).collect()
     }
-    assert out[1] == (0, 0.0)  # no bigrams -> kept with neutral zeros
+    # Nb = 1 corpus bigram ("a b"), Nt = 2 target bigrams -> prior 0.5
+    assert out[1] == (0, 0.5)
     assert out[2][0] == 1
+    # a median/threshold cut at any score below the prior keeps doc 1
+    assert out[1][1] > 0.0
 
 
 def test_importance_weights_log_variant_monotone(spark):
