@@ -38,8 +38,11 @@
  * (equality / IN / bands, incl. computed and exploded columns) plus
  * INNER equi-join pruning with a capped other-side key collection;
  * temporal-config indexes resolve with read-time latest-version
- * dedup (their Window blocks pruning, deliberately); bloom probing
- * covers string/integer literals (other types stay conservative).
+ * dedup, and their TEMPORAL key column also prunes through that
+ * window — equality/join keys locate per-value latest files (W2);
+ * all other columns stay blocked below the dedup window (pruning on
+ * them could promote stale rows to "latest"); bloom probing covers
+ * string/integer literals (other types stay conservative).
  */
 package ariadnespark.ext
 
@@ -477,7 +480,7 @@ class AriadnePruneRule(session: SparkSession)
     extends Rule[LogicalPlan] with Logging {
 
   import org.apache.spark.sql.catalyst.plans.Inner
-  import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+  import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, Window => LWindow}
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformUp {
@@ -521,9 +524,9 @@ class AriadnePruneRule(session: SparkSession)
       side: LogicalPlan,
       other: LogicalPlan,
       cond: Expression): Option[LogicalPlan] = {
-    val relOpt = findRel(side)
+    val relOpt = findRelDedup(side)
     if (relOpt.isEmpty) return None
-    val rel = relOpt.get
+    val (rel, throughDedup) = relOpt.get
     val hfs = rel.relation match {
       case h: HadoopFsRelation => h
       case _ => return None
@@ -578,9 +581,14 @@ class AriadnePruneRule(session: SparkSession)
     var names: List[String] = Nil
     matching.foreach { entry =>
       val shadowed = shadowedNames(side, entry)
+      val temporalCols =
+        entry.configs.filter(_.tpe == "temporal").map(_.column).toSet
       // (indexed column on our side, key EXPRESSION on the other
       // side — often a type-coercion Cast around the attribute, so
-      // accept any deterministic other-side expression, projected)
+      // accept any deterministic other-side expression, projected).
+      // Below our dedup window only the TEMPORAL key may drive
+      // pruning (W2 latest-file locate keeps each queried key's
+      // latest version; any other column could promote stale rows).
       val pairs: Seq[(String, Expression)] = conjuncts(cond).flatMap {
         case EqualTo(x, y) =>
           val xSide = x.references.subsetOf(side.outputSet)
@@ -593,7 +601,7 @@ class AriadnePruneRule(session: SparkSession)
             colOfExpr(entry, shadowed, y).map(c => c -> x)
           else None
         case _ => None
-      }
+      }.filter { case (c, _) => !throughDedup || temporalCols.contains(c) }
       var eq = Map.empty[String, Seq[Any]]
       pairs.groupBy(_._1).foreach { case (col, ps) =>
         valuesOf(ps.head._2).foreach(vals => eq += col -> vals)
@@ -615,21 +623,46 @@ class AriadnePruneRule(session: SparkSession)
     * swapped for its pruned copy (everything above is untouched —
     * including the Filter, which keeps row-level exactness). */
   private def tryPrune(cond: Expression, child: LogicalPlan): Option[LogicalPlan] = {
-    val rel = findRel(child).getOrElse(return None)
-    prune(cond, child, rel).map { pruned =>
+    val (rel, throughDedup) = findRelDedup(child).getOrElse(return None)
+    prune(cond, child, rel, throughDedup).map { pruned =>
       child.transformUp {
         case r: LogicalRelation if r eq rel => pruned
       }
     }
   }
 
-  private def findRel(node: LogicalPlan): Option[LogicalRelation] = node match {
-    case r: LogicalRelation => Some(r)
-    case p: Project => findRel(p.child)
-    case g: Generate => findRel(g.child)
-    case f: Filter => findRel(f.child)
-    case _ => None
-  }
+  /** Our W1 latest-version dedup window: every window expression is a
+    * `__ariadne_rank_N` alias (resolve-time shape,
+    * AriadneResolveRule above). Only this window may be descended
+    * through, and only for TEMPORAL-column constraints — pruning on
+    * any other column above latest-version dedup could drop a key's
+    * latest file and promote a stale row to "latest" (the exact
+    * hazard the Window barrier existed for). */
+  private def isDedupWindow(w: LWindow): Boolean =
+    w.windowExpressions.nonEmpty && w.windowExpressions.forall {
+      case a: Alias => a.name.startsWith("__ariadne_rank_")
+      case _ => false
+    }
+
+  /** (relation, crossed-our-dedup-window?). The flag restricts
+    * predicate mining to temporal columns served by the W2
+    * latest-file locate — sound through the window because the file
+    * holding a queried key's latest version is always kept, so the
+    * rank-1 row per queried key is unchanged; other keys' ranks may
+    * shift but an equi-join/filter on the key discards them. */
+  private def findRelDedup(node: LogicalPlan): Option[(LogicalRelation, Boolean)] =
+    node match {
+      case r: LogicalRelation => Some((r, false))
+      case p: Project => findRelDedup(p.child)
+      case g: Generate => findRelDedup(g.child)
+      case f: Filter => findRelDedup(f.child)
+      case w: LWindow if isDedupWindow(w) =>
+        findRelDedup(w.child).map { case (r, _) => (r, true) }
+      case _ => None
+    }
+
+  private def findRel(node: LogicalPlan): Option[LogicalRelation] =
+    findRelDedup(node).map(_._1)
 
   /** Attr names between the Filter and the relation that do NOT mean
     * what the index thinks: aliases introduced by intervening
@@ -673,7 +706,8 @@ class AriadnePruneRule(session: SparkSession)
   private def prune(
       cond: Expression,
       child: LogicalPlan,
-      rel: LogicalRelation): Option[LogicalRelation] = try {
+      rel: LogicalRelation,
+      throughDedup: Boolean = false): Option[LogicalRelation] = try {
     val hfs = rel.relation match {
       case h: HadoopFsRelation => h
       case _ => return None
@@ -684,8 +718,16 @@ class AriadnePruneRule(session: SparkSession)
     var keeps: List[Set[String]] = Nil
     var names: List[String] = Nil
     matching.foreach { entry =>
-      val (eq, bands) =
+      var (eq, bands) =
         minePredicates(cond, entry, shadowedNames(child, entry))
+      if (throughDedup) {
+        // below our dedup window only temporal-key equality may
+        // prune (W2 locate); bands cannot enumerate keys
+        val temporal = entry.configs
+          .filter(_.tpe == "temporal").map(_.column).toSet
+        eq = eq.filter { case (c, _) => temporal.contains(c) }
+        bands = Map.empty
+      }
       if (eq.nonEmpty || bands.nonEmpty) {
         keeps ::= locateKeep(entry, eq, bands)
         names ::= entry.name
@@ -877,6 +919,9 @@ class AriadnePruneRule(session: SparkSession)
     // segment is conservative-true (no array, no bloom => must read);
     // an absent range struct can never satisfy a comparison => false.
     var verdict: Column = SF.lit(true)
+    // temporal constraints need a per-VALUE argmax across files (W2),
+    // not a per-file predicate — collected here, intersected below
+    var temporalKeeps: List[Set[String]] = Nil
     eq.foreach { case (colName, values) =>
       val cfg = cfgByCol(colName)
       val sc = cfg.storedColumn
@@ -938,7 +983,41 @@ class AriadnePruneRule(session: SparkSession)
           } else {
             verdict = verdict && SF.lit(false)
           }
-        case _ => // temporal refused at resolution; unknown: conservative
+        case "temporal" =>
+          // W2 latest-file-per-value, the DataFrame port of
+          // plans/locate.py:_temporal_candidates: keep, per queried
+          // value, only the file holding its LATEST version (max_ts
+          // desc nulls last, tie -> lexicographically first file).
+          // Only the latest segment row per file counts (same
+          // supersede rule as the verdict max_by below). A NULL
+          // array anywhere means a large-spilled value set this
+          // surface cannot see -> no pruning for this constraint.
+          if (present.contains(sc)) {
+            import org.apache.spark.sql.expressions.{Window => WF}
+            val latestSeg = all
+              .groupBy("filename")
+              .agg(SF.max_by(SF.col(sc), SF.col("__seq")).as(sc))
+            val anyNull =
+              latestSeg.where(SF.col(sc).isNull).limit(1).count() > 0
+            if (!anyNull) {
+              val litArr = SF.array(vs.map(v => SF.lit(v)): _*)
+              val pairsDf = latestSeg
+                .select(SF.col("filename"), SF.explode(SF.col(sc)).as("__s"))
+                .select(
+                  SF.col("filename"),
+                  SF.col("__s.value").as("__v"),
+                  SF.col("__s.max_ts").as("__ts"))
+                .where(SF.array_contains(litArr, SF.col("__v")))
+              val w = WF.partitionBy(SF.col("__v"))
+                .orderBy(SF.col("__ts").desc_nulls_last, SF.col("filename"))
+              temporalKeeps ::= pairsDf
+                .withColumn("__rn", SF.row_number().over(w))
+                .where(SF.col("__rn") === 1)
+                .select("filename").distinct()
+                .collect().map(_.getString(0)).toSet
+            }
+          }
+        case _ => // unknown: conservative
       }
     }
     bands.foreach { case (colName, band) =>
@@ -963,13 +1042,14 @@ class AriadnePruneRule(session: SparkSession)
       // locate_local.py:88)
     }
 
-    all.groupBy("filename")
+    val base = all.groupBy("filename")
       .agg(SF.max_by(verdict.cast("boolean"), SF.col("__seq")).as("__ok"))
       .where(SF.coalesce(SF.col("__ok"), SF.lit(true)))
       .select("filename")
       .collect()
       .map(_.getString(0))
       .toSet
+    temporalKeeps.foldLeft(base)(_ intersect _)
   }
 }
 

@@ -12,8 +12,11 @@ subprocess whose only ariadne surface is `spark.jars` +
   rows (schema parity incl. computed + exploded virtual columns);
 * pruning: `df.inputFiles()` shrinks for literal equality / IN /
   range-band predicates while row sets stay exact;
-* refusals: unknown names and temporal-config indexes stay
-  unresolved (normal table-not-found), never wrong-but-resolved.
+* temporal: views resolve WITH latest-version dedup (W1), and joins /
+  WHERE on the temporal key prune through the dedup window to the
+  per-key latest files (W2) with Python-path row parity;
+* refusals: unknown names stay unresolved (normal table-not-found),
+  never wrong-but-resolved.
 """
 from __future__ import annotations
 
@@ -133,7 +136,49 @@ def jvm_state(spark):
         tidx.add_temporal_index("o_custkey", "o_orderdate")
         tidx.add_files(files[:2])
         tidx.update()
-        yield {"store": store, "data_glob": f"{_DEMO}/orders/p*/*.parquet"}
+
+        # temporal index with versions of the SAME keys in different
+        # files: p0 = originals, p1 = superseding versions (+1000 days)
+        # for a known key subset — the r06 temporal-JOIN prune target
+        base = orders.limit(200)
+        t2_keys = sorted(
+            r[0]
+            for r in base.select("o_custkey").distinct().limit(10).collect()
+        )
+        base.coalesce(1).write.parquet(f"{_DEMO}/temporal2/p0")
+        (
+            base.where(F.col("o_custkey").isin(t2_keys))
+            .withColumn(
+                "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS")
+            )
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+            .coalesce(1)
+            .write.parquet(f"{_DEMO}/temporal2/p1")
+        )
+        t2_files = sorted(glob.glob(f"{_DEMO}/temporal2/p*/*.parquet"))
+        t2 = Index.for_name(
+            "jext_temporal2", spark=spark, format="parquet", schema=orders.schema
+        )
+        t2.add_temporal_index("o_custkey", "o_orderdate")
+        t2.add_files(t2_files)
+        t2.update()
+        # Python-path expectation for the parity assert: join the
+        # temporal index on a key subset through the engine API
+        probe_keys = t2_keys[:5]
+        probe = spark.createDataFrame([(k,) for k in probe_keys], ["o_custkey"])
+        py_rows = sorted(
+            (r["o_custkey"], r["o_orderkey"], str(r["o_orderdate"]))
+            for r in t2.join(probe, on=["o_custkey"])
+            .select("o_custkey", "o_orderkey", "o_orderdate")
+            .collect()
+        )
+        yield {
+            "store": store,
+            "data_glob": f"{_DEMO}/orders/p*/*.parquet",
+            "t2_probe_keys": probe_keys,
+            "t2_py_rows": py_rows,
+            "t2_n_files": len(t2_files),
+        }
     finally:
         if old is not None:
             spark.conf.set("spark.ariadne.storagePath", old)
@@ -324,6 +369,37 @@ out["temporal"] = {
     "ts_is_max": all(r["o_orderdate"] == exp_max[r["o_custkey"]] for r in trows),
 }
 
+# r06: temporal JOIN pruning — joining a temporal index on its key
+# must prune to the per-key latest files (W2 through the dedup
+# window) while returning exactly the latest-version rows
+probe_keys = json.loads(sys.argv[5])
+spark.createDataFrame(
+    [(int(k),) for k in probe_keys], "o_custkey bigint"
+).createOrReplaceTempView("tprobe")
+jdf = spark.sql(
+    "SELECT t.o_custkey, t.o_orderkey, t.o_orderdate "
+    "FROM ariadne.jext_temporal2 t JOIN tprobe p "
+    "ON t.o_custkey = p.o_custkey"
+)
+out["temporal_join"] = {
+    "rows": sorted(
+        (r["o_custkey"], r["o_orderkey"], str(r["o_orderdate"]))
+        for r in jdf.collect()
+    ),
+    "scanned": len(jdf.inputFiles()),
+}
+wdf = spark.sql(
+    "SELECT o_custkey, o_orderkey, o_orderdate FROM ariadne.jext_temporal2 "
+    f"WHERE o_custkey = {int(probe_keys[0])}"
+)
+out["temporal_where"] = {
+    "rows": sorted(
+        (r["o_custkey"], r["o_orderkey"], str(r["o_orderdate"]))
+        for r in wdf.collect()
+    ),
+    "scanned": len(wdf.inputFiles()),
+}
+
 print("JSON:" + json.dumps(out))
 spark.stop()
 """
@@ -336,7 +412,7 @@ def report(jvm_state):
         fh.write(_SUBPROC)
     proc = subprocess.run(
         [sys.executable, script, JAR, jvm_state["store"], jvm_state["data_glob"],
-         REPO],
+         REPO, json.dumps(jvm_state["t2_probe_keys"])],
         capture_output=True, text=True, timeout=420,
     )
     lines = [l for l in proc.stdout.splitlines() if l.startswith("JSON:")]
@@ -410,6 +486,32 @@ def test_temporal_view_applies_latest_version_dedup(report):
     assert t["one_row_per_key"]
     assert t["n_keys"] == t["expected_keys"] > 0
     assert t["ts_is_max"]
+
+
+def test_temporal_join_prunes_with_python_parity(report, jvm_state):
+    """r05 verdict #8: joining a temporal index ON ITS TEMPORAL KEY
+    through beeline-style SQL prunes files (W2 latest-file locate
+    through the dedup window) and returns byte-identical rows to the
+    Python engine's Index.join path. Every probed key's versions live
+    in BOTH files but the superseding rows are all in one — the join
+    must scan only that file and return only the superseding rows."""
+    t = report["temporal_join"]
+    rows = [tuple(r) for r in t["rows"]]
+    assert rows == [tuple(r) for r in jvm_state["t2_py_rows"]]
+    assert 0 < t["scanned"] < jvm_state["t2_n_files"], t
+    # all returned rows are the superseding (+10M orderkey) versions
+    assert all(r[1] >= 10_000_000 for r in rows), rows[:3]
+
+
+def test_temporal_where_prunes_to_latest_file(report, jvm_state):
+    """WHERE temporal_key = v above the dedup window prunes to the
+    file holding v's latest version with exact rows."""
+    t = report["temporal_where"]
+    rows = [tuple(r) for r in t["rows"]]
+    k = jvm_state["t2_probe_keys"][0]
+    expected = [r for r in (tuple(x) for x in jvm_state["t2_py_rows"]) if r[0] == k]
+    assert rows == expected
+    assert 0 < t["scanned"] < jvm_state["t2_n_files"], t
 
 
 def test_join_values_prunes_and_matches(report):
