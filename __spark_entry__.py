@@ -1278,8 +1278,10 @@ def _prepare_ivf(spark: SparkSession, sf_dir: str):
 def q_sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k through the PERSISTED index path: probe cells →
     engine locate prunes to the files holding them → exact re-rank
-    inside. The lake-scale composition of ANN with file pruning
-    (hash-dependent centroid pick: rows-only)."""
+    inside. The lake-scale composition of ANN with file pruning.
+    Fully oracle-backed (r06): the probe filters back to its cells, so
+    the result is file-split-independent — the shared IVF SQL template
+    at the build parameters (n_centroids=32) is an exact twin."""
     from ariadne_spark.operators.similarity import ivf_index_topk
 
     idx, cent_path = _prepare_ivf(spark, sf_dir)
@@ -2674,6 +2676,63 @@ _MINHASH_ORACLE_SQL = r"""
 """
 
 
+_IVF_ORACLE_SQL = """
+            WITH cents AS (
+                SELECT embedding::DOUBLE[] AS cvec,
+                       row_number() OVER (
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) AS cidx
+                FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {n_cents}
+            ),
+            sim_c AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cidx,
+                       list_dot_product(e.embedding::DOUBLE[], c.cvec) /
+                       (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[])) *
+                        sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
+                FROM embeddings e CROSS JOIN cents c
+            ),
+            cells AS (
+                SELECT vec_id, v, cidx AS cell FROM (
+                    SELECT vec_id, v, cidx,
+                           row_number() OVER (
+                               PARTITION BY vec_id ORDER BY cos DESC, cidx ASC
+                           ) AS rnk
+                    FROM sim_c
+                ) WHERE rnk = 1
+            ),
+            probes AS (
+                SELECT vec_id AS query_id, v AS qv, cidx AS cell FROM (
+                    SELECT vec_id, v, cidx,
+                           row_number() OVER (
+                               PARTITION BY vec_id ORDER BY cos DESC, cidx ASC
+                           ) AS rnk
+                    FROM sim_c WHERE vec_id < 3
+                ) WHERE rnk <= {n_probe}
+            ),
+            scored AS (
+                SELECT p.query_id, s.vec_id,
+                       list_dot_product(p.qv, s.v) /
+                       (sqrt(list_dot_product(p.qv, p.qv)) *
+                        sqrt(list_dot_product(s.v, s.v))) AS c
+                FROM probes p JOIN cells s ON s.cell = p.cell
+            ),
+            r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, vec_id ASC
+                       ) AS rank,
+                       c
+                FROM scored
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+                   round(c, 6) AS cosine
+            FROM r WHERE rank <= {k}
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     from ariadne_spark.operators.text import STOPWORDS
 
@@ -3198,69 +3257,21 @@ def oracle_sql() -> dict[str, str]:
                 CAST(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS norm_len
             FROM documents
         """,
-        # IVF ANN: centroids are the 64 vectors with the smallest
+        # IVF ANN: centroids are the {n_cents} vectors with the smallest
         # md5(vec_id) (deterministic, engine-independent pick), corpus
         # vectors assign to their nearest centroid (cos DESC, centroid
-        # ordinal ASC — numpy's stable argsort tie-break), queries probe
-        # their 8 nearest cells and re-rank exactly inside them. The
-        # twin recomputes the WHOLE pipeline, cells included — not just
-        # the re-rank — so a drifting assignment fails the gate.
-        "sim_ann_ivf": """
-            WITH cents AS (
-                SELECT embedding::DOUBLE[] AS cvec,
-                       row_number() OVER (
-                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                       ) AS cidx
-                FROM embeddings
-                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-                LIMIT 64
-            ),
-            sim_c AS (
-                SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cidx,
-                       list_dot_product(e.embedding::DOUBLE[], c.cvec) /
-                       (sqrt(list_dot_product(e.embedding::DOUBLE[],
-                                              e.embedding::DOUBLE[])) *
-                        sqrt(list_dot_product(c.cvec, c.cvec))) AS cos
-                FROM embeddings e CROSS JOIN cents c
-            ),
-            cells AS (
-                SELECT vec_id, v, cidx AS cell FROM (
-                    SELECT vec_id, v, cidx,
-                           row_number() OVER (
-                               PARTITION BY vec_id ORDER BY cos DESC, cidx ASC
-                           ) AS rnk
-                    FROM sim_c
-                ) WHERE rnk = 1
-            ),
-            probes AS (
-                SELECT vec_id AS query_id, v AS qv, cidx AS cell FROM (
-                    SELECT vec_id, v, cidx,
-                           row_number() OVER (
-                               PARTITION BY vec_id ORDER BY cos DESC, cidx ASC
-                           ) AS rnk
-                    FROM sim_c WHERE vec_id < 3
-                ) WHERE rnk <= 8
-            ),
-            scored AS (
-                SELECT p.query_id, s.vec_id,
-                       list_dot_product(p.qv, s.v) /
-                       (sqrt(list_dot_product(p.qv, p.qv)) *
-                        sqrt(list_dot_product(s.v, s.v))) AS c
-                FROM probes p JOIN cells s ON s.cell = p.cell
-            ),
-            r AS (
-                SELECT query_id, vec_id,
-                       row_number() OVER (
-                           PARTITION BY query_id ORDER BY c DESC, vec_id ASC
-                       ) AS rank,
-                       c
-                FROM scored
-            )
-            SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
-                   round(c, 6) AS cosine
-            FROM r WHERE rank <= 5
-        """,
-        "sim_topk": """
+        # ordinal ASC - numpy's stable argsort tie-break), queries probe
+        # their {n_probe} nearest cells and re-rank exactly inside them.
+        # The twin recomputes the WHOLE pipeline, cells included. The
+        # INDEXED variant persists cells + files and composes engine
+        # file pruning, but filters back to the probed cells, so its
+        # result is file-split-independent: the same template at its
+        # build parameters (n_centroids=32) is an exact oracle for it.
+        "sim_ann_ivf": _IVF_ORACLE_SQL.format(n_cents=64, n_probe=8, k=5),
+        "sim_ann_ivf_indexed": _IVF_ORACLE_SQL.format(
+            n_cents=32, n_probe=8, k=5
+        ),
+"sim_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                 FROM embeddings WHERE vec_id < 3

@@ -435,25 +435,34 @@ def _to_seq(spark, items: list):
     return spark._jvm.PythonUtils.toSeq(items)
 
 
-def _substitute_plan(spark, node, subst: dict[str, object]):
+def _substitute_plan(spark, node, subst: dict[str, object],
+                     subst_nodes: dict[int, object], children=_children):
     """Rebuild the parsed plan bottom-up, replacing each
-    ``UnresolvedRelation`` whose name is in ``subst`` with the mapped
-    node (a ``SubqueryAlias(original_name, pruned_unique_view)`` so
-    qualified attribute references keep resolving). Untouched subtrees
-    are returned as the SAME JVM objects — Spark's cache manager can
-    still canonically match a persisted probe side against the final
-    plan. Returns ``(new_node, changed)``."""
+    ``UnresolvedRelation`` that is either (a) THE specific reference
+    node in ``subst_nodes`` (keyed by the canonical proxy's ``id()`` —
+    per-reference pruning of multi-referenced views) or (b) any
+    reference of a name in ``subst``, with the mapped node (a
+    ``SubqueryAlias(original_name, pruned_unique_view)`` so qualified
+    attribute references keep resolving). ``children`` must be the
+    per-call memoized accessor so every JVM node has ONE canonical
+    proxy and ``id()`` is a stable identity. Untouched subtrees are
+    returned as the SAME JVM objects — Spark's cache manager can still
+    canonically match a persisted probe side against the final plan.
+    Returns ``(new_node, changed)``."""
+    rep = subst_nodes.get(id(node))
+    if rep is not None:
+        return rep, True
     name = _relation_name(node)
     if name is not None:
         rep = subst.get(name)
         return (rep, True) if rep is not None else (node, False)
-    children = _children(node)
-    if not children:
+    kids = children(node)
+    if not kids:
         return node, False
     rebuilt = []
     changed = False
-    for c in children:
-        nc, ch = _substitute_plan(spark, c, subst)
+    for c in kids:
+        nc, ch = _substitute_plan(spark, c, subst, subst_nodes, children)
         rebuilt.append(nc)
         changed = changed or ch
     if not changed:
@@ -469,37 +478,64 @@ class _RewriteContext:
     reference rule is stateless per-plan, AriadneJoinRule.scala:126-250;
     the previous global view swap could over-prune a racing query)."""
 
-    def __init__(self, spark: SparkSession, parser, token: str):
+    def __init__(self, spark: SparkSession, parser, token: str,
+                 children=_children):
         self.spark = spark
         self.parser = parser
         self.token = token
+        self.children = children
         self.subst: dict[str, object] = {}  # view -> replacement node
-        self.unique: dict[str, str] = {}  # view -> unique temp view
+        # specific reference node (canonical proxy id) -> replacement:
+        # per-REFERENCE pruning of multi-referenced views (each UNION
+        # branch / self-join arm gets its own pruned unique view — the
+        # old global swap could never express this)
+        self.subst_nodes: dict[int, object] = {}
+        self.unique: dict = {}  # key -> unique temp view
         self.report: dict = {}
-        self.swaps: list[tuple[str, list[str]]] = []
+        # (name, ordinal-or-None, files): ordinal = DFS preorder index
+        # among the plan's references of that name, for cache replay
+        self.swaps: list[tuple] = []
+
+    def _replacement(self, key, name: str, df: DataFrame):
+        uname = self.unique.get(key)
+        if uname is None:
+            suffix = name if isinstance(key, str) else f"{name}_r{key[1]}"
+            uname = f"ariadne_pruned_{self.token}_{suffix}"
+            self.unique[key] = uname
+        df.createOrReplaceTempView(uname)
+        # SubqueryAlias(name, UnresolvedRelation(uname)) via the
+        # session's own parser — no hand-built case-class plumbing
+        p = self.parser.parsePlan(f"SELECT * FROM {uname} AS {name}")
+        return _children(p)[0]
 
     def swap(self, name: str, df: DataFrame, files: list[str]) -> None:
-        uname = self.unique.get(name)
-        if uname is None:
-            uname = f"ariadne_pruned_{self.token}_{name}"
-            self.unique[name] = uname
-        df.createOrReplaceTempView(uname)
         if name not in self.subst:
-            # SubqueryAlias(name, UnresolvedRelation(uname)) via the
-            # session's own parser — no hand-built case-class plumbing
-            p = self.parser.parsePlan(f"SELECT * FROM {uname} AS {name}")
-            self.subst[name] = _children(p)[0]
+            self.subst[name] = self._replacement(name, name, df)
+        else:
+            self._replacement(name, name, df)  # re-swap: redefine view
         self.swaps = [
-            (n, f) for n, f in self.swaps if n != name
-        ] + [(name, list(files))]
+            s for s in self.swaps if s[0] != name or s[1] is not None
+        ] + [(name, None, list(files))]
+
+    def swap_node(self, node, ordinal: int, name: str, df: DataFrame,
+                  files: list[str]) -> None:
+        """Prune ONE specific reference of a multi-referenced view."""
+        key = (name, ordinal)
+        rep = self._replacement(key, name, df)
+        self.subst_nodes[id(node)] = rep
+        self.swaps = [
+            s for s in self.swaps if (s[0], s[1]) != (name, ordinal)
+        ] + [(name, ordinal, list(files))]
 
     def substituted(self, node):
         """``node`` with every pruned view substituted (used both for
         probe-side execution — an already-pruned other side executes
         its pruned read — and for the final plan)."""
-        if not self.subst:
+        if not self.subst and not self.subst_nodes:
             return node
-        new, _ = _substitute_plan(self.spark, node, self.subst)
+        new, _ = _substitute_plan(
+            self.spark, node, self.subst, self.subst_nodes, self.children
+        )
         return new
 
     def drop_views(self) -> None:
@@ -682,15 +718,27 @@ def _make_walkers(spark: SparkSession):
     """Memoized tree walkers: every ``_walk`` over py4j costs one JVM
     round trip per ``children()`` call, and the join cascade re-walks
     the same subtrees on every pass. Parsed plans are immutable here,
-    so node lists cache by the proxy's JVM object id."""
+    so node lists cache by the proxy's JVM object id. ``children`` is
+    memoized too, which ALSO canonicalizes proxies: every JVM node is
+    represented by exactly one Python proxy, so ``id(node)`` is a
+    stable identity (per-reference substitution depends on this)."""
     _walk_cache: dict = {}
+    _children_cache: dict = {}
+
+    def children(node):
+        key = getattr(node, "_target_id", None) or id(node)
+        got = _children_cache.get(key)
+        if got is None:
+            got = _children(node)
+            _children_cache[key] = got
+        return got
 
     def walk(node):
         key = getattr(node, "_target_id", None) or id(node)
         got = _walk_cache.get(key)
         if got is None:
             got = [node]
-            for c in _children(node):
+            for c in children(node):
                 got.extend(walk(c))
             _walk_cache[key] = got
         return got
@@ -707,7 +755,7 @@ def _make_walkers(spark: SparkSession):
             _walk_cache[key] = got
         return got
 
-    return walk, rel_names
+    return walk, rel_names, children
 
 
 def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
@@ -735,7 +783,7 @@ def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
     except Exception:
         # let Spark raise its own (identical) parse error
         return _raw_sql(spark, query)
-    walk, rel_names = _make_walkers(spark)
+    walk, rel_names, children = _make_walkers(spark)
     try:
         by_lower = {n.lower(): n for n in _catalog.list_indexes(spark)}
         referenced = sorted(
@@ -758,17 +806,29 @@ def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
         ),
     )
     use_cache = _cache_enabled(spark)
-    ctx = _RewriteContext(spark, parser, uuid.uuid4().hex[:12])
+    ctx = _RewriteContext(spark, parser, uuid.uuid4().hex[:12], children)
     try:
         cached = _SWAP_CACHE.get(cache_key) if use_cache else None
         if cached is not None:
-            for name, files in cached["swaps"]:
+            # ordinal -> node map for per-reference replay (same query
+            # text parses to the same DFS preorder of references)
+            by_ordinal: dict = {}
+            counts: dict = {}
+            for n in walk(jplan):
+                nm = _relation_name(n)
+                if nm is None:
+                    continue
+                by_ordinal[(nm, counts.get(nm, 0))] = n
+                counts[nm] = counts.get(nm, 0) + 1
+            for name, ordinal, files in cached["swaps"]:
                 idx = Index.for_name(name, spark=spark)
-                ctx.swap(
-                    name,
-                    idx.read_files(files, include_all_virtuals=True),
-                    files,
-                )
+                pruned = idx.read_files(files, include_all_virtuals=True)
+                if ordinal is None:
+                    ctx.swap(name, pruned, files)
+                else:
+                    node = by_ordinal.get((name, ordinal))
+                    if node is not None:
+                        ctx.swap_node(node, ordinal, name, pruned, files)
             ctx.report = dict(cached["report"])
         else:
             failed = False
@@ -791,7 +851,7 @@ def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
                         pass
                 _SWAP_CACHE[cache_key] = record
         _PRUNE_REPORT.update(ctx.report)
-        if not ctx.subst:
+        if not ctx.subst and not ctx.subst_nodes:
             return _raw_sql(spark, query)
         try:
             new_plan = ctx.substituted(jplan)
@@ -858,43 +918,65 @@ def _plan_and_swap(
         for n, idx in metas.items()
     }
 
-    # Pruning swaps a view GLOBALLY, so it is only sound when the plan
-    # references the view exactly once: with two references (UNION
-    # branches, self-joins, a CTE used twice) one branch's constraints
-    # would silently drop the other branch's files. Multi-reference
-    # views are left unpruned entirely (conservative; the reference
-    # rule has the same single-relation restriction).
+    # Name-level pruning (one view name -> one pruned read) is only
+    # sound when the plan references the view exactly once. A view
+    # referenced SEVERAL times (UNION branches, self-joins, a CTE used
+    # twice) is instead pruned per-REFERENCE: each Filter whose subtree
+    # contains exactly one reference NODE swaps only THAT node for its
+    # own pruned unique view (ctx.swap_node) — constraints can never
+    # leak across branches. The reference rule refuses multi-relation
+    # plans outright; per-reference substitution is a strict
+    # improvement with the same conservative semantics. Join-driven and
+    # alias-attributed pruning stay single-reference-only.
     from collections import Counter
 
     ref_counts = Counter(r for r in rel_names(jplan) if r in index_names)
     prunable = {n for n, c in ref_counts.items() if c == 1}
+    node_ordinal: dict[int, int] = {}
+    ref_node_by_id: dict[int, object] = {}
+    _ord_counts: dict[str, int] = {}
+    for n in walk(jplan):
+        nm = _relation_name(n)
+        if nm is None:
+            continue
+        node_ordinal[id(n)] = _ord_counts.get(nm, 0)
+        _ord_counts[nm] = _ord_counts.get(nm, 0) + 1
     for n in set(ref_counts) - prunable:
         log.info(
-            "ariadne.sql: view %s referenced %d times; not pruning",
+            "ariadne.sql: view %s referenced %d times; pruning "
+            "per-reference only",
             n, ref_counts[n],
         )
 
     # (a) WHERE pushdown: Filter over a subtree containing exactly one
-    # index relation -> prune that index's files by the literal filters
-    pruned_values: dict[str, dict[str, list]] = {}
-    pruned_frames: dict[str, dict[str, DataFrame]] = {}
+    # index relation -> prune that index's files by the literal
+    # filters. Keys are the view name (single-reference views) or
+    # (name, reference node) for per-reference pruning.
+    pruned_values: dict = {}
+    pruned_frames: dict = {}
     for node in walk(jplan):
         if _cls(node) != "Filter":
             continue
-        rels = [
-            r
-            for c in _children(node)
-            for r in rel_names(c)
-            if r in index_names
+        rel_nodes = [
+            x
+            for c in ctx.children(node)
+            for x in walk(c)
+            if _relation_name(x) in index_names
         ]
-        if len(rels) != 1:
+        if len(rel_nodes) != 1:
             continue
-        name = rels[0]
-        if name not in prunable:
-            continue
+        name = _relation_name(rel_nodes[0])
+        # key by the canonical proxy's id(): py4j JavaObject equality
+        # is STRUCTURAL (JVM equals/hashCode), so two references of
+        # the same view are equal objects and would merge into one key
+        if name in prunable:
+            key = name
+        else:
+            key = (name, id(rel_nodes[0]))
+            ref_node_by_id[id(rel_nodes[0])] = rel_nodes[0]
         flt = _equality_filters(node.condition(), indexed_cols[name])
         if flt:
-            cur = pruned_values.setdefault(name, {})
+            cur = pruned_values.setdefault(key, {})
             for col, vals in flt.items():
                 # equality values bound tighter than any Band a prior
                 # Filter node contributed — replace, never .extend it
@@ -906,7 +988,7 @@ def _plan_and_swap(
         ).items():
             # literal equality on the same column already bounds the
             # candidate set tighter than any band
-            pruned_values.setdefault(name, {}).setdefault(col, band)
+            pruned_values.setdefault(key, {}).setdefault(col, band)
 
     # (a2) multi-view WHERE attribution: a Filter over a subtree with
     # SEVERAL index relations (the normal TPC-H shape — one WHERE above
@@ -922,7 +1004,7 @@ def _plan_and_swap(
             continue
         rels = [
             r
-            for c in _children(node)
+            for c in ctx.children(node)
             for r in rel_names(c)
             if r in index_names
         ]
@@ -945,20 +1027,29 @@ def _plan_and_swap(
     # accumulated join-key frames per view; swapping is monotone
     # refinement (every re-swap only ADDS constraints, and file
     # pruning is conservative, so intermediate states stay correct)
-    def _swap_with(name: str, frames: dict[str, DataFrame]) -> None:
+    def _swap_with(key, frames: dict[str, DataFrame]) -> None:
+        name = key if isinstance(key, str) else key[0]
         idx = metas[name]
-        query_map: dict = dict(pruned_values.get(name, {}))
+        query_map: dict = dict(pruned_values.get(key, {}))
         for icol, frame in frames.items():
             # a literal constraint on the same column already bounds the
             # candidate set; the frame would only widen it
             query_map.setdefault(icol, frame)
         files = idx.locate_files(query_map)
         pruned = idx.read_files(files, include_all_virtuals=True)
-        # last swap per view wins (monotone refinement re-swaps)
-        ctx.swap(name, pruned, files)
+        if isinstance(key, str):
+            # last swap per view wins (monotone refinement re-swaps)
+            ctx.swap(name, pruned, files)
+            label = name
+        else:
+            rel_node = ref_node_by_id[key[1]]
+            ctx.swap_node(
+                rel_node, node_ordinal[key[1]], name, pruned, files
+            )
+            label = f"{name}#{node_ordinal[key[1]]}"
         total_f, total_b = idx._index_totals()
         sizes = idx._last_locate_stats.sizes
-        ctx.report[name] = {
+        ctx.report[label] = {
             "files_selected": len(files),
             "files_total": int(total_f),
             "bytes_selected": int(sum(sizes.get(f) or 0 for f in files)),
@@ -967,12 +1058,12 @@ def _plan_and_swap(
         }
         log.info(
             "ariadne.sql: pruned view %s to %d files via %s",
-            name, len(files), sorted(query_map),
+            label, len(files), sorted(query_map),
         )
 
-    for name in pruned_values:
-        _swap_with(name, pruned_frames.setdefault(name, {}))
-    swapped: set[str] = set(pruned_values)
+    for key in pruned_values:
+        _swap_with(key, pruned_frames.setdefault(key, {}))
+    swapped: set[str] = {k for k in pruned_values if isinstance(k, str)}
 
     # (b) join rewrites, cascaded to fixpoint: Join(cond has
     # indexcol = othercol) prunes its index side by executing the
@@ -999,7 +1090,7 @@ def _plan_and_swap(
             if i in done:
                 continue
             cond = node.condition().get()
-            left, right = _children(node)[0], _children(node)[1]
+            left, right = ctx.children(node)[0], ctx.children(node)[1]
             sides = []
             for idx_side, other_side in ((left, right), (right, left)):
                 rels = [r for r in rel_names(idx_side) if r in index_names]

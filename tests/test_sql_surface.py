@@ -398,6 +398,40 @@ def test_union_branches_are_not_conflated(spark, orders_view):
     assert res.count() == want > 0
 
 
+def test_union_branches_pruned_per_reference(spark, orders_view):
+    """r06: a view referenced by two UNION branches is pruned
+    per-REFERENCE — each branch gets its own pruned unique view from
+    its own predicate (the name-level swap could never express this;
+    the reference rule refuses multi-relation plans outright). Both
+    branches stay exact AND both prune."""
+    df = orders_view
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    a = lo + (hi - lo) // 8  # inside the first range file
+    b = hi - (hi - lo) // 8  # inside the last range file
+    surface.clear_sql_cache()
+    res = surface.sql(
+        f"SELECT o_orderkey FROM orders_sql WHERE o_orderkey < {a} "
+        f"UNION ALL SELECT o_orderkey FROM orders_sql WHERE o_orderkey > {b}",
+        spark,
+    )
+    want = df.where(F.col("o_orderkey") < a).count() + df.where(
+        F.col("o_orderkey") > b
+    ).count()
+    assert res.count() == want > 0
+    rep = {r["view"]: r for r in surface.prune_report(spark).collect()}
+    assert {"orders_sql#0", "orders_sql#1"} <= set(rep), rep.keys()
+    for k in ("orders_sql#0", "orders_sql#1"):
+        assert 0 < rep[k]["files_selected"] < rep[k]["files_total"], rep[k]
+    # cache replay keeps the per-reference swaps (ordinals re-map onto
+    # the fresh parse) and the result identical
+    res2 = surface.sql(
+        f"SELECT o_orderkey FROM orders_sql WHERE o_orderkey < {a} "
+        f"UNION ALL SELECT o_orderkey FROM orders_sql WHERE o_orderkey > {b}",
+        spark,
+    )
+    assert res2.count() == want
+
+
 def test_self_join_not_pruned_by_one_side(spark, orders_view):
     """Self-join: the bare second reference must keep all its rows."""
     df = orders_view
