@@ -17,13 +17,17 @@ rule's *semantics* at the API boundary (SURVEY §7.1 strategy):
   (through py4j, no third-party parser), walks the unresolved plan
   for (a) WHERE conjuncts ``col = lit`` / ``col IN (lits)`` on
   indexed columns of an index view and (b) equi-join conditions
-  between an index view and another subtree. Matching index views
-  are temporarily replaced with file-pruned reads (the join's other
-  side is executed to collect join-key values — the same
-  execute-during-optimization cost the reference accepts,
-  AriadneJoinRule.scala:43-45), the query runs, and the full views
-  are restored. Any parse/extraction surprise falls back to running
-  the unmodified query — exactly the reference rule's fallback.
+  between an index view and another subtree. Matching references are
+  replaced IN THE PARSED PLAN with file-pruned reads registered under
+  per-call unique temp-view names (the join's other side is executed
+  to collect join-key values — the same execute-during-optimization
+  cost the reference accepts, AriadneJoinRule.scala:43-45); the
+  substituted plan is analyzed eagerly and the unique views dropped.
+  The shared index views are never redefined, so concurrent ``sql()``
+  calls on one session are isolated, and a view referenced by several
+  UNION branches / self-join arms prunes per-reference. Any
+  parse/extraction surprise falls back to running the unmodified
+  query — exactly the reference rule's fallback.
 
 Correctness note: pruning is file-grain and conservative; the
 unmodified query text re-applies all row-level predicates on top of

@@ -796,6 +796,19 @@ def test_concurrent_sql_pruning_is_isolated(spark, orders_view):
     assert got_full == [want_full] * 6, got_full
     # the shared view itself was never left pruned
     assert spark.table("orders_sql").count() == want_full
+    # same race with the swap cache ON (the replay path also builds
+    # per-call unique views; cache dict mutation must not corrupt it)
+    barrier2 = threading.Barrier(2)
+
+    def run_cached(q):
+        barrier2.wait()
+        return [surface.sql(q, spark).collect()[0]["n"] for _ in range(4)]
+
+    with ThreadPoolExecutor(2) as ex:
+        f1 = ex.submit(run_cached, q_pruned)
+        f2 = ex.submit(run_cached, q_full)
+        assert f1.result() == [want_pruned] * 4
+        assert f2.result() == [want_full] * 4
 
 
 def test_sql_leaves_no_unique_views_behind(spark, orders_view):
