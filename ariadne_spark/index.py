@@ -95,6 +95,7 @@ class Index:
         self._index_df_cached = False
         self._totals_cache: tuple[int, int] | None = None
         self._last_locate_stats = LocateStats()
+        self._locate_memo: dict = {}
 
     @classmethod
     def for_name(
@@ -494,10 +495,56 @@ class Index:
                 out[col] = self.large_df(col)
         return out
 
+    def _locate_cache_key(self, query: dict, columns) -> tuple | None:
+        """Memo key for a literal-dict locate, or None when the query
+        is not cacheable (DataFrame join keys — arbitrary upstream
+        plans). Keyed on the same manifest fingerprint the SQL surface
+        uses, so ANY index data/metadata change invalidates. The JVM
+        extension keeps the identical cache
+        (AriadneState.locateCache, keyed fingerprint+predicates)."""
+        from .plans.locate import Band
+
+        if not isinstance(query, dict):
+            return None
+        parts = []
+        for col in sorted(query):
+            v = query[col]
+            if isinstance(v, Band):
+                parts.append((str(col), "band", repr(v)))
+            elif isinstance(v, (list, tuple, set, frozenset)):
+                try:
+                    vals = tuple(sorted(map(repr, v)))
+                except Exception:
+                    return None
+                parts.append((str(col), "in", vals))
+            else:
+                return None
+        fingerprint = (
+            self.table._latest_version(),
+            self.filelist.table._latest_version(),
+            self.fs.mtime(self.paths.metadata),
+        )
+        return (fingerprint, tuple(parts), tuple(columns or ()))
+
     def locate_files(self, query: "dict | DataFrame", columns: list[str] | None = None) -> list[str]:
         """Candidate files whose contents can match ``query``
         ({column: values} or a DataFrame of join keys). AND semantics
-        across columns."""
+        across columns.
+
+        Literal-dict locates memoize per handle (fingerprint-keyed, so
+        index updates invalidate): a repeated dashboard/bench query
+        pays the locate job once per index version."""
+        key = None
+        try:
+            key = self._locate_cache_key(query, columns)
+        except Exception:
+            key = None
+        if key is not None:
+            hit = self._locate_memo.get(key)
+            if hit is not None:
+                files, stats = hit
+                self._last_locate_stats = stats
+                return list(files)
         min_bloom = self.conf.min_bloom_prune_bytes
         files, stats = _locate(
             self.spark,
@@ -511,7 +558,12 @@ class Index:
             total_bytes=self._index_totals()[1] if min_bloom else None,
         )
         self._last_locate_stats = stats
-        return sorted(files)
+        out = sorted(files)
+        if key is not None:
+            if len(self._locate_memo) >= 128:
+                self._locate_memo.pop(next(iter(self._locate_memo)))
+            self._locate_memo[key] = (list(out), stats)
+        return out
 
     def select(self, *columns: str) -> "Index":
         """Restrict subsequent reads/joins to these columns (validated

@@ -287,3 +287,37 @@ def test_bloom_saturation_hint_logged(spark, storage, caplog):
     assert any(
         "false-positive pass rate" in r.message for r in caplog.records
     ), "saturated bloom probe with weak pruning must emit the hint"
+
+
+def test_locate_memo_hits_and_invalidates(spark, storage, orders_files):
+    """Literal-dict locates memoize per handle keyed on the manifest
+    fingerprint (the JVM rule's AriadneState.locateCache twin): a
+    repeated query pays the locate job once per index version, and an
+    index update invalidates — the new file must appear."""
+    import glob as _glob
+
+    from ariadne_spark import Index
+
+    df, files = orders_files
+    idx = Index.for_name(
+        "loc_memo", schema=df.schema, format="parquet", spark=spark
+    )
+    idx.add_index("o_custkey").add_files(files[:-1]).update()
+    q = {"o_custkey": [1, 2, 3]}
+    first = idx.locate_files(q)
+    assert len(idx._locate_memo) == 1
+    again = idx.locate_files(q)
+    assert again == first
+    # a DataFrame-keyed locate is never cached
+    keys = spark.createDataFrame([(1,), (2,)], ["o_custkey"])
+    idx.locate_files(keys, columns=["o_custkey"])
+    assert len(idx._locate_memo) == 1
+    # update invalidates: the held-out file joins the candidate set
+    idx.add_files([files[-1]]).update()
+    after = idx.locate_files(q)
+    assert set(first) <= set(after)
+    assert len(after) > 0
+    expected = set(
+        Index.for_name("loc_memo", spark=spark).locate_files(q)
+    )
+    assert set(after) == expected
