@@ -137,15 +137,26 @@ def star_edges(
 ) -> DataFrame:
     """Edges (id → per-key min id) for an equality relation — the
     linear-size encoding of "all rows sharing ``key`` are connected".
-    One window shuffle; rows in singleton groups emit nothing."""
+
+    Partial-aggregatable groupBy min + join back, not a
+    ``Window.partitionBy(key)``: the window form serializes every row
+    of a hot key through ONE task — and mass-duplicated keys are the
+    exact reason this function gets called. The min side is filtered
+    to keys with ≥2 rows first (singletons emit no edges), so the join
+    right side is duplicate-proportional and usually broadcasts; the
+    join itself is skew-split by AQE when a key is truly massive."""
     k = F.col(key) if isinstance(key, str) else key
-    w = Window.partitionBy(k)
+    keyed = df.select(k.alias("__k"), F.col(id_col).alias("src"))
+    mins = (
+        keyed.groupBy("__k")
+        .agg(F.min("src").alias("dst"), F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .select("__k", "dst")
+    )
     return (
-        df.select(
-            F.col(id_col).alias("src"),
-            F.min(id_col).over(w).alias("dst"),
-        )
+        keyed.join(mins, "__k")
         .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
     )
 
 

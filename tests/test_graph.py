@@ -161,3 +161,19 @@ def test_near_dup_clusters_transitive_chain(spark):
     assert kept == [1, 4]
     comp = {r["doc_id"]: r["component"] for r in out.collect()}
     assert comp == {1: 1, 4: 4}
+
+
+def test_star_edges_plan_is_partial_aggregatable(spark):
+    """star_edges must not contain a Window over the key (hot-key
+    serialization); the min side partial-aggregates map-side and
+    singleton keys are filtered before the join (r06)."""
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 50 else f"k{i}") for i in range(60)],
+        ["doc_id", "k"],
+    )
+    edges = star_edges(df, "k", "doc_id")
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {(i, 0) for i in range(1, 50)}
