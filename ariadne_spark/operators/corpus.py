@@ -18,7 +18,7 @@ the DuckDB oracle. All hot paths are built-in ``pyspark.sql.functions``
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens, word_ngrams
@@ -174,13 +174,62 @@ def temperature_sample(
             ).cast("bigint"),
         ).alias("__quota"),
     )
-    rank_key = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(group_col).orderBy(rank_key, F.col(id_col))
-    return (
-        df.withColumn("__ts_rn", F.row_number().over(w))
+    sampled = (
+        _grid_cum_before(df, group_col, F.lit(1), id_col)
         .join(F.broadcast(quotas), group_col)
-        .where(F.col("__ts_rn") <= F.col("__quota"))
-        .drop("__ts_rn", "__quota")
+        .where(F.col("__cum_before") < F.col("__quota"))
+    )
+    return sampled.drop("__cum_before", "__quota")
+
+
+def _grid_cum_before(
+    df: DataFrame, group_col: str, weight: Column, id_col: str
+) -> DataFrame:
+    """``__cum_before`` = the exact running sum of ``weight`` over the
+    group's rows that precede this one in (md5(id), id) order —
+    skew-safe. A plain ``sum over (partition by group order by md5)``
+    sorts a whole group in ONE task (and per-group thresholds are
+    column values, so WindowGroupLimit's literal-bound partial top-k
+    can never apply). md5's uniformity is a free pre-sort instead:
+    rows bucket by their first 3 hex chars into 4096 ORDERED strata
+    (fixed-width lowercase hex ⇒ prefix order == full-key order), the
+    per-(group, stratum) weight sums give each stratum's offset via a
+    stratum-count-sized window (≤4096 rows per group), and the exact
+    within-stratum running sum windows over ~1/4096 of the group.
+    Hot groups spread across 4096 tasks instead of one."""
+    base = df.withColumn(
+        "__rk", F.md5(F.col(id_col).cast("string"))
+    ).withColumn(
+        "__bk", F.conv(F.substring(F.col("__rk"), 1, 3), 16, 10).cast("int")
+    )
+    strata = base.groupBy(group_col, "__bk").agg(
+        F.sum(weight).alias("__sw")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = strata.select(
+        group_col,
+        "__bk",
+        F.coalesce(F.sum("__sw").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_in = (
+        Window.partitionBy(group_col, "__bk")
+        .orderBy(F.col("__rk"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(offs, [group_col, "__bk"])
+        .withColumn(
+            "__cum_before",
+            (
+                F.coalesce(F.sum(weight).over(w_in), F.lit(0))
+                + F.col("__off")
+            ).cast("bigint"),
+        )
+        .drop("__rk", "__bk", "__off")
     )
 
 
@@ -595,26 +644,15 @@ def budget_sample(
     ``budget_tokens`` is one global number or a per-group dict
     (groups absent from the dict keep everything).
 
-    Scale shape: one hash shuffle on the group column; the running sum
-    is a single window spec per group partition, and the md5 rank is a
-    projection. Group count is small in practice (domains, not keys),
-    so skew is bounded by corpus-per-domain — for a pathological
-    single-domain corpus the same window runs in one partition, which
-    is inherent to an exact global cut (approximate cuts can sample
-    per-shard; out of scope).
+    Scale shape (r06): the exact running sum comes from
+    :func:`_grid_cum_before` — md5-strata offsets + within-stratum
+    windows — so a pathological single-domain corpus spreads across
+    4096 tasks instead of sorting in one. Result rows and
+    ``cum_tokens`` values are identical to the plain group window.
     """
-    from pyspark.sql import Window
-
     nt = (
         F.col(n_tokens_col) if isinstance(n_tokens_col, str) else n_tokens_col
     ).cast("bigint")
-    rank = F.md5(F.col(id_col).cast("string"))
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(rank, F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum_before = F.coalesce(F.sum(nt).over(w), F.lit(0)).cast("bigint")
     if isinstance(budget_tokens, dict):
         budget = None
         for name, b in sorted(budget_tokens.items()):
@@ -628,7 +666,7 @@ def budget_sample(
     else:
         budget = F.lit(int(budget_tokens)).cast("bigint")
     return (
-        df.withColumn("__cum_before", cum_before)
+        _grid_cum_before(df, group_col, nt, id_col)
         .where(budget.isNull() | (F.col("__cum_before") < budget))
         .withColumn("cum_tokens", (F.col("__cum_before") + nt).cast("bigint"))
         .drop("__cum_before")

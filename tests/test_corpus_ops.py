@@ -1001,3 +1001,36 @@ def test_importance_weights_log_variant_monotone(spark):
         ).collect()
     }
     assert out[1] > out[2]
+
+
+def test_grid_cum_before_matches_group_window(spark):
+    """_grid_cum_before (md5-strata offsets + within-stratum windows,
+    r06 skew fix) returns EXACTLY the plain group-window running sum —
+    including a hot group holding ~all rows — and its plan contains no
+    window partitioned by the bare group column."""
+    from pyspark.sql import Window
+
+    rows = [(i, "hot" if i % 10 else f"g{i}", (i * 7) % 13) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "src", "nt"])
+    got = corpus._grid_cum_before(df, "src", F.col("nt"), "doc_id")
+    rank = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("src")
+        .orderBy(rank, F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = df.withColumn(
+        "__cum_before",
+        F.coalesce(F.sum(F.col("nt")).over(w), F.lit(0)).cast("bigint"),
+    )
+    as_set = lambda d: {
+        (r["doc_id"], r["src"], r["__cum_before"]) for r in d.collect()
+    }
+    assert as_set(got) == as_set(want)
+    # the exact windows partition by (group, stratum), never the bare
+    # group: a hot group spreads across strata tasks
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.findall(r"Window .*?partitionBy.*", plan):
+        assert "__bk" in m or "__sw" in m, m
