@@ -243,7 +243,11 @@ def quota_sample(
     keep the ``n_per_group`` rows of each group with the smallest
     md5(id) — an unbiased, reproducible pseudo-random choice. One
     shuffle on ``group_col``; rank ties broken by id so the result is
-    unique even under md5 collisions."""
+    unique even under md5 collisions. The LITERAL bound lets Spark
+    insert WindowGroupLimit (plan-asserted): each map task pre-tops
+    n_per_group per group before the shuffle, so hot groups never
+    serialize — unlike column-valued quotas, which take the
+    _grid_cum_before strata path (see temperature_sample)."""
     from pyspark.sql import Window
 
     rank_key = F.md5(F.col(id_col).cast("string"))

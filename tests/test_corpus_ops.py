@@ -1034,3 +1034,14 @@ def test_grid_cum_before_matches_group_window(spark):
 
     for m in re.findall(r"Window .*?partitionBy.*", plan):
         assert "__bk" in m or "__sw" in m, m
+
+
+def test_quota_sample_uses_window_group_limit(spark):
+    """quota_sample's literal bound must keep triggering Spark's
+    WindowGroupLimit (map-side partial top-k per group — the skew
+    guard for hot domains)."""
+    df = spark.createDataFrame([(i, "g") for i in range(50)], ["doc_id", "src"])
+    out = corpus.quota_sample(df, "src", 5, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert out.count() == 5
