@@ -270,38 +270,6 @@ def lsh_candidate_pairs(
     )
 
 
-def verify_jaccard(
-    pairs: DataFrame, shingles: DataFrame
-) -> DataFrame:
-    """Exact Jaccard for candidate pairs from the shingle rows:
-    |A∩B| via join on shingle, |A∪B| = |A|+|B|-|A∩B|."""
-    sizes = shingles.groupBy("__id").agg(F.count("*").alias("__n"))
-    a = shingles.select(F.col("__id").alias("id_a"), "__shingle")
-    b = shingles.select(F.col("__id").alias("id_b"), "__shingle")
-    inter = (
-        pairs.join(a, "id_a").join(b, ["id_b", "__shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__inter"))
-    )
-    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
-    return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"__inter": 0})
-        .join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("__inter")
-                / (F.col("__na") + F.col("__nb") - F.col("__inter")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
-
-
 def near_dup_minhash(
     df: DataFrame,
     text_col: str,
