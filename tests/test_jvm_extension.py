@@ -172,12 +172,46 @@ def jvm_state(spark):
             .select("o_custkey", "o_orderkey", "o_orderdate")
             .collect()
         )
+        # temporal index whose value arrays SPILLED to the large table
+        # (largeIndexLimit=5 < per-file distinct keys): in-row arrays
+        # are NULL, which the JVM W2 locate cannot see — it must skip
+        # pruning (conservative) while returning exact rows
+        # own file COPIES: entriesFor matches by file set, and the
+        # non-spilled jext_temporal2 over the same files would prune
+        # legitimately, masking the NULL-array refusal under test
+        for p in ("p0", "p1"):
+            spark.read.parquet(f"{_DEMO}/temporal2/{p}").coalesce(1).write.parquet(
+                f"{_DEMO}/temporal3/{p}"
+            )
+        t3_files = sorted(glob.glob(f"{_DEMO}/temporal3/p*/*.parquet"))
+        prior_limit = spark.conf.get("spark.ariadne.largeIndexLimit", None)
+        spark.conf.set("spark.ariadne.largeIndexLimit", "5")
+        try:
+            t3 = Index.for_name(
+                "jext_temporal3", spark=spark, format="parquet",
+                schema=orders.schema,
+            )
+            t3.add_temporal_index("o_custkey", "o_orderdate")
+            t3.add_files(t3_files)
+            t3.update()
+        finally:
+            if prior_limit is None:
+                spark.conf.unset("spark.ariadne.largeIndexLimit")
+            else:
+                spark.conf.set("spark.ariadne.largeIndexLimit", prior_limit)
+        t3_py_rows = sorted(
+            (r["o_custkey"], r["o_orderkey"], str(r["o_orderdate"]))
+            for r in t3.join(probe, on=["o_custkey"])
+            .select("o_custkey", "o_orderkey", "o_orderdate")
+            .collect()
+        )
         yield {
             "store": store,
             "data_glob": f"{_DEMO}/orders/p*/*.parquet",
             "t2_probe_keys": probe_keys,
             "t2_py_rows": py_rows,
             "t2_n_files": len(t2_files),
+            "t3_py_rows": t3_py_rows,
         }
     finally:
         if old is not None:
@@ -400,6 +434,21 @@ out["temporal_where"] = {
     "scanned": len(wdf.inputFiles()),
 }
 
+# large-spilled temporal arrays: the in-row arrays are NULL, so the
+# W2 locate must refuse to prune (conservative) yet stay exact
+ldf = spark.sql(
+    "SELECT t.o_custkey, t.o_orderkey, t.o_orderdate "
+    "FROM ariadne.jext_temporal3 t JOIN tprobe p "
+    "ON t.o_custkey = p.o_custkey"
+)
+out["temporal_large"] = {
+    "rows": sorted(
+        (r["o_custkey"], r["o_orderkey"], str(r["o_orderdate"]))
+        for r in ldf.collect()
+    ),
+    "scanned": len(ldf.inputFiles()),
+}
+
 print("JSON:" + json.dumps(out))
 spark.stop()
 """
@@ -501,6 +550,18 @@ def test_temporal_join_prunes_with_python_parity(report, jvm_state):
     assert 0 < t["scanned"] < jvm_state["t2_n_files"], t
     # all returned rows are the superseding (+10M orderkey) versions
     assert all(r[1] >= 10_000_000 for r in rows), rows[:3]
+
+
+def test_temporal_large_spill_refuses_prune_stays_exact(report, jvm_state):
+    """Temporal arrays spilled to the large table leave NULL in-row
+    arrays the JVM locate cannot see: it must skip pruning entirely
+    (scanned == all files — conservative, never wrong) while the rows
+    still match the Python Index.join path exactly."""
+    t = report["temporal_large"]
+    assert [tuple(r) for r in t["rows"]] == [
+        tuple(r) for r in jvm_state["t3_py_rows"]
+    ]
+    assert t["scanned"] == jvm_state["t2_n_files"], t
 
 
 def test_temporal_where_prunes_to_latest_file(report, jvm_state):
