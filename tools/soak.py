@@ -407,6 +407,60 @@ def main() -> None:
          batch_sec=round(time.time() - t0, 2),
          novel_doc_clean=out["n_dup_tokens"] == 0)
 
+    # ---- 9. concurrent SQL pruning (r06): 8 threads hammer one
+    # session with a mix of pruned point queries, full scans, and
+    # per-reference UNION queries; every answer must be exact (the
+    # old global view swap over-pruned racing queries)
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ariadne_spark.sql import surface
+
+    surface.register_views(spark, ["soak_li"])
+    full_n = rep.count()
+    k0 = int(span // 2)
+    point_n = rep.where(
+        (F.col("l_orderkey") >= k0) & (F.col("l_orderkey") < k0 + 500)
+    ).count()
+    union_n = rep.where(F.col("l_orderkey") < 1000).count() + rep.where(
+        F.col("l_orderkey") >= (n_rep - 1) * span
+    ).count()
+    queries = [
+        ("full", "SELECT count(*) AS n FROM soak_li", full_n),
+        (
+            "point",
+            f"SELECT count(*) AS n FROM soak_li WHERE l_orderkey >= {k0} "
+            f"AND l_orderkey < {k0 + 500}",
+            point_n,
+        ),
+        (
+            "union",
+            "SELECT count(*) AS n FROM ("
+            "SELECT l_orderkey FROM soak_li WHERE l_orderkey < 1000 "
+            "UNION ALL SELECT l_orderkey FROM soak_li "
+            f"WHERE l_orderkey >= {(n_rep - 1) * span})",
+            union_n,
+        ),
+    ]
+    barrier = threading.Barrier(8)
+
+    def hammer(i):
+        barrier.wait()
+        bad = 0
+        for r in range(6):
+            tag, q, want = queries[(i + r) % len(queries)]
+            got = surface.sql(q, spark).collect()[0]["n"]
+            if got != want:
+                bad += 1
+        return bad
+
+    t0 = time.time()
+    with ThreadPoolExecutor(8) as ex:
+        wrong = sum(ex.map(hammer, range(8)))
+    emit(stage="concurrent_sql", threads=8, calls=48,
+         wrong_answers=wrong, sec=round(time.time() - t0, 2))
+    assert wrong == 0, f"{wrong} racing queries returned wrong answers"
+
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
 
