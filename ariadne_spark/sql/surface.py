@@ -705,9 +705,39 @@ _SWAP_CACHE: dict[tuple, dict] = {}
 _SWAP_CACHE_MAX = 256
 
 
+# Parsed-plan memo: (session, query text) -> (parser, jplan, walkers).
+# Parsing + the memoized tree walk cost dozens of py4j round trips per
+# call; plans are immutable (substitution builds NEW trees via
+# withNewChildren), so identical re-issued queries reuse one canonical
+# proxy set. A racing thread may rebuild an entry — last wins, and a
+# stale proxy set only causes a missed (fail-open, unpruned-but-
+# correct) substitution, never a wrong one.
+_PLAN_CACHE: dict[tuple, tuple] = {}
+_PLAN_CACHE_MAX = 128
+
+
+def _parsed(spark: SparkSession, query: str):
+    key = (id(spark), query)
+    hit = _PLAN_CACHE.get(key)
+    if hit is None:
+        parser = spark._jsparkSession.sessionState().sqlParser()
+        jplan = parser.parsePlan(query)
+        walk, rel_names, children = _make_walkers(spark)
+        hit = (parser, jplan, walk, rel_names, children)
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            try:
+                _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+            except (KeyError, StopIteration):
+                pass
+        _PLAN_CACHE[key] = hit
+    return hit
+
+
 def clear_sql_cache() -> None:
-    """Drop all memoized rewrite decisions (see ``_SWAP_CACHE``)."""
+    """Drop all memoized rewrite decisions (see ``_SWAP_CACHE``) and
+    parsed plans."""
     _SWAP_CACHE.clear()
+    _PLAN_CACHE.clear()
 
 
 def _cache_enabled(spark: SparkSession) -> bool:
@@ -782,12 +812,10 @@ def sql(query: str, spark: SparkSession | None = None) -> DataFrame:
     _PROBE_TRACE.clear()
     _release_probes()  # previous call's result has been consumed by now
     try:
-        parser = spark._jsparkSession.sessionState().sqlParser()
-        jplan = parser.parsePlan(query)
+        parser, jplan, walk, rel_names, children = _parsed(spark, query)
     except Exception:
         # let Spark raise its own (identical) parse error
         return _raw_sql(spark, query)
-    walk, rel_names, children = _make_walkers(spark)
     try:
         by_lower = {n.lower(): n for n in _catalog.list_indexes(spark)}
         referenced = sorted(
