@@ -1096,6 +1096,7 @@ def _plan_and_swap(
     for key in pruned_values:
         _swap_with(key, pruned_frames.setdefault(key, {}))
     swapped: set[str] = {k for k in pruned_values if isinstance(k, str)}
+    swapped_keys: set = set(pruned_values)
 
     # (b) join rewrites, cascaded to fixpoint: Join(cond has
     # indexcol = othercol) prunes its index side by executing the
@@ -1105,6 +1106,19 @@ def _plan_and_swap(
     # that is still unpruned — so pruning one view can unlock pruning
     # the next (the reference rule skips index-index joins outright;
     # the cascade is a strict improvement with the same fallback).
+    # Multi-referenced views join-prune per-REFERENCE too: a side whose
+    # subtree holds exactly one reference NODE of such a view gets a
+    # node-level swap — so a self-join of one index view prunes BOTH
+    # arms, each by its own join keys.
+    def _all_other_refs_swapped(other_side) -> bool:
+        for x in walk(other_side):
+            nm = _relation_name(x)
+            if nm is None or nm not in index_names:
+                continue
+            if nm in swapped or id(x) in ctx.subst_nodes:
+                continue
+            return False
+        return True
     joins = [
         n
         for n in walk(jplan)
@@ -1125,20 +1139,24 @@ def _plan_and_swap(
             left, right = ctx.children(node)[0], ctx.children(node)[1]
             sides = []
             for idx_side, other_side in ((left, right), (right, left)):
-                rels = [r for r in rel_names(idx_side) if r in index_names]
-                other_rels = [
-                    r for r in rel_names(other_side) if r in index_names
+                nodes = [
+                    x
+                    for x in walk(idx_side)
+                    if _relation_name(x) in index_names
                 ]
-                if (
-                    len(rels) != 1
-                    or rels[0] not in prunable
-                    or any(r not in swapped for r in other_rels)
-                ):
+                if len(nodes) != 1 or not _all_other_refs_swapped(other_side):
                     continue
-                sides.append((rels[0], other_side))
-            # prefer pruning a still-unpruned view over refining one
-            sides.sort(key=lambda s: s[0] in swapped)
-            for name, other_side in sides:
+                nm = _relation_name(nodes[0])
+                if nm in prunable:
+                    key = nm
+                else:
+                    key = (nm, id(nodes[0]))
+                    ref_node_by_id[id(nodes[0])] = nodes[0]
+                sides.append((key, other_side))
+            # prefer pruning a still-unpruned reference over refining one
+            sides.sort(key=lambda s: s[0] in swapped_keys)
+            for key, other_side in sides:
+                name = key if isinstance(key, str) else key[0]
                 pairs = _join_equi_cols(cond, indexed_cols[name])
                 if not pairs:
                     continue
@@ -1167,7 +1185,7 @@ def _plan_and_swap(
 
                     other_df = other_df.persist(StorageLevel.MEMORY_AND_DISK)
                     _PROBE_LIVE.append(other_df)
-                frames = pruned_frames.setdefault(name, {})
+                frames = pruned_frames.setdefault(key, {})
                 added = False
                 for icol, ocol in pairs:
                     if ocol not in other_df.columns:
@@ -1184,8 +1202,10 @@ def _plan_and_swap(
                     added = True
                 if not added:
                     continue
-                _swap_with(name, frames)
-                swapped.add(name)
+                _swap_with(key, frames)
+                if isinstance(key, str):
+                    swapped.add(key)
+                swapped_keys.add(key)
                 done.add(i)
                 progress = True
                 break

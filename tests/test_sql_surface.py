@@ -432,6 +432,48 @@ def test_union_branches_pruned_per_reference(spark, orders_view):
     assert res2.count() == want
 
 
+def test_self_join_both_arms_pruned_per_reference(spark, orders_view):
+    """r06 join-cascade extension: a SELF-JOIN of one index view prunes
+    BOTH arms, each by its own join keys (dim keys prune arm a; arm
+    a's pruned keys cascade to arm b). The name-level rule refused
+    multi-referenced views outright."""
+    df = orders_view
+    # keys confined to ONE o_orderkey-range file so pruning is visible
+    keys = [
+        r[0]
+        for r in df.select("o_orderkey").orderBy("o_orderkey")
+        .limit(3).collect()
+    ]
+    spark.createDataFrame([(k,) for k in keys], ["k"]).createOrReplaceTempView(
+        "selfj_dim"
+    )
+    surface.clear_sql_cache()
+    q = """
+        SELECT a.o_custkey, b.o_custkey AS b_custkey
+        FROM selfj_dim d
+        JOIN orders_sql a ON a.o_orderkey = d.k
+        JOIN orders_sql b ON b.o_orderkey = a.o_orderkey
+    """
+    res = surface.sql(q, spark)
+    expected = (
+        df.where(F.col("o_orderkey").isin(keys))
+        .alias("a")
+        .join(
+            df.where(F.col("o_orderkey").isin(keys)).alias("b"), "o_orderkey"
+        )
+        .select(
+            F.col("a.o_custkey"), F.col("b.o_custkey").alias("b_custkey")
+        )
+    )
+    assert_same_rows(res, expected)
+    rep = {r["view"]: r for r in surface.prune_report(spark).collect()}
+    pruned_refs = [
+        k for k in rep if k.startswith("orders_sql#")
+        and rep[k]["files_selected"] < rep[k]["files_total"]
+    ]
+    assert len(pruned_refs) == 2, rep.keys()
+
+
 def test_self_join_not_pruned_by_one_side(spark, orders_view):
     """Self-join: the bare second reference must keep all its rows."""
     df = orders_view
