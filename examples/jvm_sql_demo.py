@@ -92,8 +92,34 @@ def main() -> None:
     idx.add_index("o_custkey")
     idx.add_files(files)
     idx.update()
+    # temporal index with cross-file versions: p1 supersedes a key
+    # subset of p0 (+1000 days) — the beeline demo joins on the
+    # temporal key and must scan only the latest-version file
+    base = orders.limit(200)
+    base.coalesce(1).write.parquet(f"{WORK}/versions/p0")
+    keys = [
+        r[0] for r in base.select("o_custkey").distinct().limit(10).collect()
+    ]
+    (
+        base.where(F.col("o_custkey").isin(keys))
+        .withColumn(
+            "o_orderdate", F.col("o_orderdate") + F.expr("INTERVAL 1000 DAYS")
+        )
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+        .coalesce(1)
+        .write.parquet(f"{WORK}/versions/p1")
+    )
+    vfiles = sorted(glob.glob(f"{WORK}/versions/p*/*.parquet"))
+    tidx = Index.for_name(
+        "orders_versions", spark=spark, format="parquet", schema=orders.schema
+    )
+    tidx.add_temporal_index("o_custkey", "o_orderdate")
+    tidx.add_files(vfiles)
+    tidx.update()
+    with open(f"{WORK}/demo_keys.txt", "w") as fh:
+        fh.write(",".join(str(k) for k in keys[:5]))
     spark.stop()
-    print(f"index built over {len(files)} files")
+    print(f"index built over {len(files)} files (+ temporal over {len(vfiles)})")
 
     script = os.path.join(WORK, "phase2.py")
     with open(script, "w") as fh:

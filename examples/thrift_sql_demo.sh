@@ -30,5 +30,14 @@ done
 "$SPARK_DIST/bin/beeline" -u "jdbc:hive2://localhost:$PORT" -e \
   "SELECT count(*) AS n FROM ariadne.orders_demo WHERE o_custkey = 7;"
 
+# temporal JOIN (r06): latest-version dedup + W2 latest-file pruning,
+# all server-side — the probe VALUES join on the temporal key
+KEYS="$(cat "${STORE%/store}/demo_keys.txt" 2>/dev/null || echo 7)"
+VALS="$(echo "$KEYS" | sed 's/\([0-9][0-9]*\)/(\1)/g')"
+"$SPARK_DIST/bin/beeline" -u "jdbc:hive2://localhost:$PORT" -e \
+  "SELECT count(*) AS n_latest, min(t.o_orderkey) AS min_okey
+   FROM ariadne.orders_versions t
+   JOIN (VALUES $VALS) AS p(k) ON t.o_custkey = p.k;"
+
 echo "--- prune evidence from the server log:"
-grep -h "AriadnePruneRule" "$SPARK_DIST"/logs/*HiveThriftServer2*.out | tail -3
+grep -h "ariadne" "$SPARK_DIST"/logs/*HiveThriftServer2*.out | grep -i "pruned" | tail -5
