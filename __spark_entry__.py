@@ -2387,6 +2387,70 @@ def q_corpus_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights(docs, target, n=2)
 
 
+# the Gopher required-word set adapted to the lowercased technical
+# test corpus ("a" for "be" — the canonical list is the operator
+# default); shared between the Spark query and its DuckDB twin
+_GOPHER_REQUIRED = ["the", "a", "to", "of", "and", "that", "have", "with"]
+
+
+def q_text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1):
+    per-document keep/drop verdict plus the violated-rule audit trail.
+    All rules are integer comparisons (ratio thresholds are
+    cross-multiplied), so the DuckDB twin is bit-exact."""
+    from ariadne_spark.operators.text import gopher_filter
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return gopher_filter(docs, required_stopwords=_GOPHER_REQUIRED)
+
+
+def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture audit: per (source, lang) doc/token/char totals
+    and integer-ppm token share — the table mixture weights are set
+    from. One partial-aggregatable groupBy + broadcast grand total."""
+    from ariadne_spark.operators.corpus import mix_report
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return mix_report(docs)
+
+
+def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote auto-labeling: held-out vectors
+    (vec_id % 11 == 0) classified by their 15 nearest labeled
+    neighbors (exact cosine, deterministic tie-breaks all the way:
+    rank ties by id, vote ties toward the smaller label)."""
+    from ariadne_spark.operators.similarity import knn_classify
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    ref = emb.where(F.col("vec_id") % 11 != 0)
+    q = emb.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_classify(ref, q, k=15)
+
+
+def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): deterministic PQ
+    codebooks (md5-pick init + 2 distributed Lloyd rounds), 8-byte
+    codes, ADC shortlist of 100 over the code column, exact cosine
+    re-rank to top-10. Rows-only gate (iterative training is not
+    SQL-expressible); exact-convergence and planted-self-hit pins live
+    in tests/test_quantization.py."""
+    from ariadne_spark.operators.quantization import (
+        pq_ann_topk_rerank,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    books = pq_train(emb, m=8, k=16, iters=2)
+    codes = pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_ann_topk_rerank(codes, emb, q, books, k=10, shortlist=100)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: index-pruned join."""
     return q_idx_join_regular(spark, "/root/testdata/sf0.001")
@@ -2435,7 +2499,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "corpus_line_dedup": q_corpus_line_dedup,
         "corpus_contamination": q_corpus_contamination,
-        "corpus_budget_sample": q_corpus_budget_sample,
+        # r06 second pass: the new oracle-backed operators take gate
+        # slots; the displaced entries (same operator families, other
+        # in-window representatives remain) move past 50 and stay
+        # covered by the full replica sweep
+        "text_gopher_filter": q_text_gopher_filter,
+        "corpus_mix_report": q_corpus_mix_report,
+        "emb_knn_classify": q_emb_knn_classify,
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "corpus_cluster_split": q_corpus_cluster_split,
         "corpus_importance": q_corpus_importance,
@@ -2446,14 +2516,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "multimodal_decode_png": q_multimodal_decode_png,
-        "multimodal_decode_wav": q_multimodal_decode_wav,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
         "sql_tpch_q3": q_sql_tpch_q3,
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
-        "sql_tpch_q5": q_sql_tpch_q5,
         "idx_join_reverse": q_idx_join_reverse,
+        "sql_tpch_q5": q_sql_tpch_q5,
+        "multimodal_decode_wav": q_multimodal_decode_wav,
+        "corpus_budget_sample": q_corpus_budget_sample,
+        "emb_ann_pq": q_emb_ann_pq,
         "dedup_simhash": q_dedup_simhash,
         "idx_filter_range_bbox": q_idx_filter_range_bbox,
         "idx_select_pushdown": q_idx_select_pushdown,
@@ -3182,6 +3254,86 @@ def oracle_sql() -> dict[str, str]:
                       / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stopword_ratio
             FROM documents
         """.format(stop_list=stop_list),
+        "text_gopher_filter": r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\s+') AS ws
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id,
+                    CAST(len(ws) AS BIGINT) AS n_words,
+                    CASE WHEN len(ws) < 5 THEN ['few_words'] ELSE [] END
+                    || CASE WHEN len(ws) > 100000 THEN ['many_words'] ELSE [] END
+                    || CASE WHEN list_aggregate(list_transform(ws, x -> length(x)), 'sum') < 3 * len(ws)
+                            THEN ['short_words'] ELSE [] END
+                    || CASE WHEN list_aggregate(list_transform(ws, x -> length(x)), 'sum') > 10 * len(ws)
+                            THEN ['long_words'] ELSE [] END
+                    || CASE WHEN 10 * ((length(text) - length(replace(text, '#', '')))
+                                       + (length(text) - length(replace(text, '...', ''))) // 3) > len(ws)
+                            THEN ['symbol_ratio'] ELSE [] END
+                    || CASE WHEN 5 * len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) < 4 * len(ws)
+                            THEN ['low_alpha'] ELSE [] END
+                    || CASE WHEN len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                                    [{gopher_required}])) < 2
+                            THEN ['few_stopwords'] ELSE [] END
+                    || CASE WHEN 5 * coalesce(list_max(list_transform(list_distinct(ws),
+                                                   t -> len(list_filter(ws, x -> x = t)))), 0) > len(ws)
+                            THEN ['repeated_top_word'] ELSE [] END
+                    AS failed_rules
+                FROM w
+            )
+            SELECT doc_id, n_words, failed_rules,
+                   len(failed_rules) = 0 AS keep
+            FROM f
+        """.format(gopher_required=_sql_list(_GOPHER_REQUIRED)),
+        "corpus_mix_report": r"""
+            WITH per AS (
+                SELECT source, lang,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+                    CAST(sum(length(text)) AS BIGINT) AS n_chars
+                FROM documents GROUP BY source, lang
+            ),
+            tot AS (SELECT sum(n_tokens) AS t FROM per)
+            SELECT source, lang, n_docs, n_tokens, n_chars,
+                   CAST(1000000 * n_tokens // t AS BIGINT) AS token_share_ppm
+            FROM per, tot
+        """,
+        "emb_knn_classify": """
+            WITH r AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v, label
+                FROM embeddings WHERE vec_id % 11 <> 0
+            ),
+            q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id % 11 = 0
+            ),
+            s AS (
+                SELECT q.query_id, r.vec_id, r.label,
+                       list_dot_product(q.qv, r.v) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(r.v, r.v))) AS c
+                FROM r CROSS JOIN q
+            ),
+            t AS (
+                SELECT query_id, label,
+                       row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rk
+                FROM s
+            ),
+            v AS (
+                SELECT query_id, label, count(*) AS votes
+                FROM t WHERE rk <= 15 GROUP BY query_id, label
+            ),
+            w AS (
+                SELECT query_id, label, votes,
+                       row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label ASC) AS wr
+                FROM v
+            )
+            SELECT query_id, CAST(label AS BIGINT) AS pred_label,
+                   CAST(votes AS BIGINT) AS votes
+            FROM w WHERE wr = 1
+        """,
         "text_lang_id": _lang_id_sql(),
         "text_repetition": r"""
             WITH w AS (

@@ -859,3 +859,40 @@ def importance_weights(
         .join(F.broadcast(totals), F.lit(True), "left")
         .select(*fill)
     )
+
+
+def mix_report(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-mixture report: per group (source × language by
+    default) document/token/char totals plus each group's share of
+    all tokens in integer parts-per-million.
+
+    This is the audit table a training-data pipeline reads before
+    setting mixture weights (and what :func:`temperature_sample` /
+    :func:`budget_sample` act on). ``token_share_ppm`` is computed
+    with integer division — ``(1 000 000 · group_tokens) DIV
+    total_tokens`` — so the DuckDB oracle is bit-exact.
+
+    Shape at scale: one partial-aggregatable groupBy on the (low
+    cardinality) mixture key — map-side combine reduces each task to
+    one row per group — then a broadcast join against the single-row
+    grand total. No window over data, no skew exposure: hot groups
+    cost the same as cold ones after the combine."""
+    per = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("__tot"))
+    share = F.expr("1000000 * n_tokens DIV __tot").cast("bigint")
+    return per.join(F.broadcast(total)).select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        share.alias("token_share_ppm"),
+    )

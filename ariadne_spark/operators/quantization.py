@@ -1,0 +1,355 @@
+"""Product quantization (PQ) for embedding columns.
+
+Jégou, Douze, Schmid — "Product Quantization for Nearest Neighbor
+Search" (IEEE TPAMI 2011, public paper). The vector is split into
+``m`` subvectors; each subspace gets its own ``k``-centroid codebook;
+a vector is stored as ``m`` small integers (one centroid id per
+subspace). Distances are computed asymmetrically (ADC): the query
+stays exact, each code id is looked up in a per-query table of
+query-subvector→centroid distances, and the approximate distance is
+the sum of ``m`` lookups.
+
+Why this is the 100 TB move: a 768-dim float32 embedding is 3 KB; an
+``m=16`` PQ code is 16 bytes — ~200× smaller. The ANN scan then reads
+the *code column* (columnar parquet scan + one Arrow-batched UDF over
+byte arrays) instead of the raw vectors, so the whole corpus's codes
+fit in a fraction of the executors' page cache and the exact-rerank
+tail touches only the top candidates. Composes with the IVF path
+(:func:`ariadne_spark.operators.similarity.ivf_index_build`): cluster
+files by IVF cell, store PQ codes per row, probe cells → scan codes →
+exact-rerank survivors.
+
+Everything here is deterministic: codebook init is the md5-ordered
+vector pick used by the IVF path (no RNG state), Lloyd refinement
+iterates a fixed number of rounds with deterministic tie-breaks
+(``argmin`` takes the lowest code id), so two runs — and the
+rows-only correctness gate — always agree.
+
+Reference parity: the reference engine has no vector quantization
+(SURVEY.md §2 stops at bloom sketches); this module is part of the
+beyond-reference training-data-pipeline suite the build mandates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .similarity import _centroids, _stack, _vec_dim
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _encode_matrix(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) int32 code matrix: per subspace, the L2-nearest centroid
+    id (lowest id wins ties via argmin)."""
+    m, k, dsub = codebooks.shape
+    n = mat.shape[0]
+    codes = np.empty((n, m), dtype=np.int32)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        # ||x - c||^2 = ||x||^2 - 2 x·c + ||c||^2 ; ||x||^2 constant per row
+        d = -2.0 * (sub @ codebooks[s].T) + (codebooks[s] ** 2).sum(axis=1)[None, :]
+        codes[:, s] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 4,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> np.ndarray:
+    """Train PQ codebooks, shape ``(m, k, dim/m)``.
+
+    Init: the deterministic md5-ordered ``k``-vector pick shared with
+    the IVF path (one small job, no RNG). Refinement: ``iters`` Lloyd
+    rounds where EACH round is one distributed pass — a pandas-UDF
+    scan assigns every vector its per-subspace codes, then a single
+    partial-aggregatable groupBy averages subvectors per (subspace,
+    code). Only the (m·k·dsub)-sized codebook is ever collected; the
+    corpus never is. Empty cells keep their previous centroid (the
+    deterministic analogue of k-means++ re-seeding).
+
+    ``normalize=True`` L2-normalizes vectors first so ADC's L2
+    ordering equals the cosine ordering (‖a−b‖² = 2−2cos on the unit
+    sphere) — matching the cosine contract of the rest of the
+    similarity suite."""
+    dim = _vec_dim(corpus, vec_col)
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    init = _centroids(corpus, corpus_id, vec_col, k)  # (k, dim)
+    if normalize:
+        init = _normalize_rows(init)
+    books = np.stack(
+        [init[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    )  # (m, k, dsub)
+
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    for _ in range(iters):
+        sums, counts = _lloyd_round(vecs, books, normalize)
+        with np.errstate(invalid="ignore"):
+            upd = sums / counts[:, :, None]
+        mask = counts > 0
+        books = np.where(mask[:, :, None], upd, books)
+    return books
+
+
+def _lloyd_round(vecs: DataFrame, books: np.ndarray, normalize: bool):
+    """One distributed Lloyd round: assign codes (UDF scan), average
+    subvectors per (subspace, code) with map-side partials, collect
+    the codebook-sized result."""
+    m, k, dsub = books.shape
+    out_schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        # per-partition partial sums: the driver sees one row per
+        # (subspace, code) per PARTITION, never per vector
+        acc_cnt = np.zeros((m, k), dtype=np.int64)
+        acc_sum = np.zeros((m, k, dsub), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _stack(pdf["__v"])
+            if normalize:
+                mat = _normalize_rows(mat)
+            codes = _encode_matrix(mat, books)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                np.add.at(acc_sum[s], codes[:, s], sub)
+                acc_cnt[s] += np.bincount(codes[:, s], minlength=k)
+        rows = [
+            {"sub": s, "code": c, "cnt": int(acc_cnt[s, c]),
+             "vsum": acc_sum[s, c].tolist()}
+            for s in range(m)
+            for c in range(k)
+            if acc_cnt[s, c] > 0
+        ]
+        yield pd.DataFrame(rows, columns=["sub", "code", "cnt", "vsum"])
+
+    agg = (
+        vecs.mapInPandas(partials, out_schema)
+        .groupBy("sub", "code")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.array(
+                *[F.sum(F.element_at("vsum", i + 1)) for i in range(dsub)]
+            ).alias("vsum"),
+        )
+        .collect()
+    )
+    sums = np.zeros((m, k, dsub), dtype=np.float64)
+    counts = np.zeros((m, k), dtype=np.int64)
+    for r in agg:
+        sums[r["sub"], r["code"]] = np.array(r["vsum"])
+        counts[r["sub"], r["code"]] = r["cnt"]
+    return sums, counts
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Add the ``m``-byte PQ code column: per subspace, the L2-nearest
+    centroid id. One Arrow-batched UDF scan; output is
+    ``(corpus_id, pq_code array<int>)`` — at lake scale this is the
+    column you persist next to (or instead of) the raw vectors."""
+    import pandas as pd
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    def enc(vecs):
+        mask = vecs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(vecs), dtype=object)
+        mat = _stack(vecs[mask])
+        if normalize:
+            mat = _normalize_rows(mat)
+        codes = _encode_matrix(mat, books)
+        out = pd.Series([None] * len(vecs), dtype=object)
+        out.iloc[np.flatnonzero(mask)] = [
+            [int(c) for c in row] for row in codes
+        ]
+        return out
+
+    enc.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(enc, T.ArrayType(T.IntegerType()))
+    return corpus.select(
+        F.col(corpus_id), udf(F.col(vec_col).cast("array<double>")).alias(code_col)
+    )
+
+
+def pq_ann_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    normalize: bool = True,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, an
+    ``(m, k_codes)`` lookup table of exact query-subvector→centroid
+    squared distances is built once (driver-side — queries are the
+    SMALL side by contract, like every broadcast in this module), and
+    each corpus code's approximate distance is the sum of ``m`` table
+    lookups. Deterministic tie-break: smaller adc, then smaller id.
+
+    Returns ``(query_id, corpus_id, rank, adc)`` with ``adc`` rounded
+    to 6 dp (≈2−2·cosine when trained with ``normalize=True``).
+
+    Shape at scale: the scan reads ONLY the integer code column;
+    per-partition top-k is computed inside the same Arrow batch pass
+    (k rows per query per partition leave the executor), and the
+    global top-k merges those candidates — a tree top-k, not a full
+    sort."""
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kc, dsub = books.shape
+    qrows = queries.select(F.col(query_id), F.col(vec_col).cast("array<double>")).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = [r[0] for r in qrows]
+    qmat = _stack([r[1] for r in qrows])
+    if normalize:
+        qmat = _normalize_rows(qmat)
+    # LUT[q, s, c] = || q_sub - books[s, c] ||^2
+    luts = np.empty((len(qids), m, kc), dtype=np.float64)
+    for s in range(m):
+        sub = qmat[:, s * dsub : (s + 1) * dsub]
+        luts[:, s, :] = (
+            (sub**2).sum(axis=1)[:, None]
+            - 2.0 * (sub @ books[s].T)
+            + (books[s] ** 2).sum(axis=1)[None, :]
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__qpos", T.IntegerType()),
+            T.StructField("__cid", codes.schema[corpus_id].dataType),
+            T.StructField("__adc", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf[code_col]]
+            )  # (n, m)
+            ids = pdf[corpus_id].to_numpy()
+            rows = []
+            for qi in range(len(qids)):
+                lut = luts[qi]  # (m, kc)
+                d = lut[np.arange(m)[None, :], cmat].sum(axis=1)  # (n,)
+                top = min(k, len(d))
+                # partial top-k inside the batch: argpartition then a
+                # deterministic (adc, id) sort of just the survivors
+                idx = np.argpartition(d, top - 1)[:top]
+                order = np.lexsort((ids[idx], d[idx]))
+                for j in idx[order]:
+                    rows.append((qi, ids[j], float(d[j])))
+            yield pd.DataFrame(rows, columns=["__qpos", "__cid", "__adc"])
+
+    cand = codes.select(corpus_id, code_col).mapInPandas(scan, out_schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qpos").orderBy(
+        F.col("__adc").asc(), F.col("__cid").asc()
+    )
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.element_at(qid_arr, F.col("__qpos") + 1).alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "rank",
+            F.round("__adc", 6).alias("adc"),
+        )
+    )
+
+
+def pq_ann_topk_rerank(
+    codes: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 10,
+    shortlist: int = 100,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """The production PQ shape: ADC over the compact code column
+    builds a per-query ``shortlist`` (cheap, code-column scan only),
+    then ONLY the shortlisted rows join back to the raw vectors for an
+    exact cosine re-rank. Returns ``(query_id, corpus_id, rank,
+    cosine)`` — same contract as
+    :func:`ariadne_spark.operators.similarity.cosine_topk`, which it
+    converges to as ``shortlist`` grows.
+
+    At 100 TB the raw-vector join touches ``queries × shortlist`` rows
+    (a broadcast-able id set), not the corpus: the expensive column is
+    read ~0% of the time, which is the entire point of PQ."""
+    from .similarity import _dot, _norm
+    from pyspark.sql import Window
+
+    short = pq_ann_topk(
+        codes, queries, codebooks, k=shortlist,
+        corpus_id=corpus_id, query_id=query_id,
+        vec_col=vec_col, code_col=code_col,
+    ).select(query_id, corpus_id)
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
+    )
+    v = vectors.select(
+        F.col(corpus_id), F.col(vec_col).cast("array<double>").alias("__cv")
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+    )
+    scored = (
+        short.join(v, corpus_id)
+        .join(F.broadcast(q), query_id)
+        .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", F.round("cosine", 6).alias("cosine"))
+    )

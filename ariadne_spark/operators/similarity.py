@@ -713,3 +713,49 @@ def semantic_dedup(
         F.col("component").alias("rep_id"),
         (F.col("node") == F.col("component")).alias("is_kept"),
     )
+
+
+def knn_classify(
+    reference: DataFrame,
+    queries: DataFrame,
+    k: int = 15,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification: for each query vector, the
+    ``k`` nearest reference vectors by cosine (exact, deterministic
+    tie-break — see :func:`cosine_topk`) vote with their labels; the
+    label with the most votes wins, vote ties broken toward the
+    smaller label. Returns ``(query_id, pred_label, votes)``.
+
+    The standard embedding-space auto-labeling / quality-probing step
+    of a training-data pipeline (kNN over a labeled seed set). Exact
+    and fully SQL-expressible, so it carries a DuckDB oracle; at lake
+    scale swap :func:`cosine_topk` for :func:`ivf_index_topk` and keep
+    the voting tail unchanged.
+
+    Shape at scale: scoring is the broadcast crossJoin of the exact
+    top-k path (queries are the small side); voting is two
+    partial-aggregatable groupBys over ≤ queries·k rows — no window
+    over data, no skew exposure."""
+    topk = cosine_topk(
+        reference, queries, k=k,
+        corpus_id=corpus_id, query_id=query_id, vec_col=vec_col,
+    )
+    labels = reference.select(
+        F.col(corpus_id), F.col(label_col).alias("__lbl")
+    )
+    votes = topk.join(labels, corpus_id).groupBy(query_id, "__lbl").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    # winner = max votes, vote ties -> smaller label: max_by over the
+    # (votes, -label) struct is partial-aggregatable (one row of state
+    # per query per task), unlike a row_number window
+    return votes.groupBy(query_id).agg(
+        F.max_by(
+            F.col("__lbl"), F.struct(F.col("votes"), (-F.col("__lbl")))
+        ).alias("pred_label"),
+        F.max("votes").alias("votes"),
+    )

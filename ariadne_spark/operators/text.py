@@ -293,3 +293,118 @@ def bigram_lm_stats(
             6,
         ).alias("novelty"),
     )
+
+
+# Gopher's required-word rule uses a tiny function-word set (Rae et
+# al. 2021 §A1.1: "contains at least 2 of a set of 8 stop words").
+# The canonical set below is the paper's; pass ``required_stopwords``
+# to adapt it to a corpus (e.g. swapping "be" for "a" on lowercased
+# technical text).
+GOPHER_REQUIRED_STOPWORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_filter_columns(
+    text_col: str = "text",
+    *,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    required_stopwords: list[str] | None = None,
+    min_required_stopwords: int = 2,
+) -> dict[str, Column]:
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1) as
+    single-scan appendable Columns: ``n_words``, ``failed_rules``
+    (names of violated rules, fixed order), ``keep``.
+
+    Every rule is an INTEGER comparison — ratio thresholds are
+    cross-multiplied (mean word length in [3,10] becomes
+    ``3·n_words ≤ Σlen ≤ 10·n_words``) so the DuckDB oracle is
+    bit-exact with no float rounding contract. Rules:
+
+    - ``few_words`` / ``many_words`` — word count outside
+      [min_words, max_words],
+    - ``short_words`` / ``long_words`` — mean word length outside
+      [3, 10] characters,
+    - ``symbol_ratio`` — (# + ellipsis) per word > 0.1,
+    - ``low_alpha`` — fewer than 80% of words contain a letter,
+    - ``few_stopwords`` — fewer than ``min_required_stopwords``
+      distinct hits from the required-word set,
+    - ``repeated_top_word`` — most frequent word covers > 20% of the
+      document.
+
+    All higher-order built-ins over one token array — per-row
+    projection, zero shuffles, scan-speed at 100 TB. Composes with
+    :func:`quality_features` / :func:`repetition_features` for
+    reporting; this operator is the decision."""
+    required = required_stopwords or GOPHER_REQUIRED_STOPWORDS
+    t = F.col(text_col)
+    ws = tokens(text_col)
+    n_words = F.size(ws).cast("bigint")
+    tok_chars = F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+    alpha_words = F.size(
+        F.filter(ws, lambda x: x.rlike("[a-zA-Z]"))
+    ).cast("bigint")
+    hashes = (F.length(t) - F.length(F.regexp_replace(t, "#", ""))).cast(
+        "bigint"
+    )
+    ellipses = (
+        (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
+    ).cast("bigint")
+    toks_lower = F.split(F.lower(t), " ")
+    stop_distinct = F.size(
+        F.array_intersect(
+            F.array_distinct(toks_lower), F.array(*[F.lit(w) for w in required])
+        )
+    ).cast("bigint")
+    top_count = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(ws),
+                lambda g: F.size(F.filter(ws, lambda x: x == g)),
+            )
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    rules = [
+        ("few_words", n_words < F.lit(min_words)),
+        ("many_words", n_words > F.lit(max_words)),
+        ("short_words", tok_chars < 3 * n_words),
+        ("long_words", tok_chars > 10 * n_words),
+        ("symbol_ratio", 10 * (hashes + ellipses) > n_words),
+        ("low_alpha", 5 * alpha_words < 4 * n_words),
+        ("few_stopwords", stop_distinct < F.lit(min_required_stopwords)),
+        ("repeated_top_word", 5 * top_count > n_words),
+    ]
+    empty = F.array().cast("array<string>")
+    failed = F.concat(
+        *[
+            F.when(cond, F.array(F.lit(name))).otherwise(empty)
+            for name, cond in rules
+        ]
+    )
+    return {
+        "n_words": n_words,
+        "failed_rules": failed,
+        "keep": F.size(failed) == 0,
+    }
+
+
+def gopher_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Per-document Gopher quality verdict: ``(id, n_words,
+    failed_rules, keep)`` — see :func:`gopher_filter_columns`.
+
+    Reference parity: the reference exposes scalar quality functions
+    through its expression surface (SURVEY.md §2.8); this packages the
+    published Gopher rule set as one deterministic operator the way a
+    training-data pipeline consumes it (filter + audit trail of WHY a
+    document was dropped)."""
+    cols = gopher_filter_columns(text_col, **thresholds)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])

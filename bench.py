@@ -127,6 +127,12 @@ BENCH_QUERIES = [
     "ts_sessionize",
     "ts_rollup",
     "ts_asof_join",
+    # r06 second pass: composite quality gate, mixture report, kNN
+    # auto-labeling, product-quantization ANN
+    "text_gopher_filter",
+    "corpus_mix_report",
+    "emb_knn_classify",
+    "emb_ann_pq",
 ]
 
 

@@ -1,0 +1,266 @@
+"""Product quantization: determinism, planted exactness, convergence
+to the exact ranking, partition independence — plus the round-6
+composite operators (Gopher filter, mixture report, kNN classify)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark.operators.quantization import (
+    pq_ann_topk,
+    pq_ann_topk_rerank,
+    pq_encode,
+    pq_train,
+)
+from ariadne_spark.operators.similarity import cosine_topk, knn_classify
+from ariadne_spark.operators.text import gopher_filter
+from ariadne_spark.operators.corpus import mix_report
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train(emb, m=8, k=16, iters=3)
+
+
+def test_pq_train_deterministic(emb, books):
+    again = pq_train(emb, m=8, k=16, iters=3)
+    assert books.shape == (8, 16, 8)
+    assert np.array_equal(books, again)
+
+
+def test_pq_encode_clones_get_identical_codes(spark, emb, books):
+    clones = emb.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    both = pq_encode(emb.unionByName(clones), books)
+    a = {r["vec_id"]: tuple(r["pq_code"]) for r in both.collect()}
+    for vid in list(a):
+        if vid >= 10_000:
+            assert a[vid] == a[vid - 10_000]
+    # codes are within range and full length
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_adc_self_hit_rank1(emb, books):
+    codes = pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top1 = pq_ann_topk(codes, q, books, k=1).collect()
+    # every query is itself in the corpus: identical code -> adc ties
+    # at the minimum, tie-break by id can only prefer an EXACT code
+    # twin; on this corpus each vector's code is unique enough that
+    # the self-hit wins outright
+    assert all(r["query_id"] == r["vec_id"] for r in top1)
+
+
+def test_pq_rerank_converges_to_exact(emb, books):
+    codes = pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    exact = sorted(
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+        for r in cosine_topk(emb, q, k=10).collect()
+    )
+    rr = sorted(
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+        for r in pq_ann_topk_rerank(
+            codes, emb, q, books, k=10, shortlist=n
+        ).collect()
+    )
+    assert rr == exact
+
+
+def test_pq_partition_independence(emb, books):
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = []
+    for parts in (1, 7):
+        codes = pq_encode(emb.repartition(parts), books)
+        out.append(
+            sorted(
+                (r["query_id"], r["vec_id"], r["rank"], r["adc"])
+                for r in pq_ann_topk(codes, q, books, k=10).collect()
+            )
+        )
+    assert out[0] == out[1]
+
+
+def test_pq_dim_not_divisible_raises(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7, k=8, iters=1)
+
+
+def test_pq_rerank_beats_raw_adc_recall(emb, books):
+    codes = pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, q, k=10).collect()
+    }
+    adc = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_ann_topk(codes, q, books, k=10).collect()
+    }
+    rr = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_ann_topk_rerank(
+            codes, emb, q, books, k=10, shortlist=100
+        ).collect()
+    }
+    adc_recall = len(adc & exact) / len(exact)
+    rr_recall = len(rr & exact) / len(exact)
+    assert rr_recall >= adc_recall
+    # m=8 codebooks on near-random 64-dim data: the shortlist holds
+    # most of the exact set; exact convergence is pinned separately in
+    # test_pq_rerank_converges_to_exact
+    assert rr_recall >= 0.75
+
+
+# ------------------------------------------------------- gopher filter
+
+
+def test_gopher_filter_rules_fire_individually(spark):
+    rows = [
+        (1, "the quick brown fox jumps over that lazy dog with glee today"),
+        (2, "too few"),  # few_words
+        (3, "the of " + "a b c " * 20),  # short_words (mean < 3)
+        (4, "the extraordinarily incomprehensibilities of hippopotomonstrous"
+            " sesquipedalianism that notwithstanding overqualification with"),  # long_words
+        (5, "the cat of hat # # # # sat with mat that bat"),  # symbol_ratio
+        (6, "the 123 456 789 012 345 of 678 901 that 234 with"),  # low_alpha
+        (7, "zebra quokka wombat numbat dingo bilby koala emu taipan"),  # few_stopwords
+        (8, "the spam spam spam spam spam of spam spam that spam with spam"),  # repeated_top_word
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    assert got[1]["keep"] and got[1]["failed_rules"] == []
+    assert "few_words" in got[2]["failed_rules"]
+    assert "short_words" in got[3]["failed_rules"]
+    assert "long_words" in got[4]["failed_rules"]
+    assert "symbol_ratio" in got[5]["failed_rules"]
+    assert "low_alpha" in got[6]["failed_rules"]
+    assert "few_stopwords" in got[7]["failed_rules"]
+    assert "repeated_top_word" in got[8]["failed_rules"]
+
+
+def test_gopher_filter_threshold_params(spark):
+    df = spark.createDataFrame(
+        [(1, "the little dog ran to the big park and sat with joy")],
+        ["doc_id", "text"],
+    )
+    strict = gopher_filter(df, min_words=50).collect()[0]
+    assert "few_words" in strict["failed_rules"] and not strict["keep"]
+    loose = gopher_filter(df).collect()[0]
+    assert loose["keep"]
+
+
+def test_gopher_filter_is_single_stage(docs):
+    # per-row projection: no exchange in the plan
+    plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------- mix report
+
+
+def test_mix_report_shares_sum_to_le_1m(docs):
+    rows = mix_report(docs).collect()
+    total_ppm = sum(r["token_share_ppm"] for r in rows)
+    # integer floor division: sum is <= 1e6, within one ppm per group
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+    tok = sum(r["n_tokens"] for r in rows)
+    docs_n = sum(r["n_docs"] for r in rows)
+    assert docs_n == docs.count() and tok > 0
+
+
+def test_mix_report_custom_group(docs):
+    rows = mix_report(docs, group_cols=("lang",)).collect()
+    assert {r["lang"] for r in rows} == {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
+
+
+# --------------------------------------------------------- kNN classify
+
+
+def test_knn_classify_separated_clusters(spark):
+    # three well-separated clusters: every held-out vector classifies
+    # to its cluster's label with k=5 majority
+    import itertools
+
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    rows = []
+    for label, c in base.items():
+        for i in range(8):
+            v = [c[0] + (i % 3) * 0.1, c[1] + (i % 2) * 0.1, c[2] + i * 0.01]
+            rows.append((label * 100 + i, v, label))
+    ref = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    q = spark.createDataFrame(
+        [(900 + l, [c[0] + 0.05, c[1] + 0.05, c[2]], l) for l, c in base.items()],
+        ["query_id", "embedding", "label"],
+    )
+    out = {r["query_id"]: r for r in knn_classify(ref, q, k=5).collect()}
+    for l in base:
+        assert out[900 + l]["pred_label"] == l
+        assert out[900 + l]["votes"] == 5
+
+
+def test_knn_classify_vote_tie_breaks_to_smaller_label(spark):
+    # two clusters equidistant-ish: force a 2-2 tie with k=4
+    ref = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 5),
+            (2, [1.0, 0.01], 5),
+            (3, [0.0, 1.0], 3),
+            (4, [0.01, 1.0], 3),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    q = spark.createDataFrame([(9, [1.0, 1.0])], ["query_id", "embedding"])
+    out = knn_classify(ref, q, k=4).collect()[0]
+    assert out["pred_label"] == 3 and out["votes"] == 2
+
+
+def test_knn_classify_matches_numpy(emb):
+    ref = emb.where(F.col("vec_id") % 11 != 0)
+    q = emb.where(F.col("vec_id") % 11 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {r["query_id"]: (r["pred_label"], r["votes"])
+           for r in knn_classify(ref, q, k=15).collect()}
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.stack([np.array(r["embedding"]) for r in rows])
+    y = np.array([r["label"] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    qm = ids % 11 == 0
+    import collections
+
+    for qi in np.where(qm)[0]:
+        sims = Xn[~qm] @ Xn[qi]
+        rid = ids[~qm]
+        order = np.lexsort((rid, -sims))[:15]
+        votes = collections.Counter(y[~qm][order])
+        pred = min(votes, key=lambda l: (-votes[l], l))
+        assert got[int(ids[qi])] == (pred, votes[pred])
