@@ -877,19 +877,21 @@ def mix_report(
     with integer division — ``(1 000 000 · group_tokens) DIV
     total_tokens`` — so the DuckDB oracle is bit-exact.
 
-    Shape at scale: one partial-aggregatable groupBy on the (low
-    cardinality) mixture key — map-side combine reduces each task to
-    one row per group — then a broadcast join against the single-row
-    grand total. No window over data, no skew exposure: hot groups
-    cost the same as cold ones after the combine."""
+    Shape at scale: ONE corpus scan — a partial-aggregatable groupBy
+    on the (low cardinality) mixture key, map-side combine reducing
+    each task to one row per group. The grand total is a window over
+    the AGGREGATED frame (bounded by mixture-key cardinality, not
+    data), so the corpus is never scanned twice; an
+    ``agg``-and-rejoin total would re-run the scan because the
+    unpersisted aggregate is not shared between plan branches."""
     per = df.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
         F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
     )
-    total = per.agg(F.sum("n_tokens").alias("__tot"))
+    tot = F.sum("n_tokens").over(Window.partitionBy())
     share = F.expr("1000000 * n_tokens DIV __tot").cast("bigint")
-    return per.join(F.broadcast(total)).select(
+    return per.withColumn("__tot", tot).select(
         *group_cols,
         "n_docs",
         "n_tokens",

@@ -193,6 +193,13 @@ def test_mix_report_shares_sum_to_le_1m(docs):
     assert docs_n == docs.count() and tok > 0
 
 
+def test_mix_report_single_scan(docs):
+    # the grand total must come from the aggregated frame, not a
+    # second corpus scan (caught in the round-6 plan audit)
+    plan = mix_report(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+
+
 def test_mix_report_custom_group(docs):
     rows = mix_report(docs, group_cols=("lang",)).collect()
     assert {r["lang"] for r in rows} == {
