@@ -777,16 +777,27 @@ def importance_weights(
 
     ct = bucket_counts(target, bcol, "__ct")
     cb = bucket_counts(df, text_col, "__cb")
-    lookup = (
-        ct.join(cb, "__b", "full")
-        .select(
-            "__b",
-            F.coalesce("__ct", F.lit(0)).alias("__ct"),
-            F.coalesce("__cb", F.lit(0)).alias("__cb"),
-        )
-        .withColumn("__nt", F.sum("__ct").over(Window.partitionBy()))
-        .withColumn("__nb", F.sum("__cb").over(Window.partitionBy()))
+    # materialize the ≤n_buckets-row frequency table ONCE on the
+    # driver (it broadcasts anyway): the plan below references it
+    # twice (scoring join + zero-gram prior), and an unpersisted
+    # lookup would re-run both corpus-gram aggregations per reference
+    # (measured 2.5× on the sf0.1 bench)
+    spark = df.sparkSession
+    freq_rows = [
+        (r["__b"], r["__ct"] or 0, r["__cb"] or 0)
+        for r in ct.join(cb, "__b", "full").collect()
+    ]
+    nt = sum(r[1] for r in freq_rows)
+    nb = sum(r[2] for r in freq_rows)
+    lookup = spark.createDataFrame(
+        freq_rows or [(0, 0, 0)], "__b int, __ct bigint, __cb bigint"
+    ).select(
+        "__b", "__ct", "__cb",
+        F.lit(nt).cast("bigint").alias("__nt"),
+        F.lit(nb).cast("bigint").alias("__nb"),
     )
+    if not freq_rows:
+        lookup = lookup.where(F.lit(False))
     toks_df = df.select(
         F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
     )
@@ -839,9 +850,16 @@ def importance_weights(
     # zero-gram sum is legitimately 0. An empty corpus (no grams
     # anywhere) has no prior; 0.0 then.
     base = df.select(F.col(id_col))
-    totals = lookup.select("__nt", "__nb").limit(1)
-    prior = F.round(
-        F.col("__nb").cast("double") / F.col("__nt").cast("double"), 6
+    # totals are driver-side ints now (see the lookup materialization
+    # above): the prior is a literal, no totals subtree to join
+    # rounding stays in Spark (F.round is HALF_UP; Python's round is
+    # banker's) so the oracle contract is byte-identical to before
+    prior = (
+        F.round(
+            F.lit(nb).cast("double") / F.lit(nt).cast("double"), 6
+        )
+        if nt > 0
+        else F.lit(0.0)
     )
     fill = [
         F.col(id_col),
@@ -850,13 +868,12 @@ def importance_weights(
         F.coalesce("sum_background", F.lit(0)).cast("bigint").alias(
             "sum_background"
         ),
-        F.coalesce("score", prior, F.lit(0.0)).alias("score"),
+        F.coalesce("score", prior).alias("score"),
     ]
     if log_weight:
         fill.append(F.coalesce("log_ratio", F.lit(0.0)).alias("log_ratio"))
     return (
         base.join(scored, id_col, "left")
-        .join(F.broadcast(totals), F.lit(True), "left")
         .select(*fill)
     )
 

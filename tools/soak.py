@@ -461,6 +461,64 @@ def main() -> None:
          wrong_answers=wrong, sec=round(time.time() - t0, 2))
     assert wrong == 0, f"{wrong} racing queries returned wrong answers"
 
+    # ---- 10. PQ ANN at NX (r06): codebooks train on the 1X corpus,
+    # codes persist for the NX corpus; ADC+exact-rerank must place
+    # every original vector at rank 1 for its replicated clones'
+    # queries, and the persisted code column must be a small fraction
+    # of the raw vector column on disk (the 100 TB point of PQ).
+    from ariadne_spark.operators.quantization import (
+        pq_ann_topk_rerank,
+        pq_encode,
+        pq_train,
+    )
+
+    emb1 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    reps = [
+        emb1.select(
+            (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+            "embedding", "label",
+        )
+        for i in range(n_rep)
+    ]
+    embN = reps[0]
+    for r in reps[1:]:
+        embN = embN.unionByName(r)
+    t0 = time.time()
+    books = pq_train(emb1, m=8, k=16, iters=2)
+    train_sec = round(time.time() - t0, 2)
+    codes_dir = f"{WORK}/pq_codes"
+    vecs_dir = f"{WORK}/pq_vecs"
+    t0 = time.time()
+    pq_encode(embN, books).write.mode("overwrite").parquet(codes_dir)
+    encode_sec = round(time.time() - t0, 2)
+    embN.select("vec_id", "embedding").write.mode("overwrite").parquet(vecs_dir)
+
+    def _du(d):
+        return sum(
+            os.path.getsize(p) for p in glob.glob(f"{d}/*.parquet")
+        )
+
+    codes_df = spark.read.parquet(codes_dir)
+    q10 = emb1.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    t0 = time.time()
+    rr = pq_ann_topk_rerank(
+        codes_df, embN, q10, books, k=n_rep, shortlist=max(100, 2 * n_rep)
+    ).collect()
+    ann_sec = round(time.time() - t0, 2)
+    # every replica of the query vector is an exact clone: the full
+    # top-n_rep set must be exactly the clone family
+    bad = sum(
+        1 for r in rr if r["vec_id"] % 1_000_000 != r["query_id"]
+    )
+    emit(stage="pq_ann_nx", n_vectors=n_rep * 500, train_sec=train_sec,
+         encode_sec=encode_sec, ann_sec=ann_sec,
+         clone_family_misses=bad,
+         code_bytes=_du(codes_dir), raw_bytes=_du(vecs_dir),
+         compression=round(_du(vecs_dir) / max(_du(codes_dir), 1), 1))
+    assert bad == 0, f"{bad} non-clone rows in the clone-family top-k"
+
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
 
