@@ -1275,6 +1275,56 @@ def _prepare_ivf(spark: SparkSession, sf_dir: str):
     return Index.for_name("ivf_embeddings", spark=spark), cent_path
 
 
+def _prepare_ivf_pq(spark: SparkSession, sf_dir: str):
+    """Persisted IVF+PQ layout (cells + code column + sidecar), built
+    once per scale factor — same pattern as _prepare_ivf."""
+    from ariadne_spark import Index
+    from ariadne_spark.operators.quantization import ivf_pq_index_build
+    from ariadne_spark.storage.lock import IndexLock
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    marker = f"{base}/_IVF_PQ_READY"
+    sidecar = f"{base}/ivf_pq_data/_ivf_pq_sidecar.json"
+    if not os.path.exists(marker):
+        with IndexLock(f"{base}/locks", "ivfpq", timeout=1800, max_wait=1800):
+            if not os.path.exists(marker):
+                emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+                _idx, sidecar = ivf_pq_index_build(
+                    emb,
+                    f"{base}/ivf_pq_data",
+                    "ivf_pq_embeddings",
+                    n_centroids=32,
+                    n_files=8,
+                    m=8,
+                    k_codes=16,
+                    iters=2,
+                    spark=spark,
+                )
+                with open(marker, "w") as fh:
+                    fh.write("ok")
+    return Index.for_name("ivf_pq_embeddings", spark=spark), sidecar
+
+
+def q_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production ANN composition: IVF cell files + PQ code
+    column + engine locate. Probe → file prune → ADC over the code
+    column → exact re-rank of the shortlist. The gate runs with
+    shortlist ≥ the corpus, where the result provably equals
+    ivf_index_topk (pytest-pinned), so the shared IVF SQL template is
+    an exact oracle; the bench exercises the bounded-shortlist
+    production setting."""
+    from ariadne_spark.operators.quantization import ivf_pq_topk
+
+    idx, sidecar = _prepare_ivf_pq(spark, sf_dir)
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_topk(idx, sidecar, queries, k=5, n_probe=8, shortlist=n)
+
+
 def q_sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k through the PERSISTED index path: probe cells →
     engine locate prunes to the files holding them → exact re-rank
@@ -2526,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_wav": q_multimodal_decode_wav,
         "corpus_budget_sample": q_corpus_budget_sample,
         "emb_ann_pq": q_emb_ann_pq,
+        "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
         "dedup_simhash": q_dedup_simhash,
         "idx_filter_range_bbox": q_idx_filter_range_bbox,
         "idx_select_pushdown": q_idx_select_pushdown,
@@ -3443,6 +3494,13 @@ def oracle_sql() -> dict[str, str]:
         # build parameters (n_centroids=32) is an exact oracle for it.
         "sim_ann_ivf": _IVF_ORACLE_SQL.format(n_cents=64, n_probe=8, k=5),
         "sim_ann_ivf_indexed": _IVF_ORACLE_SQL.format(
+            n_cents=32, n_probe=8, k=5
+        ),
+        # IVF+PQ with full shortlist == ivf_index_topk at the same
+        # build parameters (pinned by
+        # test_ivf_pq_index_full_shortlist_matches_ivf_index), so the
+        # same SQL template is an exact twin
+        "sim_ann_ivf_pq": _IVF_ORACLE_SQL.format(
             n_cents=32, n_probe=8, k=5
         ),
 "sim_topk": """

@@ -353,3 +353,242 @@ def pq_ann_topk_rerank(
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, "rank", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_pq_index_build(
+    corpus: DataFrame,
+    out_dir: str,
+    index_name: str,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 32,
+    n_files: int = 8,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 3,
+    spark=None,
+):
+    """The full production ANN layout: IVF cell-clustered files that
+    ALSO carry the PQ code column, registered under an engine index
+    on ``ivf_cell`` with centroids + codebooks persisted as a sidecar.
+
+    A probe then composes all three scale levers:
+
+    1. **file pruning** — the engine locate reads only the files
+       holding the probed cells (≈ n_probe/n_centroids of the lake),
+    2. **byte-light scan** — the ADC pass projects only
+       ``(id, cell, pq_code)``: columnar pruning means the scan moves
+       ~m bytes per row instead of the raw vector column,
+    3. **bounded exact tail** — only the ADC shortlist re-reads the
+       vector column (an id-pushdown filter over the located files).
+
+    Returns ``(Index, sidecar_path)``. Query with :func:`ivf_pq_topk`.
+    Composes the same machinery as
+    :func:`ariadne_spark.operators.similarity.ivf_index_build` (cells,
+    clustering, engine index) — reference file:line cited there."""
+    import json as _json
+
+    from ..index import Index
+    from ..storage.fs import get_fs, join as fs_join
+    from .layout import cluster_files
+    from .similarity import _centroids, _nearest_centroids_udf
+
+    spark = spark or corpus.sparkSession
+    cents = _centroids(corpus, corpus_id, vec_col, n_centroids)
+    books = pq_train(
+        corpus, m=m, k=k_codes, iters=iters,
+        corpus_id=corpus_id, vec_col=vec_col,
+    )
+    assign = _nearest_centroids_udf(cents, 1)
+    enc = _encode_udf(books)
+    assigned = corpus.withColumn(
+        "ivf_cell", F.element_at(assign(F.col(vec_col)), 1)
+    ).withColumn(
+        "pq_code", enc(F.col(vec_col).cast("array<double>"))
+    )
+    files = cluster_files(assigned, out_dir, "ivf_cell", n_files=n_files)
+    fs = get_fs(spark, out_dir)
+    sidecar = fs_join(out_dir, "_ivf_pq_sidecar.json")
+    fs.write_atomic(
+        sidecar,
+        _json.dumps(
+            {
+                "centroids": cents.tolist(),
+                "codebooks": books.tolist(),
+                "m": int(m),
+                "k_codes": int(k_codes),
+            }
+        ),
+    )
+    idx = Index.for_name(
+        index_name, schema=assigned.schema, format="parquet", spark=spark
+    )
+    idx.add_index("ivf_cell")
+    idx.add_files(files)
+    idx.update()
+    return idx, sidecar
+
+
+def _encode_udf(codebooks: np.ndarray):
+    """The pq_encode pandas UDF as a reusable Column factory."""
+    import pandas as pd
+
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+
+    def enc(vecs):
+        mask = vecs.notna().to_numpy()
+        if not mask.any():
+            return pd.Series([None] * len(vecs), dtype=object)
+        mat = _normalize_rows(_stack(vecs[mask]))
+        codes = _encode_matrix(mat, books)
+        out = pd.Series([None] * len(vecs), dtype=object)
+        out.iloc[np.flatnonzero(mask)] = [
+            [int(c) for c in row] for row in codes
+        ]
+        return out
+
+    enc.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(enc, T.ArrayType(T.IntegerType()))
+
+
+def ivf_pq_topk(
+    index,
+    sidecar_path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 8,
+    shortlist: int = 100,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe an :func:`ivf_pq_index_build` index: engine-locate the
+    probed cells' FILES, ADC-scan only their code column for a
+    per-query ``shortlist``, exact-rerank the shortlist by re-reading
+    the vector column under an id-pushdown filter. With ``shortlist``
+    ≥ the probed-cell population this equals
+    :func:`ariadne_spark.operators.similarity.ivf_index_topk`
+    (pytest-pinned); smaller shortlists trade recall for scan bytes."""
+    from ..storage.fs import get_fs, read_json
+    from .similarity import _dot, _norm, _nearest_centroids_udf
+    from pyspark.sql import Window
+
+    spark = index.spark
+    blob = read_json(get_fs(spark, sidecar_path), sidecar_path)
+    cents = np.array(blob["centroids"], dtype=np.float64)
+    books = np.ascontiguousarray(blob["codebooks"], dtype=np.float64)
+    probe = _nearest_centroids_udf(cents, n_probe)
+    q = queries.select(
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        F.explode(probe(F.col(vec_col))).alias("ivf_cell"),
+    ).cache()
+    cells = sorted({r["ivf_cell"] for r in q.select("ivf_cell").distinct().collect()})
+    files = index.locate_files({"ivf_cell": cells})
+    data = index.read_files(files, extra_columns=["ivf_cell", "pq_code"])
+    # candidates are PER-QUERY (a row competes only inside the cells
+    # THIS query probed — ivf_index_topk semantics, not probe-union):
+    # the (query, cell) pairs broadcast against the code scan
+    qrows = q.select(query_id, "__qv").groupBy(query_id).agg(
+        F.first("__qv").alias("__qv")
+    ).collect()
+    qids = [r[query_id] for r in qrows]
+    qmat = _normalize_rows(_stack([r["__qv"] for r in qrows]))
+    m, kc, dsub = books.shape
+    luts = np.empty((len(qids), m, kc), dtype=np.float64)
+    for s in range(m):
+        sub = qmat[:, s * dsub : (s + 1) * dsub]
+        luts[:, s, :] = (
+            (sub**2).sum(axis=1)[:, None]
+            - 2.0 * (sub @ books[s].T)
+            + (books[s] ** 2).sum(axis=1)[None, :]
+        )
+    qpos = {qid: i for i, qid in enumerate(qids)}
+    qcells = spark.createDataFrame(
+        [
+            (int(qpos[r[query_id]]), int(r["ivf_cell"]))
+            for r in q.select(query_id, "ivf_cell").collect()
+        ],
+        "__qpos int, ivf_cell int",
+    )
+    pairs = data.select(corpus_id, "pq_code", "ivf_cell").join(
+        F.broadcast(qcells), "ivf_cell"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("__qpos", T.IntegerType()),
+            T.StructField("__cid", data.schema[corpus_id].dataType),
+            T.StructField("__adc", T.DoubleType()),
+        ]
+    )
+
+    def adc_scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["pq_code"]]
+            )
+            qp = pdf["__qpos"].to_numpy()
+            d = luts[qp[:, None], np.arange(m)[None, :], cmat].sum(axis=1)
+            out = pd.DataFrame(
+                {
+                    "__qpos": qp,
+                    "__cid": pdf[corpus_id].to_numpy(),
+                    "__adc": d,
+                }
+            )
+            # per-batch partial shortlist: only the best `shortlist`
+            # rows per query leave the executor
+            out = (
+                out.sort_values(["__qpos", "__adc", "__cid"])
+                .groupby("__qpos", sort=False)
+                .head(shortlist)
+            )
+            yield out
+
+    cand = pairs.select(corpus_id, "pq_code", "__qpos").mapInPandas(
+        adc_scan, out_schema
+    )
+    wshort = Window.partitionBy("__qpos").orderBy(
+        F.col("__adc").asc(), F.col("__cid").asc()
+    )
+    qid_arr = F.array(*[F.lit(x) for x in qids])
+    short = (
+        cand.withColumn("__r", F.row_number().over(wshort))
+        .where(F.col("__r") <= shortlist)
+        .select(
+            F.element_at(qid_arr, F.col("__qpos") + 1).alias(query_id),
+            F.col("__cid").alias(corpus_id),
+        )
+    )
+    # bounded exact tail: shortlisted ids push down into the vector
+    # column read of the SAME located files
+    ids = [r[corpus_id] for r in short.select(corpus_id).distinct().collect()]
+    vecs = index.read_files(files).where(F.col(corpus_id).isin(ids)).select(
+        F.col(corpus_id), F.col(vec_col).alias("__cv")
+    )
+    qv = q.select(query_id, "__qv").groupBy(query_id).agg(
+        F.first("__qv").alias("__qv")
+    )
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+    )
+    scored = (
+        short.select(query_id, corpus_id)
+        .join(vecs, corpus_id)
+        .join(F.broadcast(qv), query_id)
+        .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, "rank", F.round("cosine", 6).alias("cosine"))
+    )
+    q.unpersist()
+    return out

@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "corpus_mix_report",
     "emb_knn_classify",
     "emb_ann_pq",
+    "sim_ann_ivf_pq",
 ]
 
 

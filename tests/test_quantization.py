@@ -271,3 +271,78 @@ def test_knn_classify_matches_numpy(emb):
         votes = collections.Counter(y[~qm][order])
         pred = min(votes, key=lambda l: (-votes[l], l))
         assert got[int(ids[qi])] == (pred, votes[pred])
+
+
+# ----------------------------------------------------- IVF+PQ composed
+
+
+def test_ivf_pq_index_full_shortlist_matches_ivf_index(spark, emb, storage, tmp_path):
+    """With shortlist >= the probed population, the composed path is
+    exactly ivf_index_topk: same deterministic cells, exact rerank
+    within them."""
+    from ariadne_spark.operators.quantization import (
+        ivf_pq_index_build,
+        ivf_pq_topk,
+    )
+    from ariadne_spark.operators.similarity import ivf_index_build, ivf_index_topk
+
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx1, cents = ivf_index_build(
+        emb, f"{tmp_path}/ivf", "tq_ivf_plain", n_centroids=16, n_files=8
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+        for r in ivf_index_topk(idx1, cents, q, k=5, n_probe=4).collect()
+    )
+    idx2, sidecar = ivf_pq_index_build(
+        emb, f"{tmp_path}/ivfpq", "tq_ivf_pq",
+        n_centroids=16, n_files=8, m=8, k_codes=16, iters=2,
+    )
+    n = emb.count()
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+        for r in ivf_pq_topk(
+            idx2, sidecar, q, k=5, n_probe=4, shortlist=n
+        ).collect()
+    )
+    assert got == want
+
+
+def test_ivf_pq_prunes_files_and_recalls(spark, emb, storage, tmp_path):
+    from ariadne_spark.operators.quantization import (
+        ivf_pq_index_build,
+        ivf_pq_topk,
+    )
+
+    idx, sidecar = ivf_pq_index_build(
+        emb, f"{tmp_path}/ivfpq2", "tq_ivf_pq2",
+        n_centroids=16, n_files=8, m=8, k_codes=16, iters=2,
+    )
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # a 4/16-cell probe must locate a strict subset of the files
+    from ariadne_spark.operators.similarity import _nearest_centroids_udf
+    import json as _json
+    from ariadne_spark.storage.fs import get_fs, read_json
+
+    blob = read_json(get_fs(spark, sidecar), sidecar)
+    cents = np.array(blob["centroids"])
+    probe = _nearest_centroids_udf(cents, 4)
+    cells = sorted(
+        {
+            c
+            for r in q.select(probe(F.col("embedding")).alias("cs")).collect()
+            for c in r["cs"]
+        }
+    )
+    located = idx.locate_files({"ivf_cell": cells})
+    all_files = idx.locate_files({})
+    assert len(located) < len(all_files)
+
+    out = ivf_pq_topk(idx, sidecar, q, k=5, n_probe=4, shortlist=100).collect()
+    # self-hit: each query is in the corpus and probes its own cell
+    top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    assert top1 == {0: 0, 1: 1}
