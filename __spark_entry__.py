@@ -90,7 +90,7 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
         "nation_csv", "supplier_json",
         # _prepare_v2 / IVF additions share this store
         "orders_large", "orders_inc", "orders_del", "orders_footer",
-        "ivf_embeddings", "customer_orc",
+        "ivf_embeddings", "ivf_pq_embeddings", "customer_orc",
     }
     if os.path.exists(marker):
         # self-heal: drop any foreign index another session parked in
@@ -1282,13 +1282,26 @@ def _prepare_ivf_pq(spark: SparkSession, sf_dir: str):
     from ariadne_spark.operators.quantization import ivf_pq_index_build
     from ariadne_spark.storage.lock import IndexLock
 
+    from ariadne_spark import catalog as _cat
+
     _prepare(spark, sf_dir)
     base = f"{WORK}/{_tag(sf_dir)}"
     marker = f"{base}/_IVF_PQ_READY"
     sidecar = f"{base}/ivf_pq_data/_ivf_pq_sidecar.json"
-    if not os.path.exists(marker):
+    # the marker alone is not proof: an older session's _prepare
+    # (before ivf_pq_embeddings joined its expected set) may have
+    # self-healed the index away while leaving the marker — verify
+    # the registration too and rebuild if it is gone
+    if not os.path.exists(marker) or not _cat.exists(
+        "ivf_pq_embeddings", spark
+    ):
         with IndexLock(f"{base}/locks", "ivfpq", timeout=1800, max_wait=1800):
-            if not os.path.exists(marker):
+            if not os.path.exists(marker) or not _cat.exists(
+                "ivf_pq_embeddings", spark
+            ):
+                import shutil as _sh
+
+                _sh.rmtree(f"{base}/ivf_pq_data", ignore_errors=True)
                 emb = spark.read.parquet(_t(sf_dir, "embeddings"))
                 _idx, sidecar = ivf_pq_index_build(
                     emb,

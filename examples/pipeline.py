@@ -233,6 +233,46 @@ print(
     "; audio near-dup pairs:", wav_pairs.count(),
 )
 
+# 13b) quality gate + mixture audit (round 6) -------------------------
+from ariadne_spark.operators.text import gopher_filter
+from ariadne_spark.operators.corpus import mix_report
+
+gate = gopher_filter(
+    docs, required_stopwords=["the", "a", "to", "of", "and", "that", "have", "with"]
+)
+kept = gate.where("keep").count()
+mix = mix_report(docs)
+print(
+    "13b) gopher gate keeps:", kept, "/", docs.count(),
+    "; mixture groups:", mix.count(),
+)
+
+# 13c) embedding suite: kNN auto-label + PQ ANN (round 6) --------------
+from ariadne_spark.operators.quantization import (
+    pq_ann_topk_rerank,
+    pq_encode,
+    pq_train,
+)
+from ariadne_spark.operators.similarity import knn_classify
+
+emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+ref = emb.where(F.col("vec_id") % 11 != 0)
+held = emb.where(F.col("vec_id") % 11 == 0).select(
+    F.col("vec_id").alias("query_id"), "embedding"
+)
+labels = knn_classify(ref, held, k=15)
+books = pq_train(emb, m=8, k=16, iters=2)
+codes = pq_encode(emb, books)
+ann = pq_ann_topk_rerank(
+    codes, emb, held.limit(3), books, k=5, shortlist=100
+)
+print(
+    "13c) kNN-labeled:", labels.count(),
+    "; PQ ANN rows:", ann.count(),
+    "(codes are", books.shape[0], "bytes/vector vs",
+    64 * 8, "raw)",
+)
+
 # 14) engine extras: the workload advisor -----------------------------
 import ariadne_spark
 
