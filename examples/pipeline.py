@@ -255,7 +255,7 @@ from ariadne_spark.operators.quantization import (
 )
 from ariadne_spark.operators.similarity import knn_classify
 
-emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 ref = emb.where(F.col("vec_id") % 11 != 0)
 held = emb.where(F.col("vec_id") % 11 == 0).select(
     F.col("vec_id").alias("query_id"), "embedding"
