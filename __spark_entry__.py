@@ -2495,10 +2495,13 @@ def q_emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): deterministic PQ
     codebooks (md5-pick init + 2 distributed Lloyd rounds), 8-byte
-    codes, ADC shortlist of 100 over the code column, exact cosine
-    re-rank to top-10. Rows-only gate (iterative training is not
-    SQL-expressible); exact-convergence and planted-self-hit pins live
-    in tests/test_quantization.py."""
+    codes, ADC shortlist over the code column, exact cosine re-rank
+    to top-10. The gate runs with shortlist = corpus size, where the
+    re-rank provably equals cosine_topk (pinned by
+    test_pq_rerank_converges_to_exact) — so a brute-force cosine SQL
+    twin is an exact ORACLE despite the iterative training; the
+    bounded-shortlist production setting is exercised by the
+    recall tests and the pq_ann_nx soak."""
     from ariadne_spark.operators.quantization import (
         pq_ann_topk_rerank,
         pq_encode,
@@ -2508,10 +2511,11 @@ def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     books = pq_train(emb, m=8, k=16, iters=2)
     codes = pq_encode(emb, books)
+    n = emb.count()
     q = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return pq_ann_topk_rerank(codes, emb, q, books, k=10, shortlist=100)
+    return pq_ann_topk_rerank(codes, emb, q, books, k=10, shortlist=n)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -3516,6 +3520,33 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_ivf_pq": _IVF_ORACLE_SQL.format(
             n_cents=32, n_probe=8, k=5
         ),
+        # PQ rerank at full shortlist == cosine_topk (pinned by
+        # test_pq_rerank_converges_to_exact): brute-force twin
+        "emb_ann_pq": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))) AS c
+                FROM embeddings e CROSS JOIN q
+            ),
+            r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, vec_id ASC
+                       ) AS rank,
+                       c
+                FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
+                   round(c, 6) AS cosine
+            FROM r WHERE rank <= 10
+        """,
 "sim_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
