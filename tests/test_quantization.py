@@ -346,3 +346,38 @@ def test_ivf_pq_prunes_files_and_recalls(spark, emb, storage, tmp_path):
     # self-hit: each query is in the corpus and probes its own cell
     top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
     assert top1 == {0: 0, 1: 1}
+
+
+# ------------------------------------------------------------ edges
+
+
+def test_new_ops_empty_inputs(spark, emb, books):
+    from ariadne_spark.operators.quantization import pq_ann_topk
+
+    empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+    assert gopher_filter(empty_docs).count() == 0
+    empty_mix = spark.createDataFrame(
+        [], "doc_id bigint, text string, source string, lang string"
+    )
+    assert mix_report(empty_mix).count() == 0
+    # kNN with empty query side: empty result, stable schema
+    eq = spark.createDataFrame([], "query_id bigint, embedding array<double>")
+    out = knn_classify(emb, eq, k=5)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "pred_label", "votes"}
+    # PQ ANN declares queries as the non-empty small side
+    codes = pq_encode(emb.limit(10), books)
+    with pytest.raises(ValueError, match="queries is empty"):
+        pq_ann_topk(codes, eq.withColumnRenamed("embedding", "embedding"), books)
+
+
+def test_gopher_filter_null_and_whitespace_text(spark):
+    df = spark.createDataFrame(
+        [(1, "   "), (2, "the of and to that have with a b c d")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in gopher_filter(df).collect()}
+    # whitespace-only: the trim+split convention yields one empty
+    # token -> n_words=1 -> fails few_words (and others), never errors
+    assert not got[1]["keep"] and "few_words" in got[1]["failed_rules"]
+    assert got[2]["n_words"] == 11
