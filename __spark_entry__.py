@@ -2518,6 +2518,21 @@ def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk_rerank(codes, emb, q, books, k=10, shortlist=n)
 
 
+def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end data selection: DSIR importance weights against the
+    lang='en' target, then the exact top-100 documents by score with
+    deterministic tie-breaks (md5(id), id) — the "resample the most
+    target-like documents" step composed from scoring + selection.
+    Catalyst compiles the tail to TakeOrderedAndProject (per-task
+    heaps, no global sort)."""
+    from ariadne_spark.operators.corpus import importance_weights, select_top_n
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    target = docs.where(F.col("lang") == "en")
+    scored = importance_weights(docs, target, n=2)
+    return select_top_n(scored, 100, by="score").select("doc_id", "score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: index-pruned join."""
     return q_idx_join_regular(spark, "/root/testdata/sf0.001")
@@ -2594,6 +2609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_sample": q_corpus_budget_sample,
         "emb_ann_pq": q_emb_ann_pq,
         "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
+        "corpus_select_dsir": q_corpus_select_dsir,
         "dedup_simhash": q_dedup_simhash,
         "idx_filter_range_bbox": q_idx_filter_range_bbox,
         "idx_select_pushdown": q_idx_select_pushdown,
@@ -4027,7 +4043,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT node AS vec_id, min(r) AS rep_id, node = min(r) AS is_kept
         FROM reach GROUP BY node
     """
-    oracles["corpus_importance"] = r"""
+    importance_sql = r"""
         WITH tg AS (
           SELECT string_split_regex(trim(text), '\s+') AS ts
           FROM documents WHERE lang = 'en'
@@ -4082,5 +4098,14 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN sc ON d.doc_id = sc.doc_id
         CROSS JOIN tot
     """
+    oracles["corpus_importance"] = importance_sql
+    # selection tail shares the scoring CTE verbatim so the two
+    # oracles cannot drift; tie-break mirrors select_top_n
+    oracles["corpus_select_dsir"] = (
+        "WITH scored AS (" + importance_sql + ") "
+        "SELECT doc_id, score FROM scored "
+        "ORDER BY score DESC, md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC "
+        "LIMIT 100"
+    )
     oracles.update(_tpch_r3_oracle_entries())
     return oracles

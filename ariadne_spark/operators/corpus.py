@@ -915,3 +915,29 @@ def mix_report(
         "n_chars",
         share.alias("token_share_ppm"),
     )
+
+
+def select_top_n(
+    df: DataFrame,
+    n: int,
+    by: str,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Deterministic exact top-``n`` selection by a score column —
+    the resampling tail of a DSIR/quality-scoring pipeline ("keep the
+    N most target-like documents"). Ties on the score break by
+    md5(id) then id, so the selected set is stable across runs,
+    partitionings, and engines.
+
+    Shape at scale: Catalyst compiles orderBy().limit(n) to
+    TakeOrderedAndProject — each task keeps its own top-``n`` heap and
+    the driver merges K·n rows, no global sort, no single-partition
+    window (plan-asserted in tests). Driver memory is O(n); for
+    selections where ``n`` itself is data-scale, use
+    :func:`budget_sample` / :func:`temperature_sample` instead (their
+    md5-strata running sums never materialize the selection on the
+    driver)."""
+    key = F.md5(F.col(id_col).cast("string"))
+    score = F.col(by).asc() if ascending else F.col(by).desc()
+    return df.orderBy(score, key.asc(), F.col(id_col).asc()).limit(n)

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "emb_knn_classify",
     "emb_ann_pq",
     "sim_ann_ivf_pq",
+    "corpus_select_dsir",
 ]
 
 

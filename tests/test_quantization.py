@@ -381,3 +381,27 @@ def test_gopher_filter_null_and_whitespace_text(spark):
     # token -> n_words=1 -> fails few_words (and others), never errors
     assert not got[1]["keep"] and "few_words" in got[1]["failed_rules"]
     assert got[2]["n_words"] == 11
+
+
+def test_select_top_n_deterministic_and_take_ordered(spark, docs):
+    from ariadne_spark.operators.corpus import select_top_n
+
+    scored = docs.select("doc_id", (F.col("doc_id") % 7).alias("score"))
+    a = [r["doc_id"] for r in select_top_n(scored, 20, by="score").collect()]
+    b = [
+        r["doc_id"]
+        for r in select_top_n(scored.repartition(13), 20, by="score").collect()
+    ]
+    assert a == b and len(a) == 20
+    # all selected scores >= every unselected score (top-n semantics)
+    cutoff = min(r % 7 for r in a)
+    rest = scored.where(~F.col("doc_id").isin(a)).agg(
+        F.max("score")
+    ).collect()[0][0]
+    assert rest <= cutoff
+    # Catalyst compiles to TakeOrdered (per-task heaps), not a global sort
+    plan = (
+        select_top_n(scored, 20, by="score")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
