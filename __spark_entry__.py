@@ -2518,6 +2518,22 @@ def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_ann_topk_rerank(codes, emb, q, books, k=10, shortlist=n)
 
 
+def q_text_mass_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature text classification (fastText-shaped pipeline
+    step): train frequency-mass class counts on 2/3 of the corpus
+    (labels = lang), classify the held-out 1/3. The decision rule is
+    one integer sum + ONE correctly-rounded IEEE division per class,
+    so the argmax — ties to the smaller label — is bit-exact across
+    engines and fully oracle-checked."""
+    from ariadne_spark.operators.classifier import mass_classify, mass_train
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    train = docs.where(F.col("doc_id") % 3 != 0)
+    test = docs.where(F.col("doc_id") % 3 == 0)
+    model = mass_train(train, label_col="lang")
+    return mass_classify(test, model, label_col="lang")
+
+
 def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end data selection: DSIR importance weights against the
     lang='en' target, then the exact top-100 documents by score with
@@ -2610,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ann_pq": q_emb_ann_pq,
         "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
         "corpus_select_dsir": q_corpus_select_dsir,
+        "text_mass_classify": q_text_mass_classify,
         "dedup_simhash": q_dedup_simhash,
         "idx_filter_range_bbox": q_idx_filter_range_bbox,
         "idx_select_pushdown": q_idx_select_pushdown,
@@ -4099,6 +4116,59 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
     """
     oracles["corpus_importance"] = importance_sql
+    oracles["text_mass_classify"] = r"""
+        WITH tr AS (
+          SELECT lang, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id % 3 <> 0
+        ),
+        g AS (
+          SELECT lang,
+                 ('0x' || substr(md5(ts[CAST(i AS INTEGER)]), 1, 6))::BIGINT % 4096 AS b
+          FROM tr, unnest(range(1, len(ts) + 1)) AS r(i)
+        ),
+        model AS (
+          SELECT lang, b, CAST(count(*) AS BIGINT) AS cnt
+          FROM g GROUP BY lang, b
+        ),
+        tot AS (
+          SELECT lang, CAST(sum(cnt) + 4096 AS BIGINT) AS den
+          FROM model GROUP BY lang
+        ),
+        te AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        dg AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(ts[CAST(i AS INTEGER)]), 1, 6))::BIGINT % 4096 AS b
+          FROM te, unnest(range(1, len(ts) + 1)) AS r(i)
+        ),
+        sums AS (
+          SELECT dg.doc_id, m.lang, CAST(sum(m.cnt) AS BIGINT) AS mass
+          FROM dg JOIN model m USING (b) GROUP BY dg.doc_id, m.lang
+        ),
+        base AS (
+          SELECT d.doc_id, t.lang, t.den
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+          CROSS JOIN tot t
+        ),
+        scored AS (
+          SELECT base.doc_id, base.lang,
+                 CAST(COALESCE(s.mass, 0) + 1 AS DOUBLE)
+                   / CAST(base.den AS DOUBLE) AS ratio
+          FROM base LEFT JOIN sums s
+            ON s.doc_id = base.doc_id AND s.lang = base.lang
+        ),
+        w AS (
+          SELECT doc_id, lang, ratio,
+                 row_number() OVER (
+                     PARTITION BY doc_id ORDER BY ratio DESC, lang ASC
+                 ) AS rn
+          FROM scored
+        )
+        SELECT doc_id, lang AS pred_label, round(ratio, 6) AS ratio
+        FROM w WHERE rn = 1
+    """
     # selection tail shares the scoring CTE verbatim so the two
     # oracles cannot drift; tie-break mirrors select_top_n
     oracles["corpus_select_dsir"] = (

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "emb_ann_pq",
     "sim_ann_ivf_pq",
     "corpus_select_dsir",
+    "text_mass_classify",
 ]
 
 

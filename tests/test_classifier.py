@@ -1,0 +1,129 @@
+"""Hashed-feature text classification: separability, determinism,
+tie-breaks, and numpy parity for the log-NB variant."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ariadne_spark.operators.classifier import (
+    mass_classify,
+    mass_train,
+    nb_log_scores,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = []
+    # two disjoint-vocabulary classes: perfectly separable
+    for i in range(30):
+        rows.append((i, "apple banana cherry date elderberry fig", "fruit"))
+    for i in range(30, 60):
+        rows.append((i, "carrot potato onion leek turnip beet", "veg"))
+    return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+
+def test_mass_classify_separable(spark, toy):
+    model = mass_train(toy, label_col="label")
+    test = spark.createDataFrame(
+        [(100, "banana fig cherry"), (101, "leek beet onion carrot")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_label"]
+           for r in mass_classify(test, model, label_col="label").collect()}
+    assert got == {100: "fruit", 101: "veg"}
+
+
+def test_mass_classify_tie_breaks_to_smaller_label(spark):
+    # symmetric classes: a doc with zero evidence for both ties at the
+    # prior; equal totals -> equal ratio -> smaller label wins
+    train = spark.createDataFrame(
+        [(1, "aaa bbb", "x"), (2, "ccc ddd", "y")],
+        ["doc_id", "text", "label"],
+    )
+    model = mass_train(train, label_col="label")
+    test = spark.createDataFrame([(9, "zzz qqq")], ["doc_id", "text"])
+    out = mass_classify(test, model, label_col="label").collect()[0]
+    assert out["pred_label"] == "x"
+
+
+def test_mass_classify_partition_independent(spark, toy):
+    model = mass_train(toy, label_col="label")
+    test = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    a = sorted(
+        (r["doc_id"], r["pred_label"], r["ratio"])
+        for r in mass_classify(test, model, label_col="label").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["pred_label"], r["ratio"])
+        for r in mass_classify(
+            test.repartition(7), model, label_col="label"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_nb_log_scores_matches_numpy(spark):
+    from ariadne_spark.operators.corpus import gram_bucket  # noqa: F401
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "text", F.col("lang").alias("label")
+    )
+    test = docs.where(F.col("doc_id") % 3 == 0).limit(20).select(
+        "doc_id", "text"
+    )
+    n_buckets = 4096
+    model = mass_train(train, label_col="label", n_buckets=n_buckets)
+    got = {
+        (r["doc_id"], r["label"]): r["log_score"]
+        for r in nb_log_scores(
+            test, model, label_col="label", n_buckets=n_buckets
+        ).collect()
+    }
+
+    # numpy reference over the same hashed counts
+    counts = {(r["label"], r["bucket"]): r["cnt"] for r in model.collect()}
+    labels = sorted({l for l, _ in counts})
+    dens = {
+        l: sum(c for (ll, _), c in counts.items() if ll == l) + n_buckets
+        for l in labels
+    }
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:6], 16) % n_buckets
+
+    for row in test.collect():
+        toks = row["text"].strip().split()
+        for l in labels:
+            want = sum(
+                math.log(counts.get((l, bucket(t)), 0) + 1)
+                - math.log(dens[l])
+                for t in toks
+            )
+            assert got[(row["doc_id"], l)] == pytest.approx(want, rel=1e-9)
+
+
+def test_nb_log_agrees_with_mass_on_separable(spark, toy):
+    model = mass_train(toy, label_col="label")
+    test = spark.createDataFrame(
+        [(100, "banana fig"), (101, "leek beet")], ["doc_id", "text"]
+    )
+    logs = nb_log_scores(test, model, label_col="label").collect()
+    best = {}
+    for r in logs:
+        cur = best.get(r["doc_id"])
+        if cur is None or r["log_score"] > cur[1]:
+            best[r["doc_id"]] = (r["label"], r["log_score"])
+    massed = {r["doc_id"]: r["pred_label"]
+              for r in mass_classify(test, model, label_col="label").collect()}
+    assert {k: v[0] for k, v in best.items()} == massed
