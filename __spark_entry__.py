@@ -2593,9 +2593,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # moved PAST the 50-entry gate window so every gate row carries
         # a full value-hash oracle; oracle-backed representatives of
         # the same operator families take their slots
-        "corpus_ngram_stats": q_corpus_ngram_stats,
-        "text_fingerprint": q_text_fingerprint,
-        "corpus_line_dedup": q_corpus_line_dedup,
+        # this round's remaining new oracle-backed classes take window
+        # slots too (composed IVF+PQ, mass classifier, DSIR selection);
+        # the displaced text/corpus entries keep other in-window family
+        # representatives and stay covered by the full replica sweep
+        "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
+        "text_mass_classify": q_text_mass_classify,
+        "corpus_select_dsir": q_corpus_select_dsir,
         "corpus_contamination": q_corpus_contamination,
         # r06 second pass: the new oracle-backed operators take gate
         # slots; the displaced entries (same operator families, other
@@ -2624,9 +2628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_wav": q_multimodal_decode_wav,
         "corpus_budget_sample": q_corpus_budget_sample,
         "emb_ann_pq": q_emb_ann_pq,
-        "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
-        "corpus_select_dsir": q_corpus_select_dsir,
-        "text_mass_classify": q_text_mass_classify,
+        "corpus_ngram_stats": q_corpus_ngram_stats,
+        "corpus_line_dedup": q_corpus_line_dedup,
         "dedup_simhash": q_dedup_simhash,
         "idx_filter_range_bbox": q_idx_filter_range_bbox,
         "idx_select_pushdown": q_idx_select_pushdown,
