@@ -180,26 +180,7 @@ def pq_encode(
     centroid id. One Arrow-batched UDF scan; output is
     ``(corpus_id, pq_code array<int>)`` — at lake scale this is the
     column you persist next to (or instead of) the raw vectors."""
-    import pandas as pd
-
-    books = np.ascontiguousarray(codebooks, dtype=np.float64)
-
-    def enc(vecs):
-        mask = vecs.notna().to_numpy()
-        if not mask.any():
-            return pd.Series([None] * len(vecs), dtype=object)
-        mat = _stack(vecs[mask])
-        if normalize:
-            mat = _normalize_rows(mat)
-        codes = _encode_matrix(mat, books)
-        out = pd.Series([None] * len(vecs), dtype=object)
-        out.iloc[np.flatnonzero(mask)] = [
-            [int(c) for c in row] for row in codes
-        ]
-        return out
-
-    enc.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    udf = F.pandas_udf(enc, T.ArrayType(T.IntegerType()))
+    udf = _encode_udf(codebooks, normalize=normalize)
     return corpus.select(
         F.col(corpus_id), udf(F.col(vec_col).cast("array<double>")).alias(code_col)
     )
@@ -429,7 +410,7 @@ def ivf_pq_index_build(
     return idx, sidecar
 
 
-def _encode_udf(codebooks: np.ndarray):
+def _encode_udf(codebooks: np.ndarray, normalize: bool = True):
     """The pq_encode pandas UDF as a reusable Column factory."""
     import pandas as pd
 
@@ -439,7 +420,9 @@ def _encode_udf(codebooks: np.ndarray):
         mask = vecs.notna().to_numpy()
         if not mask.any():
             return pd.Series([None] * len(vecs), dtype=object)
-        mat = _normalize_rows(_stack(vecs[mask]))
+        mat = _stack(vecs[mask])
+        if normalize:
+            mat = _normalize_rows(mat)
         codes = _encode_matrix(mat, books)
         out = pd.Series([None] * len(vecs), dtype=object)
         out.iloc[np.flatnonzero(mask)] = [
