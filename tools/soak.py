@@ -519,6 +519,33 @@ def main() -> None:
          compression=round(_du(vecs_dir) / max(_du(codes_dir), 1), 1))
     assert bad == 0, f"{bad} non-clone rows in the clone-family top-k"
 
+    # ---- 11. hashed-feature classifier at NX (r06): the model trains
+    # on the 1X corpus; predictions over the NX corpus must agree with
+    # the 1X predictions replica-by-replica (same text ⇒ same class —
+    # the decision rule is a pure function of content)
+    from ariadne_spark.operators.classifier import mass_classify, mass_train
+
+    docs1 = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    model = mass_train(docs1, label_col="lang", text_col="text")
+    t0 = time.time()
+    predN = mass_classify(
+        drep.select("doc_id", "text"), model, label_col="lang"
+    )
+    base_pred = {
+        r["doc_id"]: r["pred_label"]
+        for r in mass_classify(docs1, model, label_col="lang").collect()
+    }
+    mismatch = sum(
+        1
+        for r in predN.collect()
+        if base_pred[r["doc_id"] % dspan] != r["pred_label"]
+    )
+    emit(stage="mass_classify_nx", docs=n_rep * dn,
+         sec=round(time.time() - t0, 2), replica_mismatches=mismatch)
+    assert mismatch == 0, f"{mismatch} replica predictions diverged"
+
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
 
