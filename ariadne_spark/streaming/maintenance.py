@@ -299,3 +299,49 @@ def attach_substring_dedup_maintenance(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def attach_quality_gate(
+    stream_df: DataFrame,
+    out_path: str,
+    rejects_path: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger: dict | None = None,
+    **gopher_thresholds,
+):
+    """Streaming corpus-cleaning front gate: every micro-batch runs
+    the Gopher composite quality rules
+    (:func:`ariadne_spark.operators.text.gopher_filter_columns`);
+    keepers append to ``out_path``, rejects — WITH their
+    violated-rule audit trail — to ``rejects_path`` when given.
+
+    Stateless by construction (the rules are per-row integer
+    comparisons), so there is no watermark, no state store, and a
+    restart simply reprocesses from the checkpoint offset — the same
+    idempotent-append posture as the other maintenance sinks. At lake
+    scale this is the shape of the first pass over a crawl firehose:
+    the gate runs at scan speed inside the batch's whole-stage
+    codegen, and only keepers reach the expensive dedup stages
+    downstream (compose with :func:`attach_near_dup_maintenance` /
+    :func:`attach_substring_dedup_maintenance` reading ``out_path``)."""
+    from ..operators.text import gopher_filter_columns
+
+    cols = gopher_filter_columns(text_col, **gopher_thresholds)
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        judged = batch_df.withColumns(
+            {name: c for name, c in cols.items()}
+        ).withColumn("batch_id", F.lit(batch_id))
+        judged.where(F.col("keep")).drop(
+            "failed_rules", "keep"
+        ).write.mode("append").parquet(out_path)
+        if rejects_path:
+            judged.where(~F.col("keep")).write.mode("append").parquet(
+                rejects_path
+            )
+
+    writer = stream_df.writeStream.foreachBatch(do_batch)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

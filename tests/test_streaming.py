@@ -315,3 +315,59 @@ def test_streaming_latest_version_restart_recovers_state(spark, tmp_path):
     assert final == {(1, "one-new"), (2, "two-newer"), (3, "three-first")}, (
         "restored state must beat stale batch-2 events and lose to newer ones"
     )
+
+
+def test_attach_quality_gate_splits_keeps_and_rejects(spark, tmp_path):
+    """Streaming Gopher gate: keepers and rejects (with the
+    violated-rule audit trail) land in their respective sinks; batch
+    results equal the batch operator on the same rows."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark.operators.text import gopher_filter
+    from ariadne_spark.streaming.maintenance import attach_quality_gate
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    rows_a = [
+        (0, "the quick brown fox jumps over that lazy dog with glee today"),
+        (1, "too few"),
+    ]
+    rows_b = [
+        (2, "the spam spam spam spam spam of spam spam that spam with spam"),
+        (3, "the little dog ran to the big park and sat with joy there"),
+    ]
+    src = str(tmp_path / "qg_src")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/fa")
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/fb")
+
+    out = str(tmp_path / "qg_keep")
+    rej = str(tmp_path / "qg_rej")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = attach_quality_gate(
+        stream, out, rejects_path=rej, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    rejects = {
+        r["doc_id"]: set(r["failed_rules"])
+        for r in spark.read.parquet(rej).collect()
+    }
+    batch = spark.createDataFrame(rows_a + rows_b, schema)
+    want = {r["doc_id"]: r for r in gopher_filter(batch).collect()}
+    assert kept == {d for d, r in want.items() if r["keep"]}
+    assert set(rejects) == {d for d, r in want.items() if not r["keep"]}
+    for d, rules in rejects.items():
+        assert rules == set(want[d]["failed_rules"])
+    # keeper sink drops the audit columns, keeps batch_id lineage
+    cols = set(spark.read.parquet(out).columns)
+    assert "failed_rules" not in cols and "batch_id" in cols
