@@ -2543,6 +2543,48 @@ def q_text_mass_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mass_classify(test, model, label_col="lang")
 
 
+def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher quality gate (SURVEY §2.9 extension): the
+    documents table streams in 3 micro-batches through
+    ``attach_quality_gate``; keepers append to a parquet sink. The
+    gate is stateless per-row, so the union of batch outputs equals
+    the batch operator — fully oracle-checked (the keep side of the
+    text_gopher_filter twin)."""
+    from ariadne_spark.streaming.maintenance import attach_quality_gate
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    src = f"{base}/docs_stream"
+    if not os.path.exists(f"{src}/_DONE"):
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        for i in range(3):
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/part{i}")
+        with open(f"{src}/_DONE", "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(f"{src}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/part*")
+    )
+    sink = f"{base}/_stream_sink/quality_gate"
+    shutil.rmtree(sink, ignore_errors=True)
+    # no checkpointLocation on purpose: a temp checkpoint makes each
+    # availableNow run reprocess all three batches into the fresh sink
+    q = attach_quality_gate(
+        stream,
+        sink,
+        required_stopwords=_GOPHER_REQUIRED,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select(
+        "doc_id", "source", "n_words"
+    )
+
+
 def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end data selection: DSIR importance weights against the
     lang='en' target, then the exact top-100 documents by score with
@@ -2615,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window representatives remain) move past 50 and stay
         # covered by the full replica sweep
         "text_gopher_filter": q_text_gopher_filter,
+        "streaming_quality_gate": q_streaming_quality_gate,
         "corpus_mix_report": q_corpus_mix_report,
         "emb_knn_classify": q_emb_knn_classify,
         "corpus_temperature_sample": q_corpus_temperature_sample,
@@ -2944,6 +2987,39 @@ def oracle_sql() -> dict[str, str]:
     from ariadne_spark.operators.text import STOPWORDS
 
     stop_list = _sql_list(STOPWORDS)
+    gopher_sql = r"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       string_split_regex(trim(text), '\s+') AS ws
+                FROM documents
+            ),
+            f AS (
+                SELECT doc_id,
+                    CAST(len(ws) AS BIGINT) AS n_words,
+                    CASE WHEN len(ws) < 5 THEN ['few_words'] ELSE [] END
+                    || CASE WHEN len(ws) > 100000 THEN ['many_words'] ELSE [] END
+                    || CASE WHEN list_aggregate(list_transform(ws, x -> length(x)), 'sum') < 3 * len(ws)
+                            THEN ['short_words'] ELSE [] END
+                    || CASE WHEN list_aggregate(list_transform(ws, x -> length(x)), 'sum') > 10 * len(ws)
+                            THEN ['long_words'] ELSE [] END
+                    || CASE WHEN 10 * ((length(text) - length(replace(text, '#', '')))
+                                       + (length(text) - length(replace(text, '...', ''))) // 3) > len(ws)
+                            THEN ['symbol_ratio'] ELSE [] END
+                    || CASE WHEN 5 * len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) < 4 * len(ws)
+                            THEN ['low_alpha'] ELSE [] END
+                    || CASE WHEN len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                                                    [{gopher_required}])) < 2
+                            THEN ['few_stopwords'] ELSE [] END
+                    || CASE WHEN 5 * coalesce(list_max(list_transform(list_distinct(ws),
+                                                   t -> len(list_filter(ws, x -> x = t)))), 0) > len(ws)
+                            THEN ['repeated_top_word'] ELSE [] END
+                    AS failed_rules
+                FROM w
+            )
+            SELECT doc_id, n_words, failed_rules,
+                   len(failed_rules) = 0 AS keep
+            FROM f
+        """.format(gopher_required=_sql_list(_GOPHER_REQUIRED))
     oracles = {
         "idx_join_regular": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, o.o_orderstatus, c.c_name
@@ -3367,39 +3443,12 @@ def oracle_sql() -> dict[str, str]:
                       / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stopword_ratio
             FROM documents
         """.format(stop_list=stop_list),
-        "text_gopher_filter": r"""
-            WITH w AS (
-                SELECT doc_id, text,
-                       string_split_regex(trim(text), '\s+') AS ws
-                FROM documents
-            ),
-            f AS (
-                SELECT doc_id,
-                    CAST(len(ws) AS BIGINT) AS n_words,
-                    CASE WHEN len(ws) < 5 THEN ['few_words'] ELSE [] END
-                    || CASE WHEN len(ws) > 100000 THEN ['many_words'] ELSE [] END
-                    || CASE WHEN list_aggregate(list_transform(ws, x -> length(x)), 'sum') < 3 * len(ws)
-                            THEN ['short_words'] ELSE [] END
-                    || CASE WHEN list_aggregate(list_transform(ws, x -> length(x)), 'sum') > 10 * len(ws)
-                            THEN ['long_words'] ELSE [] END
-                    || CASE WHEN 10 * ((length(text) - length(replace(text, '#', '')))
-                                       + (length(text) - length(replace(text, '...', ''))) // 3) > len(ws)
-                            THEN ['symbol_ratio'] ELSE [] END
-                    || CASE WHEN 5 * len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) < 4 * len(ws)
-                            THEN ['low_alpha'] ELSE [] END
-                    || CASE WHEN len(list_intersect(list_distinct(string_split(lower(text), ' ')),
-                                                    [{gopher_required}])) < 2
-                            THEN ['few_stopwords'] ELSE [] END
-                    || CASE WHEN 5 * coalesce(list_max(list_transform(list_distinct(ws),
-                                                   t -> len(list_filter(ws, x -> x = t)))), 0) > len(ws)
-                            THEN ['repeated_top_word'] ELSE [] END
-                    AS failed_rules
-                FROM w
-            )
-            SELECT doc_id, n_words, failed_rules,
-                   len(failed_rules) = 0 AS keep
-            FROM f
-        """.format(gopher_required=_sql_list(_GOPHER_REQUIRED)),
+        "text_gopher_filter": gopher_sql,
+        "streaming_quality_gate": (
+            "WITH g AS (" + gopher_sql + ") "
+            "SELECT g.doc_id, d.source, g.n_words "
+            "FROM g JOIN documents d USING (doc_id) WHERE g.keep"
+        ),
         "corpus_mix_report": r"""
             WITH per AS (
                 SELECT source, lang,

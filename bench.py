@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "sim_ann_ivf_pq",
     "corpus_select_dsir",
     "text_mass_classify",
+    "streaming_quality_gate",
 ]
 
 
