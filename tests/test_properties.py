@@ -106,3 +106,81 @@ def test_split_thresholds_monotonic_and_complete(raw):
     assert all(len(b) == _SPLIT_HEX_CHARS or b == "g" for b in bounds)
     assert bounds == sorted(bounds)  # lexicographic == routing order
     assert bounds[-1] == "g" or int(bounds[-1], 16) <= 16 ** _SPLIT_HEX_CHARS
+
+
+import numpy as np
+
+from ariadne_spark.operators.quantization import _encode_matrix, _normalize_rows
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),  # rows
+    st.integers(min_value=1, max_value=4),   # subspaces
+    st.integers(min_value=1, max_value=4),   # dsub
+    st.integers(min_value=1, max_value=6),   # centroids
+    st.data(),
+)
+def test_pq_encode_matrix_assigns_nearest_with_lowest_id_ties(
+    n, m, dsub, k, data
+):
+    dim = m * dsub
+    mat = np.array(
+        data.draw(
+            st.lists(
+                st.lists(finite, min_size=dim, max_size=dim),
+                min_size=n, max_size=n,
+            )
+        )
+    )
+    books = np.array(
+        data.draw(
+            st.lists(
+                st.lists(
+                    st.lists(finite, min_size=dsub, max_size=dsub),
+                    min_size=k, max_size=k,
+                ),
+                min_size=m, max_size=m,
+            )
+        )
+    )
+    codes = _encode_matrix(mat, books)
+    assert codes.shape == (n, m)
+    for s in range(m):
+        sub = mat[:, s * dsub : (s + 1) * dsub]
+        d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        for i in range(n):
+            chosen = codes[i, s]
+            assert 0 <= chosen < k
+            # optimal: no centroid strictly beats the chosen one
+            # (compare via the same expansion the kernel uses, which
+            # drops the ||x||^2 term — mathematically equal ranks but
+            # different float rounding than the direct form, so assert
+            # against the kernel's own objective)
+            obj = -2.0 * (sub[i] @ books[s].T) + (books[s] ** 2).sum(axis=1)
+            best = obj.min()
+            assert obj[chosen] == best
+            # ties break to the LOWEST code id (np.argmin contract)
+            assert chosen == int(np.flatnonzero(obj == best)[0])
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(finite, min_size=3, max_size=3), min_size=1, max_size=20
+    )
+)
+def test_normalize_rows_unit_or_zero(rows):
+    mat = np.array(rows)
+    out = _normalize_rows(mat)
+    norms = np.linalg.norm(out, axis=1)
+    src = np.linalg.norm(mat, axis=1)
+    for i in range(len(rows)):
+        if src[i] == 0:
+            assert norms[i] == 0  # zero rows stay zero, no NaN
+        else:
+            assert abs(norms[i] - 1.0) < 1e-9
