@@ -91,6 +91,7 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
         # _prepare_v2 / IVF additions share this store
         "orders_large", "orders_inc", "orders_del", "orders_footer",
         "ivf_embeddings", "ivf_pq_embeddings", "customer_orc",
+        "src0_fingerprints",
     }
     if os.path.exists(marker):
         # self-heal: drop any foreign index another session parked in
@@ -2543,6 +2544,57 @@ def q_text_mass_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mass_classify(test, model, label_col="lang")
 
 
+def _prepare_fp_index(spark: SparkSession, sf_dir: str):
+    """src0 documents behind a fingerprint bloom index (built once per
+    scale factor) — the indexed cross-corpus dedup fixture."""
+    from ariadne_spark import Index
+    from ariadne_spark.operators.corpus import fingerprint_index
+    from ariadne_spark.storage.lock import IndexLock
+
+    from ariadne_spark import catalog as _cat
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    marker = f"{base}/_FP_IDX_READY"
+    if not os.path.exists(marker) or not _cat.exists(
+        "src0_fingerprints", spark
+    ):
+        with IndexLock(f"{base}/locks", "fpidx", timeout=1800, max_wait=1800):
+            if not os.path.exists(marker) or not _cat.exists(
+                "src0_fingerprints", spark
+            ):
+                import shutil as _sh
+
+                _sh.rmtree(f"{base}/fp_index_data", ignore_errors=True)
+                docs = spark.read.parquet(_t(sf_dir, "documents"))
+                fingerprint_index(
+                    docs.where(F.col("source") == "src0"),
+                    f"{base}/fp_index_data",
+                    "src0_fingerprints",
+                    n_files=8,
+                    spark=spark,
+                )
+                with open(marker, "w") as fh:
+                    fh.write("ok")
+    return Index.for_name("src0_fingerprints", spark=spark)
+
+
+def q_corpus_dedup_cross_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup through the ENGINE: the reference corpus
+    (src0) sits behind a fingerprint bloom index, so the batch's
+    distinct fingerprints prune the reference read to colliding FILES
+    before the anti-join. Row-identical to plain dedup_against —
+    shares the corpus_dedup_cross oracle."""
+    from ariadne_spark.operators.corpus import dedup_against_indexed
+
+    idx = _prepare_fp_index(spark, sf_dir)
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    batch = docs.where(F.col("source") != "src0")
+    return dedup_against_indexed(batch, idx).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming Gopher quality gate (SURVEY §2.9 extension): the
     documents table streams in 3 micro-batches through
@@ -2658,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covered by the full replica sweep
         "text_gopher_filter": q_text_gopher_filter,
         "streaming_quality_gate": q_streaming_quality_gate,
+        "corpus_dedup_cross_indexed": q_corpus_dedup_cross_indexed,
         "corpus_mix_report": q_corpus_mix_report,
         "emb_knn_classify": q_emb_knn_classify,
         "corpus_temperature_sample": q_corpus_temperature_sample,
@@ -3536,6 +3589,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM r WHERE rn <= 5
         """,
         "corpus_dedup_cross": r"""
+            SELECT d.doc_id, d.source, d.n_chars FROM documents d
+            WHERE d.source <> 'src0'
+              AND NOT EXISTS (
+                SELECT 1 FROM documents r
+                WHERE r.source = 'src0'
+                  AND regexp_replace(lower(trim(r.text)), '\s+', ' ', 'g')
+                    = regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')
+              )
+        """,
+        "corpus_dedup_cross_indexed": r"""
             SELECT d.doc_id, d.source, d.n_chars FROM documents d
             WHERE d.source <> 'src0'
               AND NOT EXISTS (

@@ -941,3 +941,63 @@ def select_top_n(
     key = F.md5(F.col(id_col).cast("string"))
     score = F.col(by).asc() if ascending else F.col(by).desc()
     return df.orderBy(score, key.asc(), F.col(id_col).asc()).limit(n)
+
+
+def fingerprint_index(
+    ref: DataFrame,
+    out_dir: str,
+    index_name: str,
+    text_col: str = "text",
+    n_files: int = 8,
+    spark=None,
+):
+    """Materialize a reference corpus for INDEXED cross-corpus dedup:
+    rows are written with an md5 content ``fingerprint`` column
+    (whitespace/case-normalized — the :func:`dedup_against` key) and
+    registered under an engine index with a bloom on the fingerprint,
+    so later batches locate only the FILES that might share content.
+
+    Returns the :class:`~ariadne_spark.index.Index`. This is the
+    corpus-ops twin of the window-store index composition in
+    ``operators/dedup.py`` (store reads pruned by the engine's own
+    file index)."""
+    from ..index import Index
+    from .layout import cluster_files
+
+    spark = spark or ref.sparkSession
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keyed = ref.withColumn("fingerprint", F.md5(norm))
+    files = cluster_files(keyed, out_dir, "fingerprint", n_files=n_files)
+    idx = Index.for_name(
+        index_name, schema=keyed.schema, format="parquet", spark=spark
+    )
+    idx.add_bloom_index("fingerprint", fpr=0.01)
+    idx.add_files(files)
+    idx.update()
+    return idx
+
+
+def dedup_against_indexed(
+    df: DataFrame,
+    index,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`dedup_against` where the reference corpus sits behind a
+    :func:`fingerprint_index`: the batch's distinct fingerprints
+    drive the engine's bloom locate, so ONLY the reference files that
+    might contain a batch fingerprint are read before the anti-join —
+    at 100 TB the reference scan shrinks to the colliding files
+    instead of the whole corpus. Result is row-identical to
+    :func:`dedup_against` (blooms admit false positives, never false
+    negatives — extra files only ever add rows the anti-join then
+    rejects correctly)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    keyed = df.withColumn("__xk", F.md5(norm))
+    keys = keyed.select(F.col("__xk").alias("fingerprint")).distinct()
+    hits = (
+        index.join(keys, on=["fingerprint"], how="inner")
+        .select(F.col("fingerprint").alias("__xk"))
+        .distinct()
+    )
+    return keyed.join(hits, "__xk", "left_anti").drop("__xk")

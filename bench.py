@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "corpus_select_dsir",
     "text_mass_classify",
     "streaming_quality_gate",
+    "corpus_dedup_cross_indexed",
 ]
 
 

@@ -405,3 +405,42 @@ def test_select_top_n_deterministic_and_take_ordered(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dedup_against_indexed_matches_plain_and_prunes(spark, docs, storage, tmp_path):
+    from ariadne_spark.operators.corpus import (
+        dedup_against,
+        dedup_against_indexed,
+        fingerprint_index,
+    )
+
+    ref = docs.where(F.col("source") == "src0")
+    batch = docs.where(F.col("source") != "src0")
+    # toy store: drop the 32 MiB probe-cost floor so the bloom runs
+    spark.conf.set("spark.ariadne.minBloomPruneBytes", "0")
+    idx = fingerprint_index(
+        ref, f"{tmp_path}/fpidx", "tq_fp_idx", n_files=8
+    )
+    want = sorted(r["doc_id"] for r in dedup_against(batch, ref).collect())
+    got = sorted(
+        r["doc_id"] for r in dedup_against_indexed(batch, idx).collect()
+    )
+    assert got == want
+    # a SINGLE novel document's fingerprint should prune most files
+    novel = spark.createDataFrame(
+        [(999_999, "completely novel text that matches nothing at all")],
+        ["doc_id", "text"],
+    )
+    out = dedup_against_indexed(novel, idx)
+    assert out.count() == 1  # novel -> kept
+    pc = idx._last_locate_stats.per_column["fingerprint"]
+    assert not pc.get("skipped")  # the bloom probe actually ran
+    # and the located file set for a novel fingerprint is a strict
+    # subset of the reference files (bloom prune, fpr=0.01 over 8)
+    import hashlib
+
+    fp = hashlib.md5(
+        b"completely novel text that matches nothing at all"
+    ).hexdigest()
+    located = idx.locate_files({"fingerprint": [fp]})
+    assert len(located) < len(idx.locate_files({}))
