@@ -453,30 +453,40 @@ def ivf_pq_topk(
     :func:`ariadne_spark.operators.similarity.ivf_index_topk`
     (pytest-pinned); smaller shortlists trade recall for scan bytes."""
     from ..storage.fs import get_fs, read_json
-    from .similarity import _dot, _norm, _nearest_centroids_udf
+    from .similarity import _dot, _norm
     from pyspark.sql import Window
 
     spark = index.spark
     blob = read_json(get_fs(spark, sidecar_path), sidecar_path)
     cents = np.array(blob["centroids"], dtype=np.float64)
     books = np.ascontiguousarray(blob["codebooks"], dtype=np.float64)
-    probe = _nearest_centroids_udf(cents, n_probe)
-    q = queries.select(
-        F.col(query_id),
-        F.col(vec_col).alias("__qv"),
-        F.explode(probe(F.col(vec_col))).alias("ivf_cell"),
-    ).cache()
-    cells = sorted({r["ivf_cell"] for r in q.select("ivf_cell").distinct().collect()})
+    # ONE driver round-trip for the whole query side (queries are the
+    # small side by contract): ids, vectors, and per-query probed
+    # cells all derive from this collect — no cache, no extra jobs
+    qraw = queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
+    ).collect()
+    if not qraw:
+        raise ValueError("queries is empty")
+    qids = [r[query_id] for r in qraw]
+    qraw_mat = _stack([r["__qv"] for r in qraw])
+    qmat = _normalize_rows(qraw_mat)
+    # probe with the SAME float expression order as
+    # _nearest_centroids_udf (raw vectors, norms divided jointly) so
+    # near-tie cell ranks are bit-identical to the executor-side UDF
+    # — the full-shortlist == ivf_index_topk parity depends on it
+    cnorm = np.linalg.norm(cents, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    vnorm = np.linalg.norm(qraw_mat, axis=1)
+    vnorm[vnorm == 0] = 1.0
+    cos = (qraw_mat @ cents.T) / (vnorm[:, None] * cnorm[None, :])
+    probe_cells = np.argsort(-cos, axis=1)[:, :n_probe]
+    cells = sorted({int(c) for row in probe_cells for c in row})
     files = index.locate_files({"ivf_cell": cells})
     data = index.read_files(files, extra_columns=["ivf_cell", "pq_code"])
     # candidates are PER-QUERY (a row competes only inside the cells
     # THIS query probed — ivf_index_topk semantics, not probe-union):
     # the (query, cell) pairs broadcast against the code scan
-    qrows = q.select(query_id, "__qv").groupBy(query_id).agg(
-        F.first("__qv").alias("__qv")
-    ).collect()
-    qids = [r[query_id] for r in qrows]
-    qmat = _normalize_rows(_stack([r["__qv"] for r in qrows]))
     m, kc, dsub = books.shape
     luts = np.empty((len(qids), m, kc), dtype=np.float64)
     for s in range(m):
@@ -486,11 +496,11 @@ def ivf_pq_topk(
             - 2.0 * (sub @ books[s].T)
             + (books[s] ** 2).sum(axis=1)[None, :]
         )
-    qpos = {qid: i for i, qid in enumerate(qids)}
     qcells = spark.createDataFrame(
         [
-            (int(qpos[r[query_id]]), int(r["ivf_cell"]))
-            for r in q.select(query_id, "ivf_cell").collect()
+            (qi, int(c))
+            for qi, row in enumerate(probe_cells)
+            for c in row
         ],
         "__qpos int, ivf_cell int",
     )
@@ -553,8 +563,10 @@ def ivf_pq_topk(
     vecs = index.read_files(files).where(F.col(corpus_id).isin(ids)).select(
         F.col(corpus_id), F.col(vec_col).alias("__cv")
     )
-    qv = q.select(query_id, "__qv").groupBy(query_id).agg(
-        F.first("__qv").alias("__qv")
+    qdt = queries.schema[query_id].dataType.simpleString()
+    qv = spark.createDataFrame(
+        [(qid, [float(x) for x in r["__qv"]]) for qid, r in zip(qids, qraw)],
+        f"{query_id} {qdt}, __qv array<double>",
     )
     sim = _dot(F.col("__qv"), F.col("__cv")) / (
         _norm(F.col("__qv")) * _norm(F.col("__cv"))
@@ -573,5 +585,4 @@ def ivf_pq_topk(
         .where(F.col("rank") <= k)
         .select(query_id, corpus_id, "rank", F.round("cosine", 6).alias("cosine"))
     )
-    q.unpersist()
     return out
