@@ -273,6 +273,26 @@ print(
     64 * 8, "raw)",
 )
 
+# 13d) engine x corpus composition: indexed cross-corpus dedup --------
+from ariadne_spark.operators.corpus import (
+    dedup_against_indexed,
+    fingerprint_index,
+)
+
+spark.conf.set("spark.ariadne.minBloomPruneBytes", "0")  # toy-size store
+fp_idx = fingerprint_index(
+    docs.where(F.col("source") == "src0"),
+    "/tmp/ariadne_pipeline_fpidx",
+    "pipeline_src0_fp",
+    n_files=8,
+)
+survivors = dedup_against_indexed(docs.where(F.col("source") != "src0"), fp_idx)
+print(
+    "13d) indexed cross-corpus dedup keeps:", survivors.count(),
+    "of", docs.where(F.col("source") != "src0").count(),
+    "(reference read pruned to bloom-colliding files)",
+)
+
 # 14) engine extras: the workload advisor -----------------------------
 import ariadne_spark
 
