@@ -3060,7 +3060,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN ['symbol_ratio'] ELSE [] END
                     || CASE WHEN 5 * len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]'))) < 4 * len(ws)
                             THEN ['low_alpha'] ELSE [] END
-                    || CASE WHEN len(list_intersect(list_distinct(string_split(lower(text), ' ')),
+                    || CASE WHEN len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
                                                     [{gopher_required}])) < 2
                             THEN ['few_stopwords'] ELSE [] END
                     || CASE WHEN 5 * coalesce(list_max(list_transform(list_distinct(ws),

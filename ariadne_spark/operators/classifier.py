@@ -177,14 +177,21 @@ def nb_log_scores(
         ).alias("__num"),
         F.count(F.lit(1)).alias("__ng"),
     )
-    return (
-        per_doc.join(F.broadcast(totals), label_col)
-        .select(
-            id_col,
-            label_col,
-            (
-                F.col("__num")
-                - F.col("__ng") * F.log(F.col("__den").cast("double"))
-            ).alias("log_score"),
-        )
+    scored = per_doc.join(F.broadcast(totals), label_col).select(
+        id_col,
+        label_col,
+        (
+            F.col("__num")
+            - F.col("__ng") * F.log(F.col("__den").cast("double"))
+        ).alias("log_score"),
+    )
+    # documents with fewer than n tokens emit no grams and would
+    # vanish from the output entirely — keep them at the
+    # zero-evidence score 0.0 (Σ over zero grams), matching
+    # mass_classify's keep-at-the-prior policy (r06 review finding)
+    base = df.select(id_col).crossJoin(F.broadcast(labels))
+    return base.join(scored, [id_col, label_col], "left").select(
+        id_col,
+        label_col,
+        F.coalesce("log_score", F.lit(0.0)).alias("log_score"),
     )

@@ -907,7 +907,14 @@ def mix_report(
         F.sum(F.length(text_col)).cast("bigint").alias("n_chars"),
     )
     tot = F.sum("n_tokens").over(Window.partitionBy())
-    share = F.expr("1000000 * n_tokens DIV __tot").cast("bigint")
+    # the multiply runs in DECIMAL(38): a bigint 1000000·n_tokens
+    # wraps silently past ~9.2e12 tokens per group — exactly the
+    # 100 TB scale this report targets (r06 review finding; DuckDB
+    # computes the twin in HUGEINT, so overflow would also be a
+    # silent oracle divergence)
+    share = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tokens) DIV __tot AS BIGINT)"
+    )
     return per.withColumn("__tot", tot).select(
         *group_cols,
         "n_docs",

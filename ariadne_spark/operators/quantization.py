@@ -254,15 +254,24 @@ def pq_ann_topk(
                 lut = luts[qi]  # (m, kc)
                 d = lut[np.arange(m)[None, :], cmat].sum(axis=1)  # (n,)
                 top = min(k, len(d))
-                # partial top-k inside the batch: argpartition then a
-                # deterministic (adc, id) sort of just the survivors
-                idx = np.argpartition(d, top - 1)[:top]
-                order = np.lexsort((ids[idx], d[idx]))
-                for j in idx[order]:
+                # partial top-k inside the batch under the FULL
+                # deterministic (adc, id) order. An argpartition cut
+                # would split ADC ties (common: identical codes ⇒
+                # identical ADC) by row position, making the kept set
+                # depend on partitioning (caught in review with a
+                # numpy repro); lexsort keeps the contract winner.
+                order = np.lexsort((ids, d))[:top]
+                for j in order:
                     rows.append((qi, ids[j], float(d[j])))
             yield pd.DataFrame(rows, columns=["__qpos", "__cid", "__adc"])
 
-    cand = codes.select(corpus_id, code_col).mapInPandas(scan, out_schema)
+    # NULL codes (pq_encode's contract for NULL embeddings) carry no
+    # distance — drop them instead of crashing np.asarray in the scan
+    cand = (
+        codes.select(corpus_id, code_col)
+        .where(F.col(code_col).isNotNull())
+        .mapInPandas(scan, out_schema)
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("__qpos").orderBy(
@@ -542,28 +551,43 @@ def ivf_pq_topk(
             )
             yield out
 
-    cand = pairs.select(corpus_id, "pq_code", "__qpos").mapInPandas(
-        adc_scan, out_schema
+    cand = (
+        pairs.select(corpus_id, "pq_code", "__qpos")
+        # NULL codes carry no distance (pq_encode's NULL-embedding
+        # contract) — drop, don't crash np.asarray in the scan
+        .where(F.col("pq_code").isNotNull())
+        .mapInPandas(adc_scan, out_schema)
     )
     wshort = Window.partitionBy("__qpos").orderBy(
         F.col("__adc").asc(), F.col("__cid").asc()
     )
-    qid_arr = F.array(*[F.lit(x) for x in qids])
-    short = (
+    # collect the (query, candidate) shortlist ONCE — queries ×
+    # shortlist rows, the small side by contract. Referencing the
+    # unpersisted `short` subtree again in the rerank join would
+    # re-run the located-files read + ADC scan + window (the exact
+    # re-execution pattern fixed in importance_weights this round).
+    short_rows = (
         cand.withColumn("__r", F.row_number().over(wshort))
         .where(F.col("__r") <= shortlist)
-        .select(
-            F.element_at(qid_arr, F.col("__qpos") + 1).alias(query_id),
-            F.col("__cid").alias(corpus_id),
-        )
+        .select("__qpos", "__cid")
+        .collect()
+    )
+    cdt = data.schema[corpus_id].dataType.simpleString()
+    qdt = queries.schema[query_id].dataType.simpleString()
+    short = spark.createDataFrame(
+        [(qids[r["__qpos"]], r["__cid"]) for r in short_rows],
+        f"{query_id} {qdt}, {corpus_id} {cdt}",
     )
     # bounded exact tail: shortlisted ids push down into the vector
-    # column read of the SAME located files
-    ids = [r[corpus_id] for r in short.select(corpus_id).distinct().collect()]
-    vecs = index.read_files(files).where(F.col(corpus_id).isin(ids)).select(
-        F.col(corpus_id), F.col(vec_col).alias("__cv")
-    )
-    qdt = queries.schema[query_id].dataType.simpleString()
+    # column read of the SAME located files. The isin pushdown is an
+    # optimization only (the broadcast join below already restricts
+    # rows), so it is skipped when the id set is too large to be a
+    # useful literal filter (e.g. full-shortlist exactness runs).
+    ids = sorted({r["__cid"] for r in short_rows})
+    vecs = index.read_files(files)
+    if len(ids) <= 10_000:
+        vecs = vecs.where(F.col(corpus_id).isin(ids))
+    vecs = vecs.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
     qv = spark.createDataFrame(
         [(qid, [float(x) for x in r["__qv"]]) for qid, r in zip(qids, qraw)],
         f"{query_id} {qdt}, __qv array<double>",
@@ -572,7 +596,7 @@ def ivf_pq_topk(
         _norm(F.col("__qv")) * _norm(F.col("__cv"))
     )
     scored = (
-        short.select(query_id, corpus_id)
+        F.broadcast(short)
         .join(vecs, corpus_id)
         .join(F.broadcast(qv), query_id)
         .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))

@@ -762,12 +762,28 @@ def knn_classify(
     votes = topk.join(labels, corpus_id).groupBy(query_id, "__lbl").agg(
         F.count(F.lit(1)).alias("votes")
     )
-    # winner = max votes, vote ties -> smaller label: max_by over the
-    # (votes, -label) struct is partial-aggregatable (one row of state
-    # per query per task), unlike a row_number window
+    # winner = max votes, vote ties -> smaller label: max_by over a
+    # (votes, preference) struct is partial-aggregatable (one row of
+    # state per query per task), unlike a row_number window. The
+    # preference inverts the label order via a literal map — a bare
+    # ``-label`` would implicit-cast STRING labels to double (NULL),
+    # silently losing the tie-break (r06 review finding); the class
+    # set is small by construction, so the driver collect is bounded.
+    labels_sorted = sorted(
+        r[0]
+        for r in reference.select(label_col).distinct().collect()
+        if r[0] is not None
+    )
+    pref = F.create_map(
+        *[
+            x
+            for i, lbl in enumerate(labels_sorted)
+            for x in (F.lit(lbl), F.lit(len(labels_sorted) - i))
+        ]
+    )
     return votes.groupBy(query_id).agg(
         F.max_by(
-            F.col("__lbl"), F.struct(F.col("votes"), (-F.col("__lbl")))
+            F.col("__lbl"), F.struct(F.col("votes"), pref[F.col("__lbl")])
         ).alias("pred_label"),
         F.max("votes").alias("votes"),
     )

@@ -168,6 +168,36 @@ def word_ngrams(
     )
 
 
+def max_run_count(arr: Column) -> Column:
+    """Count of the most frequent element via sort + longest-run fold:
+    O(n log n) per row, vs the O(distinct × n) nested-filter form that
+    stalls a task on one long mostly-distinct document (r06 review
+    finding). Empty arrays count 0."""
+    sorted_arr = F.array_sort(arr)
+    zero = F.lit(0).cast("bigint")
+    state = F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                    F.lit(1).cast("bigint")
+                ),
+            ).alias("best"),
+        ),
+    )
+    return state["best"]
+
+
 def repetition_feature_columns(text_col: str = "text") -> dict[str, Column]:
     """Gopher-style repetition signals as single-scan appendable
     Columns (Rae et al. 2021 §A1.1 use duplicate-line and repeated
@@ -186,17 +216,10 @@ def repetition_feature_columns(text_col: str = "text") -> dict[str, Column]:
     """
     ws = tokens(text_col)
     n_words = F.size(ws)
-
-    def _top_count(arr: Column) -> Column:
-        return F.coalesce(
-            F.array_max(
-                F.transform(
-                    F.array_distinct(arr),
-                    lambda g: F.size(F.filter(arr, lambda x: x == g)),
-                )
-            ),
-            F.lit(0),
-        ).cast("bigint")
+    # sort + longest-run (max_run_count): O(n log n) per row; the
+    # previous distinct × filter form was quadratic on long
+    # mostly-distinct documents
+    _top_count = max_run_count
 
     def _dup_frac(arr: Column) -> Column:
         total = F.size(arr)
@@ -353,21 +376,17 @@ def gopher_filter_columns(
     ellipses = (
         (F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))) / 3
     ).cast("bigint")
-    toks_lower = F.split(F.lower(t), " ")
+    # whitespace-run tokenization like every other rule — a bare
+    # single-space split would miss stop words separated by
+    # newlines/tabs and wrongly DROP documents (r06 review finding;
+    # the reporting features' space-split idiom is not a gate)
+    toks_lower = F.split(F.lower(F.trim(t)), r"\s+")
     stop_distinct = F.size(
         F.array_intersect(
             F.array_distinct(toks_lower), F.array(*[F.lit(w) for w in required])
         )
     ).cast("bigint")
-    top_count = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(ws),
-                lambda g: F.size(F.filter(ws, lambda x: x == g)),
-            )
-        ),
-        F.lit(0),
-    ).cast("bigint")
+    top_count = max_run_count(ws)
     rules = [
         ("few_words", n_words < F.lit(min_words)),
         ("many_words", n_words > F.lit(max_words)),

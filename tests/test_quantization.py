@@ -444,3 +444,118 @@ def test_dedup_against_indexed_matches_plain_and_prunes(spark, docs, storage, tm
     ).hexdigest()
     located = idx.locate_files({"fingerprint": [fp]})
     assert len(located) < len(idx.locate_files({}))
+
+
+# ------------------------------------------- r06 review regressions
+
+
+def test_pq_ann_ties_partition_independent_with_clones(spark, emb, books):
+    # exact clones share codes -> ADC ties everywhere; the kept set
+    # must still be the (adc, id) contract winner under any layout
+    clones = emb.select(
+        (F.col("vec_id") + 50_000).alias("vec_id"), "embedding", "label"
+    )
+    union = emb.unionByName(clones)
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    outs = []
+    for parts in (1, 5, 16):
+        codes = pq_encode(union.repartition(parts), books)
+        outs.append(
+            sorted(
+                (r["query_id"], r["vec_id"], r["rank"])
+                for r in pq_ann_topk(codes, q, books, k=10).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+    # the clone pair of the query ties at adc=0 with the original:
+    # smaller id (the original) must hold rank 1
+    top1 = {qid: vid for qid, vid, rk in outs[0] if rk == 1}
+    assert all(vid == qid for qid, vid in top1.items())
+
+
+def test_pq_ann_null_embeddings_skipped_not_crashed(spark, emb, books):
+    from pyspark.sql import types as T
+
+    null_row = spark.createDataFrame(
+        [(9_999_999, None, 0)],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+                T.StructField("label", T.LongType()),
+            ]
+        ),
+    )
+    union = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "label"
+    ).unionByName(null_row)
+    codes = pq_encode(union, books)
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_ann_topk(codes, q, books, k=5).collect()
+    assert len(out) == 10
+    assert all(r["vec_id"] != 9_999_999 for r in out)
+
+
+def test_knn_classify_string_labels_tie_break(spark):
+    ref = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "dog"),
+            (2, [1.0, 0.01], "dog"),
+            (3, [0.0, 1.0], "cat"),
+            (4, [0.01, 1.0], "cat"),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    q = spark.createDataFrame([(9, [1.0, 1.0])], ["query_id", "embedding"])
+    out = knn_classify(ref, q, k=4).collect()[0]
+    # 2-2 vote tie: the smaller label wins ("cat" < "dog")
+    assert out["pred_label"] == "cat" and out["votes"] == 2
+
+
+def test_gopher_stopwords_across_newlines_kept(spark):
+    # required stop words separated by newlines/tabs must still count
+    df = spark.createDataFrame(
+        [(1, "the\nlittle of\tthe park and that dog sat with joy here")],
+        ["doc_id", "text"],
+    )
+    got = gopher_filter(df).collect()[0]
+    assert "few_stopwords" not in got["failed_rules"]
+
+
+def test_max_run_count_matches_naive(spark):
+    from ariadne_spark.operators.text import max_run_count, tokens
+
+    rows = [
+        (1, "a b a c a b"),
+        (2, "x"),
+        (3, "z z z z"),
+        (4, "p q r s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["top"]
+        for r in df.select(
+            "doc_id", max_run_count(tokens("text")).alias("top")
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 4, 4: 1}
+
+
+def test_nb_log_scores_keeps_short_docs(spark):
+    from ariadne_spark.operators.classifier import mass_train, nb_log_scores
+
+    train = spark.createDataFrame(
+        [(1, "aa bb cc", "x"), (2, "dd ee ff", "y")],
+        ["doc_id", "text", "label"],
+    )
+    model = mass_train(train, label_col="label", n=2)
+    short = spark.createDataFrame([(9, "one")], ["doc_id", "text"])  # < n tokens
+    out = nb_log_scores(short, model, label_col="label", n=2).collect()
+    assert {(r["doc_id"], r["label"], r["log_score"]) for r in out} == {
+        (9, "x", 0.0),
+        (9, "y", 0.0),
+    }
