@@ -1213,25 +1213,41 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (hash-dependent: rows-only)."""
+    """LSH-bucketed approximate top-k, run in the PROVABLE-coverage
+    gate configuration (r06 verdict item 3): with n_planes=1 the
+    built-in 1-bit multiprobe visits both possible buckets, so the
+    hash-defined candidate set equals the whole corpus and the
+    result provably equals exact cosine top-k — a brute-force SQL
+    twin is a full ORACLE while the signature UDF, bucket join,
+    multiprobe explode, and re-rank all execute for real. Production
+    configurations (n_planes=12) stay pinned by the recall tests."""
     from ariadne_spark.operators.similarity import lsh_ann_topk
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_ann_topk(emb, queries, k=5)
+    return lsh_ann_topk(emb, queries, k=5, n_planes=1)
 
 
 def q_sim_ann_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH approximate top-k (hash-dependent: rows-only)."""
+    """Banded-LSH approximate top-k in the PROVABLE-coverage gate
+    configuration: planes_per_band=1 + multiprobe flips the only bit
+    per band, so every corpus vector collides with every query in
+    every band — candidates = corpus, result = exact cosine top-k,
+    and the brute-force SQL twin is a full ORACLE. The banded
+    machinery (per-band signature UDF, posexplode, (band, sig)
+    equi-join, OR-dedup agg) runs for real; production S-curve
+    configurations stay pinned by the recall tests."""
     from ariadne_spark.operators.similarity import lsh_ann_topk_banded
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings"))
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_ann_topk_banded(emb, queries, k=5)
+    return lsh_ann_topk_banded(
+        emb, queries, k=5, bands=2, planes_per_band=1, multiprobe=True
+    )
 
 
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2461,11 +2477,22 @@ def q_text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style composite quality gate (Rae et al. 2021 §A1.1):
     per-document keep/drop verdict plus the violated-rule audit trail.
     All rules are integer comparisons (ratio thresholds are
-    cross-multiplied), so the DuckDB twin is bit-exact."""
+    cross-multiplied), so the DuckDB twin is bit-exact.
+
+    The library returns ``failed_rules`` as array<string>; the QUERY
+    joins it to one comma-separated string (the array is fixed-order
+    by construction, text.py gopher_filter_columns) because the
+    driver's oracle harness canonicalizes via pandas sort_values,
+    which cannot factorize list-typed cells (r06 red row)."""
     from ariadne_spark.operators.text import gopher_filter
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    return gopher_filter(docs, required_stopwords=_GOPHER_REQUIRED)
+    return gopher_filter(docs, required_stopwords=_GOPHER_REQUIRED).select(
+        "doc_id",
+        "n_words",
+        F.array_join("failed_rules", ",").alias("failed_rules"),
+        "keep",
+    )
 
 
 def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2512,10 +2539,11 @@ def q_emb_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
     )
 
-    # codebook training is deterministic, so the persisted IVF+PQ
-    # sidecar (same corpus, same m/k/iters) holds bit-identical books
-    # — the steady-state query path loads the model instead of
-    # retraining per call (test_pq_train_deterministic pins this)
+    # codebook training is deterministic under a fixed partitioning
+    # (quantization.py module docstring), and the oracle never depends
+    # on the exact books anyway (full-shortlist re-rank is exact for
+    # ANY codebook) — the steady-state query path loads the persisted
+    # sidecar model instead of retraining per call
     _idx, sidecar = _prepare_ivf_pq(spark, sf_dir)
     with open(sidecar) as fh:
         books = np.array(_json.load(fh)["codebooks"], dtype=np.float64)
@@ -3069,7 +3097,10 @@ def oracle_sql() -> dict[str, str]:
                     AS failed_rules
                 FROM w
             )
-            SELECT doc_id, n_words, failed_rules,
+            SELECT doc_id, n_words,
+                   -- DuckDB array_to_string([]) is NULL; Spark
+                   -- array_join([]) is '' — coalesce to the Spark shape
+                   coalesce(array_to_string(failed_rules, ','), '') AS failed_rules,
                    len(failed_rules) = 0 AS keep
             FROM f
         """.format(gopher_required=_sql_list(_GOPHER_REQUIRED))
@@ -3703,6 +3734,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
                    round(c, 6) AS cosine
             FROM r WHERE rank <= 10
+        """,
+# sim_ann_lsh / sim_ann_banded run provable-full-coverage gate
+# configurations (see the query docstrings): the candidate set is the
+# whole corpus by construction, so the exact brute-force twin below is
+# a full oracle, not an approximation check.
+"sim_ann_lsh": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 3
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+                FROM embeddings e CROSS JOIN q
+            ),
+            r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank,
+                       c
+                FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(c, 6) AS cosine
+            FROM r WHERE rank <= 5
+        """,
+"sim_ann_banded": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 3
+            ),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+                       (sqrt(list_dot_product(q.qv, q.qv)) *
+                        sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))) AS c
+                FROM embeddings e CROSS JOIN q
+            ),
+            r AS (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id ASC) AS rank,
+                       c
+                FROM s
+            )
+            SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(c, 6) AS cosine
+            FROM r WHERE rank <= 5
         """,
 "sim_topk": """
             WITH q AS (

@@ -66,8 +66,17 @@ def mass_train(
     n_buckets: int = 4096,
 ) -> DataFrame:
     """Hashed n-gram class-count model: ``(label, bucket, cnt)`` with
-    exact integer counts. One explode + one partial-agg shuffle."""
-    grams = _doc_buckets(df, text_col, [label_col], n, n_buckets)
+    exact integer counts. One explode + one partial-agg shuffle.
+    NULL-label rows are dropped — a NULL class is unlabeled data, not
+    a class (and downstream tie-break maps can't order None against
+    real labels; same posture as knn_classify)."""
+    grams = _doc_buckets(
+        df.where(F.col(label_col).isNotNull()),
+        text_col,
+        [label_col],
+        n,
+        n_buckets,
+    )
     return grams.groupBy(label_col, F.col("__b").alias("bucket")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
@@ -121,8 +130,13 @@ def mass_classify(
     # via a literal map (works for string AND numeric labels; the
     # class set is model-sized, driver-safe by construction) —
     # partial-aggregatable, no window
+    # NULL labels are excluded from the preference map: sorted() on
+    # mixed None/str raises TypeError, and a NULL class can never be
+    # a meaningful prediction (knn_classify filters the same way)
     labels_sorted = sorted(
-        r[0] for r in model.select(label_col).distinct().collect()
+        r[0]
+        for r in model.select(label_col).distinct().collect()
+        if r[0] is not None
     )
     pref = F.create_map(
         *[

@@ -19,11 +19,17 @@ tail touches only the top candidates. Composes with the IVF path
 files by IVF cell, store PQ codes per row, probe cells → scan codes →
 exact-rerank survivors.
 
-Everything here is deterministic: codebook init is the md5-ordered
-vector pick used by the IVF path (no RNG state), Lloyd refinement
-iterates a fixed number of rounds with deterministic tie-breaks
-(``argmin`` takes the lowest code id), so two runs — and the
-rows-only correctness gate — always agree.
+Determinism: codebook init is the md5-ordered vector pick used by the
+IVF path (no RNG state) and Lloyd refinement iterates a fixed number
+of rounds with deterministic tie-breaks (``argmin`` takes the lowest
+code id). One caveat keeps this *same-partitioning* determinism
+rather than absolute: each Lloyd round merges float64 partial sums
+through a distributed ``F.sum``, and shuffle-fetch merge order for
+doubles is not guaranteed across runs or partitionings — so
+codebooks are ulp-stable in practice, not provably bit-identical at
+arbitrary parallelism. Correctness gates don't depend on it (the
+full-shortlist oracles bypass the codebooks: any codebook yields the
+exact answer when the re-rank covers the corpus).
 
 Reference parity: the reference engine has no vector quantization
 (SURVEY.md §2 stops at bloom sketches); this module is part of the
@@ -561,31 +567,37 @@ def ivf_pq_topk(
     wshort = Window.partitionBy("__qpos").orderBy(
         F.col("__adc").asc(), F.col("__cid").asc()
     )
-    # collect the (query, candidate) shortlist ONCE — queries ×
-    # shortlist rows, the small side by contract. Referencing the
-    # unpersisted `short` subtree again in the rerank join would
-    # re-run the located-files read + ADC scan + window (the exact
-    # re-execution pattern fixed in importance_weights this round).
-    short_rows = (
+    # PERSIST the (query, candidate) shortlist instead of collecting
+    # it: it stays on the executors (queries × shortlist rows — which
+    # in full-shortlist exactness runs is queries × corpus, far too
+    # big for a driver round-trip, the r06 advice finding). The
+    # persist is what stops the rerank join from re-running the
+    # located-files read + ADC scan + window (the re-execution
+    # pattern importance_weights hit); count() materializes it and
+    # gives AQE real sizes for the join strategy below.
+    qdt = queries.schema[query_id].dataType.simpleString()
+    qpos_df = spark.createDataFrame(
+        list(enumerate(qids)), f"__qpos int, {query_id} {qdt}"
+    )
+    short = (
         cand.withColumn("__r", F.row_number().over(wshort))
         .where(F.col("__r") <= shortlist)
-        .select("__qpos", "__cid")
-        .collect()
+        .join(F.broadcast(qpos_df), "__qpos")
+        .select(F.col(query_id), F.col("__cid").alias(corpus_id))
+        .persist()
     )
-    cdt = data.schema[corpus_id].dataType.simpleString()
-    qdt = queries.schema[query_id].dataType.simpleString()
-    short = spark.createDataFrame(
-        [(qids[r["__qpos"]], r["__cid"]) for r in short_rows],
-        f"{query_id} {qdt}, {corpus_id} {cdt}",
-    )
+    n_short = short.count()
     # bounded exact tail: shortlisted ids push down into the vector
     # column read of the SAME located files. The isin pushdown is an
-    # optimization only (the broadcast join below already restricts
-    # rows), so it is skipped when the id set is too large to be a
-    # useful literal filter (e.g. full-shortlist exactness runs).
-    ids = sorted({r["__cid"] for r in short_rows})
+    # optimization only (the join below already restricts rows), so
+    # it is skipped — with no driver materialization at all — when
+    # the shortlist is too large to be a useful literal filter
+    # (e.g. full-shortlist exactness runs).
     vecs = index.read_files(files)
-    if len(ids) <= 10_000:
+    if n_short <= 10_000:
+        ids = sorted(
+            {r[corpus_id] for r in short.select(corpus_id).distinct().collect()}
+        )
         vecs = vecs.where(F.col(corpus_id).isin(ids))
     vecs = vecs.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
     qv = spark.createDataFrame(
@@ -596,8 +608,7 @@ def ivf_pq_topk(
         _norm(F.col("__qv")) * _norm(F.col("__cv"))
     )
     scored = (
-        F.broadcast(short)
-        .join(vecs, corpus_id)
+        short.join(vecs, corpus_id)
         .join(F.broadcast(qv), query_id)
         .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
     )

@@ -196,7 +196,13 @@ def lsh_ann_topk(
     """Approximate top-k: candidates share the query's bucket, exact
     cosine re-rank within. Recall trades with n_planes; callers
     needing guarantees use multiprobe (flip one bit) — included here
-    for the common 1-bit miss."""
+    for the common 1-bit miss.
+
+    Full-coverage corollary (the oracle-gate configuration): with
+    ``n_planes=1`` the signature space is {0, 1} and the built-in
+    1-bit multiprobe visits both buckets, so the candidate set
+    provably equals the whole corpus and the result equals exact
+    :func:`cosine_topk` — hash values never affect the answer."""
     first = corpus.select(F.size(F.col(vec_col))).first()
     dim = first[0] if first else 0
     planes = _planes(dim, n_planes, "ariadne-lsh")
@@ -265,6 +271,7 @@ def lsh_ann_topk_banded(
     vec_col: str = "embedding",
     bands: int = 8,
     planes_per_band: int = 10,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k with banded OR-amplification: ``bands``
     independent signatures; a corpus vector is a candidate if it
@@ -273,6 +280,14 @@ def lsh_ann_topk_banded(
     S-curve control minhash LSH banding gives Jaccard, here for
     cosine. Better recall/candidate trade-off than single-signature
     multiprobe on weakly-correlated corpora (NOTES round-1 gap #3).
+
+    ``multiprobe=True`` additionally probes every 1-bit flip of each
+    band signature (the standard multiprobe recall boost, applied
+    per band). With ``planes_per_band=1`` the flip covers BOTH
+    possible signatures, so the candidate set provably equals the
+    whole corpus and the result equals exact :func:`cosine_topk` —
+    the oracle-gate configuration (same full-coverage trick as the
+    PQ full-shortlist gate).
 
     One UDF scan per side computes all band signatures; candidates
     come from a (band, sig) equi-join; exact cosine re-ranks."""
@@ -294,6 +309,17 @@ def lsh_ann_topk_banded(
         queries.select(F.col(query_id), F.col(vec_col).alias("__qv"), sig(F.col(vec_col)).alias("__sigs"))
         .select(query_id, "__qv", F.posexplode("__sigs").alias("__band", "__sig"))
     )
+    if multiprobe:
+        flips = F.array(
+            F.col("__sig"),
+            *[
+                F.col("__sig").bitwiseXOR(F.lit(1 << b))
+                for b in range(planes_per_band)
+            ],
+        )
+        q = q.select(
+            query_id, "__qv", "__band", F.explode(flips).alias("__sig")
+        )
     sim = _dot(F.col("__qv"), F.col("__cv")) / (
         _norm(F.col("__qv")) * _norm(F.col("__cv"))
     )

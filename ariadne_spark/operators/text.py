@@ -172,7 +172,10 @@ def max_run_count(arr: Column) -> Column:
     """Count of the most frequent element via sort + longest-run fold:
     O(n log n) per row, vs the O(distinct × n) nested-filter form that
     stalls a task on one long mostly-distinct document (r06 review
-    finding). Empty arrays count 0."""
+    finding). Empty AND null arrays count 0 — the null coalesce
+    preserves the pre-r06 ``_top_count`` contract that the
+    text_repetition DuckDB twin still encodes (coalesce(...,0)), so a
+    NULL text document cannot diverge Spark-vs-oracle (r06 advice)."""
     sorted_arr = F.array_sort(arr)
     zero = F.lit(0).cast("bigint")
     state = F.aggregate(
@@ -195,7 +198,7 @@ def max_run_count(arr: Column) -> Column:
             ).alias("best"),
         ),
     )
-    return state["best"]
+    return F.coalesce(state["best"], F.lit(0).cast("bigint"))
 
 
 def repetition_feature_columns(text_col: str = "text") -> dict[str, Column]:

@@ -37,6 +37,10 @@ def books(emb):
 
 
 def test_pq_train_deterministic(emb, books):
+    # same session + same partitioning: shuffle-merge order of the
+    # float64 partial sums is stable here, so the codebooks repeat
+    # bit-for-bit. Across partitionings the claim weakens to
+    # ulp-stability (module docstring) — gates never depend on it.
     again = pq_train(emb, m=8, k=16, iters=3)
     assert books.shape == (8, 16, 8)
     assert np.array_equal(books, again)
