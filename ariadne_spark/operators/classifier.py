@@ -42,7 +42,12 @@ def _doc_buckets(
 ) -> DataFrame:
     """(id_cols..., __b) — one row per gram occurrence, md5-bucketed.
     The token array materializes once per row (word_ngrams docstring:
-    expression trees re-run the split per gram otherwise)."""
+    expression trees re-run the split per gram otherwise). Measured:
+    repartitioning a one-file toy corpus before this JVM-side kernel
+    costs more in exchanges than the extra cores win (unlike the
+    Arrow-UDF matmuls in similarity.py, which do use
+    ensure_parallelism); at lake scale inputs are many files and the
+    scan parallelizes naturally."""
     toked = df.select(
         *[F.col(c) for c in id_cols],
         tokens(text_col).alias("__toks"),
