@@ -2680,6 +2680,69 @@ def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return select_top_n(scored, 100, by="score").select("doc_id", "score")
 
 
+def _synthetic_url(kind: str) -> "Column":
+    """Deterministic URL derived from (source, doc_id) — the documents
+    fixture carries no URL column, so the domain/url queries build one
+    the same way in Spark and the DuckDB twin (the multimodal decode
+    rows use the same synthesize-deterministically pattern). The
+    OPERATORS under test are general."""
+    if kind == "domain":
+        return F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("https://www.")).otherwise(
+                F.lit("http://sub.")
+            ),
+            F.col("source"),
+            F.lit("-news"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".co.uk")).otherwise(
+                F.lit(".com")
+            ),
+            F.lit("/articles/"),
+            F.col("doc_id").cast("string"),
+        )
+    # "dedup": ~250 duplicate groups with case / trailing-slash /
+    # fragment variants that all normalize to one key per group
+    k = (F.col("doc_id") % 250).cast("string")
+    return F.concat(
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("http://News.Example")
+        ).otherwise(F.lit("http://news.example")),
+        k,
+        F.lit(".com/item/"),
+        k,
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("#sec")).otherwise(F.lit("")),
+    )
+
+
+def q_corpus_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registerable-domain quota (crawl anti-monoculture: ≤10 docs
+    per eTLD+1): registrable_domain handles www-stripping, ports,
+    userinfo, and two-level public suffixes (…co.uk); the quota keeps
+    each domain's 10 smallest-md5(id) rows via the WindowGroupLimit
+    plan shape. All string built-ins — the DuckDB twin recomputes the
+    domain with the same portable regex and is a full oracle."""
+    from ariadne_spark.operators.corpus import domain_quota
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    with_url = docs.withColumn("url", _synthetic_url("domain"))
+    return domain_quota(with_url, "url", n_per_domain=10).select(
+        "doc_id", "domain", "source", "lang"
+    )
+
+
+def q_corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact URL-level dedup on the normalized key (fragment stripped,
+    scheme+authority lowercased, trailing slashes trimmed): one
+    survivor per key, smallest doc_id. The twin asserts the
+    NORMALIZATION RESULT itself — it derives each group's canonical
+    key arithmetically and checks the survivor carries exactly it."""
+    from ariadne_spark.operators.corpus import url_dedup
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    with_url = docs.withColumn("url", _synthetic_url("dedup"))
+    return url_dedup(with_url).select("doc_id", "url_key")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: index-pruned join."""
     return q_idx_join_regular(spark, "/root/testdata/sf0.001")
@@ -2700,7 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
         "streaming_latest": q_streaming_latest,
-        "streaming_window": q_streaming_window,
+        "corpus_domain_quota": q_corpus_domain_quota,
         "ts_sessionize": q_ts_sessionize,
         "ts_asof_join": q_ts_asof_join,
         "idx_multi_and": q_idx_multi_and,
@@ -2709,13 +2772,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_delete_files": q_idx_delete_files,
         "source_csv": q_source_csv,
         "dedup_exact": q_dedup_exact,
-        "dedup_ngramset": q_dedup_ngramset,
+        # r07 rotation (verdict item 6): the round's newly
+        # oracle-backed rows take gate-window slots — emb_ann_pq
+        # (oracle since r06 but outside the window), the flipped
+        # sim_ann_lsh / sim_ann_banded (provable-coverage configs),
+        # and the new corpus_domain_quota / corpus_url_dedup.
+        # Displaced: dedup_ngramset, dedup_substring_inc,
+        # streaming_window, multimodal_decode_png,
+        # corpus_cluster_split — every displaced family keeps another
+        # in-window representative, and the full replica sweep
+        # (tools/check_correctness.py, run each round at two scales)
+        # still covers all entries.
+        "emb_ann_pq": q_emb_ann_pq,
         "dedup_cluster": q_dedup_cluster,
         "dedup_minhash": q_dedup_minhash,
         "dedup_fuzzy_keepset": q_dedup_fuzzy_keepset,
         "dedup_incremental": q_dedup_incremental,
         "dedup_substring": q_dedup_substring,
-        "dedup_substring_inc": q_dedup_substring_inc,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_banded": q_sim_ann_banded,
         "pipeline_clean": q_pipeline_clean,
         "corpus_pack": q_corpus_pack,
         "text_quality": q_text_quality,
@@ -2742,7 +2817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_report": q_corpus_mix_report,
         "emb_knn_classify": q_emb_knn_classify,
         "corpus_temperature_sample": q_corpus_temperature_sample,
-        "corpus_cluster_split": q_corpus_cluster_split,
+        "corpus_url_dedup": q_corpus_url_dedup,
         "corpus_importance": q_corpus_importance,
         "profile_docs": q_profile_docs,
         "sim_topk": q_sim_topk,
@@ -2750,9 +2825,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
-        "multimodal_decode_png": q_multimodal_decode_png,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
+        # --- past the driver gate window: covered by the full
+        # replica sweep at sf0.001 + sf0.01 each round ---
+        "dedup_ngramset": q_dedup_ngramset,
+        "dedup_substring_inc": q_dedup_substring_inc,
+        "streaming_window": q_streaming_window,
+        "multimodal_decode_png": q_multimodal_decode_png,
+        "corpus_cluster_split": q_corpus_cluster_split,
         "sql_tpch_q3": q_sql_tpch_q3,
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
@@ -3065,9 +3146,11 @@ _IVF_ORACLE_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from ariadne_spark.operators.corpus import TWO_LEVEL_SUFFIXES
     from ariadne_spark.operators.text import STOPWORDS
 
     stop_list = _sql_list(STOPWORDS)
+    suffix_list = _sql_list(TWO_LEVEL_SUFFIXES)
     gopher_sql = r"""
             WITH w AS (
                 SELECT doc_id, text,
@@ -3734,6 +3817,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank,
                    round(c, 6) AS cosine
             FROM r WHERE rank <= 10
+        """,
+"corpus_domain_quota": """
+            WITH u AS (
+                SELECT doc_id, source, lang,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'https://www.' ELSE 'http://sub.' END)
+                       || source || '-news'
+                       || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END)
+                       || '/articles/' || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, source, lang,
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS h0
+                FROM u
+            ),
+            s AS (
+                SELECT doc_id, source, lang,
+                       CASE WHEN h0 LIKE 'www.%' THEN substr(h0, 5) ELSE h0 END AS host
+                FROM h
+            ),
+            l AS (
+                SELECT doc_id, source, lang, host,
+                       string_split(host, '.') AS ls
+                FROM s WHERE host <> ''
+            ),
+            d AS (
+                SELECT doc_id, source, lang,
+                       CASE WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN ({sufs})
+                            THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                            WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+                            ELSE host END AS domain
+                FROM l
+            ),
+            r AS (
+                SELECT doc_id, source, lang, domain,
+                       row_number() OVER (
+                           PARTITION BY domain
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM d
+            )
+            SELECT doc_id, domain, source, lang FROM r WHERE rn <= 10
+        """.format(sufs=suffix_list),
+"corpus_url_dedup": """
+            WITH d AS (SELECT doc_id, doc_id % 250 AS k FROM documents),
+            m AS (SELECT k, min(doc_id) AS doc_id FROM d GROUP BY k)
+            SELECT doc_id,
+                   'http://news.example' || CAST(k AS VARCHAR)
+                   || '.com/item/' || CAST(k AS VARCHAR) AS url_key
+            FROM m
         """,
 # sim_ann_lsh / sim_ann_banded run provable-full-coverage gate
 # configurations (see the query docstrings): the candidate set is the

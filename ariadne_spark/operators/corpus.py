@@ -288,6 +288,160 @@ def quota_sample(
     )
 
 
+# Common two-level public suffixes for registrable-domain extraction.
+# Deliberately a SMALL built-in subset of the public suffix list (the
+# full Mozilla PSL is ~9k entries and version-churned; callers with
+# stricter needs pass their own list). Covers the high-traffic ccTLD
+# second levels a crawl actually hits.
+TWO_LEVEL_SUFFIXES: list[str] = [
+    "ac.uk", "co.uk", "gov.uk", "org.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tw", "com.tr", "com.ar",
+    "com.sg", "com.hk", "com.my",
+    "co.in", "co.kr", "co.za", "co.nz", "co.id",
+]
+
+
+def registrable_domain(
+    url_col: str | Column,
+    two_level_suffixes: list[str] | None = None,
+) -> Column:
+    """The registerable domain (eTLD+1) of a URL as a pure-projection
+    Column: ``https://a.news.EXAMPLE.co.uk:8080/x?y#z`` →
+    ``example.co.uk``. NULL for strings with no ``scheme://host``
+    shape. Steps — all portable built-ins (Java regex ∩ RE2, no
+    lookaround), so the DuckDB twin is bit-exact:
+
+    1. host = first ``[^/:?#]+`` after ``scheme://`` (userinfo
+       stripped, port excluded), lowercased,
+    2. drop one leading ``www.`` label,
+    3. keep the last two labels — or three when the last two form a
+       known two-level public suffix (``co.uk`` etc.,
+       :data:`TWO_LEVEL_SUFFIXES`).
+
+    The crawl-pipeline key for domain-level dedup, quotas, and
+    ownership stats; composes with the engine's computed index
+    columns (sources/files.py) so a domain predicate can PRUNE files
+    before any scan."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.lower(
+        F.regexp_extract(
+            c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1
+        )
+    )
+    host = F.when(host.startswith("www."), F.substring(host, 5, 2_000_000)).otherwise(host)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(
+        ".", F.element_at(labels, -2), F.element_at(labels, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    suffixes = two_level_suffixes or TWO_LEVEL_SUFFIXES
+    in_two_level = last2.isin(suffixes)
+    dom = (
+        F.when((n >= 3) & in_two_level, last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(dom)
+
+
+def registrable_domain_sql(
+    url_col: str = "url",
+    two_level_suffixes: list[str] | None = None,
+) -> str:
+    """:func:`registrable_domain` as a Spark-SQL expression STRING —
+    the shape ``Index.add_computed_index`` persists, so the domain
+    becomes a file-level index column: a crawl store partitioned or
+    clustered by site then PRUNES to the matching files before any
+    scan ('give me everything from example.co.uk' reads only that
+    domain's files). Same semantics as the Column form
+    (parity-tested); the textual expansion repeats subexpressions —
+    Catalyst's subexpression elimination handles that at codegen."""
+    sufs = ", ".join(f"'{s}'" for s in (two_level_suffixes or TWO_LEVEL_SUFFIXES))
+    h0 = (
+        f"lower(regexp_extract({url_col}, "
+        f"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1))"
+    )
+    host = f"CASE WHEN {h0} LIKE 'www.%' THEN substring({h0}, 5) ELSE {h0} END"
+    ls = f"split({host}, '\\\\.')"
+    last2 = f"concat_ws('.', element_at({ls}, -2), element_at({ls}, -1))"
+    last3 = (
+        f"concat_ws('.', element_at({ls}, -3), element_at({ls}, -2), "
+        f"element_at({ls}, -1))"
+    )
+    return (
+        f"CASE WHEN {h0} = '' THEN CAST(NULL AS STRING) "
+        f"WHEN size({ls}) >= 3 AND {last2} IN ({sufs}) THEN {last3} "
+        f"WHEN size({ls}) >= 2 THEN {last2} "
+        f"ELSE {host} END"
+    )
+
+
+def normalized_url(url_col: str | Column) -> Column:
+    """Canonical URL key for exact URL-level dedup, as a zero-shuffle
+    projection: fragment stripped, scheme+authority lowercased (path
+    and query stay case-sensitive per RFC 3986), trailing slashes
+    trimmed from the path tail. Portable regex only."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    no_frag = F.regexp_replace(c, "#.*", "")
+    head = F.regexp_extract(
+        no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
+    )
+    tail = no_frag.substr(F.length(head) + 1, F.lit(2_000_000))
+    key = F.concat(F.lower(head), F.regexp_replace(tail, "/+$", ""))
+    return F.when(head == "", F.lit(None).cast("string")).otherwise(key)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact URL-level dedup: one survivor (smallest id) per
+    :func:`normalized_url` key — the first pass of every crawl
+    pipeline, upstream of content-hash dedup. One partial-agg shuffle
+    on the url key (map-side combine keeps only one candidate per key
+    per task); rows with NULL url/key are all kept (a missing URL is
+    not a duplicate of other missing URLs). Returns the surviving
+    rows with their ``url_key``."""
+    key = normalized_url(url_col)
+    keyed = df.withColumn("url_key", key)
+    dup = keyed.where(F.col("url_key").isNotNull())
+    keep_ids = dup.groupBy("url_key").agg(F.min(id_col).alias(id_col))
+    kept = dup.join(keep_ids, ["url_key", id_col], "leftsemi")
+    return kept.unionByName(keyed.where(F.col("url_key").isNull()))
+
+
+def domain_quota(
+    df: DataFrame,
+    url_col: str = "url",
+    n_per_domain: int = 100,
+    id_col: str = "doc_id",
+    two_level_suffixes: list[str] | None = None,
+) -> DataFrame:
+    """Per-registerable-domain quota (the crawl anti-monoculture
+    primitive: no single site may contribute more than
+    ``n_per_domain`` documents): attach :func:`registrable_domain`,
+    then keep each domain's ``n_per_domain`` smallest-md5(id) rows —
+    deterministic, unbiased within domain, reproducible across
+    engines. NULL-domain rows (no parseable host) are dropped — a
+    quota keyed on nothing is meaningless. Scale shape: one shuffle
+    on the domain; the LITERAL bound compiles to WindowGroupLimit
+    (quota_sample's plan contract), so mega-domains pre-top
+    ``n_per_domain`` map-side and never serialize a hot partition."""
+    domained = df.withColumn(
+        "domain", registrable_domain(url_col, two_level_suffixes)
+    ).where(F.col("domain").isNotNull())
+    return quota_sample(domained, "domain", n_per_domain, id_col=id_col)
+
+
 def pii_redact_columns(text_col: str | Column = "text") -> dict[str, Column]:
     """``redacted`` text plus per-kind and total match counts as
     appendable Columns. Counts are taken on the ORIGINAL text

@@ -138,6 +138,9 @@ BENCH_QUERIES = [
     "text_mass_classify",
     "streaming_quality_gate",
     "corpus_dedup_cross_indexed",
+    # r07: URL/domain crawl primitives
+    "corpus_domain_quota",
+    "corpus_url_dedup",
 ]
 
 
