@@ -924,16 +924,21 @@ def q_dedup_fuzzy_keepset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-pairs (hash-dependent: rows-only check).
-
-    Uses the zero-shuffle vectorized signature path: at lake scale the
-    explode+64-aggregate form shuffles every token; this shuffles
-    nothing for signatures (blocking join is pairs-proportional)."""
-    from ariadne_spark.operators.dedup import simhash_fast, simhash_near_pairs
+    """SimHash near-pairs with the PORTABLE md5-nibble hash family
+    (r07): signatures are zero-shuffle integer/string built-ins a
+    DuckDB twin recomputes bit-for-bit, and the pigeonhole blocking
+    is recall-COMPLETE for hamming ≤ 3 — so the blocked result equals
+    the all-pairs filter and the row carries a full value ORACLE
+    (formerly rows-only). The numpy signature path (simhash_fast)
+    stays the no-oracle production alternative, pinned by pytest."""
+    from ariadne_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_portable,
+    )
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     return simhash_near_pairs(
-        simhash_fast(docs, "text", "doc_id"), "doc_id", max_hamming=3
+        simhash_portable(docs, "text", "doc_id"), "doc_id", max_hamming=3
     )
 
 
@@ -3145,6 +3150,47 @@ _IVF_ORACLE_SQL = """
         """
 
 
+def _simhash_portable_sql() -> str:
+    """DuckDB twin of simhash_portable + near-pairs: recomputes the
+    md5-nibble signatures bit-for-bit, then filters ALL pairs by
+    hamming ≤ 3 — equal to the Spark blocked result because 16-bit
+    pigeonhole blocking is recall-complete at that radius."""
+    terms = []
+    for b in range(64):
+        i = b // 4 + 1
+        p = 1 << (b % 4)
+        val = -(2**63) if b == 63 else (1 << b)
+        terms.append(
+            f"CASE WHEN 2 * list_sum(list_transform(nbs, q -> (q[{i}] // {p}) % 2)) > n "
+            f"THEN CAST({val} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    sig = "\n                 + ".join(terms)
+    return (
+        r"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_transform(string_split_regex(trim(lower(text)), '\s+'),
+                                      x -> substr(md5(x), 1, 16)) AS hs
+                FROM documents WHERE text IS NOT NULL
+            ),
+            nb AS (
+                SELECT doc_id,
+                       list_transform(hs, h -> list_transform(range(1, 17),
+                           i -> strpos('0123456789abcdef', substr(h, CAST(i AS INT), 1)) - 1)) AS nbs,
+                       len(hs) AS n
+                FROM t
+            ),
+            sig AS (SELECT doc_id, """
+        + sig
+        + """ AS simhash FROM nb)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from ariadne_spark.operators.corpus import TWO_LEVEL_SUFFIXES
     from ariadne_spark.operators.text import STOPWORDS
@@ -3861,6 +3907,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, domain, source, lang FROM r WHERE rn <= 10
         """.format(sufs=suffix_list),
+"dedup_simhash": _simhash_portable_sql(),
 "corpus_url_dedup": """
             WITH d AS (SELECT doc_id, doc_id % 250 AS k FROM documents),
             m AS (SELECT k, min(doc_id) AS doc_id FROM d GROUP BY k)

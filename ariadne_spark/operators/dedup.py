@@ -524,6 +524,68 @@ def simhash(
     return sums.select(F.col("__id").alias(id_col), sig.alias("simhash"))
 
 
+def simhash_portable(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """64-bit SimHash with an ENGINE-PORTABLE hash family: per
+    whitespace token, the first 16 hex chars of md5 are 16 nibbles =
+    64 bits; bit ``b`` is bit ``b % 4`` of nibble ``b // 4`` (counted
+    from the LEFT). Everything is string/integer built-ins with
+    identical ANSI-SQL spellings, so — unlike :func:`simhash`
+    (xxhash64, no DuckDB twin) and :func:`simhash_fast` (numpy FNV
+    UDF) — the full near-pair result carries a value ORACLE.
+
+    Zero shuffles: the per-token nibble matrix materializes once per
+    row (one md5 per token), then 64 aggregate folds count set bits
+    per position and the signature packs as a sum of literal powers
+    (bit 63 carries the sign, same convention as :func:`simhash`).
+    NULL text ⇒ NULL signature (produces no pairs downstream)."""
+    t = F.lower(F.col(text_col))
+    toks = F.split(F.trim(t), r"\s+")
+    hhex = F.transform(toks, lambda x: F.substring(F.md5(x), 1, 16))
+    nibs = F.transform(
+        hhex,
+        lambda h: F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: F.conv(h.substr(i, F.lit(1)), 16, 10).cast("int"),
+        ),
+    )
+    base = df.select(
+        F.col(id_col),
+        nibs.alias("__nibs"),
+        F.size(toks).cast("bigint").alias("__n"),
+    )
+    def _cnt(b: int):
+        i, k = b // 4 + 1, b % 4
+        return F.aggregate(
+            "__nibs",
+            F.lit(0).cast("bigint"),
+            lambda a, nb: a
+            + F.shiftright(F.element_at(nb, i), k)
+            .bitwiseAND(F.lit(1))
+            .cast("bigint"),
+        ).alias(f"__c{b}")
+
+    cnts = [_cnt(b) for b in range(64)]
+    terms = [
+        F.when(
+            F.col(f"__c{b}") * 2 > F.col("__n"),
+            F.lit(-(2**63)) if b == 63 else F.lit(1 << b),
+        ).otherwise(F.lit(0).cast("bigint"))
+        for b in range(64)
+    ]
+    packed = reduce(lambda a, x: a + x, terms).cast("long")
+    # NULL text: the fold columns are NULL, every when() falls to its
+    # 0 branch and the pack would claim signature 0 — which pairs all
+    # NULL-text docs together at hamming 0. Keep the NULL contract.
+    sig = F.when(F.col("__nibs").isNull(), F.lit(None).cast("long")).otherwise(
+        packed
+    )
+    return base.select(
+        F.col(id_col), F.col("__n"), F.col("__nibs"), *cnts
+    ).select(F.col(id_col), sig.alias("simhash"))
+
+
 def _simhash_rem_expr(c: int):
     """The 48 signature bits OUTSIDE 16-bit chunk ``c``, packed into
     one long (literal shifts only — codegen-friendly)."""

@@ -114,6 +114,51 @@ def test_simhash_hamming_zero_for_identical(spark):
     assert (1, 3) not in got and (2, 3) not in got
 
 
+def test_simhash_portable_semantics_and_hand_check(spark):
+    """The r07 portable (md5-nibble) hash family: identical texts
+    collide at hamming 0, case/whitespace normalize, disjoint texts
+    stay apart, NULL text yields no pairs — and one signature is
+    hand-verified against a pure-Python md5 reimplementation so the
+    bit convention (bit b = bit b%4 of hex nibble b//4) can never
+    silently drift from the DuckDB oracle."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "  ALPHA beta\tgamma   delta "),
+            (3, "zzz qqq"),
+            (4, None),
+        ],
+        "id bigint, t string",
+    )
+    sig = dedup.simhash_portable(df, "t", "id")
+    pairs = dedup.simhash_near_pairs(sig, "id", max_hamming=3)
+    got = {(a, b): h for a, b, h in pairs.collect()}
+    assert got.get((1, 2)) == 0
+    assert all(3 not in p and 4 not in p for p in got)
+
+    def py_simhash(text):
+        toks = text.lower().strip().split()
+        counts = [0] * 64
+        for t in toks:
+            h = hashlib.md5(t.encode()).hexdigest()[:16]
+            for b in range(64):
+                nib = int(h[b // 4], 16)
+                counts[b] += (nib >> (b % 4)) & 1
+        n = len(toks)
+        s = 0
+        for b in range(64):
+            if 2 * counts[b] > n:
+                s += -(2**63) if b == 63 else 1 << b
+        return s
+
+    got_sig = {r["id"]: r["simhash"] for r in sig.collect()}
+    assert got_sig[1] == py_simhash("alpha beta gamma delta")
+    assert got_sig[3] == py_simhash("zzz qqq")
+    assert got_sig[4] is None
+
+
 def test_ngram_set_dedup(spark):
     df = spark.createDataFrame(
         [(1, "abcd"), (2, "bcdab"), (3, "xyzw")], ["id", "t"]
@@ -157,6 +202,27 @@ def test_lsh_ann_finds_strong_neighbors(spark, emb):
     for q in range(5):
         assert (q, q) in a  # self
         assert (q, q + 10000) in a  # planted strong neighbor recovered
+
+
+def test_lsh_full_coverage_configs_equal_exact_topk(spark, emb):
+    """The r07 oracle-gate configurations are PROVABLY exact: with
+    n_planes=1 the built-in 1-bit multiprobe visits both buckets, and
+    with planes_per_band=1 + multiprobe the banded path probes both
+    signatures of every band — candidates ≡ corpus by construction,
+    so both must equal brute-force cosine_topk row-for-row (hash
+    values cannot affect the answer)."""
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = rows_set(similarity.cosine_topk(emb, queries, k=5))
+    lsh = rows_set(similarity.lsh_ann_topk(emb, queries, k=5, n_planes=1))
+    banded = rows_set(
+        similarity.lsh_ann_topk_banded(
+            emb, queries, k=5, bands=2, planes_per_band=1, multiprobe=True
+        )
+    )
+    assert lsh == exact
+    assert banded == exact
 
 
 def test_banded_lsh_and_ivf_recover_strong_neighbors(spark, emb):
