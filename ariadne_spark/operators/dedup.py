@@ -535,55 +535,54 @@ def simhash_portable(
     (xxhash64, no DuckDB twin) and :func:`simhash_fast` (numpy FNV
     UDF) — the full near-pair result carries a value ORACLE.
 
-    Zero shuffles: the per-token nibble matrix materializes once per
-    row (one md5 per token), then 64 aggregate folds count set bits
-    per position and the signature packs as a sum of literal powers
-    (bit 63 carries the sign, same convention as :func:`simhash`).
-    NULL text ⇒ NULL signature (produces no pairs downstream)."""
-    t = F.lower(F.col(text_col))
-    toks = F.split(F.trim(t), r"\s+")
-    hhex = F.transform(toks, lambda x: F.substring(F.md5(x), 1, 16))
-    nibs = F.transform(
-        hhex,
-        lambda h: F.transform(
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda i: F.conv(h.substr(i, F.lit(1)), 16, 10).cast("int"),
-        ),
-    )
-    base = df.select(
-        F.col(id_col),
-        nibs.alias("__nibs"),
-        F.size(toks).cast("bigint").alias("__n"),
-    )
-    def _cnt(b: int):
-        i, k = b // 4 + 1, b % 4
-        return F.aggregate(
-            "__nibs",
-            F.lit(0).cast("bigint"),
-            lambda a, nb: a
-            + F.shiftright(F.element_at(nb, i), k)
-            .bitwiseAND(F.lit(1))
-            .cast("bigint"),
-        ).alias(f"__c{b}")
+    Shape: one token explode, the 16-hex hash decoded by TWO ``conv``
+    calls into 32-bit halves, 64 shift-and-mask bit sums in ONE
+    partial-aggregatable groupBy (map-side combine — a hot doc id
+    never serializes its tokens through one task), signature packed
+    from the 64 majority votes (bit 63 carries the sign, same
+    convention as :func:`simhash`).
 
-    cnts = [_cnt(b) for b in range(64)]
-    terms = [
-        F.when(
-            F.col(f"__c{b}") * 2 > F.col("__n"),
-            F.lit(-(2**63)) if b == 63 else F.lit(1 << b),
-        ).otherwise(F.lit(0).cast("bigint"))
-        for b in range(64)
-    ]
-    packed = reduce(lambda a, x: a + x, terms).cast("long")
-    # NULL text: the fold columns are NULL, every when() falls to its
-    # 0 branch and the pack would claim signature 0 — which pairs all
-    # NULL-text docs together at hamming 0. Keep the NULL contract.
-    sig = F.when(F.col("__nibs").isNull(), F.lit(None).cast("long")).otherwise(
-        packed
+    Built from SQL-TEXT expressions on purpose: composing the 129
+    sub-expressions through pyspark Column operators costs ~1 s of
+    py4j round-trips PER CALL before anything executes (measured),
+    while three ``selectExpr``/``F.expr`` strings parse JVM-side in
+    milliseconds. Higher-order-function lambdas are also avoided —
+    fresh lambda-variable ids defeat CacheManager plan matching.
+    NULL-text rows emit no signature row (and no pairs downstream);
+    the pure-Python bit-convention pin lives in
+    test_simhash_portable_semantics_and_hand_check."""
+    toks = df.where(F.col(text_col).isNotNull()).selectExpr(
+        f"`{id_col}` as __id",
+        f"explode(split(trim(lower(`{text_col}`)), '\\\\s+')) as __tok",
     )
-    return base.select(
-        F.col(id_col), F.col("__n"), F.col("__nibs"), *cnts
-    ).select(F.col(id_col), sig.alias("simhash"))
+    w = toks.selectExpr(
+        "__id",
+        "cast(conv(substring(md5(__tok), 1, 8), 16, 10) as bigint) as __h1",
+        "cast(conv(substring(md5(__tok), 9, 8), 16, 10) as bigint) as __h2",
+    )
+    parts = ["count(1) as __n"]
+    for b in range(64):
+        # hex char j holds bits 4*(7-j)+0..3 of its 32-bit half
+        j, k = b // 4, b % 4
+        col, s_ = ("__h1", 4 * (7 - j) + k) if j < 8 else ("__h2", 4 * (15 - j) + k)
+        parts.append(f"sum(shiftright({col}, {s_}) & 1) as __c{b}")
+    sums = w.groupBy("__id").agg(
+        F.expr("struct(" + ", ".join(parts) + ")").alias("__s")
+    )
+    terms = []
+    for b in range(64):
+        val = (
+            "(cast(-9223372036854775807 as bigint) - 1)"
+            if b == 63
+            else f"cast({1 << b} as bigint)"
+        )
+        terms.append(
+            f"(case when __s.__c{b} * 2 > __s.__n then {val} else cast(0 as bigint) end)"
+        )
+    return sums.selectExpr(
+        f"__id as `{id_col}`",
+        "cast((" + " + ".join(terms) + ") as long) as simhash",
+    )
 
 
 def _simhash_rem_expr(c: int):

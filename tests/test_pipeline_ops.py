@@ -117,7 +117,8 @@ def test_simhash_hamming_zero_for_identical(spark):
 def test_simhash_portable_semantics_and_hand_check(spark):
     """The r07 portable (md5-nibble) hash family: identical texts
     collide at hamming 0, case/whitespace normalize, disjoint texts
-    stay apart, NULL text yields no pairs — and one signature is
+    stay apart, NULL text yields no signature row (hence no pairs) —
+    and one signature is
     hand-verified against a pure-Python md5 reimplementation so the
     bit convention (bit b = bit b%4 of hex nibble b//4) can never
     silently drift from the DuckDB oracle."""
@@ -156,7 +157,7 @@ def test_simhash_portable_semantics_and_hand_check(spark):
     got_sig = {r["id"]: r["simhash"] for r in sig.collect()}
     assert got_sig[1] == py_simhash("alpha beta gamma delta")
     assert got_sig[3] == py_simhash("zzz qqq")
-    assert got_sig[4] is None
+    assert 4 not in got_sig
 
 
 def test_ngram_set_dedup(spark):

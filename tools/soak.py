@@ -546,6 +546,80 @@ def main() -> None:
          sec=round(time.time() - t0, 2), replica_mismatches=mismatch)
     assert mismatch == 0, f"{mismatch} replica predictions diverged"
 
+    # ---- 12. r07 crawl primitives at NX -----------------------------
+    # 12a: per-domain quota over the NX corpus. URLs synthesize ~40
+    # registerable domains (two-level-suffix and .com shapes, www and
+    # subdomain prefixes) from the ORIGINAL doc identity, so every
+    # domain's population grows N× while the quota stays fixed — the
+    # WindowGroupLimit pre-top must hold counts exactly at quota.
+    from ariadne_spark.operators.corpus import domain_quota, url_dedup
+
+    orig = F.col("doc_id") % dspan
+    soak_url = F.concat(
+        F.when(orig % 3 == 0, F.lit("https://www.")).otherwise(
+            F.lit("http://sub.")
+        ),
+        F.concat(F.lit("src"), (orig % 20).cast("string"), F.lit("-news")),
+        F.when(orig % 4 == 0, F.lit(".co.uk")).otherwise(F.lit(".com")),
+        F.lit("/a/"),
+        F.col("doc_id").cast("string"),
+    )
+    urls = drep.select("doc_id", soak_url.alias("url"))
+    t0 = time.time()
+    dq = domain_quota(urls, "url", n_per_domain=50)
+    counts = {
+        r["domain"]: r["c"]
+        for r in dq.groupBy("domain").agg(F.count("*").alias("c")).collect()
+    }
+    dq_sec = round(time.time() - t0, 2)
+    over = {d: c for d, c in counts.items() if c != 50}
+    emit(stage="domain_quota_nx", docs=n_rep * dn, domains=len(counts),
+         sec=dq_sec, off_quota_domains=len(over))
+    assert not over, f"domains off quota: {over}"
+
+    # 12b: URL dedup at NX — replicas collide onto the same canonical
+    # key (doc_id % 250 patterns repeat because dspan % 250 == 0), so
+    # the global survivor per key must be the 1X survivor.
+    k = (F.col("doc_id") % 250).cast("string")
+    dup_url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("http://News.Example")).otherwise(
+            F.lit("http://news.example")
+        ),
+        k, F.lit(".com/item/"), k,
+        F.when(F.col("doc_id") % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+    )
+    t0 = time.time()
+    survivors = url_dedup(
+        drep.select("doc_id", dup_url.alias("url")), "url", "doc_id"
+    ).collect()
+    ud_sec = round(time.time() - t0, 2)
+    stray = [r["doc_id"] for r in survivors if r["doc_id"] >= dspan]
+    emit(stage="url_dedup_nx", docs=n_rep * dn, survivors=len(survivors),
+         sec=ud_sec, non_1x_survivors=len(stray))
+    assert dspan % 250 == 0, "survivor invariant needs dspan % 250 == 0"
+    assert len(survivors) == 250 and not stray, (len(survivors), stray[:5])
+
+    # 12c: portable simhash at NX — identical texts across replicas
+    # mean every clone family contributes C(n_rep,2) hamming-0 pairs
+    # and every 1X near-pair (a,b) expands to n_rep² replica combos:
+    # the blocked result must hit that closed-form count EXACTLY
+    # (this is the block-cap growth path: clone blocks scale with N).
+    from ariadne_spark.operators.dedup import simhash_near_pairs, simhash_portable
+
+    docs1x = drep.where(F.col("doc_id") < dspan)
+    base_pairs = simhash_near_pairs(
+        simhash_portable(docs1x, "text", "doc_id"), "doc_id", max_hamming=3
+    ).count()
+    t0 = time.time()
+    nx_pairs = simhash_near_pairs(
+        simhash_portable(drep, "text", "doc_id"), "doc_id", max_hamming=3
+    ).count()
+    sh_sec = round(time.time() - t0, 2)
+    expected = base_pairs * n_rep * n_rep + dn * n_rep * (n_rep - 1) // 2
+    emit(stage="simhash_portable_nx", docs=n_rep * dn, pairs=nx_pairs,
+         expected=expected, base_pairs=base_pairs, sec=sh_sec)
+    assert nx_pairs == expected, (nx_pairs, expected)
+
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
 
