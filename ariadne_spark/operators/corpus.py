@@ -344,8 +344,11 @@ def registrable_domain(
     )
     suffixes = two_level_suffixes or TWO_LEVEL_SUFFIXES
     in_two_level = last2.isin(suffixes)
+    is_ipv4 = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
     dom = (
-        F.when((n >= 3) & in_two_level, last3)
+        # an IPv4 host has no registerable suffix — it IS the identity
+        F.when(is_ipv4, host)
+        .when((n >= 3) & in_two_level, last3)
         .when(n >= 2, last2)
         .otherwise(host)
     )
@@ -376,8 +379,15 @@ def registrable_domain_sql(
         f"concat_ws('.', element_at({ls}, -3), element_at({ls}, -2), "
         f"element_at({ls}, -1))"
     )
+    ipv4 = (
+        rf"({host}) RLIKE '^\\d{{1,3}}\\.\\d{{1,3}}\\."
+        rf"\\d{{1,3}}\\.\\d{{1,3}}$'"
+    )
     return (
-        f"CASE WHEN {h0} = '' THEN CAST(NULL AS STRING) "
+        # guard on the POST-www-strip host (matches the Column form:
+        # 'http://www./' strips to an empty host and must yield NULL)
+        f"CASE WHEN ({host}) = '' THEN CAST(NULL AS STRING) "
+        f"WHEN {ipv4} THEN {host} "
         f"WHEN size({ls}) >= 3 AND {last2} IN ({sufs}) THEN {last3} "
         f"WHEN size({ls}) >= 2 THEN {last2} "
         f"ELSE {host} END"

@@ -1156,3 +1156,42 @@ def test_domain_computed_index_prunes_files(spark, storage, tmp_path):
     assert len(located) == 1 and "beta.co.uk" in located[0]
     res = idx.read_matching({"domain": ["alpha.com"]})
     assert res.count() == 20
+
+
+def test_registrable_domain_never_throws_on_adversarial_urls(spark):
+    """ANSI-mode robustness sweep: the parser must return a string or
+    NULL — never raise — for hostile shapes (empty labels, bare
+    schemes, ports without hosts, IPv6 brackets, trailing dots,
+    unicode, whitespace). Spark 4 runs ANSI by default, so an
+    unguarded element_at(-2) on a 1-label host would ERROR; the CASE
+    short-circuit ordering is what this pins."""
+    hostiles = [
+        "", " ", "http://", "https:///path", "ftp://:8080",
+        "http://a..b/x", "http://../", "http://.",
+        "scheme://single", "http://[::1]:8080/x", "http://127.0.0.1:80/",
+        "HTTP://EXAMPLE.COM./trail", "https://user@:9/",
+        "x://y.z", "notaurl", "http//missing.colon", "https://пример.рф/п",
+        "http://a.b.c.d.e.f.g.h.co.uk/deep", "http://www./", "http://www",
+        "a" * 500, "http://" + "a" * 200 + ".com",
+        "http://spa ce.com/x", "http://tab\tted.com", None,
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(hostiles)], "i bigint, url string"
+    )
+    rows = df.select(
+        "i",
+        corpus.registrable_domain("url").alias("dom"),
+        corpus.normalized_url("url").alias("key"),
+    ).collect()
+    assert len(rows) == len(hostiles)
+    for r in rows:
+        assert r["dom"] is None or isinstance(r["dom"], str)
+    # well-formed ones still resolve
+    got = {r["i"]: r["dom"] for r in rows}
+    assert got[10] == "127.0.0.1"  # IPv4 host passes through whole
+    assert got[13] == "y.z"
+    # SQL form agrees on the whole hostile sweep (twin-drift guard)
+    sql_rows = df.select(
+        "i", F.expr(corpus.registrable_domain_sql("url")).alias("dom")
+    ).collect()
+    assert {r["i"]: r["dom"] for r in sql_rows} == got
