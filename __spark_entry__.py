@@ -2670,6 +2670,60 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL dedup (crawl-firehose front pass): the documents
+    stream in 3 micro-batches; each batch keeps one row per
+    normalized-URL key never seen before (persisted key ledger).
+    URLs synthesize so every duplicate group lives in ONE batch
+    (key = (doc_id%3, doc_id div 3 % 55), batch = doc_id%3), making
+    the survivor set equal to the BATCH operator's global-min-id
+    answer regardless of micro-batch arrival order — fully
+    oracle-checkable. Case/trailing-slash/fragment variants exercise
+    the real normalization."""
+    from ariadne_spark.streaming.maintenance import attach_url_dedup_maintenance
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    src = f"{base}/docs_stream"
+    if not os.path.exists(f"{src}/_DONE"):
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        for i in range(3):
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/part{i}")
+        with open(f"{src}/_DONE", "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(f"{src}/part0").schema
+    b = F.col("doc_id") % 3
+    g = F.expr("doc_id div 3") % 55
+    host = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://Crawl")).otherwise(
+            F.lit("http://crawl")
+        ),
+        b.cast("string"), F.lit("x"), g.cast("string"), F.lit(".com"),
+    )
+    url = F.concat(
+        host, F.lit("/p/"), g.cast("string"),
+        F.when(F.col("doc_id") % 5 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 3, F.lit("#f")).otherwise(F.lit("")),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/part*")
+        .withColumn("url", url)
+    )
+    sink = f"{base}/_stream_sink/url_dedup"
+    store = f"{base}/_stream_sink/url_dedup_store"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+    q = attach_url_dedup_maintenance(
+        stream, store, sink, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select("doc_id", "url_key")
+
+
 def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end data selection: DSIR importance weights against the
     lang='en' target, then the exact top-100 documents by score with
@@ -2850,6 +2904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ngram_stats": q_corpus_ngram_stats,
         "corpus_line_dedup": q_corpus_line_dedup,
         "dedup_simhash": q_dedup_simhash,
+        "streaming_url_dedup": q_streaming_url_dedup,
         "idx_filter_range_bbox": q_idx_filter_range_bbox,
         "idx_select_pushdown": q_idx_select_pushdown,
         "source_json": q_source_json,
@@ -3908,6 +3963,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, domain, source, lang FROM r WHERE rn <= 10
         """.format(sufs=suffix_list),
 "dedup_simhash": _simhash_portable_sql(),
+# every duplicate-URL group lives in one micro-batch by construction
+# (see q_streaming_url_dedup), so first-batch-wins == global min id
+# and the twin is pure arithmetic on the key grid
+"streaming_url_dedup": """
+            WITH k AS (
+                SELECT doc_id % 3 AS b, (doc_id // 3) % 55 AS g, doc_id
+                FROM documents
+            ),
+            m AS (SELECT b, g, min(doc_id) AS doc_id FROM k GROUP BY b, g)
+            SELECT doc_id,
+                   'http://crawl' || CAST(b AS VARCHAR) || 'x' ||
+                   CAST(g AS VARCHAR) || '.com/p/' || CAST(g AS VARCHAR)
+                   AS url_key
+            FROM m
+        """,
 "corpus_url_dedup": """
             WITH d AS (SELECT doc_id, doc_id % 250 AS k FROM documents),
             m AS (SELECT k, min(doc_id) AS doc_id FROM d GROUP BY k)

@@ -345,3 +345,61 @@ def attach_quality_gate(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def attach_url_dedup_maintenance(
+    stream_df: DataFrame,
+    store_path: str,
+    out_path: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    trigger: dict | None = None,
+):
+    """Continuous-crawl URL dedup as a streaming sink: every
+    micro-batch keeps one row (smallest id) per
+    :func:`ariadne_spark.operators.corpus.normalized_url` key that
+    has never been seen before — the first pass of a crawl firehose,
+    upstream of content dedup. Survivors (with their ``url_key``)
+    append to ``out_path``; the batch's NEW keys append to the
+    ``store_path`` seen-key ledger. Rows with no parseable URL pass
+    through unconditionally (a missing URL is not a duplicate of
+    other missing URLs).
+
+    State lives entirely in the key ledger (restart-safe, nothing in
+    memory). Write ordering is survivors-first, ledger-last: a crash
+    between the two re-emits the batch on restart (at-least-once
+    output) but can never LOSE a URL, and duplicate ledger keys are
+    harmless (the anti-join treats them as one). At lake scale the
+    anti-join shuffles (key) against the ledger — compose a bloom
+    file-index over the ledger (same pattern as
+    ``attach_substring_dedup_maintenance``'s window store) when it
+    outgrows a plain scan."""
+    from ..operators.corpus import normalized_url
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        keyed = batch_df.withColumn("url_key", normalized_url(url_col))
+        null_rows = keyed.where(F.col("url_key").isNull())
+        cand = keyed.where(F.col("url_key").isNotNull())
+        # within-batch survivor: smallest id per key
+        firsts = cand.join(
+            cand.groupBy("url_key").agg(F.min(id_col).alias(id_col)),
+            ["url_key", id_col],
+            "leftsemi",
+        )
+        if glob.glob(f"{store_path}/*.parquet"):
+            seen = spark.read.parquet(store_path)
+            firsts = firsts.join(seen, "url_key", "left_anti")
+        out = firsts.unionByName(null_rows).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        out.write.mode("append").parquet(out_path)
+        firsts.select("url_key").write.mode("append").parquet(store_path)
+        log.info("url dedup maintenance: batch %d done", batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(do_batch)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

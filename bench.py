@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     # r07: URL/domain crawl primitives
     "corpus_domain_quota",
     "corpus_url_dedup",
+    "streaming_url_dedup",
 ]
 
 

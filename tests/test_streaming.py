@@ -371,3 +371,74 @@ def test_attach_quality_gate_splits_keeps_and_rejects(spark, tmp_path):
     # keeper sink drops the audit columns, keeps batch_id lineage
     cols = set(spark.read.parquet(out).columns)
     assert "failed_rules" not in cols and "batch_id" in cols
+
+
+def test_attach_url_dedup_first_wins_and_ledger_persists(spark, tmp_path):
+    """Streaming URL dedup: within a batch the smallest id per
+    normalized key survives; keys already in the ledger are
+    suppressed in LATER batches; null-URL rows always pass. A second
+    stream over new files with previously-seen keys emits nothing
+    new — the ledger is the state."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark.streaming.maintenance import (
+        attach_url_dedup_maintenance,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    rows_a = [
+        (5, "HTTP://A.com/x/"),
+        (2, "http://a.com/x#frag"),   # same key as 5 -> 2 survives
+        (7, "http://b.com/y"),
+        (9, None),                    # null passes through
+    ]
+    rows_b = [
+        (1, "http://a.com/x"),        # key seen in batch A -> dropped
+        (3, "http://c.com/z"),
+        (4, None),                    # null passes through again
+    ]
+    src = str(tmp_path / "ud_src")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/fa")
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/fb")
+
+    out = str(tmp_path / "ud_out")
+    store = str(tmp_path / "ud_store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = attach_url_dedup_maintenance(
+        stream, store, out, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {2, 7, 9, 3, 4}
+
+    # a fresh stream of ONLY seen keys emits nothing but nulls
+    rows_c = [(11, "http://b.com/y/"), (12, None)]
+    src2 = str(tmp_path / "ud_src2")
+    spark.createDataFrame(rows_c, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src2}/fc")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src2}/f*")
+    )
+    out2 = str(tmp_path / "ud_out2")
+    q2 = attach_url_dedup_maintenance(
+        stream2, store, out2, trigger={"availableNow": True}
+    )
+    q2.awaitTermination()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
+    assert got2 == {12}
