@@ -1465,6 +1465,33 @@ def q_multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the full decode → bilinear resample
+    → PPM re-encode pipeline (r07): per-row targets equal each
+    image's own dimensions, where pixel-center bilinear degenerates
+    to unit weights and the re-encode is BYTE-EXACT — so decoding the
+    resized blobs must reproduce the original closed-form features,
+    and the multimodal_decode_ppm twin is a full oracle over the
+    whole resize machinery. Downscale behavior (real interpolation)
+    is pinned by pytest + the pHash resize-robustness pairing test."""
+    from ariadne_spark.operators.multimodal import decode_media, image_resize
+
+    packed = _packed_media(spark, sf_dir, "ppm")
+    with_targets = packed.withColumns(
+        {
+            "tw": (F.lit(4) + F.col("doc_id") % 13).cast("int"),
+            "th": (F.lit(3) + F.col("doc_id") % 7).cast("int"),
+        }
+    )
+    resized = image_resize(
+        with_targets, "tw", "th", batch_cols=["doc_id"]
+    )
+    decoded = decode_media(resized, "media", codec="ppm", batch_cols=["doc_id"])
+    return decoded.select(
+        "doc_id", "decoded_width", "decoded_height", "mean_byte"
+    )
+
+
 def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG codec path: full chunked PNGs (zlib IDAT, per-row
     filters cycling through all five types) decoded by the stdlib
@@ -2928,6 +2955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_banded": q_sim_ann_banded,
         "multimodal_decode_ppm": q_multimodal_decode_ppm,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "multimodal_afp_dedup": q_multimodal_afp_dedup,
         "sql_tpch_q4": q_sql_tpch_q4,
@@ -4630,4 +4658,8 @@ def oracle_sql() -> dict[str, str]:
         "LIMIT 100"
     )
     oracles.update(_tpch_r3_oracle_entries())
+    # identity-resize runs the full decode -> bilinear -> re-encode
+    # pipeline and must land exactly on the original features, so the
+    # decode twin IS the resize oracle (shared text: can't drift)
+    oracles["multimodal_resize"] = oracles["multimodal_decode_ppm"]
     return oracles

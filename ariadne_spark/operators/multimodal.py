@@ -176,12 +176,16 @@ def _decode_fake(blob: bytes) -> dict:
     return _pixel_features(memoryview(blob)[16:], w, h)
 
 
-def _decode_ppm(blob: bytes) -> dict:
-    """REAL codec: binary PPM (P6), pure numpy — no PIL needed.
-    Header: ``P6 <ws> width <ws> height <ws> maxval \\n``, then
-    width*height*3 raw bytes ('#' comment lines allowed)."""
+def _ppm_pixels(blob: bytes):
+    """Binary-PPM (P6) pixel reader: ``(h, w, 3)`` uint8 array, or
+    None for anything unparseable. Header: ``P6 <ws> width <ws>
+    height <ws> maxval \\n``, then width*height*3 raw bytes ('#'
+    comment lines allowed). Shared by the feature decoder and the
+    real :func:`image_resize`."""
+    import numpy as np
+
     if blob is None or not bytes(blob[:2]) == b"P6":
-        return dict(_NO_DECODE)
+        return None
     data = bytes(blob)
     pos, fields = 2, []
     while len(fields) < 3 and pos < len(data):
@@ -195,19 +199,38 @@ def _decode_ppm(blob: bytes) -> dict:
         while pos < len(data) and not data[pos : pos + 1].isspace():
             pos += 1
         if pos == start:
-            return dict(_NO_DECODE)
+            return None
         fields.append(data[start:pos])
     if len(fields) < 3:
-        return dict(_NO_DECODE)
+        return None
     try:
         w, h, maxval = (int(f) for f in fields)
     except ValueError:
-        return dict(_NO_DECODE)
+        return None
     pos += 1  # single whitespace after maxval
     n = w * h * 3
     if maxval != 255 or w <= 0 or h <= 0 or len(data) - pos < n:
+        return None
+    return np.frombuffer(data, dtype=np.uint8, count=n, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def _encode_ppm(arr) -> bytes:
+    """Inverse of :func:`_ppm_pixels` — same header layout
+    ``pack_synthetic_ppm`` writes, so an identity round-trip is
+    byte-exact."""
+    h, w = arr.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _decode_ppm(blob: bytes) -> dict:
+    """REAL codec: binary PPM (P6), pure numpy — no PIL needed."""
+    px = _ppm_pixels(blob)
+    if px is None:
         return dict(_NO_DECODE)
-    return _pixel_features(memoryview(data)[pos : pos + n], w, h)
+    h, w = px.shape[:2]
+    return _pixel_features(px, w, h)
 
 
 def _decode_bmp(blob: bytes) -> dict:
@@ -856,10 +879,119 @@ def pack_synthetic_png(df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+_PIXEL_CODECS = {"ppm": "_ppm_pixels"}
+
+
+def image_resize(
+    df: DataFrame,
+    width: int | str,
+    height: int | str,
+    blob_col: str = "media",
+    batch_cols: list[str] | None = None,
+    codec: str = "ppm",
+) -> DataFrame:
+    """REAL image resize (r07, upgrading the former metadata-only
+    stub): decode → separable pixel-center-aligned bilinear resample
+    per channel (:func:`_resize_bilinear`, the same kernel the pHash
+    uses) → re-encode as binary PPM. Pure numpy over ``mapInPandas``
+    Arrow batches — the canonical "heavy media kernel as a vectorized
+    Pandas UDF" shape; a cluster deployment swaps the codec table for
+    PIL/ffmpeg readers without touching the Spark plumbing.
+
+    ``width``/``height`` take an int (one target for the frame) or a
+    COLUMN NAME (per-row targets — the thumbnail-pipeline shape where
+    each image keeps its own aspect ratio).
+
+    Identity contract: resizing to the source's own dimensions is
+    BYTE-EXACT (pixel-center alignment degenerates to unit weights
+    and the PPM writer mirrors ``pack_synthetic_ppm``'s header), so
+    the full decode→resample→re-encode path carries an equality
+    oracle despite the float kernel. Unparseable blobs — and rows
+    whose per-row target is NULL or non-positive — yield NULL output
+    (crawl posture: corrupt rows don't kill the job). Returns
+    ``batch_cols`` + ``blob_col`` (resized) + ``resized_width``/
+    ``resized_height`` (NULL when skipped)."""
+    if codec not in _PIXEL_CODECS:
+        raise NotImplementedError(
+            f"codec {codec!r}: pixel access implemented for "
+            f"{sorted(_PIXEL_CODECS)} — decode other formats upstream "
+            f"or install an image library and extend _PIXEL_CODECS"
+        )
+    for dim in (width, height):
+        if isinstance(dim, int) and dim <= 0:
+            raise ValueError(f"target size must be positive, got {dim}")
+    from .. import context
+
+    context.ship_package(df.sparkSession)
+    target_cols = [d for d in (width, height) if isinstance(d, str)]
+    keep = batch_cols or [
+        c for c in df.columns if c != blob_col and c not in target_cols
+    ]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField(blob_col, T.BinaryType()),
+            T.StructField("resized_width", T.IntegerType()),
+            T.StructField("resized_height", T.IntegerType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            wt = pdf[width] if isinstance(width, str) else [width] * n
+            ht = pdf[height] if isinstance(height, str) else [height] * n
+            blobs, ws, hs = [], [], []
+            for blob, tw, th in zip(pdf[blob_col], wt, ht):
+                px = _ppm_pixels(blob)
+                ok = (
+                    px is not None
+                    and tw is not None
+                    and th is not None
+                    # Arrow hands nullable int columns to pandas as
+                    # float64 + NaN; NaN != NaN filters those
+                    and tw == tw
+                    and th == th
+                    and int(tw) > 0
+                    and int(th) > 0
+                )
+                if not ok:
+                    blobs.append(None)
+                    ws.append(None)
+                    hs.append(None)
+                    continue
+                tw, th = int(tw), int(th)
+                chans = [
+                    np.clip(
+                        np.rint(
+                            _resize_bilinear(
+                                px[:, :, c].astype(np.float64), th, tw
+                            )
+                        ),
+                        0,
+                        255,
+                    )
+                    for c in range(3)
+                ]
+                out = np.stack(chans, axis=2).astype(np.uint8)
+                blobs.append(_encode_ppm(out))
+                ws.append(tw)
+                hs.append(th)
+            res = pdf[keep].copy()
+            res[blob_col] = blobs
+            res["resized_width"] = ws
+            res["resized_height"] = hs
+            yield res
+
+    return df.mapInPandas(run, out_schema)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: image resize — plumbing only. Updates metadata (the part
-    a planner needs) and marks the blob untouched; the pixel work
-    needs PIL and is NotImplemented behind codec='real'."""
+    """STUB: metadata-only resize for PLANNING passes (cost/shape
+    estimation without touching pixels) — the real pixel operator is
+    :func:`image_resize`."""
     meta = F.col("media_meta")
     new_meta = F.struct(
         meta.getField("media_type").alias("media_type"),

@@ -1401,3 +1401,76 @@ def test_incremental_substring_orphan_store_fails_loudly(spark, tmp_path):
     os.rename(store, store + ".__old")  # simulate crash mid-compact
     with pytest.raises(OSError, match="__old"):
         dd.incremental_substring_dedup(d, store, k=3)
+
+
+def test_image_resize_identity_downscale_and_phash_robustness(spark):
+    """Real resize (r07): identity targets reproduce the original
+    blob BYTE-exactly; a real downscale emits decodable images at the
+    target dims with interpolated content; a resized copy pairs with
+    its original under pHash (the advertised resize robustness);
+    corrupt blobs and NULL per-row targets yield NULL rows."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    # LOW-frequency texture (random 6x5 blobs bilinearly upsampled):
+    # pHash robustness is a statement about structured images — white
+    # noise has no stable low-frequency spectrum to preserve
+    small = rng.randint(0, 256, (6, 5, 3)).astype(np.float64)
+    base = np.stack(
+        [
+            np.clip(
+                np.rint(multimodal._resize_bilinear(small[:, :, c], 24, 20)),
+                0, 255,
+            )
+            for c in range(3)
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    blob = bytearray(b"P6\n20 24\n255\n" + base.tobytes())
+    df = spark.createDataFrame(
+        [(1, blob), (2, bytearray(b"nonsense"))], "doc_id long, media binary"
+    )
+
+    # identity: byte-exact round-trip
+    ident = multimodal.image_resize(df, 20, 24).collect()
+    by_id = {r["doc_id"]: r for r in ident}
+    assert bytes(by_id[1]["media"]) == bytes(blob)
+    assert by_id[2]["media"] is None and by_id[2]["resized_width"] is None
+
+    # downscale: decodable at target dims, mean in byte range
+    down = multimodal.image_resize(df, 10, 12)
+    feats = multimodal.decode_media(
+        down.where(F.col("media").isNotNull()),
+        "media", codec="ppm", batch_cols=["doc_id"],
+    ).collect()[0]
+    assert (feats["decoded_width"], feats["decoded_height"]) == (10, 12)
+    assert 0 <= feats["mean_byte"] <= 255
+
+    # pHash pairs the downscaled copy with the original
+    resized_clone = (
+        multimodal.image_resize(
+            df.where(F.col("doc_id") == 1), 16, 18
+        ).select((F.col("doc_id") + 10).alias("doc_id"), "media")
+    )
+    both = df.where(F.col("doc_id") == 1).select("doc_id", "media").unionByName(
+        resized_clone
+    )
+    # a resize moves a handful of near-median DCT bits (measured 6
+    # here); the standard pHash dedup radius for re-encodes/resizes
+    # is ~10 of 64 — unrelated random images sit near 32
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.image_near_dup(
+            both, "media", "doc_id", codec="ppm", max_hamming=10
+        ).collect()
+    }
+    assert (1, 11) in pairs
+
+    # per-row targets: NULL target -> NULL row, valid target resizes
+    tdf = spark.createDataFrame(
+        [(1, blob, 8, 6), (2, blob, None, 6)],
+        "doc_id long, media binary, tw int, th int",
+    )
+    out = {r["doc_id"]: r for r in multimodal.image_resize(tdf, "tw", "th").collect()}
+    assert out[1]["resized_width"] == 8 and out[1]["media"] is not None
+    assert out[2]["media"] is None and out[2]["resized_width"] is None
