@@ -1492,6 +1492,23 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (r07): synthetic raw-RGB containers
+    with closed-form pixels; one output row per 400 ms tick carrying
+    the covering frame's true pixel statistics — the row-expanding
+    mapInPandas decode the metadata-only multimodal_frames planner
+    row complements. Fully oracle-checked (frame pixel bytes are
+    arithmetic in doc_id and frame index)."""
+    from ariadne_spark.operators.multimodal import (
+        frame_sample,
+        pack_synthetic_video,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents")).select("doc_id")
+    packed = pack_synthetic_video(docs, "doc_id")
+    return frame_sample(packed, every_ms=400, batch_cols=["doc_id"])
+
+
 def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG codec path: full chunked PNGs (zlib IDAT, per-row
     filters cycling through all five types) decoded by the stdlib
@@ -2956,6 +2973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_banded": q_sim_ann_banded,
         "multimodal_decode_ppm": q_multimodal_decode_ppm,
         "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "multimodal_afp_dedup": q_multimodal_afp_dedup,
         "sql_tpch_q4": q_sql_tpch_q4,
@@ -4662,4 +4680,35 @@ def oracle_sql() -> dict[str, str]:
     # pipeline and must land exactly on the original features, so the
     # decode twin IS the resize oracle (shared text: can't drift)
     oracles["multimodal_resize"] = oracles["multimodal_decode_ppm"]
+    oracles["multimodal_frame_sample"] = """
+            WITH p AS (
+                SELECT doc_id,
+                       4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                       2 + doc_id % 4 AS nf, 250 * (1 + doc_id % 3) AS fms
+                FROM documents
+            ),
+            ts AS (
+                SELECT doc_id, w, h, fms,
+                       unnest(generate_series(0, nf * fms - 1, 400)) AS frame_ts_ms
+                FROM p
+            ),
+            fr AS (
+                SELECT doc_id, w, h, frame_ts_ms,
+                       frame_ts_ms // fms AS f
+                FROM ts
+            ),
+            px AS (
+                SELECT doc_id, w, h, frame_ts_ms, f,
+                       unnest(generate_series(0, w * h * 3 - 1)) AS i
+                FROM fr
+            )
+            SELECT doc_id, frame_ts_ms,
+                   CAST(f AS INT) AS frame_index,
+                   CAST(w AS INT) AS frame_width,
+                   CAST(h AS INT) AS frame_height,
+                   round(AVG(CAST((doc_id * 7 + f * 31 + i) % 256 AS DOUBLE)), 6)
+                       AS frame_mean_byte
+            FROM px
+            GROUP BY doc_id, frame_ts_ms, f, w, h
+        """
     return oracles

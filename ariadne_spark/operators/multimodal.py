@@ -1004,6 +1004,136 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.withColumn("media_meta", new_meta)
 
 
+def pack_synthetic_video(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic raw-RGB 'video' container with closed-form
+    pixels (the fixture side of the REAL :func:`frame_sample`):
+    header ``VID0`` + four 6-digit ascii ints (width, height,
+    n_frames, frame_ms), then ``n_frames`` raw w*h*3 frames. For row
+    id ``k``: w = 4 + k%5, h = 3 + k%4, n_frames = 2 + k%4,
+    frame_ms = 250·(1 + k%3); frame ``f`` pixel byte ``i`` is
+    ``(k*7 + f*31 + i) % 256`` — every sampled-frame statistic is
+    reproducible in plain SQL, so the real decode path is
+    oracle-checkable without shipping media fixtures."""
+    from .. import context
+
+    context.ship_package(df.sparkSession)
+
+    def pack(ids) -> "pd.Series":
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for k in ids:
+            if k is None:
+                out.append(None)
+                continue
+            k = int(k)
+            w, h = 4 + k % 5, 3 + k % 4
+            nf, fms = 2 + k % 4, 250 * (1 + k % 3)
+            hdr = f"VID0{w:06d}{h:06d}{nf:06d}{fms:06d}".encode()
+            n = w * h * 3
+            frames = [
+                ((k * 7 + f * 31 + np.arange(n)) % 256).astype(np.uint8)
+                for f in range(nf)
+            ]
+            out.append(hdr + b"".join(fr.tobytes() for fr in frames))
+        return pd.Series(out)
+
+    import pandas as pd
+
+    pack.__annotations__ = {"ids": pd.Series, "return": pd.Series}
+    return df.withColumn(
+        "media", F.pandas_udf(pack, T.BinaryType())(F.col(id_col))
+    )
+
+
+def _video_frames(blob: bytes):
+    """(w, h, n_frames, frame_ms, frames_u8_array) for a ``VID0``
+    container, or None when unparseable."""
+    import numpy as np
+
+    if blob is None or bytes(blob[:4]) != b"VID0":
+        return None
+    data = bytes(blob)
+    try:
+        w = int(data[4:10])
+        h = int(data[10:16])
+        nf = int(data[16:22])
+        fms = int(data[22:28])
+    except ValueError:
+        return None
+    n = w * h * 3
+    if w <= 0 or h <= 0 or nf <= 0 or fms <= 0 or len(data) - 28 < n * nf:
+        return None
+    frames = np.frombuffer(data, dtype=np.uint8, count=n * nf, offset=28)
+    return w, h, nf, fms, frames.reshape(nf, n)
+
+
+FRAME_SCHEMA_FIELDS = [
+    T.StructField("frame_ts_ms", T.LongType()),
+    T.StructField("frame_index", T.IntegerType()),
+    T.StructField("frame_width", T.IntegerType()),
+    T.StructField("frame_height", T.IntegerType()),
+    T.StructField("frame_mean_byte", T.DoubleType()),
+]
+
+
+def frame_sample(
+    df: DataFrame,
+    every_ms: int = 1000,
+    blob_col: str = "media",
+    batch_cols: list[str] | None = None,
+) -> DataFrame:
+    """REAL video frame sampling (r07, upgrading the metadata-only
+    stub): decode the ``VID0`` container, take one frame per
+    ``every_ms`` tick across the clip's duration (tick → the frame
+    covering it: ``index = ts // frame_ms``), and emit that frame's
+    pixel statistics — one OUTPUT ROW PER SAMPLED FRAME from
+    ``mapInPandas`` (the row-expanding Arrow-batch shape a video
+    pipeline needs; a cluster deployment swaps the container parser
+    for ffmpeg without touching the Spark plumbing). Unparseable
+    blobs produce no rows (crawl posture)."""
+    if every_ms <= 0:
+        raise ValueError(f"every_ms must be positive, got {every_ms}")
+    from .. import context
+
+    context.ship_package(df.sparkSession)
+    keep = batch_cols or [c for c in df.columns if c != blob_col]
+    out_schema = T.StructType([df.schema[c] for c in keep] + FRAME_SCHEMA_FIELDS)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                parsed = _video_frames(pdf[blob_col].iloc[i])
+                if parsed is None:
+                    continue
+                w, h, nf, fms, frames = parsed
+                base = {c: pdf[c].iloc[i] for c in keep}
+                for ts in range(0, nf * fms, every_ms):
+                    f = ts // fms
+                    rows.append(
+                        {
+                            **base,
+                            "frame_ts_ms": ts,
+                            "frame_index": f,
+                            "frame_width": w,
+                            "frame_height": h,
+                            "frame_mean_byte": round(
+                                float(frames[f].mean()), 6
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=keep + [fld.name for fld in FRAME_SCHEMA_FIELDS],
+            )
+
+    return df.mapInPandas(run, out_schema)
+
+
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """STUB: video frame sampling — emits planned frame timestamps
     from metadata (duration_ms) without decoding; one row per frame.

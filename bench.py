@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "corpus_url_dedup",
     "streaming_url_dedup",
     "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 

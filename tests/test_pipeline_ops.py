@@ -1474,3 +1474,39 @@ def test_image_resize_identity_downscale_and_phash_robustness(spark):
     out = {r["doc_id"]: r for r in multimodal.image_resize(tdf, "tw", "th").collect()}
     assert out[1]["resized_width"] == 8 and out[1]["media"] is not None
     assert out[2]["media"] is None and out[2]["resized_width"] is None
+
+
+def test_frame_sample_real_decode_ticks_and_corrupt_policy(spark):
+    """Real frame sampling: each every_ms tick maps to the covering
+    frame (index = ts // frame_ms) with that frame's true pixel mean;
+    a clip shorter than one tick still emits its t=0 frame; corrupt
+    blobs emit no rows."""
+    import numpy as np
+
+    from ariadne_spark.operators import multimodal as mm
+
+    def vid(w, h, frames, fms):
+        hdr = f"VID0{w:06d}{h:06d}{len(frames):06d}{fms:06d}".encode()
+        return bytearray(hdr + b"".join(f.tobytes() for f in frames))
+
+    f0 = np.full(2 * 2 * 3, 10, dtype=np.uint8)
+    f1 = np.full(2 * 2 * 3, 200, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, vid(2, 2, [f0, f1], 500)),   # 1000 ms clip
+            (2, vid(2, 2, [f1], 100)),       # 100 ms clip: one t=0 tick
+            (3, bytearray(b"junk")),
+        ],
+        "doc_id long, media binary",
+    )
+    rows = mm.frame_sample(df, every_ms=400, batch_cols=["doc_id"]).collect()
+    got = {(r["doc_id"], r["frame_ts_ms"]): r for r in rows}
+    # doc 1: ticks 0,400 cover frame 0; tick 800 covers frame 1
+    assert got[(1, 0)]["frame_index"] == 0
+    assert got[(1, 0)]["frame_mean_byte"] == 10.0
+    assert got[(1, 400)]["frame_index"] == 0
+    assert got[(1, 800)]["frame_index"] == 1
+    assert got[(1, 800)]["frame_mean_byte"] == 200.0
+    assert got[(2, 0)]["frame_mean_byte"] == 200.0
+    assert all(r["doc_id"] != 3 for r in rows)
+    assert len(rows) == 4
