@@ -2512,8 +2512,8 @@ def q_corpus_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_spark.operators.corpus import importance_weights
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    target = docs.where(F.col("lang") == "en")
-    return importance_weights(docs, target, n=2)
+    # predicate target: BOTH frequency tables from one corpus scan
+    return importance_weights(docs, F.col("lang") == "en", n=2)
 
 
 # the Gopher required-word set adapted to the lowercased technical
@@ -2778,8 +2778,7 @@ def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ariadne_spark.operators.corpus import importance_weights, select_top_n
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    target = docs.where(F.col("lang") == "en")
-    scored = importance_weights(docs, target, n=2)
+    scored = importance_weights(docs, F.col("lang") == "en", n=2)
     return select_top_n(scored, 100, by="score").select("doc_id", "score")
 
 

@@ -916,7 +916,7 @@ def gram_bucket(gram: str | Column, n_buckets: int) -> Column:
 
 def importance_weights(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | Column,
     n: int = 2,
     n_buckets: int = 4096,
     text_col: str = "text",
@@ -957,38 +957,59 @@ def importance_weights(
     groupBy: the 100-TB side never shuffles at all, and the output
     pipelines directly into :func:`select_top_n`'s
     TakeOrderedAndProject. Deterministic: md5 buckets, integer
-    counts."""
+    counts.
+
+    ``target`` accepts a DataFrame (its own corpus — possibly a
+    different table) OR a boolean Column over ``df`` ("the target is
+    the subset of this corpus matching the predicate"): the predicate
+    form computes BOTH frequency tables in a SINGLE corpus scan —
+    each gram carries a membership tag and one partial agg yields
+    (target count, background count) together. At 100 TB that halves
+    the frequency pass; prefer it whenever the target is a slice of
+    the corpus being scored."""
     bcol = target_text_col or text_col
 
-    def bucket_grams(src: DataFrame, col: str, tag: int) -> DataFrame:
-        toks_df = src.select(col, tokens(col).alias("__toks"))
+    def bucket_grams(src: DataFrame, col: str, tag) -> DataFrame:
+        toks_df = src.select(col, tag.alias("__t"), tokens(col).alias("__toks"))
         grams = toks_df.select(
+            F.col("__t"),
             F.explode(
                 word_ngrams(col, n, tokens_col=F.col("__toks"))
-            ).alias("__g")
+            ).alias("__g"),
         )
         return grams.select(
-            gram_bucket(F.col("__g"), n_buckets).alias("__b"),
-            F.lit(tag).alias("__t"),
+            gram_bucket(F.col("__g"), n_buckets).alias("__b"), "__t"
         )
 
-    # BOTH frequency tables in one union + one partial-agg shuffle —
+    # BOTH frequency tables in one job and one partial-agg shuffle —
     # no bucket-table join stage (r06 verdict item 5: the residual
-    # 1.6× was fixed job overhead, not data). The driver materializes
-    # the ≤n_buckets-row table ONCE: the scoring plan and the totals
-    # both read it, and an unpersisted lookup would re-run the gram
-    # aggregations per reference (measured 2.5× on the sf0.1 bench).
-    freq_rows = [
-        (r["__b"], r["__ct"], r["__cb"])
-        for r in bucket_grams(target, bcol, 1)
-        .unionByName(bucket_grams(df, text_col, 0))
-        .groupBy("__b")
-        .agg(
+    # 1.6× was fixed job overhead, not data). DataFrame target: the
+    # target grams join the union tagged 1 and cb = total − ct.
+    # Column target (predicate): ONE scan — ct = Σ tag, cb = count of
+    # ALL corpus grams, identical numbers by construction. The driver
+    # materializes the ≤n_buckets-row table ONCE: the scoring plan
+    # and the totals both read it, and an unpersisted lookup would
+    # re-run the gram aggregations per reference (measured 2.5× on
+    # the sf0.1 bench).
+    if isinstance(target, Column):
+        tagged = bucket_grams(
+            df,
+            text_col,
+            F.when(target, F.lit(1)).otherwise(F.lit(0)),
+        )
+        agg = tagged.groupBy("__b").agg(
+            F.sum("__t").cast("bigint").alias("__ct"),
+            F.count(F.lit(1)).cast("bigint").alias("__cb"),
+        )
+    else:
+        tagged = bucket_grams(target, bcol, F.lit(1)).unionByName(
+            bucket_grams(df, text_col, F.lit(0))
+        )
+        agg = tagged.groupBy("__b").agg(
             F.sum("__t").cast("bigint").alias("__ct"),
             (F.count(F.lit(1)) - F.sum("__t")).cast("bigint").alias("__cb"),
         )
-        .collect()
-    ]
+    freq_rows = [(r["__b"], r["__ct"], r["__cb"]) for r in agg.collect()]
     nt = sum(r[1] for r in freq_rows)
     nb = sum(r[2] for r in freq_rows)
     # the two frequency tables as bucket-indexed LITERAL arrays: a

@@ -1195,3 +1195,30 @@ def test_registrable_domain_never_throws_on_adversarial_urls(spark):
         "i", F.expr(corpus.registrable_domain_sql("url")).alias("dom")
     ).collect()
     assert {r["i"]: r["dom"] for r in sql_rows} == got
+
+
+def test_importance_weights_predicate_target_equals_dataframe_target(spark):
+    """The single-scan predicate-target form must match the two-input
+    DataFrame-target form value-for-value (same tables by
+    construction: ct = target grams, cb = ALL corpus grams)."""
+    rows = [
+        (1, "alpha beta alpha beta gamma", "en"),
+        (2, "alpha beta", "en"),
+        (3, "delta epsilon zeta delta epsilon", "fr"),
+        (4, "tiny", "fr"),
+        (5, None, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    a = {
+        r["doc_id"]: (r["n_grams"], r["sum_target"], r["sum_background"], r["score"])
+        for r in corpus.importance_weights(
+            df, df.where(F.col("lang") == "en"), n=2
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["n_grams"], r["sum_target"], r["sum_background"], r["score"])
+        for r in corpus.importance_weights(
+            df, F.col("lang") == "en", n=2
+        ).collect()
+    }
+    assert a == b and len(a) == 5
