@@ -1536,6 +1536,27 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample through the full decode → interpolate →
+    re-encode pipeline (r07): the target rate equals the source rate
+    (8000 Hz), where sample-aligned linear interpolation degenerates
+    to unit weights and the WAV re-encode is BYTE-EXACT — decoding
+    the resampled blobs must reproduce the original closed-form
+    audio features, so the multimodal_decode_wav twin is a full
+    oracle over the whole resample machinery. Real rate changes are
+    pinned by pytest (duration preserved, frame count scaled)."""
+    from ariadne_spark.operators.multimodal import audio_resample, decode_audio
+
+    packed = _packed_media(spark, sf_dir, "wav")
+    resampled = audio_resample(packed, 8000, batch_cols=["doc_id"])
+    decoded = decode_audio(
+        resampled, "media", codec="wav", batch_cols=["doc_id"]
+    )
+    return decoded.select(
+        "doc_id", "n_samples", "sample_rate_hz", "duration_ms", "rms"
+    )
+
+
 def q_sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """General SQL delegation through the engine's SQL surface
     (decimal casts keep double-sum results engine-exact)."""
@@ -2973,6 +2994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_ppm": q_multimodal_decode_ppm,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_resample": q_multimodal_resample,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "multimodal_afp_dedup": q_multimodal_afp_dedup,
         "sql_tpch_q4": q_sql_tpch_q4,
@@ -4679,6 +4701,9 @@ def oracle_sql() -> dict[str, str]:
     # pipeline and must land exactly on the original features, so the
     # decode twin IS the resize oracle (shared text: can't drift)
     oracles["multimodal_resize"] = oracles["multimodal_decode_ppm"]
+    # identity-resample: same argument as multimodal_resize — the
+    # decode twin IS the resample oracle (shared text: can't drift)
+    oracles["multimodal_resample"] = oracles["multimodal_decode_wav"]
     oracles["multimodal_frame_sample"] = """
             WITH p AS (
                 SELECT doc_id,

@@ -1004,6 +1004,154 @@ def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.withColumn("media_meta", new_meta)
 
 
+def _wav_pcm16(blob: bytes):
+    """(samples int16 (frames, ch), rate) for a RIFF/WAVE PCM16 blob,
+    or None for anything else (8-bit and non-PCM inputs are feature-
+    decodable via :func:`_decode_wav` but not resample targets)."""
+    import struct
+
+    import numpy as np
+
+    if blob is None or len(blob) < 12:
+        return None
+    data = bytes(blob)
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, pcm = 12, None, None
+    while pos + 8 <= len(data):
+        cid, sz = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            return None
+        if cid == b"fmt " and sz >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or pcm is None:
+        return None
+    audio_format, ch, rate, _br, _al, bits = fmt
+    if audio_format != 1 or bits != 16 or ch < 1 or rate < 1:
+        return None
+    frames = len(pcm) // (ch * 2)
+    if frames == 0:
+        return None
+    samples = np.frombuffer(pcm, dtype="<i2", count=frames * ch).reshape(
+        frames, ch
+    )
+    return samples, rate
+
+
+def _encode_wav(samples, rate: int) -> bytes:
+    """Inverse of :func:`_wav_pcm16` — same chunk layout
+    ``pack_synthetic_wav`` writes (RIFF, fmt(16), data), so an
+    identity round-trip is byte-exact."""
+    import struct
+
+    import numpy as np
+
+    frames, ch = samples.shape
+    pcm = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_resample(
+    df: DataFrame,
+    rate: int | str,
+    blob_col: str = "media",
+    batch_cols: list[str] | None = None,
+) -> DataFrame:
+    """REAL audio resample (r07): decode RIFF/WAVE PCM16 → per-channel
+    linear interpolation onto the target rate's sample grid
+    (sample-aligned: out frame ``j`` reads source position
+    ``j · src_rate / out_rate``) → re-encode WAV. Pure numpy over
+    ``mapInPandas`` Arrow batches, same plumbing contract as
+    :func:`image_resize`; ``rate`` is an int or a per-row column
+    name.
+
+    Identity contract: resampling to the source's own rate is
+    BYTE-EXACT (integer sample positions, unit weights, mirrored
+    writer) — the oracle hook. Unparseable / non-PCM16 blobs and
+    NULL or non-positive targets yield NULL rows. Returns
+    ``batch_cols`` + ``blob_col`` (resampled) + ``resampled_rate`` +
+    ``resampled_frames``."""
+    if isinstance(rate, int) and rate <= 0:
+        raise ValueError(f"target rate must be positive, got {rate}")
+    from .. import context
+
+    context.ship_package(df.sparkSession)
+    target_cols = [rate] if isinstance(rate, str) else []
+    keep = batch_cols or [
+        c for c in df.columns if c != blob_col and c not in target_cols
+    ]
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep]
+        + [
+            T.StructField(blob_col, T.BinaryType()),
+            T.StructField("resampled_rate", T.IntegerType()),
+            T.StructField("resampled_frames", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            rt = pdf[rate] if isinstance(rate, str) else [rate] * n
+            blobs, rates, counts = [], [], []
+            for blob, tr in zip(pdf[blob_col], rt):
+                parsed = _wav_pcm16(blob)
+                ok = (
+                    parsed is not None
+                    and tr is not None
+                    and tr == tr  # NaN guard (Arrow nullable ints)
+                    and int(tr) > 0
+                )
+                if not ok:
+                    blobs.append(None)
+                    rates.append(None)
+                    counts.append(None)
+                    continue
+                samples, src_rate = parsed
+                tr = int(tr)
+                frames = samples.shape[0]
+                out_n = max(1, frames * tr // src_rate)
+                xs = np.arange(out_n, dtype=np.float64) * (src_rate / tr)
+                src = np.arange(frames, dtype=np.float64)
+                chans = [
+                    np.clip(
+                        np.rint(
+                            np.interp(xs, src, samples[:, c].astype(np.float64))
+                        ),
+                        -32768,
+                        32767,
+                    )
+                    for c in range(samples.shape[1])
+                ]
+                out = np.stack(chans, axis=1).astype("<i2")
+                blobs.append(_encode_wav(out, tr))
+                rates.append(tr)
+                counts.append(out_n)
+            res = pdf[keep].copy()
+            res[blob_col] = blobs
+            res["resampled_rate"] = rates
+            res["resampled_frames"] = counts
+            yield res
+
+    return df.mapInPandas(run, out_schema)
+
+
 def pack_synthetic_video(df: DataFrame, id_col: str) -> DataFrame:
     """Deterministic raw-RGB 'video' container with closed-form
     pixels (the fixture side of the REAL :func:`frame_sample`):

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "streaming_url_dedup",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "multimodal_resample",
 ]
 
 

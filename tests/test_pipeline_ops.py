@@ -1510,3 +1510,42 @@ def test_frame_sample_real_decode_ticks_and_corrupt_policy(spark):
     assert got[(2, 0)]["frame_mean_byte"] == 200.0
     assert all(r["doc_id"] != 3 for r in rows)
     assert len(rows) == 4
+
+
+def test_audio_resample_identity_ratechange_and_policies(spark):
+    """Real audio resample: identity rate is byte-exact; a real rate
+    change preserves duration while scaling the frame count; corrupt
+    blobs and NULL per-row targets yield NULL rows."""
+    import numpy as np
+
+    from ariadne_spark.operators import multimodal as mm
+
+    t = np.arange(800)
+    wave = (1000 * np.sin(2 * np.pi * 50 * t / 8000)).astype("<i2")
+    blob = bytearray(mm._encode_wav(wave.reshape(-1, 1), 8000))
+    df = spark.createDataFrame(
+        [(1, blob), (2, bytearray(b"not audio"))], "doc_id long, media binary"
+    )
+
+    ident = {r["doc_id"]: r for r in mm.audio_resample(df, 8000).collect()}
+    assert bytes(ident[1]["media"]) == bytes(blob)
+    assert ident[2]["media"] is None and ident[2]["resampled_rate"] is None
+
+    down = {r["doc_id"]: r for r in mm.audio_resample(df, 4000).collect()}
+    assert down[1]["resampled_frames"] == 400
+    feats = mm.decode_audio(
+        mm.audio_resample(df, 4000).where(F.col("media").isNotNull()),
+        "media", codec="wav", batch_cols=["doc_id"],
+    ).collect()[0]
+    assert feats["sample_rate_hz"] == 4000
+    assert feats["duration_ms"] == 100.0  # 800/8000 == 400/4000
+    # a 50 Hz tone resampled 2x down keeps its RMS shape (~707)
+    assert abs(feats["rms"] - 707) < 30
+
+    tdf = spark.createDataFrame(
+        [(1, blob, 16000), (2, blob, None)],
+        "doc_id long, media binary, tr int",
+    )
+    out = {r["doc_id"]: r for r in mm.audio_resample(tdf, "tr").collect()}
+    assert out[1]["resampled_rate"] == 16000 and out[1]["resampled_frames"] == 1600
+    assert out[2]["media"] is None
