@@ -2789,6 +2789,56 @@ def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select("doc_id", "url_key")
 
 
+def q_streaming_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-domain quota (crawl anti-monoculture at ingest):
+    3 micro-batches; at most 5 docs per registerable domain survive
+    across ALL batches (persisted per-domain usage store). URLs
+    synthesize so every domain lives in ONE batch (domain key =
+    (doc_id%3, doc_id div 3 % 20), batch = doc_id%3), making the
+    survivor set equal to the batch operator's md5-rank answer
+    independent of micro-batch order — fully oracle-checked."""
+    from ariadne_spark.streaming.maintenance import (
+        attach_domain_quota_maintenance,
+    )
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    src = f"{base}/docs_stream"
+    if not os.path.exists(f"{src}/_DONE"):
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        for i in range(3):
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/part{i}")
+        with open(f"{src}/_DONE", "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(f"{src}/part0").schema
+    b = F.col("doc_id") % 3
+    g = F.expr("doc_id div 3") % 20
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://www.Site")).otherwise(
+            F.lit("http://site")
+        ),
+        b.cast("string"), F.lit("x"), g.cast("string"),
+        F.lit(".co.uk/p/"), F.col("doc_id").cast("string"),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/part*")
+        .withColumn("url", url)
+    )
+    sink = f"{base}/_stream_sink/domain_quota"
+    store = f"{base}/_stream_sink/domain_quota_store"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+    q = attach_domain_quota_maintenance(
+        stream, store, sink, n_per_domain=5, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink).select("doc_id", "domain")
+
+
 def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end data selection: DSIR importance weights against the
     lang='en' target, then the exact top-100 documents by score with
@@ -2969,6 +3019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": q_corpus_line_dedup,
         "dedup_simhash": q_dedup_simhash,
         "streaming_url_dedup": q_streaming_url_dedup,
+        "streaming_domain_quota": q_streaming_domain_quota,
         "idx_filter_range_bbox": q_idx_filter_range_bbox,
         "idx_select_pushdown": q_idx_select_pushdown,
         "source_json": q_source_json,
@@ -4033,6 +4084,26 @@ def oracle_sql() -> dict[str, str]:
 # every duplicate-URL group lives in one micro-batch by construction
 # (see q_streaming_url_dedup), so first-batch-wins == global min id
 # and the twin is pure arithmetic on the key grid
+# every domain lives in one micro-batch by construction (see
+# q_streaming_domain_quota), so the cross-batch quota equals the
+# single-batch md5-rank quota and the twin is pure key-grid arithmetic
+"streaming_domain_quota": """
+            WITH k AS (
+                SELECT doc_id, doc_id % 3 AS b, (doc_id // 3) % 20 AS g
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id,
+                       'site' || CAST(b AS VARCHAR) || 'x' ||
+                       CAST(g AS VARCHAR) || '.co.uk' AS domain,
+                       row_number() OVER (
+                           PARTITION BY b, g
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM k
+            )
+            SELECT doc_id, domain FROM r WHERE rn <= 5
+        """,
 "streaming_url_dedup": """
             WITH k AS (
                 SELECT doc_id % 3 AS b, (doc_id // 3) % 55 AS g, doc_id

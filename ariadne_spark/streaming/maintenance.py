@@ -27,7 +27,7 @@ import glob
 import logging
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -340,6 +340,87 @@ def attach_quality_gate(
             judged.where(~F.col("keep")).write.mode("append").parquet(
                 rejects_path
             )
+
+    writer = stream_df.writeStream.foreachBatch(do_batch)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def attach_domain_quota_maintenance(
+    stream_df: DataFrame,
+    store_path: str,
+    out_path: str,
+    n_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    trigger: dict | None = None,
+):
+    """Continuous-crawl per-domain quota as a streaming sink: across
+    ALL micro-batches, at most ``n_per_domain`` documents per
+    registerable domain (:func:`~ariadne_spark.operators.corpus.
+    registrable_domain`) survive — the anti-monoculture cap applied
+    at ingest time instead of as a batch pass. Within a batch each
+    domain's remaining budget is filled by the smallest-md5(id) rows
+    (quota_sample's deterministic rule); the persisted store holds
+    one ``(domain, used)`` row per domain. NULL-domain rows are
+    dropped (same contract as the batch operator).
+
+    Write ordering is survivors-first, store-last (the url-dedup
+    ledger posture): a crash between the two re-emits a batch on
+    restart but never loses rows; the store upsert is a read-all +
+    overwrite of a domains-cardinality table — tiny by definition
+    (one row per DOMAIN, not per document)."""
+    from ..operators.corpus import registrable_domain
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        domained = batch_df.withColumn(
+            "domain", registrable_domain(url_col)
+        ).where(F.col("domain").isNotNull())
+        if glob.glob(f"{store_path}/*.parquet"):
+            used = spark.read.parquet(store_path)
+        else:
+            used = spark.createDataFrame([], "domain string, used bigint")
+        # remaining budget per domain joins the batch (left: unseen
+        # domains start at 0); rank within (batch, domain) by the
+        # deterministic md5 rule and keep rows under the budget
+        ranked = domained.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("domain").orderBy(
+                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
+                )
+            ),
+        ).join(F.broadcast(used), "domain", "left")
+        kept = ranked.where(
+            F.col("__rk") + F.coalesce(F.col("used"), F.lit(0))
+            <= F.lit(n_per_domain)
+        ).drop("__rk", "used")
+        kept.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_path)
+        new_used = (
+            kept.groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("__add"))
+            .join(used, "domain", "full")
+            .select(
+                "domain",
+                (
+                    F.coalesce(F.col("__add"), F.lit(0))
+                    + F.coalesce(F.col("used"), F.lit(0))
+                ).cast("bigint").alias("used"),
+            )
+        )
+        # domains-cardinality table: collect + rewrite is exact and
+        # atomic enough for the ledger (one row per DOMAIN)
+        rows = new_used.collect()
+        spark.createDataFrame(
+            rows or [], "domain string, used bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(store_path)
+        log.info("domain quota maintenance: batch %d done", batch_id)
 
     writer = stream_df.writeStream.foreachBatch(do_batch)
     if trigger:

@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_resample",
+    "streaming_domain_quota",
 ]
 
 

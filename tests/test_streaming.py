@@ -442,3 +442,69 @@ def test_attach_url_dedup_first_wins_and_ledger_persists(spark, tmp_path):
     q2.awaitTermination()
     got2 = {r["doc_id"] for r in spark.read.parquet(out2).collect()}
     assert got2 == {12}
+
+
+def test_attach_domain_quota_depletes_across_batches(spark, tmp_path):
+    """Cross-batch budget: a domain spanning micro-batches consumes
+    its quota cumulatively (batch A takes 2 of 3, batch B gets only
+    1 more); within a batch the md5-smallest ids win; null-domain
+    rows drop."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark.streaming.maintenance import (
+        attach_domain_quota_maintenance,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    rows_a = [
+        (1, "http://a.com/1"),
+        (2, "http://a.com/2"),
+        (3, "not a url"),
+    ]
+    rows_b = [
+        (4, "http://a.com/4"),
+        (5, "http://a.com/5"),
+        (6, "http://b.com/6"),
+    ]
+    src = str(tmp_path / "dq_src")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/fa")
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/fb")
+
+    out = str(tmp_path / "dq_out")
+    store = str(tmp_path / "dq_store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = attach_domain_quota_maintenance(
+        stream, store, out, n_per_domain=3, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    per = {
+        r["domain"]: r["c"]
+        for r in got.groupBy("domain").agg(F.count("*").alias("c")).collect()
+    }
+    # a.com: 2 from batch A + 1 from batch B = quota 3; b.com: 1
+    assert per == {"a.com": 3, "b.com": 1}
+    ids_a = sorted(
+        r["doc_id"] for r in got.where(F.col("domain") == "a.com").collect()
+    )
+    assert 1 in ids_a and 2 in ids_a and len(ids_a) == 3
+    assert 3 not in {r["doc_id"] for r in got.collect()}
+    # the store records cumulative usage
+    used = {
+        r["domain"]: r["used"]
+        for r in spark.read.parquet(store).collect()
+    }
+    assert used == {"a.com": 3, "b.com": 1}
