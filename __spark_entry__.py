@@ -2565,6 +2565,109 @@ def q_text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): per-line
+    terminal-punctuation / min-words / blockword rules, page-level
+    lorem-ipsum / brace / min-lines verdict. The corpus has no
+    newlines or punctuation, so the query derives punctuated 8-word
+    lines first (full lines end '.'; the tail remainder does not, so
+    the punctuation rule genuinely drops it) and plants rule triggers
+    on a doc_id grid: %3 → a 2-word line (min-words), %5 → a
+    'javascript' line, %7 → 'lorem ipsum' (page kill), %11 → '{'
+    (page kill). Zero-shuffle projection; full value oracle."""
+    from ariadne_spark.operators.text import c4_line_filter
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    ml = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1.\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\nso short.")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nthis page uses JavaScript tracking code."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nlorem ipsum dolor sit amet."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("\ncss reset { margin: 0; }.")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_line_filter(ml).select(
+        "doc_id", "text", "n_lines_total", "n_lines_kept", "keep"
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (NFC + typographic-punctuation folding
+    + control strip + whitespace rules): the ONE Python step (NFC, an
+    Arrow-batched pandas UDF over unicodedata) is value-oracled
+    against DuckDB's ICU ``nfc_normalize`` — a fully oracle-checked
+    UDF operator. The corpus is ASCII, so the query salts each doc
+    with denormalized content on a doc_id grid (%2 → combining acute,
+    %3 → curly quotes + em dash, %5 → NBSP/tab runs, %7 → a C0
+    control) plus a universal messy tail so every rule fires."""
+    from ariadne_spark.operators.text import normalize_text
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                # decomposed e+COMBINING ACUTE so NFC composes
+                F.lit(" cafe\u0301 touche\u0301"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(
+                    " \u201cquoted\u201d \u2018s\u2019 a\u2014b"
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" x\u00a0y\tz   w")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" a\x07b")).otherwise(
+                F.lit("")
+            ),
+            F.lit("  \n\n\n\n tail.  "),
+        ).alias("text"),
+    )
+    return normalize_text(salted).select(
+        "doc_id", "text", "n_chars_before", "n_chars_after", "changed"
+    )
+
+
+_BLOCKLIST_DOMAINS = ["src3-news.com", "sub.src7-news.co.uk", "src12-news.co.uk"]
+
+
+def q_corpus_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain-blocklist filter over the synthetic crawl URLs:
+    an entry blocks its host and every subdomain (label-aligned suffix
+    match through a broadcast hash join on the host's suffix set —
+    never a scan of the list). The three entries exercise all shapes:
+    a registrable .com domain (blocks www./sub. variants), a full
+    3-label host (blocks only that subdomain), and a .co.uk
+    registrable domain. Kept rows only; full value oracle."""
+    from ariadne_spark.operators.corpus import blocklist_filter, url_host
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    with_url = docs.withColumn("url", _synthetic_url("domain"))
+    bl = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST_DOMAINS], ["domain"]
+    )
+    kept = blocklist_filter(with_url, bl)
+    return kept.select(
+        "doc_id", url_host("url").alias("host"), "source", "lang"
+    )
+
+
 def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mixture audit: per (source, lang) doc/token/char totals
     and integer-ppm token share — the table mixture weights are set
@@ -2931,7 +3034,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_filter_computed": q_idx_filter_computed,
         "idx_filter_range": q_idx_filter_range,
         "idx_filter_band": q_idx_filter_band,
-        "idx_footer_range": q_idx_footer_range,
+        # r07 second rotation: the session's three new oracle-backed
+        # operator classes (C4 line cleaning, unicode normalization —
+        # a fully value-oracled pandas-UDF op — and the domain
+        # blocklist filter) take window slots; displaced past the
+        # window: idx_footer_range (idx_filter_range/band stay),
+        # dedup_incremental (six dedup rows stay), sim_topk (four ANN
+        # rows stay) — all still replica-swept at both scales.
+        "text_c4_filter": q_text_c4_filter,
+        "text_normalize": q_text_normalize,
+        "corpus_blocklist": q_corpus_blocklist,
         "idx_join_bloom": q_idx_join_bloom,
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
@@ -2960,7 +3072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": q_dedup_cluster,
         "dedup_minhash": q_dedup_minhash,
         "dedup_fuzzy_keepset": q_dedup_fuzzy_keepset,
-        "dedup_incremental": q_dedup_incremental,
         "dedup_substring": q_dedup_substring,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_banded": q_sim_ann_banded,
@@ -2993,7 +3104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_url_dedup": q_corpus_url_dedup,
         "corpus_importance": q_corpus_importance,
         "profile_docs": q_profile_docs,
-        "sim_topk": q_sim_topk,
         "sim_ann_ivf": q_sim_ann_ivf,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -3002,6 +3112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_join_pruned": q_sql_join_pruned,
         # --- past the driver gate window: covered by the full
         # replica sweep at sf0.001 + sf0.01 each round ---
+        "idx_footer_range": q_idx_footer_range,
+        "dedup_incremental": q_dedup_incremental,
+        "sim_topk": q_sim_topk,
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_substring_inc": q_dedup_substring_inc,
         "streaming_window": q_streaming_window,
@@ -3829,6 +3942,118 @@ def oracle_sql() -> dict[str, str]:
                       / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stopword_ratio
             FROM documents
         """.format(stop_list=stop_list),
+        # C4 line cleaning: same derived punctuated lines + planted
+        # rule triggers; every rule is list_filter/regexp_matches —
+        # raw is kept under its own name because DuckDB lateral
+        # aliases would otherwise bind `text` to the cleaned column
+        "text_c4_filter": r"""
+            WITH ml AS (
+                SELECT doc_id,
+                       regexp_replace(text, '((?:\S+ ){7}\S+) ',
+                                      '\1.' || chr(10), 'g')
+                       || (CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || 'so short.' ELSE '' END)
+                       || (CASE WHEN doc_id % 5 = 0
+                           THEN chr(10) || 'this page uses JavaScript tracking code.'
+                           ELSE '' END)
+                       || (CASE WHEN doc_id % 7 = 0
+                           THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                           ELSE '' END)
+                       || (CASE WHEN doc_id % 11 = 0
+                           THEN chr(10) || 'css reset { margin: 0; }.'
+                           ELSE '' END) AS raw
+                FROM documents
+            ), f AS (
+                SELECT doc_id, raw,
+                       string_split(raw, chr(10)) AS ls,
+                       list_filter(string_split(raw, chr(10)), l ->
+                           regexp_matches(trim(l), '[.!?"]$')
+                           AND len(string_split_regex(trim(l), '\s+')) >= 3
+                           AND NOT contains(lower(l), 'javascript')) AS kept
+                FROM ml
+            )
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS text,
+                   CAST(len(ls) AS BIGINT) AS n_lines_total,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   ((NOT contains(lower(raw), 'lorem ipsum'))
+                    AND (NOT contains(lower(raw), '{'))
+                    AND len(kept) >= 5) AS keep
+            FROM f
+        """,
+        # unicode canonicalization: DuckDB's ICU nfc_normalize is the
+        # oracle for the pandas-UDF NFC step; every later step mirrors
+        # the Spark built-in (global regexp_replace / translate)
+        "text_normalize": r"""
+            WITH s AS (
+                SELECT doc_id, text ||
+                    (CASE WHEN doc_id % 2 = 0
+                     THEN ' cafe' || chr(769) || ' touche' || chr(769)
+                     ELSE '' END) ||
+                    (CASE WHEN doc_id % 3 = 0
+                     THEN ' ' || chr(8220) || 'quoted' || chr(8221) || ' '
+                          || chr(8216) || 's' || chr(8217) || ' a'
+                          || chr(8212) || 'b'
+                     ELSE '' END) ||
+                    (CASE WHEN doc_id % 5 = 0
+                     THEN ' x' || chr(160) || 'y' || chr(9) || 'z   w'
+                     ELSE '' END) ||
+                    (CASE WHEN doc_id % 7 = 0
+                     THEN ' a' || chr(7) || 'b' ELSE '' END) ||
+                    '  ' || repeat(chr(10), 4) || ' tail.  ' AS raw
+                FROM documents
+            ), n AS (
+                SELECT doc_id, raw,
+                       translate(nfc_normalize(raw),
+                           chr(8216) || chr(8217) || chr(8220) || chr(8221)
+                           || chr(8211) || chr(8212) || chr(160),
+                           chr(39) || chr(39) || '""--' || ' ') AS t1
+                FROM s
+            ), c AS (
+                SELECT doc_id, raw,
+                       regexp_replace(t1,
+                           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS t2
+                FROM n
+            ), w AS (
+                SELECT doc_id, raw,
+                       trim(regexp_replace(regexp_replace(regexp_replace(t2,
+                           '[ \t]+', ' ', 'g'),
+                           ' ?\n ?', chr(10), 'g'),
+                           '\n{3,}', chr(10) || chr(10), 'g')) AS t3
+                FROM c
+            )
+            SELECT doc_id, t3 AS text,
+                   CAST(length(raw) AS BIGINT) AS n_chars_before,
+                   CAST(length(t3) AS BIGINT) AS n_chars_after,
+                   t3 <> raw AS changed
+            FROM w
+        """,
+        # domain blocklist: an entry blocks its host and every
+        # subdomain — exact host match OR label-aligned '.'-suffix
+        "corpus_blocklist": """
+            WITH u AS (
+                SELECT doc_id, source, lang,
+                       (CASE WHEN doc_id % 3 = 0 THEN 'https://www.' ELSE 'http://sub.' END)
+                       || source || '-news'
+                       || (CASE WHEN doc_id % 4 = 0 THEN '.co.uk' ELSE '.com' END)
+                       || '/articles/' || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            ),
+            h AS (
+                SELECT doc_id, source, lang,
+                       lower(regexp_extract(url,
+                           '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host
+                FROM u
+            )
+            SELECT doc_id, host, source, lang
+            FROM h
+            WHERE NOT EXISTS (
+                SELECT 1 FROM (VALUES {bl_values}) AS bl(d)
+                WHERE h.host = bl.d OR ends_with(h.host, '.' || bl.d)
+            )
+        """.format(
+            bl_values=", ".join(f"('{d}')" for d in _BLOCKLIST_DOMAINS)
+        ),
         "text_gopher_filter": gopher_sql,
         "streaming_quality_gate": (
             "WITH g AS (" + gopher_sql + ") "

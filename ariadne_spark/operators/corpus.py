@@ -452,6 +452,68 @@ def domain_quota(
     return quota_sample(domained, "domain", n_per_domain, id_col=id_col)
 
 
+def url_host(url_col: str | Column) -> Column:
+    """The lowercased host of a URL (userinfo stripped, port
+    excluded) as a pure projection; empty string when the value has
+    no ``scheme://host`` shape. Same portable regex as
+    :func:`registrable_domain` step 1."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.lower(
+        F.regexp_extract(
+            c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1
+        )
+    )
+
+
+def host_suffixes(host: Column) -> Column:
+    """All label-aligned suffixes of a host, longest first:
+    ``a.b.co.uk`` → ``[a.b.co.uk, b.co.uk, co.uk, uk]``. The key set a
+    domain blocklist is probed with (an entry blocks a host iff it
+    equals one of these). Empty array for an empty host."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    sfx = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    return F.when(host == "", F.array().cast("array<string>")).otherwise(sfx)
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop rows whose URL host is covered by a domain blocklist
+    (UT1-style adult/malware/tracker lists): an entry ``d`` blocks a
+    host iff ``host == d`` or ``host`` ends with ``.d`` — i.e. the
+    entry matches the host or any parent domain, so ``example.com``
+    blocks ``cdn.a.example.com`` and ``ads.example.com`` blocks its
+    subdomains without blocking ``example.com`` itself. Rows with no
+    parseable host are KEPT (nothing to match).
+
+    Scale shape: the host's ≤ label-count suffix set is probed
+    through a broadcast hash join (blocklists are millions of rows —
+    ≪ executor memory — while the corpus is the 100-TB side), so
+    matching is O(labels) per row with NO comparison against the
+    whole list. Only MATCHING ids reach the shuffle of the final
+    ``left_anti`` (on a clean corpus, near zero — the same
+    matched-rows-only shape as contamination_check); under AQE the
+    small blocked-id side broadcasts and the whole filter is
+    shuffle-free."""
+    host = url_host(url_col)
+    cand = df.select(
+        F.col(id_col), F.explode(host_suffixes(host)).alias("__d")
+    )
+    bl = blocklist.select(F.col(domain_col).alias("__d")).distinct()
+    blocked = (
+        cand.join(F.broadcast(bl), "__d", "leftsemi").select(id_col).distinct()
+    )
+    return df.join(blocked, id_col, "left_anti")
+
+
 def pii_redact_columns(text_col: str | Column = "text") -> dict[str, Column]:
     """``redacted`` text plus per-kind and total match counts as
     appendable Columns. Counts are taken on the ORIGINAL text

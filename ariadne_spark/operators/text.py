@@ -414,6 +414,189 @@ def gopher_filter_columns(
     }
 
 
+# the C4 paper's page-level blocklist (Raffel et al. 2020 §2.2):
+# boilerplate markers that flag a page as non-natural-language
+C4_PAGE_BLOCK_PHRASES: list[str] = ["lorem ipsum", "{"]
+# line-level block words: a line mentioning these is navigation /
+# script boilerplate, not prose
+C4_LINE_BLOCK_WORDS: list[str] = ["javascript"]
+
+
+def c4_line_filter_columns(
+    text_col: str = "text",
+    *,
+    min_words_per_line: int = 3,
+    min_lines: int = 5,
+    line_sep: str = "\n",
+    line_block_words: list[str] | None = None,
+    page_block_phrases: list[str] | None = None,
+) -> dict[str, Column]:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) as
+    single-scan appendable Columns: the cleaned ``text`` (surviving
+    lines re-joined in original order), ``n_lines_total``,
+    ``n_lines_kept``, and the page verdict ``keep``.
+
+    Line rules — a line survives iff ALL hold:
+
+    - ends in a terminal punctuation mark (``.`` ``!`` ``?`` ``"``,
+      after right-trim),
+    - has at least ``min_words_per_line`` whitespace words,
+    - mentions none of ``line_block_words`` (case-insensitive;
+      default: the C4 'javascript' rule).
+
+    Page rules — ``keep`` iff at least ``min_lines`` lines survive
+    (the paper's ≥5-sentence rule, with kept lines as the sentence
+    proxy) and the RAW page contains none of ``page_block_phrases``
+    (case-insensitive; default: 'lorem ipsum' and ``{``).
+
+    Everything is higher-order built-ins over one line array — a pure
+    per-row projection, zero shuffles, scan-speed at 100 TB. Sister
+    operator to the global boilerplate pass
+    :func:`~ariadne_spark.operators.corpus.line_dedup` (which needs a
+    shuffle because its rule is cross-document); run this one first
+    so the shuffle only carries surviving lines. Portable semantics:
+    the DuckDB twin expresses every rule with list_filter /
+    regexp_matches and is a full value oracle."""
+    blocked_words = [
+        w.lower()
+        for w in (
+            line_block_words
+            if line_block_words is not None
+            else C4_LINE_BLOCK_WORDS
+        )
+    ]
+    phrases = [
+        p.lower()
+        for p in (
+            page_block_phrases
+            if page_block_phrases is not None
+            else C4_PAGE_BLOCK_PHRASES
+        )
+    ]
+    t = F.col(text_col)
+    lines = F.split(t, line_sep, -1)
+
+    def line_ok(l: Column) -> Column:
+        trimmed = F.trim(l)
+        ok = trimmed.rlike('[.!?"]$')
+        ok = ok & (
+            F.size(F.split(trimmed, r"\s+")) >= F.lit(min_words_per_line)
+        )
+        low = F.lower(l)
+        for w in blocked_words:
+            ok = ok & ~low.contains(w)
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    page_clean = F.lit(True)
+    low_t = F.lower(t)
+    for p in phrases:
+        page_clean = page_clean & ~low_t.contains(p)
+    n_kept = F.size(kept).cast("bigint")
+    return {
+        "text": F.array_join(kept, line_sep),
+        "n_lines_total": F.size(lines).cast("bigint"),
+        "n_lines_kept": n_kept,
+        "keep": page_clean & (n_kept >= F.lit(min_lines)),
+    }
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **options,
+) -> DataFrame:
+    """Per-document C4 cleaning verdict: ``(id, text, n_lines_total,
+    n_lines_kept, keep)`` — see :func:`c4_line_filter_columns`.
+
+    Reference parity: like :func:`gopher_filter`, this packages a
+    published rule set behind the scalar-expression surface the
+    reference exposes (SURVEY.md §2.8) as one deterministic operator
+    with an audit trail (line counts + page verdict)."""
+    cols = c4_line_filter_columns(text_col, **options)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
+# Unicode-normalization character maps: typographic quotes/dashes and
+# NBSP → their ASCII equivalents. Single-codepoint 1:1 mapping so both
+# engines' translate() agree.
+_PUNCT_FROM = "\u2018\u2019\u201c\u201d\u2013\u2014\u00a0"
+_PUNCT_TO = "''\"\"-- "
+# C0 controls except \t \n, plus DEL — RE2 and Java regex both accept
+# the \x escapes, so the pattern is engine-portable
+_CONTROL_PAT = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text_columns(
+    text_col: str = "text", *, nfc_col: Column | None = None
+) -> dict[str, Column]:
+    """Deterministic text canonicalization as appendable Columns:
+    ``text`` (normalized), ``n_chars_before``, ``n_chars_after``,
+    ``changed``. Steps, in order:
+
+    1. Unicode NFC composition (combining sequences → precomposed) —
+       the ONE Python step, an Arrow-batched pandas UDF over the C
+       ``unicodedata`` table (Spark SQL has no NFC built-in); pass a
+       pre-computed ``nfc_col`` to share it across operators,
+    2. typographic punctuation folding (curly quotes, en/em dash,
+       NBSP → ASCII) via ``translate`` — 1:1 codepoint map,
+    3. C0-control/DEL strip (tab and newline survive),
+    4. whitespace canonicalization: space/tab runs → one space,
+       spaces hugging a newline dropped, 3+ newlines → 2, ends
+       trimmed.
+
+    Every step after NFC is a JVM built-in; the UDF is the only
+    Python round-trip and is vectorized (one Arrow batch per ~10k
+    rows, no per-row pickling). The DuckDB twin mirrors each step
+    (``nfc_normalize`` / ``translate`` / global ``regexp_replace``)
+    so the whole pipeline — including the UDF — is value-oracled."""
+    t = F.col(text_col)
+    composed = nfc_col if nfc_col is not None else nfc(t)
+    folded = F.translate(composed, _PUNCT_FROM, _PUNCT_TO)
+    stripped = F.regexp_replace(folded, _CONTROL_PAT, "")
+    ws = F.regexp_replace(stripped, r"[ \t]+", " ")
+    ws = F.regexp_replace(ws, r" ?\n ?", "\n")
+    ws = F.regexp_replace(ws, r"\n{3,}", "\n\n")
+    out = F.trim(ws)
+    return {
+        "text": out,
+        "n_chars_before": F.length(t).cast("bigint"),
+        "n_chars_after": F.length(out).cast("bigint"),
+        "changed": out != t,
+    }
+
+
+def nfc(col: str | Column) -> Column:
+    """Unicode NFC composition of a string column via an Arrow-batched
+    pandas UDF (vectorized ``unicodedata.normalize``; NULL-safe)."""
+    from pyspark.sql.functions import pandas_udf
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    @pandas_udf("string")
+    def _nfc(s):  # pd.Series -> pd.Series
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return _nfc(c)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonicalize a text column (NFC + punctuation folding +
+    control strip + whitespace rules): ``(id, text, n_chars_before,
+    n_chars_after, changed)`` — the first pass of every ingest
+    pipeline, upstream of hashing/dedup so byte-different renderings
+    of the same content collide. See :func:`normalize_text_columns`."""
+    cols = normalize_text_columns(text_col)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])
+
+
 def gopher_filter(
     df: DataFrame,
     text_col: str = "text",

@@ -1222,3 +1222,136 @@ def test_importance_weights_predicate_target_equals_dataframe_target(spark):
         ).collect()
     }
     assert a == b and len(a) == 5
+
+
+# --- c4_line_filter --------------------------------------------------------
+
+
+def test_c4_line_filter_rules_fire_per_line_and_per_page(spark):
+    good5 = "\n".join(
+        f"Good line number {w} is here." for w in ["one", "two", "three", "four", "five"]
+    )
+    rows = [
+        # line rules: no terminal punct / too few words / javascript
+        (1, good5 + "\nno terminal punct here\nOk.\nMentions JavaScript heavily."),
+        # page rules: lorem ipsum / brace kill the page outright
+        (2, good5 + "\nSome Lorem Ipsum padding text."),
+        (3, good5 + "\nHas a { brace in it."),
+        # too few surviving lines
+        (4, "Only one good line here."),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.c4_line_filter(df).collect()}
+    # doc 1: the three bad lines dropped, 5 good + nothing else
+    assert got[1]["n_lines_total"] == 8
+    assert got[1]["n_lines_kept"] == 5
+    assert got[1]["keep"] is True
+    assert "javascript" not in got[1]["text"].lower()
+    assert "no terminal punct" not in got[1]["text"]
+    assert "Ok." not in got[1]["text"]  # 1 word < 3
+    # kept lines preserve original order
+    assert got[1]["text"].split("\n") == good5.split("\n")
+    assert got[2]["keep"] is False and got[2]["n_lines_kept"] == 6
+    assert got[3]["keep"] is False
+    assert got[4]["keep"] is False and got[4]["n_lines_kept"] == 1
+    assert got[5]["keep"] is None  # NULL text propagates, never throws
+
+
+def test_c4_line_filter_thresholds_are_parameters(spark):
+    df = spark.createDataFrame(
+        [(1, "One two.\nThree four!\nxx yy zz")], "doc_id bigint, text string"
+    )
+    out = text.c4_line_filter(df, min_words_per_line=2, min_lines=2).collect()[0]
+    assert out["n_lines_kept"] == 2 and out["keep"] is True
+    strict = text.c4_line_filter(df, min_words_per_line=3, min_lines=1).collect()[0]
+    assert strict["n_lines_kept"] == 0 and strict["keep"] is False
+
+
+# --- normalize_text --------------------------------------------------------
+
+
+def test_normalize_text_each_step(spark):
+    rows = [
+        (1, "café"),                      # NFC: e + combining acute -> é
+        (2, "“q” ‘s’ a–b c—d"),  # quotes/dashes
+        (3, "a b"),                        # NBSP -> space
+        (4, "a\x07b\x00c"),                     # control strip
+        (5, "  x   y\t z  "),                   # space/tab runs + trim
+        (6, "a \n b\n\n\n\n\nc"),               # newline hygiene
+        (7, None),
+        (8, "already clean"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.normalize_text(df).collect()}
+    assert got[1]["text"] == "café" and got[1]["n_chars_after"] == 4
+    assert got[2]["text"] == "\"q\" 's' a-b c-d"
+    assert got[3]["text"] == "a b"
+    assert got[4]["text"] == "abc"
+    assert got[5]["text"] == "x y z"
+    assert got[6]["text"] == "a\nb\n\nc"
+    assert got[7]["text"] is None and got[7]["changed"] is None
+    assert got[8]["text"] == "already clean" and got[8]["changed"] is False
+    assert all(
+        r["changed"] is True for i, r in got.items() if i not in (7, 8)
+    )
+
+
+def test_normalize_text_is_idempotent(spark, docs):
+    """normalize(normalize(x)) == normalize(x) — the canonical-form
+    contract dedup keys rely on (checked over the real corpus plus a
+    salted messy suffix so every step actually fires)."""
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" é “x”  \n\n\n\n y\t"),
+        ).alias("text"),
+    )
+    once = text.normalize_text(salted)
+    twice = text.normalize_text(once)
+    a = rows_set(once.select("doc_id", "text"))
+    b = rows_set(twice.select("doc_id", "text"))
+    assert a == b
+    # and the second pass reports nothing changed
+    assert twice.where(F.col("changed")).count() == 0
+
+
+# --- blocklist_filter ------------------------------------------------------
+
+
+def test_host_suffixes_label_aligned(spark):
+    df = spark.createDataFrame([(1, "a.b.co.uk"), (2, "")], "i int, h string")
+    got = {
+        r["i"]: r["s"]
+        for r in df.select(
+            "i", corpus.host_suffixes(F.col("h")).alias("s")
+        ).collect()
+    }
+    assert got[1] == ["a.b.co.uk", "b.co.uk", "co.uk", "uk"]
+    assert got[2] == []
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    urls = spark.createDataFrame(
+        [
+            (1, "https://www.example.com/a"),     # www. host covered by entry
+            (2, "http://cdn.a.example.com/b"),    # deep subdomain covered
+            (3, "http://example.org/c"),          # parent of an entry: kept
+            (4, "http://ads.example.org/d"),      # exact entry host
+            (5, "http://sub.ads.example.org/e"),  # subdomain of entry
+            (6, "not a url"),                     # unparseable: kept
+            (7, "http://notexample.com/f"),       # no label boundary: kept
+        ],
+        "doc_id bigint, url string",
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("ads.example.org",)], ["domain"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in corpus.blocklist_filter(urls, bl).collect()
+    )
+    assert kept == [3, 6, 7]
+    # empty blocklist keeps everything
+    empty = bl.where(F.lit(False))
+    assert corpus.blocklist_filter(urls, empty).count() == 7
