@@ -2668,6 +2668,27 @@ def q_corpus_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_THRESHOLDS = [0.05, 0.1, 0.15, 0.2, 0.25, 0.3]
+
+
+def q_text_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration table: treat the stopword ratio
+    as an is-English score and sweep keep-thresholds against the lang
+    label — one corpus scan with all thresholds as conditional
+    partial-agg sums (nothing exploded), confusion counts exact
+    integers, ratios single IEEE divisions. The twin recomputes the
+    same rounded score and the same conditional sums."""
+    from ariadne_spark.operators.classifier import threshold_sweep
+    from ariadne_spark.operators.text import quality_feature_columns
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    scored = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        quality_feature_columns("text")["stopword_ratio"].alias("score"),
+    )
+    return threshold_sweep(scored, "score", "is_en", _PR_THRESHOLDS)
+
+
 def q_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-mixture audit: per (source, lang) doc/token/char totals
     and integer-ppm token share — the table mixture weights are set
@@ -3044,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_filter": q_text_c4_filter,
         "text_normalize": q_text_normalize,
         "corpus_blocklist": q_corpus_blocklist,
+        "text_pr_curve": q_text_pr_curve,
         "idx_join_bloom": q_idx_join_bloom,
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
@@ -3077,7 +3099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_banded": q_sim_ann_banded,
         "pipeline_clean": q_pipeline_clean,
         "corpus_pack": q_corpus_pack,
-        "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
         # r06 (ADVICE): no-oracle entries (BPE learn/encode, pHash)
         # moved PAST the 50-entry gate window so every gate row carries
@@ -3115,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_footer_range": q_idx_footer_range,
         "dedup_incremental": q_dedup_incremental,
         "sim_topk": q_sim_topk,
+        "text_quality": q_text_quality,
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_substring_inc": q_dedup_substring_inc,
         "streaming_window": q_streaming_window,
@@ -3942,6 +3964,40 @@ def oracle_sql() -> dict[str, str]:
                       / greatest(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stopword_ratio
             FROM documents
         """.format(stop_list=stop_list),
+        # PR-curve calibration: same rounded stopword-ratio score as
+        # text_quality; confusion counts are conditional integer sums
+        # per threshold, ratios single IEEE divisions of those ints
+        "text_pr_curve": r"""
+            WITH s AS (
+                SELECT (lang = 'en') AS y,
+                       round(CAST(len(list_filter(string_split(lower(text), ' '),
+                                 t -> t IN ({stop_list}))) AS DOUBLE)
+                             / greatest(len(string_split_regex(trim(text), '\s+')), 1),
+                             4) AS sc
+                FROM documents
+            ),
+            a AS (
+                SELECT CAST(t.th AS DOUBLE) AS threshold,
+                       CAST(sum(CASE WHEN s.sc >= CAST(t.th AS DOUBLE) AND s.y
+                                THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(sum(CASE WHEN s.sc >= CAST(t.th AS DOUBLE) AND NOT s.y
+                                THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(sum(CASE WHEN s.y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+                       CAST(sum(CASE WHEN NOT s.y THEN 1 ELSE 0 END) AS BIGINT) AS neg
+                FROM s, (VALUES {th_values}) AS t(th)
+                GROUP BY t.th
+            )
+            SELECT threshold, tp, fp,
+                   pos - tp AS fn, neg - fp AS tn,
+                   CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END AS "precision",
+                   CASE WHEN pos > 0 THEN tp / pos END AS recall,
+                   CASE WHEN 2*tp + fp + (pos - tp) > 0
+                        THEN (2*tp) / (2*tp + fp + (pos - tp)) END AS f1
+            FROM a
+        """.format(
+            stop_list=stop_list,
+            th_values=", ".join(f"({t!r})" for t in _PR_THRESHOLDS),
+        ),
         # C4 line cleaning: same derived punctuated lines + planted
         # rule triggers; every rule is list_filter/regexp_matches —
         # raw is kept under its own name because DuckDB lateral

@@ -214,3 +214,80 @@ def nb_log_scores(
         label_col,
         F.coalesce("log_score", F.lit(0.0)).alias("log_score"),
     )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Precision/recall calibration table for a quality-classifier
+    score against a boolean label: one row per threshold with the
+    confusion counts (``tp fp fn tn``) of the rule ``score >=
+    threshold`` plus ``precision``/``recall``/``f1`` — how a pipeline
+    picks its keep-threshold before gating 100 TB on it.
+
+    Scale shape: ONE corpus scan with 2x|thresholds| conditional
+    partial-aggregate sums folded into a single ``df.agg`` (each
+    datum contributes to every threshold map-side; nothing is
+    exploded, no threshold x row blow-up, no shuffle beyond the
+    single-row final agg) — then the one aggregate row is unpivoted
+    to |thresholds| rows with ``stack``, a driver-free constant-size
+    step. NULL scores and NULL labels are excluded from every count
+    (``pos``/``neg`` below), so the table always partitions the
+    scored, labeled population.
+
+    Determinism/oracle: counts are exact integers; the three ratios
+    are single IEEE divisions of those integers (the one-division
+    pattern :func:`mass_classify` uses), so the DuckDB twin is
+    bit-exact. Zero-denominator cells yield NULL, not NaN.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    s = F.col(score_col)
+    y = F.col(label_col).cast("boolean")
+    valid = s.isNotNull() & y.isNotNull()
+    aggs = []
+    for i, t in enumerate(thresholds):
+        hit = valid & (s >= F.lit(float(t)))
+        aggs.append(
+            F.sum(F.when(hit & y, 1).otherwise(0)).cast("bigint").alias(f"tp{i}")
+        )
+        aggs.append(
+            F.sum(F.when(hit & ~y, 1).otherwise(0)).cast("bigint").alias(f"fp{i}")
+        )
+    aggs.append(F.sum(F.when(valid & y, 1).otherwise(0)).cast("bigint").alias("pos"))
+    aggs.append(F.sum(F.when(valid & ~y, 1).otherwise(0)).cast("bigint").alias("neg"))
+    one = df.agg(*aggs)
+    # unpivot: stack(T, lit(t0), tp0, fp0, ...) over the 1-row frame
+    parts = []
+    for i, t in enumerate(thresholds):
+        parts += [f"CAST({float(t)} AS DOUBLE)", f"tp{i}", f"fp{i}"]
+    wide = one.select(
+        F.expr(
+            f"stack({len(thresholds)}, {', '.join(parts)}) "
+            "AS (threshold, tp, fp)"
+        ),
+        "pos",
+        "neg",
+    )
+    tp, fp = F.col("tp"), F.col("fp")
+    fn = (F.col("pos") - tp).alias("fn")
+    tn = (F.col("neg") - fp).alias("tn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(F.col("pos") > 0, tp / F.col("pos"))
+    f1 = F.when(
+        (2 * tp + fp + (F.col("pos") - tp)) > 0,
+        (2 * tp) / (2 * tp + fp + (F.col("pos") - tp)),
+    )
+    return wide.select(
+        "threshold",
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn,
+        tn,
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )

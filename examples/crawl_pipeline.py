@@ -6,7 +6,9 @@ Flow (the shape of a production web-crawl ingest at 100 TB):
 
   raw crawl (url, text)
     -> URL dedup               (normalized key, first wins)
+    -> domain blocklist        (suffix-matched broadcast probe)
     -> per-domain quota        (anti-monoculture cap, eTLD+1)
+    -> text normalization      (NFC + punctuation fold + whitespace)
     -> Gopher quality gate     (integer rules, scan speed)
     -> SimHash near-dup        (portable hash family, blocked pairs)
     -> DSIR selection          (importance vs an in-domain target)
@@ -68,10 +70,25 @@ from ariadne_spark.operators.corpus import (
 unique_urls = url_dedup(crawl, "url", "doc_id")
 print(f"after url_dedup: {unique_urls.count()}")
 
+# 1b) domain blocklist: drop known-bad sites (and their subdomains)
+from ariadne_spark.operators.corpus import blocklist_filter
+
+bad_sites = spark.createDataFrame([("src1.co.uk",), ("src7.co.uk",)], ["domain"])
+allowed = blocklist_filter(unique_urls, bad_sites, "url", "doc_id")
+print(f"after blocklist(2 domains): {allowed.count()}")
+
 # 2) per-domain quota: no site dominates the corpus --------------------
-quotad = domain_quota(unique_urls, "url", n_per_domain=5, id_col="doc_id")
+quotad = domain_quota(allowed, "url", n_per_domain=5, id_col="doc_id")
 print(f"after domain_quota(5): {quotad.count()}  "
       f"domains: {quotad.select('domain').distinct().count()}")
+
+# 2b) canonicalize text BEFORE hashing/dedup so byte-different
+# renderings of the same content collide downstream
+from ariadne_spark.operators.text import normalize_text_columns
+
+quotad = quotad.withColumns(
+    {"text": normalize_text_columns("text")["text"]}
+)
 
 # 3) Gopher composite quality gate -------------------------------------
 from ariadne_spark.operators.text import gopher_filter_columns

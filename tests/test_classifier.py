@@ -127,3 +127,48 @@ def test_nb_log_agrees_with_mass_on_separable(spark, toy):
     massed = {r["doc_id"]: r["pred_label"]
               for r in mass_classify(test, model, label_col="label").collect()}
     assert {k: v[0] for k, v in best.items()} == massed
+
+
+# --- threshold_sweep (PR-curve calibration) -------------------------------
+
+
+def test_threshold_sweep_hand_computed(spark):
+    from ariadne_spark.operators.classifier import threshold_sweep
+
+    rows = [
+        (0.9, True), (0.8, True), (0.7, False), (0.6, True),
+        (0.4, False), (0.2, False), (None, True), (0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    got = {
+        r["threshold"]: r
+        for r in threshold_sweep(df, "score", "y", [0.5, 0.75, 1.1]).collect()
+    }
+    assert len(got) == 3
+    # valid population: 6 rows (null score / null label excluded), pos=3 neg=3
+    r = got[0.5]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 1, 0, 2)
+    assert r["precision"] == 3 / 4 and r["recall"] == 1.0
+    assert r["f1"] == 6 / 7
+    r = got[0.75]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 0, 1, 3)
+    assert r["precision"] == 1.0 and r["recall"] == 2 / 3
+    # nothing passes at 1.1: precision NULL (0/0), recall 0
+    r = got[1.1]
+    assert (r["tp"], r["fp"]) == (0, 0)
+    assert r["precision"] is None and r["recall"] == 0.0 and r["f1"] == 0.0
+
+
+def test_threshold_sweep_single_scan_no_shuffle_blowup(spark):
+    from ariadne_spark.operators.classifier import threshold_sweep
+
+    df = spark.range(1000).select(
+        (F.col("id") / 1000).alias("score"), (F.col("id") % 2 == 0).alias("y")
+    )
+    out = threshold_sweep(df, "score", "y", [i / 20 for i in range(20)])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no Generate/explode of the data side, single aggregate tree
+    assert "Generate explode" not in plan
+    assert out.count() == 20
+    with pytest.raises(ValueError):
+        threshold_sweep(df, "score", "y", [])
