@@ -1268,6 +1268,20 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, queries, k=5)
 
 
+def q_emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: every vector assigned to
+    its nearest md5-picked cosine cell, then 5 per cell by md5-rank —
+    the embedding-space coreset draw. The twin composes the SHARED
+    IVF cells SQL (same centroid pick + assignment text as
+    sim_ann_ivf) with the quota_sample md5-rank rule, so assignment
+    AND sample are value-checked end to end."""
+    from ariadne_spark.operators.similarity import diversity_sample
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    out = diversity_sample(emb, n_per_cell=5, n_cells=64)
+    return out.select("vec_id", F.col("cell").cast("int").alias("cell"))
+
+
 def _prepare_ivf(spark: SparkSession, sf_dir: str):
     """Build the persisted IVF layout once per scale factor: corpus
     clustered by ivf_cell, engine index on the cell column, centroid
@@ -3066,6 +3080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "corpus_blocklist": q_corpus_blocklist,
         "text_pr_curve": q_text_pr_curve,
+        "emb_diversity_sample": q_emb_diversity_sample,
         "idx_join_bloom": q_idx_join_bloom,
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
@@ -3125,7 +3140,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_url_dedup": q_corpus_url_dedup,
         "corpus_importance": q_corpus_importance,
         "profile_docs": q_profile_docs,
-        "sim_ann_ivf": q_sim_ann_ivf,
         "emb_near_dup": q_emb_near_dup,
         "emb_semantic_dedup": q_emb_semantic_dedup,
         "multimodal_fingerprint": q_multimodal_fingerprint,
@@ -3137,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "sim_topk": q_sim_topk,
         "text_quality": q_text_quality,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_substring_inc": q_dedup_substring_inc,
         "streaming_window": q_streaming_window,
@@ -3401,7 +3416,10 @@ _MINHASH_ORACLE_SQL = r"""
 """
 
 
-_IVF_ORACLE_SQL = """
+# shared cells construction (md5 centroid pick + nearest-cosine
+# assignment) — the IVF top-k AND diversity-sample oracles compose it,
+# so the twins cannot drift on assignment semantics
+_IVF_CELLS_SQL = """
             WITH cents AS (
                 SELECT embedding::DOUBLE[] AS cvec,
                        row_number() OVER (
@@ -3427,7 +3445,22 @@ _IVF_ORACLE_SQL = """
                            ) AS rnk
                     FROM sim_c
                 ) WHERE rnk = 1
-            ),
+            ),"""
+
+_DIVERSITY_ORACLE_SQL = _IVF_CELLS_SQL + """
+            r AS (
+                SELECT vec_id, cell,
+                       row_number() OVER (
+                           PARTITION BY cell
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                       ) AS rn
+                FROM cells
+            )
+            SELECT vec_id, CAST(cell - 1 AS INT) AS cell
+            FROM r WHERE rn <= {n_per_cell}
+        """
+
+_IVF_ORACLE_SQL = _IVF_CELLS_SQL + """
             probes AS (
                 SELECT vec_id AS query_id, v AS qv, cidx AS cell FROM (
                     SELECT vec_id, v, cidx,
@@ -4281,6 +4314,7 @@ def oracle_sql() -> dict[str, str]:
         # result is file-split-independent: the same template at its
         # build parameters (n_centroids=32) is an exact oracle for it.
         "sim_ann_ivf": _IVF_ORACLE_SQL.format(n_cents=64, n_probe=8, k=5),
+        "emb_diversity_sample": _DIVERSITY_ORACLE_SQL.format(n_cents=64, n_per_cell=5),
         "sim_ann_ivf_indexed": _IVF_ORACLE_SQL.format(
             n_cents=32, n_probe=8, k=5
         ),

@@ -813,3 +813,49 @@ def knn_classify(
         ).alias("pred_label"),
         F.max("votes").alias("votes"),
     )
+
+
+def diversity_sample(
+    corpus: DataFrame,
+    n_per_cell: int = 10,
+    n_cells: int = 64,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: str = "hash",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (embedding-space coreset):
+    assign every vector to its nearest-cosine cell, then keep each
+    cell's ``n_per_cell`` smallest-md5(id) rows — a uniform draw
+    WITHIN every region of embedding space, so dense regions can't
+    crowd out rare ones (the embedding-side complement of
+    :func:`~ariadne_spark.operators.corpus.temperature_sample`'s
+    source-side rebalancing). Returns the sampled rows with their
+    ``cell``.
+
+    Scale shape: one Arrow-batched UDF scan for the assignment (the
+    same inverted-file machinery as :func:`ivf_ann_topk` — centroids
+    are k x dim driver floats, never the data) + ONE shuffle on the
+    cell with the literal quota bound compiling to WindowGroupLimit,
+    so mega-cells pre-top map-side (quota_sample's plan contract).
+    ``centroids='hash'`` keeps the whole pipeline deterministic and
+    SQL-reproducible (the md5 centroid pick of :func:`_centroids`) —
+    the oracle twin recomputes assignment AND sample; ``'kmeans'``
+    trades that for balanced cells via MLlib. NULL/unassignable
+    vectors are dropped — a diversity quota keyed on nothing is
+    meaningless (domain_quota's NULL contract)."""
+    from .corpus import quota_sample
+
+    if centroids == "kmeans":
+        cents = kmeans_centroids(corpus, vec_col, n_cells)
+    else:
+        cents = _centroids(corpus, corpus_id, vec_col, n_cells)
+    assign = _nearest_centroids_udf(cents, 1)
+    assigned = _ensure_parallelism(corpus).withColumn(
+        "cell", F.element_at(assign(F.col(vec_col)), 1)
+    )
+    return quota_sample(
+        assigned.where(F.col("cell").isNotNull()),
+        "cell",
+        n_per_cell,
+        id_col=corpus_id,
+    )

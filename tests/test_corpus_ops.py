@@ -1355,3 +1355,46 @@ def test_blocklist_filter_suffix_semantics(spark):
     # empty blocklist keeps everything
     empty = bl.where(F.lit(False))
     assert corpus.blocklist_filter(urls, empty).count() == 7
+
+
+def test_c4_and_normalize_plans_are_exchange_free(spark, docs):
+    """Both cleaning passes must stay pure per-row projections — any
+    Exchange here would shuffle the 100-TB side for a row-local rule."""
+    p1 = text.c4_line_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p1
+    p2 = text.normalize_text(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p2
+    assert "ArrowEvalPython" in p2 or "BatchEvalPython" in p2  # NFC is the one UDF
+
+
+def test_c4_and_normalize_hostile_inputs_never_throw(spark):
+    """Adversarial text sweep (ANSI mode): empty, whitespace-only,
+    newline-only, regex metachars, lone combining mark, astral plane,
+    isolated surrogates are impossible in parquet — every row must
+    come back, never error."""
+    hostiles = [
+        "", " ", "\n", "\n\n\n", "\t\t", ".", '"',
+        "a" * 5000, ("w " * 2000) + "end.",
+        "][)(\\*+?{}^$|.", "é" * 50, "\U0001F600 emoji line.",
+        "\x00\x01\x02", "mixed nbsp—dash“quote",
+        "line with no end\nshort.\n\nnext line here it is.",
+    ]
+    rows = [(i, h) for i, h in enumerate(hostiles)] + [(99, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # Spark 4 runs ANSI by default — unguarded errors would surface here
+    a = text.c4_line_filter(df).collect()
+    b = text.normalize_text(df).collect()
+    assert len(a) == len(rows) and len(b) == len(rows)
+    na = {r["doc_id"]: r for r in b}
+    assert na[99]["text"] is None
+    # idempotence holds on hostiles too
+    again = {
+        r["doc_id"]: r["text"]
+        for r in text.normalize_text(
+            spark.createDataFrame(
+                [(r["doc_id"], r["text"]) for r in b],
+                "doc_id bigint, text string",
+            )
+        ).collect()
+    }
+    assert all(again[r["doc_id"]] == r["text"] for r in b)

@@ -1549,3 +1549,39 @@ def test_audio_resample_identity_ratechange_and_policies(spark):
     out = {r["doc_id"]: r for r in mm.audio_resample(tdf, "tr").collect()}
     assert out[1]["resampled_rate"] == 16000 and out[1]["resampled_frames"] == 1600
     assert out[2]["media"] is None
+
+
+def test_diversity_sample_balanced_deterministic(spark, emb):
+    """Per-cell cap holds, every non-empty cell is represented, the
+    draw is repartition-stable, and dense regions cannot crowd out
+    sparse ones (each cell contributes min(cell size, n))."""
+    from ariadne_spark.operators.similarity import diversity_sample
+
+    out = diversity_sample(emb, n_per_cell=3, n_cells=16).cache()
+    per = {r["cell"]: r["count"] for r in out.groupBy("cell").count().collect()}
+    assert per and all(c <= 3 for c in per.values())
+    # quota rule: exactly min(cell_size, 3) from every cell
+    from ariadne_spark.operators.similarity import (
+        _centroids, _nearest_centroids_udf,
+    )
+    from pyspark.sql import functions as F2
+    cents = _centroids(emb, "vec_id", "embedding", 16)
+    assign = _nearest_centroids_udf(cents, 1)
+    sizes = {
+        r["cell"]: r["count"]
+        for r in emb.withColumn(
+            "cell", F2.element_at(assign(F2.col("embedding")), 1)
+        ).groupBy("cell").count().collect()
+    }
+    assert per == {c: min(n, 3) for c, n in sizes.items()}
+    again = diversity_sample(emb.repartition(7), n_per_cell=3, n_cells=16)
+    assert rows_set(out.select("vec_id")) == rows_set(again.select("vec_id"))
+    out.unpersist()
+
+
+def test_diversity_sample_kmeans_variant_runs(spark, emb):
+    from ariadne_spark.operators.similarity import diversity_sample
+
+    out = diversity_sample(emb, n_per_cell=5, n_cells=8, centroids="kmeans")
+    per = out.groupBy("cell").count().collect()
+    assert per and all(r["count"] <= 5 for r in per)
