@@ -791,6 +791,21 @@ def q_idx_exploded_token(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", "token")
 
 
+SEARCH_TERMS = ["merge", "vector", "spark"]
+
+
+def q_idx_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword retrieval over the exploded-token file index (the file
+    index as an inverted file): locate files containing any term,
+    ONE partial-agg groupBy for (distinct-terms, total-occurrence)
+    counts, TakeOrdered top-10 with integer tie-breaks — every ranked
+    value is an integer, so the DuckDB twin is bit-exact."""
+    from ariadne_spark.operators.search import keyword_search
+
+    idx = _index(spark, sf_dir, "doc_tokens")
+    return keyword_search(idx, SEARCH_TERMS, k=10)
+
+
 def q_idx_multi_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 AND-intersection across regular + range index types."""
     idx = _index(spark, sf_dir, "orders")
@@ -3084,6 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_join_bloom": q_idx_join_bloom,
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
+        "idx_keyword_search": q_idx_keyword_search,
         "streaming_latest": q_streaming_latest,
         "corpus_domain_quota": q_corpus_domain_quota,
         "ts_sessionize": q_ts_sessionize,
@@ -3106,7 +3122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_correctness.py, run each round at two scales)
         # still covers all entries.
         "emb_ann_pq": q_emb_ann_pq,
-        "dedup_cluster": q_dedup_cluster,
         "dedup_minhash": q_dedup_minhash,
         "dedup_fuzzy_keepset": q_dedup_fuzzy_keepset,
         "dedup_substring": q_dedup_substring,
@@ -3152,6 +3167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "text_quality": q_text_quality,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "dedup_cluster": q_dedup_cluster,
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_substring_inc": q_dedup_substring_inc,
         "streaming_window": q_streaming_window,
@@ -3806,6 +3822,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, t AS token FROM (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
             ) WHERE t IN ({_sql_list(TOKEN_WORDS)})
+        """,
+        "idx_keyword_search": f"""
+            WITH hits AS (
+                SELECT doc_id, t FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                    FROM documents
+                ) WHERE t IN ({_sql_list(SEARCH_TERMS)})
+            ),
+            s AS (
+                SELECT doc_id,
+                       CAST(count(DISTINCT t) AS BIGINT) AS n_terms,
+                       CAST(count(*) AS BIGINT) AS total_hits
+                FROM hits GROUP BY doc_id
+            )
+            SELECT doc_id, n_terms, total_hits FROM s
+            ORDER BY n_terms DESC, total_hits DESC, doc_id ASC LIMIT 10
         """,
         "idx_multi_and": f"""
             SELECT o_orderkey, o_custkey, o_orderstatus FROM orders

@@ -532,3 +532,51 @@ def test_band_query_prunes_and_matches(spark, storage, orders_files):
     reg.add_index("o_custkey").add_files(files).update()
     with pytest.raises(ColumnNotIndexedError):
         reg.locate_files({"o_custkey": Band(lo=1)})
+
+
+def test_keyword_search_ranks_and_prunes(spark, storage, tmp_path):
+    """keyword_search over an exploded-token index: deterministic
+    integer ranking (distinct terms, then tf, then id), file pruning
+    when a term is confined to one file, TakeOrderedAndProject tail."""
+    from ariadne_spark.operators.search import keyword_search
+
+    rows = [
+        # file A (doc_id < 10): 'alpha' lives only here
+        (1, "alpha beta alpha gamma"),      # 2 terms: alpha(2) beta(1)
+        (2, "alpha alpha alpha alpha"),     # 1 term: alpha(4)
+        (3, "delta delta delta"),           # no query terms
+        # file B: beta-only docs, so 'alpha' stays confined to file A
+        (11, "beta beta beta beta beta"),   # 1 term: beta(5)
+        (12, "beta gamma"),                 # 1 term: beta(1)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    df = df.select("doc_id", F.split("text", " ").alias("tokens"))
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    df.where("doc_id < 10").coalesce(1).write.parquet(a)
+    df.where("doc_id >= 10").coalesce(1).write.parquet(b)
+    import glob as _glob
+
+    files = sorted(
+        _glob.glob(f"{a}/*.parquet") + _glob.glob(f"{b}/*.parquet")
+    )
+    idx = Index.for_name("kw", schema=df.schema, format="parquet", spark=spark)
+    idx.add_exploded_index("tokens", as_column="token")
+    idx.add_files(files).update()
+
+    got = keyword_search(idx, ["alpha", "beta"], k=3).collect()
+    # doc 1 matches 2 distinct terms -> first despite fewer hits
+    assert [(r["doc_id"], r["n_terms"], r["total_hits"]) for r in got] == [
+        (1, 2, 3), (11, 1, 5), (2, 1, 4)
+    ]
+    # the single-term query prunes to file A only
+    located = idx.locate_files({"token": ["alpha"]})
+    assert len(located) == 1
+    # selection tail is a TakeOrdered, not a global sort
+    plan = (
+        keyword_search(idx, ["alpha"], k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError):
+        keyword_search(idx, [], k=2)

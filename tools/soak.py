@@ -620,6 +620,71 @@ def main() -> None:
          expected=expected, base_pairs=base_pairs, sec=sh_sec)
     assert nx_pairs == expected, (nx_pairs, expected)
 
+    # ---- scenario 13: r07 cleaning ops at NX ------------------------
+    # 13a: C4 line filter + unicode normalization are per-row
+    # projections, so replicas (identical text, shifted ids) must
+    # produce EXACTLY n_rep copies of the 1X verdicts — and the wall
+    # clock should scale like a scan, not a shuffle.
+    from ariadne_spark.operators.text import c4_line_filter, normalize_text
+
+    ml = drep.select(
+        "doc_id",
+        F.regexp_replace("text", r"((?:\S+ ){7}\S+) ", "$1.\n").alias("text"),
+    )
+    t0 = time.time()
+    c4 = c4_line_filter(ml)
+    nx_keeps = c4.where(F.col("keep")).count()
+    c4_sec = round(time.time() - t0, 2)
+    base_keeps = (
+        c4_line_filter(
+            ml.where(F.col("doc_id") < dspan)
+        ).where(F.col("keep")).count()
+    )
+    emit(stage="c4_filter_nx", docs=n_rep * dn, keeps=nx_keeps,
+         expected=base_keeps * n_rep, sec=c4_sec)
+    assert nx_keeps == base_keeps * n_rep, (nx_keeps, base_keeps)
+
+    t0 = time.time()
+    norm = normalize_text(
+        drep.select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" café  \n\n\n x")).alias("text"),
+        )
+    )
+    nx_changed = norm.where(F.col("changed")).count()
+    nm_sec = round(time.time() - t0, 2)
+    emit(stage="normalize_nx", docs=n_rep * dn, changed=nx_changed,
+         sec=nm_sec)
+    assert nx_changed == n_rep * dn, nx_changed  # the salt fires everywhere
+
+    # 13b: domain blocklist at NX — replica i's urls share the 1X
+    # domain grid, so kept rows must be exactly n_rep x the 1X keeps.
+    from ariadne_spark.operators.corpus import blocklist_filter
+
+    nx_urls = drep.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://sub."), F.col("source"), F.lit("-news"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".co.uk")).otherwise(
+                F.lit(".com")
+            ),
+            F.lit("/a/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    bl = spark.createDataFrame(
+        [("src3-news.com",), ("src7-news.co.uk",)], ["domain"]
+    )
+    t0 = time.time()
+    nx_kept = blocklist_filter(nx_urls, bl).count()
+    bl_sec = round(time.time() - t0, 2)
+    base_kept = blocklist_filter(
+        nx_urls.where(F.col("doc_id") < dspan), bl
+    ).count()
+    emit(stage="blocklist_nx", docs=n_rep * dn, kept=nx_kept,
+         expected=base_kept * n_rep, sec=bl_sec)
+    assert dspan % 4 == 0, "replica invariant needs dspan % 4 == 0"
+    assert nx_kept == base_kept * n_rep, (nx_kept, base_kept)
+
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
 
