@@ -242,6 +242,13 @@ def threshold_sweep(
     are single IEEE divisions of those integers (the one-division
     pattern :func:`mass_classify` uses), so the DuckDB twin is
     bit-exact. Zero-denominator cells yield NULL, not NaN.
+
+    Sizing: calibration grids are typically 10-100 points; each
+    threshold adds two aggregate slots to the single projection, and
+    Spark's codegen handles hundreds comfortably (janino bails to
+    interpreted evaluation beyond ~64 KB of generated code — still
+    correct, just slower). For a truly dense grid, bucket the score
+    once and cumulative-sum the buckets instead.
     """
     if not thresholds:
         raise ValueError("thresholds must be non-empty")

@@ -474,7 +474,9 @@ def c4_line_filter_columns(
         )
     ]
     t = F.col(text_col)
-    lines = F.split(t, line_sep, -1)
+    # \Q...\E quotes the separator: split is LITERAL (like the DuckDB
+    # twin's string_split), so a metachar separator can't misparse
+    lines = F.split(t, "\\Q" + line_sep + "\\E", -1)
 
     def line_ok(l: Column) -> Column:
         trimmed = F.trim(l)
@@ -543,8 +545,9 @@ def normalize_text_columns(
        NBSP → ASCII) via ``translate`` — 1:1 codepoint map,
     3. C0-control/DEL strip (tab and newline survive),
     4. whitespace canonicalization: space/tab runs → one space,
-       spaces hugging a newline dropped, 3+ newlines → 2, ends
-       trimmed.
+       spaces hugging a newline dropped, 3+ newlines → 2, leading/
+       trailing SPACES trimmed (both engines' ``trim`` is
+       space-only, so a trailing newline survives identically).
 
     Every step after NFC is a JVM built-in; the UDF is the only
     Python round-trip and is vectorized (one Arrow batch per ~10k

@@ -146,6 +146,13 @@ BENCH_QUERIES = [
     "multimodal_frame_sample",
     "multimodal_resample",
     "streaming_domain_quota",
+    # r07 second session: cleaning / calibration / retrieval ops
+    "text_c4_filter",
+    "text_normalize",
+    "corpus_blocklist",
+    "text_pr_curve",
+    "emb_diversity_sample",
+    "idx_keyword_search",
 ]
 
 

@@ -661,10 +661,14 @@ def main() -> None:
     # domain grid, so kept rows must be exactly n_rep x the 1X keeps.
     from ariadne_spark.operators.corpus import blocklist_filter
 
+    # drep carries only (doc_id, text): derive the site grid from the
+    # id (20 sites x 2 suffixes; dspan divides both moduli, so every
+    # replica repeats the 1X domain pattern exactly)
     nx_urls = drep.select(
         "doc_id",
         F.concat(
-            F.lit("http://sub."), F.col("source"), F.lit("-news"),
+            F.lit("http://sub.src"), (F.col("doc_id") % 20).cast("string"),
+            F.lit("-news"),
             F.when(F.col("doc_id") % 4 == 0, F.lit(".co.uk")).otherwise(
                 F.lit(".com")
             ),
@@ -682,7 +686,7 @@ def main() -> None:
     ).count()
     emit(stage="blocklist_nx", docs=n_rep * dn, kept=nx_kept,
          expected=base_kept * n_rep, sec=bl_sec)
-    assert dspan % 4 == 0, "replica invariant needs dspan % 4 == 0"
+    assert dspan % 20 == 0, "replica invariant needs dspan % 20 == 0"
     assert nx_kept == base_kept * n_rep, (nx_kept, base_kept)
 
     spark.stop()
