@@ -172,3 +172,38 @@ def test_threshold_sweep_single_scan_no_shuffle_blowup(spark):
     assert out.count() == 20
     with pytest.raises(ValueError):
         threshold_sweep(df, "score", "y", [])
+
+
+def test_threshold_sweep_matches_python_reference_on_random_data(spark):
+    """Seeded randomized parity vs a pure-Python confusion count, plus
+    the structural invariants: tp monotone nonincreasing in the
+    threshold and tp+fn constant (= labeled positives)."""
+    import random
+
+    from ariadne_spark.operators.classifier import threshold_sweep
+
+    rng = random.Random(20260816)
+    rows = []
+    for i in range(400):
+        s = None if rng.random() < 0.05 else round(rng.random(), 3)
+        y = None if rng.random() < 0.05 else rng.random() < 0.4
+        rows.append((s, y))
+    ths = sorted({round(rng.random(), 2) for _ in range(12)})
+    df = spark.createDataFrame(rows, "score double, y boolean")
+    got = {
+        r["threshold"]: r for r in threshold_sweep(df, "score", "y", ths).collect()
+    }
+    valid = [(s, y) for s, y in rows if s is not None and y is not None]
+    pos = sum(1 for _, y in valid if y)
+    prev_tp = None
+    for t in ths:
+        tp = sum(1 for s, y in valid if s >= t and y)
+        fp = sum(1 for s, y in valid if s >= t and not y)
+        r = got[t]
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
+            tp, fp, pos - tp, len(valid) - pos - fp
+        )
+        if prev_tp is not None:
+            assert r["tp"] <= prev_tp  # monotone in the threshold
+        prev_tp = r["tp"]
+        assert r["tp"] + r["fn"] == pos

@@ -1342,6 +1342,7 @@ def test_blocklist_filter_suffix_semantics(spark):
             (5, "http://sub.ads.example.org/e"),  # subdomain of entry
             (6, "not a url"),                     # unparseable: kept
             (7, "http://notexample.com/f"),       # no label boundary: kept
+            (8, None),                            # NULL url: kept, no throw
         ],
         "doc_id bigint, url string",
     )
@@ -1351,10 +1352,10 @@ def test_blocklist_filter_suffix_semantics(spark):
     kept = sorted(
         r["doc_id"] for r in corpus.blocklist_filter(urls, bl).collect()
     )
-    assert kept == [3, 6, 7]
+    assert kept == [3, 6, 7, 8]
     # empty blocklist keeps everything
     empty = bl.where(F.lit(False))
-    assert corpus.blocklist_filter(urls, empty).count() == 7
+    assert corpus.blocklist_filter(urls, empty).count() == 8
 
 
 def test_c4_and_normalize_plans_are_exchange_free(spark, docs):
