@@ -1297,6 +1297,25 @@ def q_emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("cell").cast("int").alias("cell"))
 
 
+def q_emb_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): even
+    vec_ids as the source language, odd as the target; ratio margin
+    over k=4 neighborhoods, best target per source above margin 1.
+    Deterministic end to end — rounded candidate cosines, rank-ordered
+    left-fold means (DuckDB list_reduce is the same fold), struct-max
+    tie-breaks — so the whole miner is value-oracled."""
+    from ariadne_spark.operators.similarity import bitext_mine
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    src = emb.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    tgt = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    return bitext_mine(src, tgt, k=4, threshold=1.0)
+
+
 def _prepare_ivf(spark: SparkSession, sf_dir: str):
     """Build the persisted IVF layout once per scale factor: corpus
     clustered by ivf_cell, engine index on the cell column, centroid
@@ -3096,6 +3115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_blocklist": q_corpus_blocklist,
         "text_pr_curve": q_text_pr_curve,
         "emb_diversity_sample": q_emb_diversity_sample,
+        "emb_bitext_mine": q_emb_bitext_mine,
         "idx_join_bloom": q_idx_join_bloom,
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
@@ -3150,7 +3170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_cross_indexed": q_corpus_dedup_cross_indexed,
         "corpus_mix_report": q_corpus_mix_report,
         "emb_knn_classify": q_emb_knn_classify,
-        "corpus_temperature_sample": q_corpus_temperature_sample,
         "corpus_url_dedup": q_corpus_url_dedup,
         "corpus_importance": q_corpus_importance,
         "profile_docs": q_profile_docs,
@@ -3172,6 +3191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (emb_semantic_dedup, sim_ann_lsh) and the replica sweep
         # covers everything
         "emb_near_dup": q_emb_near_dup,
+        "corpus_temperature_sample": q_corpus_temperature_sample,
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_substring_inc": q_dedup_substring_inc,
         "streaming_window": q_streaming_window,
@@ -4539,6 +4559,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(c, 6) AS cosine
             FROM r WHERE rank <= 10
+        """,
+        # bitext mining: one symmetric cosine CTE serves both
+        # directions (IEEE dot/multiply are commutative bit-for-bit);
+        # k-NN means are rank-ordered left folds (list_reduce ==
+        # Spark's F.aggregate fold on doubles)
+        "emb_bitext_mine": """
+            WITH src AS (
+                SELECT vec_id AS sid, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 2 = 0
+            ),
+            tgt AS (
+                SELECT vec_id AS tid, embedding::DOUBLE[] AS v
+                FROM embeddings WHERE vec_id % 2 = 1
+            ),
+            fs AS (
+                SELECT s.sid, t.tid,
+                       list_dot_product(s.v, t.v) /
+                       (sqrt(list_dot_product(s.v, s.v)) *
+                        sqrt(list_dot_product(t.v, t.v))) AS c
+                FROM src s CROSS JOIN tgt t
+            ),
+            fwd AS (
+                SELECT sid, tid, round(c, 6) AS c, rk FROM (
+                    SELECT sid, tid, c,
+                           row_number() OVER (
+                               PARTITION BY sid ORDER BY c DESC, tid ASC
+                           ) AS rk
+                    FROM fs
+                ) WHERE rk <= 4
+            ),
+            bwd AS (
+                SELECT sid, tid, round(c, 6) AS c, rk FROM (
+                    SELECT sid, tid, c,
+                           row_number() OVER (
+                               PARTITION BY tid ORDER BY c DESC, sid ASC
+                           ) AS rk
+                    FROM fs
+                ) WHERE rk <= 4
+            ),
+            ax AS (
+                SELECT sid,
+                       list_reduce(list(c ORDER BY rk), (a, b) -> a + b)
+                       / count(*) AS av
+                FROM fwd GROUP BY sid
+            ),
+            ay AS (
+                SELECT tid,
+                       list_reduce(list(c ORDER BY rk), (a, b) -> a + b)
+                       / count(*) AS av
+                FROM bwd GROUP BY tid
+            ),
+            cand AS (
+                SELECT f.sid, f.tid,
+                       (2.0 * f.c) / (ax.av + ay.av) AS margin
+                FROM fwd f
+                JOIN ax ON f.sid = ax.sid
+                JOIN ay ON f.tid = ay.tid
+            ),
+            best AS (
+                SELECT sid, tid, margin,
+                       row_number() OVER (
+                           PARTITION BY sid ORDER BY margin DESC, tid ASC
+                       ) AS rk
+                FROM cand
+            )
+            SELECT sid AS src_id, tid AS tgt_id, round(margin, 6) AS margin
+            FROM best WHERE rk = 1 AND margin > 1.0
         """,
         "multimodal_fingerprint": """
             SELECT doc_id, md5(text) AS content_hash,

@@ -859,3 +859,102 @@ def diversity_sample(
         n_per_cell,
         id_col=corpus_id,
     )
+
+
+def _ranked_avg(pairs: DataFrame, key: str) -> DataFrame:
+    """Mean of each key's top-k cosines, summed in RANK order via an
+    explicit array fold — groupBy(avg) would merge partials in
+    shuffle-fetch order, which is not reproducible across engines;
+    the rank-ordered left fold is (DuckDB's list_reduce is the same
+    left fold, pinned by the bitext oracle)."""
+    arr = F.transform(
+        F.sort_array(F.collect_list(F.struct("rank", "cosine"))),
+        lambda s: s["cosine"],
+    )
+    total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+    return pairs.groupBy(key).agg(
+        (total / F.size(arr)).alias(f"__avg_{key}")
+    )
+
+
+def bitext_mine(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.0,
+    src_id: str = "src_id",
+    tgt_id: str = "tgt_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    ratio-margin criterion): for every source sentence embedding,
+    the best target candidate scored by
+
+        margin(x, y) = 2 * cos(x, y) / (avg_x + avg_y)
+
+    where ``avg_x`` is the mean cosine of x's k nearest targets and
+    ``avg_y`` the mean of y's k nearest sources — the margin
+    normalizes away hubness, the failure mode of raw-cosine mining.
+    Returns one row per source whose best margin clears
+    ``threshold``: ``(src_id, tgt_id, margin)``.
+
+    Determinism/oracle: candidate cosines are the ROUNDED outputs of
+    :func:`cosine_topk` (both directions), the k-NN means are
+    rank-ordered left folds (see :func:`_ranked_avg` — never a
+    shuffle-order float sum), the margin is two exact-input IEEE ops,
+    and the best-per-source pick breaks margin ties toward the
+    smaller target id via a struct ``max`` — bit-reproducible in
+    DuckDB, so the whole miner is value-oracled.
+
+    Scale shape: the exact :func:`cosine_topk` candidate pass
+    broadcasts the query side — fine when one language side fits a
+    broadcast (the knn_classify contract); for two lake-scale sides,
+    generate the same (query, candidate, rank, cosine) shape with the
+    IVF/PQ path (:func:`ivf_index_topk` /
+    :func:`~ariadne_spark.operators.quantization.ivf_pq_topk`) and
+    feed it here — everything downstream is one groupBy per side
+    plus a broadcast join onto the k-row-per-source candidate set."""
+    fwd = cosine_topk(
+        tgt,
+        src.select(F.col(src_id).alias("__q"), vec_col),
+        k=k,
+        corpus_id=tgt_id,
+        query_id="__q",
+        vec_col=vec_col,
+    ).withColumnRenamed("__q", src_id)
+    bwd = cosine_topk(
+        src.select(F.col(src_id), vec_col),
+        tgt.select(F.col(tgt_id).alias("__q"), vec_col),
+        k=k,
+        corpus_id=src_id,
+        query_id="__q",
+        vec_col=vec_col,
+    ).withColumnRenamed("__q", tgt_id)
+    ax = _ranked_avg(fwd, src_id)
+    ay = _ranked_avg(bwd, tgt_id)
+    cand = (
+        fwd.join(F.broadcast(ax), src_id)
+        .join(F.broadcast(ay), tgt_id)
+        .select(
+            src_id,
+            tgt_id,
+            (
+                2.0 * F.col("cosine")
+                / (F.col(f"__avg_{src_id}") + F.col(f"__avg_{tgt_id}"))
+            ).alias("margin"),
+        )
+    )
+    best = cand.groupBy(src_id).agg(
+        F.max(
+            F.struct(
+                F.col("margin"),
+                (-F.col(tgt_id)).alias("__nt"),
+                F.col(tgt_id).alias("__t"),
+            )
+        ).alias("__b")
+    )
+    return best.where(F.col("__b.margin") > F.lit(float(threshold))).select(
+        src_id,
+        F.col("__b.__t").alias(tgt_id),
+        F.round("__b.margin", 6).alias("margin"),
+    )

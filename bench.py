@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "text_pr_curve",
     "emb_diversity_sample",
     "idx_keyword_search",
+    "emb_bitext_mine",
 ]
 
 

@@ -1585,3 +1585,39 @@ def test_diversity_sample_kmeans_variant_runs(spark, emb):
     out = diversity_sample(emb, n_per_cell=5, n_cells=8, centroids="kmeans")
     per = out.groupBy("cell").count().collect()
     assert per and all(r["count"] <= 5 for r in per)
+
+
+def test_bitext_mine_recovers_planted_pairs_and_demotes_hub(spark):
+    """Planted parallel pairs: tgt i is a tiny rotation of src i, so
+    the miner must align i<->i. A hub vector (near-mean of everything)
+    attracts high raw cosine from every source, but the ratio margin
+    normalizes its neighborhood away — no source may pick the hub
+    over its planted twin."""
+    import math
+    import random
+
+    from ariadne_spark.operators.similarity import bitext_mine
+
+    rng = random.Random(7)
+    dim = 16
+    def unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    srcs = [(i, unit()) for i in range(20)]
+    # planted twins: tgt i = src i + small noise
+    tgts = []
+    for i, v in srcs:
+        w = [x + rng.gauss(0, 0.01) for x in v]
+        tgts.append((i, w))
+    # hub: the normalized mean of all sources — closest-to-everything
+    mean = [sum(v[d] for _, v in srcs) for d in range(dim)]
+    tgts.append((999, mean))
+    src = spark.createDataFrame(srcs, "src_id bigint, embedding array<double>")
+    tgt = spark.createDataFrame(tgts, "tgt_id bigint, embedding array<double>")
+    got = {r["src_id"]: r for r in bitext_mine(src, tgt, k=4, threshold=1.0).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        assert got[i]["tgt_id"] == i, (i, got[i])
+        assert got[i]["margin"] > 1.0
