@@ -1297,6 +1297,19 @@ def q_emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("cell").cast("int").alias("cell"))
 
 
+def q_corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift monitor over the (source, lang) mixture key:
+    two overlapping-but-differently-skewed slices of the corpus stand
+    in for last month's snapshot vs today's crawl. Pure integer
+    arithmetic (ppm shares via DECIMAL DIV both sides), bit-exact."""
+    from ariadne_spark.operators.corpus import drift_report
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    ref = docs.where(F.col("doc_id") % 4 != 0)
+    cur = docs.where(F.col("doc_id") % 3 == 0)
+    return drift_report(ref, cur)
+
+
 def q_emb_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (Artetxe & Schwenk 2019): even
     vec_ids as the source language, odd as the target; ratio margin
@@ -3116,6 +3129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pr_curve": q_text_pr_curve,
         "emb_diversity_sample": q_emb_diversity_sample,
         "emb_bitext_mine": q_emb_bitext_mine,
+        "corpus_drift_report": q_corpus_drift_report,
         "idx_join_bloom": q_idx_join_bloom,
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
@@ -3142,7 +3156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (tools/check_correctness.py, run each round at two scales)
         # still covers all entries.
         "emb_ann_pq": q_emb_ann_pq,
-        "dedup_minhash": q_dedup_minhash,
         "dedup_fuzzy_keepset": q_dedup_fuzzy_keepset,
         "dedup_substring": q_dedup_substring,
         "sim_ann_lsh": q_sim_ann_lsh,
@@ -3192,6 +3205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covers everything
         "emb_near_dup": q_emb_near_dup,
         "corpus_temperature_sample": q_corpus_temperature_sample,
+        "dedup_minhash": q_dedup_minhash,
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_substring_inc": q_dedup_substring_inc,
         "streaming_window": q_streaming_window,
@@ -4559,6 +4573,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(c, 6) AS cosine
             FROM r WHERE rank <= 10
+        """,
+        # drift monitor: integer ppm shares on both sides (DuckDB's
+        # // on promoted integers == Spark's DECIMAL(38) DIV)
+        "corpus_drift_report": """
+            WITH r AS (
+                SELECT source, lang FROM documents WHERE doc_id % 4 <> 0
+            ),
+            c AS (
+                SELECT source, lang FROM documents WHERE doc_id % 3 = 0
+            ),
+            ra AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs_ref
+                FROM r GROUP BY source, lang
+            ),
+            rt AS (SELECT sum(n_docs_ref) AS t FROM ra),
+            rs AS (
+                SELECT source, lang, n_docs_ref,
+                       CAST(1000000 * n_docs_ref // t AS BIGINT) AS share_ppm_ref
+                FROM ra, rt
+            ),
+            ca AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs_cur
+                FROM c GROUP BY source, lang
+            ),
+            ct AS (SELECT sum(n_docs_cur) AS t FROM ca),
+            cs AS (
+                SELECT source, lang, n_docs_cur,
+                       CAST(1000000 * n_docs_cur // t AS BIGINT) AS share_ppm_cur
+                FROM ca, ct
+            )
+            SELECT source, lang,
+                   coalesce(n_docs_ref, 0) AS n_docs_ref,
+                   coalesce(n_docs_cur, 0) AS n_docs_cur,
+                   coalesce(share_ppm_ref, 0) AS share_ppm_ref,
+                   coalesce(share_ppm_cur, 0) AS share_ppm_cur,
+                   coalesce(share_ppm_cur, 0) - coalesce(share_ppm_ref, 0)
+                       AS delta_ppm,
+                   abs(coalesce(share_ppm_cur, 0) - coalesce(share_ppm_ref, 0))
+                       AS tv_ppm
+            FROM rs FULL JOIN cs USING (source, lang)
         """,
         # bitext mining: one symmetric cosine CTE serves both
         # directions (IEEE dot/multiply are commutative bit-for-bit);

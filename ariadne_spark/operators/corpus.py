@@ -1205,6 +1205,60 @@ def mix_report(
     )
 
 
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Distribution drift between two corpus snapshots over a mixture
+    key (source × language by default): per-group document counts and
+    integer-ppm shares on each side, the signed share delta, and the
+    group's contribution to total variation distance — the monitoring
+    table a continuous-crawl pipeline alerts on (``sum(tv_ppm) / 2``
+    ≈ TV distance in ppm). Groups present on one side only appear
+    with a zero count on the other.
+
+    Everything is integer arithmetic (the :func:`mix_report`
+    DECIMAL(38)-DIV ppm rule on both sides), so the DuckDB twin is
+    bit-exact. Numeric drift composes through the key: pass a binning
+    expression as a column (e.g. ``F.floor(F.log2('n_chars'))`` — or
+    any :func:`gram_bucket`-style hash bin) and the same report
+    tracks histogram drift.
+
+    Shape at scale: ONE partial-aggregatable groupBy per snapshot
+    (map-side combine → one row per group per task), a full-outer
+    join of two group-cardinality-sized aggregates (broadcast under
+    AQE), and windows over the aggregated frames only — neither
+    corpus is scanned twice."""
+    cols = group_cols or ["source", "lang"]
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        per = df.groupBy(*[F.col(c) for c in cols]).agg(
+            F.count(F.lit(1)).alias(f"n_docs_{tag}")
+        )
+        tot = F.sum(f"n_docs_{tag}").over(Window.partitionBy())
+        share = F.expr(
+            f"CAST((CAST(1000000 AS DECIMAL(38,0)) * n_docs_{tag})"
+            f" DIV __tot AS BIGINT)"
+        )
+        return per.withColumn("__tot", tot).select(
+            *cols, f"n_docs_{tag}", share.alias(f"share_ppm_{tag}")
+        )
+
+    joined = side(ref, "ref").join(side(cur, "cur"), cols, "full_outer")
+    a = F.coalesce("share_ppm_ref", F.lit(0))
+    b = F.coalesce("share_ppm_cur", F.lit(0))
+    return joined.select(
+        *cols,
+        F.coalesce("n_docs_ref", F.lit(0)).alias("n_docs_ref"),
+        F.coalesce("n_docs_cur", F.lit(0)).alias("n_docs_cur"),
+        a.alias("share_ppm_ref"),
+        b.alias("share_ppm_cur"),
+        (b - a).alias("delta_ppm"),
+        F.abs(b - a).alias("tv_ppm"),
+    )
+
+
 def select_top_n(
     df: DataFrame,
     n: int,

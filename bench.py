@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "emb_diversity_sample",
     "idx_keyword_search",
     "emb_bitext_mine",
+    "corpus_drift_report",
 ]
 
 

@@ -1399,3 +1399,34 @@ def test_c4_and_normalize_hostile_inputs_never_throw(spark):
         ).collect()
     }
     assert all(again[r["doc_id"]] == r["text"] for r in b)
+
+
+# --- drift_report ----------------------------------------------------------
+
+
+def test_drift_report_hand_computed_and_one_sided_groups(spark):
+    ref = spark.createDataFrame(
+        [(i, "a") for i in range(60)] + [(i, "b") for i in range(40)],
+        ["doc_id", "source"],
+    ).withColumn("lang", F.lit("en"))
+    cur = spark.createDataFrame(
+        [(i, "a") for i in range(25)] + [(i, "c") for i in range(75)],
+        ["doc_id", "source"],
+    ).withColumn("lang", F.lit("en"))
+    got = {
+        r["source"]: r for r in corpus.drift_report(ref, cur).collect()
+    }
+    assert got["a"]["share_ppm_ref"] == 600000 and got["a"]["share_ppm_cur"] == 250000
+    assert got["a"]["delta_ppm"] == -350000 and got["a"]["tv_ppm"] == 350000
+    # 'b' vanished, 'c' appeared: zero-count sides, shares still exact
+    assert got["b"]["n_docs_cur"] == 0 and got["b"]["share_ppm_cur"] == 0
+    assert got["b"]["tv_ppm"] == 400000
+    assert got["c"]["n_docs_ref"] == 0 and got["c"]["tv_ppm"] == 750000
+    # TV distance = sum(tv_ppm)/2 = (350000+400000+750000)/2 = 750000
+    assert sum(r["tv_ppm"] for r in got.values()) == 1500000
+
+
+def test_drift_report_identical_snapshots_zero_drift(spark, docs):
+    out = corpus.drift_report(docs, docs)
+    assert out.where(F.col("tv_ppm") != 0).count() == 0
+    assert out.where(F.col("n_docs_ref") != F.col("n_docs_cur")).count() == 0
