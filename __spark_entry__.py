@@ -3024,6 +3024,49 @@ def q_streaming_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select("doc_id", "domain")
 
 
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: the doc stream (3 micro-batches)
+    accumulates per-(source, lang) counts in a ledger; after every
+    batch the sink overwrites the drift table vs a persisted
+    reference histogram (the %4-slice). Counts are ADDITIVE, so the
+    final table equals the batch drift_report regardless of batch
+    order/count — a stateful streaming row with a full value oracle
+    and no batch-confinement trick needed."""
+    from ariadne_spark.streaming.maintenance import attach_drift_maintenance
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    src = f"{base}/docs_stream"
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    if not os.path.exists(f"{src}/_DONE"):
+        for i in range(3):
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/part{i}")
+        with open(f"{src}/_DONE", "w") as fh:
+            fh.write("ok")
+    ref_path = f"{base}/_stream_sink/drift_ref"
+    if not glob.glob(f"{ref_path}/*.parquet"):
+        docs.where(F.col("doc_id") % 4 != 0).groupBy("source", "lang").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
+        ).coalesce(1).write.mode("overwrite").parquet(ref_path)
+    schema = spark.read.parquet(f"{src}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/part*")
+    )
+    sink = f"{base}/_stream_sink/drift_out"
+    store = f"{base}/_stream_sink/drift_store"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+    q = attach_drift_maintenance(
+        stream, ref_path, store, sink, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
 def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end data selection: DSIR importance weights against the
     lang='en' target, then the exact top-100 documents by score with
@@ -3130,6 +3173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_diversity_sample": q_emb_diversity_sample,
         "emb_bitext_mine": q_emb_bitext_mine,
         "corpus_drift_report": q_corpus_drift_report,
+        "streaming_drift": q_streaming_drift,
         "idx_join_bloom": q_idx_join_bloom,
         "idx_join_temporal": q_idx_join_temporal,
         "idx_exploded_token": q_idx_exploded_token,
@@ -3183,7 +3227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_cross_indexed": q_corpus_dedup_cross_indexed,
         "corpus_mix_report": q_corpus_mix_report,
         "emb_knn_classify": q_emb_knn_classify,
-        "corpus_url_dedup": q_corpus_url_dedup,
         "corpus_importance": q_corpus_importance,
         "profile_docs": q_profile_docs,
         "emb_semantic_dedup": q_emb_semantic_dedup,
@@ -3206,6 +3249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "dedup_minhash": q_dedup_minhash,
+        "corpus_url_dedup": q_corpus_url_dedup,
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_substring_inc": q_dedup_substring_inc,
         "streaming_window": q_streaming_window,
@@ -4576,6 +4620,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         # drift monitor: integer ppm shares on both sides (DuckDB's
         # // on promoted integers == Spark's DECIMAL(38) DIV)
+        "streaming_drift": """
+            WITH r AS (
+                SELECT source, lang FROM documents WHERE doc_id % 4 <> 0
+            ),
+            c AS (SELECT source, lang FROM documents),
+            ra AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs_ref
+                FROM r GROUP BY source, lang
+            ),
+            rt AS (SELECT sum(n_docs_ref) AS t FROM ra),
+            rs AS (
+                SELECT source, lang, n_docs_ref,
+                       CAST(1000000 * n_docs_ref // t AS BIGINT) AS share_ppm_ref
+                FROM ra, rt
+            ),
+            ca AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs_cur
+                FROM c GROUP BY source, lang
+            ),
+            ct AS (SELECT sum(n_docs_cur) AS t FROM ca),
+            cs AS (
+                SELECT source, lang, n_docs_cur,
+                       CAST(1000000 * n_docs_cur // t AS BIGINT) AS share_ppm_cur
+                FROM ca, ct
+            )
+            SELECT source, lang,
+                   coalesce(n_docs_ref, 0) AS n_docs_ref,
+                   coalesce(n_docs_cur, 0) AS n_docs_cur,
+                   coalesce(share_ppm_ref, 0) AS share_ppm_ref,
+                   coalesce(share_ppm_cur, 0) AS share_ppm_cur,
+                   coalesce(share_ppm_cur, 0) - coalesce(share_ppm_ref, 0)
+                       AS delta_ppm,
+                   abs(coalesce(share_ppm_cur, 0) - coalesce(share_ppm_ref, 0))
+                       AS tv_ppm
+            FROM rs FULL JOIN cs USING (source, lang)
+        """,
         "corpus_drift_report": """
             WITH r AS (
                 SELECT source, lang FROM documents WHERE doc_id % 4 <> 0

@@ -1232,10 +1232,28 @@ def drift_report(
     corpus is scanned twice."""
     cols = group_cols or ["source", "lang"]
 
-    def side(df: DataFrame, tag: str) -> DataFrame:
-        per = df.groupBy(*[F.col(c) for c in cols]).agg(
-            F.count(F.lit(1)).alias(f"n_docs_{tag}")
+    def counts(df: DataFrame) -> DataFrame:
+        return df.groupBy(*[F.col(c) for c in cols]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs")
         )
+
+    return drift_from_counts(counts(ref), counts(cur), cols)
+
+
+def drift_from_counts(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    group_cols: list[str],
+    count_col: str = "n_docs",
+) -> DataFrame:
+    """:func:`drift_report` from PRE-AGGREGATED per-group counts
+    (``group_cols…, count_col``) — the shared core the streaming
+    drift sink feeds with its cumulative count ledger. Integer ppm
+    arithmetic identical to :func:`mix_report`."""
+    cols = list(group_cols)
+
+    def side(per: DataFrame, tag: str) -> DataFrame:
+        per = per.select(*cols, F.col(count_col).alias(f"n_docs_{tag}"))
         tot = F.sum(f"n_docs_{tag}").over(Window.partitionBy())
         share = F.expr(
             f"CAST((CAST(1000000 AS DECIMAL(38,0)) * n_docs_{tag})"
@@ -1245,7 +1263,9 @@ def drift_report(
             *cols, f"n_docs_{tag}", share.alias(f"share_ppm_{tag}")
         )
 
-    joined = side(ref, "ref").join(side(cur, "cur"), cols, "full_outer")
+    joined = side(ref_counts, "ref").join(
+        side(cur_counts, "cur"), cols, "full_outer"
+    )
     a = F.coalesce("share_ppm_ref", F.lit(0))
     b = F.coalesce("share_ppm_cur", F.lit(0))
     return joined.select(

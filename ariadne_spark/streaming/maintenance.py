@@ -440,6 +440,83 @@ def attach_domain_quota_maintenance(
     return writer.start()
 
 
+def attach_drift_maintenance(
+    stream_df: DataFrame,
+    ref_counts_path: str,
+    store_path: str,
+    out_path: str,
+    group_cols: list[str] | None = None,
+    trigger: dict | None = None,
+):
+    """Streaming snapshot-drift monitor: per micro-batch, fold the
+    batch's per-key doc counts into a cumulative count ledger, then
+    overwrite ``out_path`` with the current
+    :func:`~ariadne_spark.operators.corpus.drift_from_counts` table
+    against a persisted reference histogram (``ref_counts_path``:
+    ``group_cols…, n_docs`` — write it once from the reference
+    snapshot with a groupBy-count). The alerting table a crawl
+    pipeline watches while ingesting.
+
+    Counts are ADDITIVE, so unlike the quota/dedup sinks the final
+    table is independent of micro-batch order and count — the
+    cumulative ledger equals the batch operator's counts over the
+    whole stream by construction (which is what makes the gate row
+    fully oracle-checkable with no batch-confinement trick).
+
+    Ledger-first write order: the (keys, n_docs) ledger is the source
+    of truth (temp + rename, pure JVM plan — the domain-quota posture);
+    the drift table is derived by RE-READING the renamed ledger, so a
+    crash between the two leaves a stale-but-consistent output that
+    the next batch overwrites. Both tables are group-cardinality-sized
+    — one row per key, never per document."""
+    cols = list(group_cols or ["source", "lang"])
+
+    def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        add = batch_df.groupBy(*[F.col(c) for c in cols]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("__add")
+        )
+        if glob.glob(f"{store_path}/*.parquet"):
+            cur = spark.read.parquet(store_path)
+            new_counts = add.join(cur, cols, "full").select(
+                *cols,
+                (
+                    F.coalesce(F.col("__add"), F.lit(0))
+                    + F.coalesce(F.col("n_docs"), F.lit(0))
+                ).cast("bigint").alias("n_docs"),
+            )
+        else:
+            new_counts = add.select(
+                *cols, F.col("__add").alias("n_docs")
+            )
+        import os
+        import shutil as _sh
+
+        tmp = f"{store_path}.tmp-{batch_id}"
+        new_counts.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _sh.rmtree(store_path, ignore_errors=True)
+        os.rename(tmp, store_path)
+        # derive the drift table from the RENAMED ledger (a lazy plan
+        # over the pre-rename read would re-scan paths that no longer
+        # exist) + the reference histogram
+        from ..operators.corpus import drift_from_counts
+
+        ref = spark.read.parquet(ref_counts_path)
+        drift = drift_from_counts(ref, spark.read.parquet(store_path), cols)
+        dtmp = f"{out_path}.tmp-{batch_id}"
+        drift.coalesce(1).write.mode("overwrite").parquet(dtmp)
+        _sh.rmtree(out_path, ignore_errors=True)
+        os.rename(dtmp, out_path)
+        log.info("drift maintenance: batch %d done", batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(do_batch)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
 def attach_url_dedup_maintenance(
     stream_df: DataFrame,
     store_path: str,

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "idx_keyword_search",
     "emb_bitext_mine",
     "corpus_drift_report",
+    "streaming_drift",
 ]
 
 

@@ -508,3 +508,62 @@ def test_attach_domain_quota_depletes_across_batches(spark, tmp_path):
         for r in spark.read.parquet(store).collect()
     }
     assert used == {"a.com": 3, "b.com": 1}
+
+
+def test_attach_drift_maintenance_accumulates_to_batch_answer(spark, tmp_path):
+    """Counts are additive: after the stream drains, the sink's drift
+    table must EQUAL the batch drift_report over the whole stream —
+    regardless of how rows were split into micro-batches. The ledger
+    holds one row per key and survives across batches."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark.operators.corpus import drift_report
+    from ariadne_spark.streaming.maintenance import attach_drift_maintenance
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows_a = [(1, "a", "en"), (2, "a", "en"), (3, "b", "en")]
+    rows_b = [(4, "a", "en"), (5, "c", "fr"), (6, "c", "fr")]
+    src = str(tmp_path / "dr_src")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(f"{src}/fa")
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(f"{src}/fb")
+
+    # reference histogram: 2 'a', 2 'b' docs
+    ref_rows = [(10, "a", "en"), (11, "a", "en"), (12, "b", "en"), (13, "b", "en")]
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    ref_path = str(tmp_path / "dr_ref")
+    ref_df.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).coalesce(1).write.parquet(ref_path)
+
+    out = str(tmp_path / "dr_out")
+    store = str(tmp_path / "dr_store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = attach_drift_maintenance(
+        stream, ref_path, store, out, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+
+    got = rows_set(spark.read.parquet(out))
+    all_rows = spark.createDataFrame(rows_a + rows_b, schema)
+    want = rows_set(drift_report(ref_df, all_rows))
+    assert got == want
+    # ledger: one row per key with the cumulative counts
+    ledger = {
+        (r["source"], r["lang"]): r["n_docs"]
+        for r in spark.read.parquet(store).collect()
+    }
+    assert ledger == {("a", "en"): 3, ("b", "en"): 1, ("c", "fr"): 2}
+    # hand-check one cell: 'c' absent from ref -> full current share
+    byk = {(r["source"], r["lang"]): r for r in spark.read.parquet(out).collect()}
+    assert byk[("c", "fr")]["n_docs_ref"] == 0
+    assert byk[("c", "fr")]["share_ppm_cur"] == 333333
