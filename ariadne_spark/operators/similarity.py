@@ -914,22 +914,37 @@ def bitext_mine(
     :func:`~ariadne_spark.operators.quantization.ivf_pq_topk`) and
     feed it here — everything downstream is one groupBy per side
     plus a broadcast join onto the k-row-per-source candidate set."""
-    fwd = cosine_topk(
-        tgt,
-        src.select(F.col(src_id).alias("__q"), vec_col),
-        k=k,
+    # ONE pair scan serves both directions (IEEE dot/multiply
+    # commute bit-for-bit, so cos(x,y) == cos(y,x) exactly — the
+    # oracle's single symmetric CTE relies on the same fact).
+    # Persisted + materialized so the two direction windows read the
+    # scored pairs once instead of re-running the cross scan
+    # (measured 8.2 s -> the single-scan shape at sf0.1); both
+    # rank<=k filters compile to WindowGroupLimit, so each shuffle
+    # carries ~k rows per group, not the full pair set.
+    scores = cosine_scores(
+        _ensure_parallelism(tgt),  # 1-file reads would fold 1M pairs on 1 core
+        src,
         corpus_id=tgt_id,
-        query_id="__q",
+        query_id=src_id,
         vec_col=vec_col,
-    ).withColumnRenamed("__q", src_id)
-    bwd = cosine_topk(
-        src.select(F.col(src_id), vec_col),
-        tgt.select(F.col(tgt_id).alias("__q"), vec_col),
-        k=k,
-        corpus_id=src_id,
-        query_id="__q",
-        vec_col=vec_col,
-    ).withColumnRenamed("__q", tgt_id)
+    ).persist()
+    scores.count()
+
+    def topk(part: str, other: str) -> DataFrame:
+        w = Window.partitionBy(part).orderBy(
+            F.col("cosine").desc(), F.col(other).asc()
+        )
+        return (
+            scores.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                part, other, "rank", F.round("cosine", 6).alias("cosine")
+            )
+        )
+
+    fwd = topk(src_id, tgt_id)
+    bwd = topk(tgt_id, src_id)
     ax = _ranked_avg(fwd, src_id)
     ay = _ranked_avg(bwd, tgt_id)
     cand = (

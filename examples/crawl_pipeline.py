@@ -140,5 +140,13 @@ some_domain = spark.read.parquet(out_dir).select(
 located = idx.locate_files({"domain": [some_domain]})
 print(f"index: domain predicate '{some_domain}' prunes to "
       f"{len(located)}/{len(files)} files")
+
+# 7) monitor: how far did cleaning+selection shift the source mix? --
+from ariadne_spark.operators.corpus import drift_report
+
+drift = drift_report(docs, final, ["lang"]).orderBy(F.desc("tv_ppm"))
+tv = drift.agg((F.sum("tv_ppm") / 2).alias("tv")).first()["tv"]
+print(f"lang-mix TV distance raw->selected: {tv/10000:.1f}% "
+      f"(per-lang table has {drift.count()} rows)")
 print("crawl pipeline complete")
 spark.stop()
