@@ -678,20 +678,25 @@ def write_shards(
     id_col: str = "doc_id",
     shard_col: str = "shard",
     pos_col: str = "pos",
+    format: str = "parquet",
 ) -> None:
-    """Write ``df`` as ``n_shards`` deterministic parquet shards
+    """Write ``df`` as ``n_shards`` deterministic shards
     (``out_dir/shard=K/``), each internally ordered by the reproducible
     shuffle position. One repartition on the shard id, files written
     directly from the shard partitions — no second pass, no global
-    sort."""
+    sort. ``format``: ``parquet`` (default) or ``json`` — JSONL shards
+    are what tokenizer/training loaders commonly stream; the layout
+    and ordering contract is identical."""
+    if format not in ("parquet", "json"):
+        raise ValueError(f"unsupported shard format: {format}")
     assigned = shard_assignment(df, n_shards, id_col, shard_col, pos_col)
-    (
+    writer = (
         assigned.repartition(n_shards, F.col(shard_col))
         .sortWithinPartitions(shard_col, pos_col)
         .write.partitionBy(shard_col)
         .mode("overwrite")
-        .parquet(out_dir)
     )
+    writer.format(format).save(out_dir)
 
 
 def pack_sequences(

@@ -366,6 +366,24 @@ def test_write_shards_layout_and_order(spark, docs, tmp_path):
     assert poss == list(range(1, len(poss) + 1))
 
 
+def test_write_shards_jsonl_format(spark, docs, tmp_path):
+    """JSONL shards: same layout/order contract as parquet, rows
+    round-trip, unknown formats refused."""
+    out = str(tmp_path / "jshards")
+    corpus.write_shards(docs.select("doc_id", "text"), out, 4, "doc_id",
+                        format="json")
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
+    assert sorted(
+        r["shard"] for r in back.select("shard").distinct().collect()
+    ) == [0, 1, 2, 3]
+    import glob as _g
+    files = _g.glob(f"{out}/shard=*/part-*")
+    assert files and all(not f.endswith(".parquet") for f in files)
+    with pytest.raises(ValueError):
+        corpus.write_shards(docs, str(tmp_path / "x"), 2, format="avro")
+
+
 def test_shard_assignment_one_shuffle_plan(spark):
     df = spark.createDataFrame(
         [(i,) for i in range(40)], "doc_id bigint"
