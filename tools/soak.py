@@ -689,6 +689,41 @@ def main() -> None:
     assert dspan % 20 == 0, "replica invariant needs dspan % 20 == 0"
     assert nx_kept == base_kept * n_rep, (nx_kept, base_kept)
 
+    # ---- scenario 14: drift report at NX ----------------------------
+    # Replication preserves PROPORTIONS: counts scale by n_rep but
+    # every ppm share / delta / tv cell must be IDENTICAL to the 1X
+    # report (integer DIV included) — the closed-form check that the
+    # DECIMAL(38) share arithmetic survives 8x counts.
+    from ariadne_spark.operators.corpus import drift_report
+
+    key = (F.col("doc_id") % 20).cast("string")
+    keyed = drep.select("doc_id", key.alias("source"),
+                        F.lit("en").alias("lang"))
+    ref_nx = keyed.where(F.col("doc_id") % 4 != 0)
+    cur_nx = keyed.where(F.col("doc_id") % 5 == 0)
+    t0 = time.time()
+    nx = {
+        (r["source"], r["lang"]): (
+            r["share_ppm_ref"], r["share_ppm_cur"], r["delta_ppm"], r["tv_ppm"]
+        )
+        for r in drift_report(ref_nx, cur_nx).collect()
+    }
+    dr_sec = round(time.time() - t0, 2)
+    one = keyed.where(F.col("doc_id") < dspan)
+    base = {
+        (r["source"], r["lang"]): (
+            r["share_ppm_ref"], r["share_ppm_cur"], r["delta_ppm"], r["tv_ppm"]
+        )
+        for r in drift_report(
+            one.where(F.col("doc_id") % 4 != 0),
+            one.where(F.col("doc_id") % 5 == 0),
+        ).collect()
+    }
+    emit(stage="drift_report_nx", docs=n_rep * dn, groups=len(nx),
+         sec=dr_sec, shares_match_1x=(nx == base))
+    assert dspan % 5 == 0 and dspan % 4 == 0, dspan
+    assert nx == base, "ppm shares must be replication-invariant"
+
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
 
