@@ -202,6 +202,30 @@ class ParquetTable:
             return
         self.overwrite(df.where(~condition))
 
+    def restore(self, version: int) -> None:
+        """Roll the table back to ``version`` by committing a NEW
+        manifest that references that version's segments — Delta
+        RESTORE semantics: history is preserved (the rollback is
+        itself a version; the states in between stay readable until
+        :meth:`vacuum`), and the operation writes no data, only a
+        manifest. Unknown versions raise with the available range;
+        restoring past a vacuum may reference reclaimed segments and
+        fail at scan time, exactly like an old-version :meth:`read`.
+
+        Reference parity: the reference's storage substrate is Delta
+        throughout (FileList.scala:62-67), where ``RESTORE TABLE …
+        VERSION AS OF`` is the operational rollback; this is the LSM
+        analog, the recovery path after a bad index build or a
+        mistaken deleteFiles."""
+        vs = self._versions()
+        if version not in vs:
+            raise ValueError(
+                f"version {version} not found for {self.path}; "
+                f"available: {vs}"
+            )
+        m = self._read_manifest(version)
+        self._commit(lambda old: m["segments"])
+
     def compact(self) -> None:
         """Fold all segments into one (OPTIMIZE analog)."""
         m = self._read_manifest()

@@ -196,6 +196,30 @@ def test_time_travel_survives_compact_until_vacuum(spark, storage):
     assert {r["k"] for r in t.read().collect()} == {0, 1, 2, 3}
 
 
+def test_table_restore_rolls_back_as_new_version(spark, storage):
+    """restore(N) commits a NEW manifest reusing version N's segments:
+    read() returns the old state, history keeps growing (the rollback
+    is itself a version), appends after a restore continue from the
+    restored state, and unknown versions raise."""
+    t = ParquetTable(spark, f"{storage}/tr", key_cols=("k",))
+    t.append(spark.createDataFrame([(1, "a")], ["k", "v"]))
+    t.append(spark.createDataFrame([(2, "bad")], ["k", "v"]))
+    t.append(spark.createDataFrame([(1, "worse")], ["k", "v"]))
+    assert rows_set(t.read()) == {(1, "worse"), (2, "bad")}
+    t.restore(1)
+    assert t.versions() == [1, 2, 3, 4]  # rollback is version 4
+    assert rows_set(t.read()) == {(1, "a")}
+    # the in-between states stay readable (segments untouched)
+    assert rows_set(t.read(version=3)) == {(1, "worse"), (2, "bad")}
+    # life goes on from the restored state
+    t.append(spark.createDataFrame([(3, "c")], ["k", "v"]))
+    assert rows_set(t.read()) == {(1, "a"), (3, "c")}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t.restore(99)
+
+
 # ------------------------------------------------------- backend seam
 
 def test_backend_default_is_parquet_lsm(spark, storage):
