@@ -1297,6 +1297,22 @@ def q_emb_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.col("cell").cast("int").alias("cell"))
 
 
+def q_corpus_soft_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic probabilistic sampling by a per-document quality
+    score (CCNet-style soft filtering): keep probability = 3x the
+    stopword ratio (clamped), the draw = md5(id) first 13 hex chars,
+    the comparison lexicographic on hex strings — integer-exact in
+    both engines, so a Bernoulli sampler is fully value-oracled."""
+    from ariadne_spark.operators.corpus import soft_filter
+    from ariadne_spark.operators.text import quality_feature_columns
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    scored = docs.withColumn(
+        "p", 3.0 * quality_feature_columns("text")["stopword_ratio"]
+    )
+    return soft_filter(scored, "p").select("doc_id", "source", "lang")
+
+
 def q_corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift monitor over the (source, lang) mixture key:
     two overlapping-but-differently-skewed slices of the corpus stand
@@ -3172,6 +3188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pr_curve": q_text_pr_curve,
         "emb_diversity_sample": q_emb_diversity_sample,
         "emb_bitext_mine": q_emb_bitext_mine,
+        "corpus_soft_sample": q_corpus_soft_sample,
         "corpus_drift_report": q_corpus_drift_report,
         "streaming_drift": q_streaming_drift,
         "idx_join_bloom": q_idx_join_bloom,
@@ -3204,7 +3221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "sim_ann_lsh": q_sim_ann_lsh,
         "pipeline_clean": q_pipeline_clean,
-        "corpus_pack": q_corpus_pack,
         "text_lang_id": q_text_lang_id,
         # r06 (ADVICE): no-oracle entries (BPE learn/encode, pHash)
         # moved PAST the 50-entry gate window so every gate row carries
@@ -3250,6 +3266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_sample": q_corpus_temperature_sample,
         "dedup_minhash": q_dedup_minhash,
         "corpus_url_dedup": q_corpus_url_dedup,
+        "corpus_pack": q_corpus_pack,
         "dedup_ngramset": q_dedup_ngramset,
         "dedup_substring_inc": q_dedup_substring_inc,
         "streaming_window": q_streaming_window,
@@ -4618,6 +4635,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS INT) AS rank, round(c, 6) AS cosine
             FROM r WHERE rank <= 10
         """,
+        # soft sampling: the hex-string compare is integer-exact; the
+        # bound floor(p * 16^13) is a 52-bit double both engines
+        # compute identically; printf('%013x') == lpad(lower(hex),13)
+        "corpus_soft_sample": r"""
+            WITH s AS (
+                SELECT doc_id, source, lang,
+                       3.0 * round(CAST(len(list_filter(string_split(lower(text), ' '),
+                                 t -> t IN ({stop_list}))) AS DOUBLE)
+                             / greatest(len(string_split_regex(trim(text), '\s+')), 1),
+                             4) AS p
+                FROM documents
+            )
+            SELECT doc_id, source, lang FROM s
+            WHERE CASE
+                WHEN p IS NULL THEN NULL
+                WHEN least(greatest(p, 0.0), 1.0) >= 1.0 THEN TRUE
+                ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) <
+                     printf('%013x', CAST(floor(
+                         least(greatest(p, 0.0), 1.0) * 4503599627370496.0
+                     ) AS BIGINT))
+            END
+        """.format(stop_list=stop_list),
         # drift monitor: integer ppm shares on both sides (DuckDB's
         # // on promoted integers == Spark's DECIMAL(38) DIV)
         "streaming_drift": """

@@ -86,6 +86,67 @@ def split_column(id_col: str | Column, fractions: dict[str, float]) -> Column:
     return result.otherwise(F.lit(pairs[-1][0]))
 
 
+# 13 hex digits = 52 bits: exactly representable in a double, so the
+# per-row bound floor(p * 16^13) is computed identically by Spark and
+# DuckDB before the integer-exact string compare
+_SOFT_HEX_CHARS = 13
+_SOFT_SCALE = 16 ** _SOFT_HEX_CHARS
+
+
+def soft_filter_column(
+    prob_col: str | Column,
+    id_col: str | Column = "doc_id",
+    seed: str = "",
+) -> Column:
+    """Boolean keep flag for per-row probabilistic sampling: row ``i``
+    survives with probability ``prob_col`` (clamped to [0, 1]), but
+    DETERMINISTICALLY — the "draw" is the md5 of (id, seed), so the
+    decision is stable across runs, partitionings, and engines
+    (CCNet-style soft quality filtering: sample documents in
+    proportion to a quality score instead of a hard threshold, with
+    full reproducibility and no RNG state).
+
+    Mechanics: the first 13 hex chars of the md5 are a uniform 52-bit
+    draw; the bound ``floor(p · 16^13)`` is exactly representable in
+    a double, rendered as a zero-padded lowercase hex string, and the
+    comparison is LEXICOGRAPHIC on hex strings — integer-exact in
+    both engines (the :func:`split_column` idiom with a per-row
+    bound). Pure projection, zero shuffle; NULL probabilities yield
+    NULL (caller decides)."""
+    p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    clamped = F.least(F.greatest(p.cast("double"), F.lit(0.0)), F.lit(1.0))
+    bound = F.lpad(
+        F.lower(F.hex(F.floor(clamped * F.lit(float(_SOFT_SCALE))))),
+        _SOFT_HEX_CHARS,
+        "0",
+    )
+    draw = F.md5(F.concat(c.cast("string"), F.lit(seed))).substr(
+        1, _SOFT_HEX_CHARS
+    )
+    # p == 1.0 would need the 14-char bound '1' + 13 zeros (lpad would
+    # TRUNCATE it to 13 and wrongly drop rows) — short-circuit it: full
+    # probability keeps everything, no draw consulted
+    return (
+        F.when(clamped.isNull(), F.lit(None).cast("boolean"))
+        .when(clamped >= 1.0, F.lit(True))
+        .otherwise(draw < bound)
+    )
+
+
+def soft_filter(
+    df: DataFrame,
+    prob_col: str | Column,
+    id_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """Keep each row with its own probability, deterministically —
+    see :func:`soft_filter_column`. Rows with NULL probability are
+    dropped (no decision basis)."""
+    keep = soft_filter_column(prob_col, id_col, seed)
+    return df.where(keep)
+
+
 def deterministic_split(
     df: DataFrame,
     fractions: dict[str, float],

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "emb_bitext_mine",
     "corpus_drift_report",
     "streaming_drift",
+    "corpus_soft_sample",
 ]
 
 

@@ -1448,3 +1448,38 @@ def test_drift_report_identical_snapshots_zero_drift(spark, docs):
     out = corpus.drift_report(docs, docs)
     assert out.where(F.col("tv_ppm") != 0).count() == 0
     assert out.where(F.col("n_docs_ref") != F.col("n_docs_cur")).count() == 0
+
+
+# --- soft_filter -----------------------------------------------------------
+
+
+def test_soft_filter_rate_determinism_and_edges(spark):
+    df = spark.range(50_000).select(
+        F.col("id").alias("doc_id"), F.lit(0.25).alias("p")
+    )
+    kept = corpus.soft_filter(df, "p")
+    n = kept.count()
+    assert abs(n - 12_500) < 500  # binomial 3-sigma ~ 490
+    # deterministic under repartitioning and across calls
+    a = rows_set(corpus.soft_filter(df.repartition(3), "p").select("doc_id"))
+    b = rows_set(corpus.soft_filter(df.repartition(11), "p").select("doc_id"))
+    assert a == b and len(a) == n
+    # a different seed draws a different (deterministic) subset
+    c = rows_set(
+        df.where(corpus.soft_filter_column("p", "doc_id", seed="v2"))
+        .select("doc_id")
+    )
+    assert c != a and abs(len(c) - 12_500) < 500
+    # edges: 0 drops all, >=1 keeps all, negatives clamp, NULL drops
+    for p, want in [(0.0, 0), (1.0, 50_000), (2.0, 50_000), (-1.0, 0)]:
+        got = corpus.soft_filter(df.withColumn("p", F.lit(p)), "p").count()
+        assert got == want, (p, got)
+    assert (
+        corpus.soft_filter(
+            df.withColumn("p", F.lit(None).cast("double")), "p"
+        ).count()
+        == 0
+    )
+    # zero-shuffle projection
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
