@@ -227,6 +227,13 @@ def main() -> None:
         "warmup_sec": warmup_sec,
         "n_queries": len(BENCH_QUERIES),
         "queries_file": "bench_queries.json",
+        # external-contention evidence: this box is shared, and loaded
+        # runs inflate EVERY row uniformly (observed +23-32% incl.
+        # untouched diagnostics). 1-minute loadavg at the end of the
+        # timed passes >> the bench's own footprint means the numbers
+        # were taken under competition — compare bench_queries.json
+        # against the previous round before reading a regression.
+        "load_1m_end": round(os.getloadavg()[0], 2),
     }
     # Per-query timings go to a SIDECAR file: the inline map for 113
     # queries is ~3.5 KB and overflows the driver's ~2.2 KB stdout
