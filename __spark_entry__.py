@@ -3080,7 +3080,9 @@ def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ref_path, store, sink, trigger={"availableNow": True}
     )
     q.awaitTermination()
-    return spark.read.parquet(sink)
+    from ariadne_spark.storage.table import ParquetTable
+
+    return ParquetTable(spark, sink).read()
 
 
 def q_corpus_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -250,22 +250,32 @@ def threshold_sweep(
     correct, just slower). For a truly dense grid, bucket the score
     once and cumulative-sum the buckets instead.
     """
+    import math
+
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
+    if not all(math.isfinite(float(t)) for t in thresholds):
+        # a nan/inf literal would render as an unresolvable SQL token
+        # in the stack() below — fail fast with a clear message
+        raise ValueError(f"thresholds must be finite: {thresholds}")
     s = F.col(score_col)
     y = F.col(label_col).cast("boolean")
     valid = s.isNotNull() & y.isNotNull()
+
+    def zsum(cond) -> Column:
+        # sum() over zero rows is NULL; an empty/filtered-to-empty
+        # slice must report all-zero confusion counts, not NULLs
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint")
+
     aggs = []
     for i, t in enumerate(thresholds):
         hit = valid & (s >= F.lit(float(t)))
-        aggs.append(
-            F.sum(F.when(hit & y, 1).otherwise(0)).cast("bigint").alias(f"tp{i}")
-        )
-        aggs.append(
-            F.sum(F.when(hit & ~y, 1).otherwise(0)).cast("bigint").alias(f"fp{i}")
-        )
-    aggs.append(F.sum(F.when(valid & y, 1).otherwise(0)).cast("bigint").alias("pos"))
-    aggs.append(F.sum(F.when(valid & ~y, 1).otherwise(0)).cast("bigint").alias("neg"))
+        aggs.append(zsum(hit & y).alias(f"tp{i}"))
+        aggs.append(zsum(hit & ~y).alias(f"fp{i}"))
+    aggs.append(zsum(valid & y).alias("pos"))
+    aggs.append(zsum(valid & ~y).alias("neg"))
     one = df.agg(*aggs)
     # unpivot: stack(T, lit(t0), tp0, fp0, ...) over the 1-row frame
     parts = []

@@ -112,7 +112,10 @@ def soft_filter_column(
     comparison is LEXICOGRAPHIC on hex strings — integer-exact in
     both engines (the :func:`split_column` idiom with a per-row
     bound). Pure projection, zero shuffle; NULL probabilities yield
-    NULL (caller decides)."""
+    NULL (caller decides); NULL ids yield False UNIFORMLY — a row
+    with no identity has no reproducible draw, so it never survives,
+    regardless of its probability (the p>=1 short-circuit must not
+    resurrect it)."""
     p = F.col(prob_col) if isinstance(prob_col, str) else prob_col
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     clamped = F.least(F.greatest(p.cast("double"), F.lit(0.0)), F.lit(1.0))
@@ -129,6 +132,7 @@ def soft_filter_column(
     # probability keeps everything, no draw consulted
     return (
         F.when(clamped.isNull(), F.lit(None).cast("boolean"))
+        .when(c.isNull(), F.lit(False))
         .when(clamped >= 1.0, F.lit(True))
         .otherwise(draw < bound)
     )
@@ -385,12 +389,7 @@ def registrable_domain(
     ownership stats; composes with the engine's computed index
     columns (sources/files.py) so a domain predicate can PRUNE files
     before any scan."""
-    c = F.col(url_col) if isinstance(url_col, str) else url_col
-    host = F.lower(
-        F.regexp_extract(
-            c, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1
-        )
-    )
+    host = url_host(url_col)  # shared host parse (one regex to fix)
     host = F.when(host.startswith("www."), F.substring(host, 5, 2_000_000)).otherwise(host)
     labels = F.split(host, r"\.")
     n = F.size(labels)
@@ -1319,23 +1318,37 @@ def drift_from_counts(
     cols = list(group_cols)
 
     def side(per: DataFrame, tag: str) -> DataFrame:
-        per = per.select(*cols, F.col(count_col).alias(f"n_docs_{tag}"))
+        per = per.select(
+            *[F.col(c).alias(f"__{tag}_{c}") for c in cols],
+            F.col(count_col).alias(f"n_docs_{tag}"),
+        )
         tot = F.sum(f"n_docs_{tag}").over(Window.partitionBy())
         share = F.expr(
             f"CAST((CAST(1000000 AS DECIMAL(38,0)) * n_docs_{tag})"
             f" DIV __tot AS BIGINT)"
         )
         return per.withColumn("__tot", tot).select(
-            *cols, f"n_docs_{tag}", share.alias(f"share_ppm_{tag}")
+            *[f"__{tag}_{c}" for c in cols],
+            f"n_docs_{tag}",
+            share.alias(f"share_ppm_{tag}"),
         )
 
-    joined = side(ref_counts, "ref").join(
-        side(cur_counts, "cur"), cols, "full_outer"
-    )
+    r, c2 = side(ref_counts, "ref"), side(cur_counts, "cur")
+    # NULL-SAFE key equality: a NULL-keyed group ("lang unknown") is a
+    # real monitoring bucket — a plain equi-join would never match it
+    # to itself and report spurious full drift on both sides
+    cond = None
+    for c in cols:
+        eq = r[f"__ref_{c}"].eqNullSafe(c2[f"__cur_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    joined = r.join(c2, cond, "full_outer")
     a = F.coalesce("share_ppm_ref", F.lit(0))
     b = F.coalesce("share_ppm_cur", F.lit(0))
     return joined.select(
-        *cols,
+        *[
+            F.coalesce(r[f"__ref_{c}"], c2[f"__cur_{c}"]).alias(c)
+            for c in cols
+        ],
         F.coalesce("n_docs_ref", F.lit(0)).alias("n_docs_ref"),
         F.coalesce("n_docs_cur", F.lit(0)).alias("n_docs_cur"),
         a.alias("share_ppm_ref"),

@@ -436,8 +436,10 @@ def ivf_ann_topk(
     then prunes FILES, composing with the engine's locate path."""
     if centroids == "kmeans":
         cents = kmeans_centroids(corpus, vec_col, n_centroids)
-    else:
+    elif centroids == "hash":
         cents = _centroids(corpus, corpus_id, vec_col, n_centroids)
+    else:
+        raise ValueError(f"unsupported centroids mode: {centroids}")
     assign = _nearest_centroids_udf(cents, 1)
     probe = _nearest_centroids_udf(cents, n_probe)
     c = _ensure_parallelism(corpus).select(
@@ -847,8 +849,10 @@ def diversity_sample(
 
     if centroids == "kmeans":
         cents = kmeans_centroids(corpus, vec_col, n_cells)
-    else:
+    elif centroids == "hash":
         cents = _centroids(corpus, corpus_id, vec_col, n_cells)
+    else:
+        raise ValueError(f"unsupported centroids mode: {centroids}")
     assign = _nearest_centroids_udf(cents, 1)
     assigned = _ensure_parallelism(corpus).withColumn(
         "cell", F.element_at(assign(F.col(vec_col)), 1)
@@ -959,17 +963,22 @@ def bitext_mine(
             ).alias("margin"),
         )
     )
-    best = cand.groupBy(src_id).agg(
-        F.max(
-            F.struct(
-                F.col("margin"),
-                (-F.col(tgt_id)).alias("__nt"),
-                F.col(tgt_id).alias("__t"),
-            )
-        ).alias("__b")
+    # best-per-source via row_number, not a negated-id struct max:
+    # ids may be strings (ANSI would fail the cast, non-ANSI would
+    # silently invert the tie order); the window partitions carry at
+    # most k rows per source, so there is no skew exposure
+    wbest = Window.partitionBy(src_id).orderBy(
+        F.col("margin").desc(), F.col(tgt_id).asc()
     )
-    return best.where(F.col("__b.margin") > F.lit(float(threshold))).select(
-        src_id,
-        F.col("__b.__t").alias(tgt_id),
-        F.round("__b.margin", 6).alias("margin"),
+    out = (
+        cand.withColumn("__rk", F.row_number().over(wbest))
+        .where((F.col("__rk") == 1) & (F.col("margin") > F.lit(float(threshold))))
+        .select(src_id, tgt_id, F.round("margin", 6).alias("margin"))
     )
+    # materialize the (small, one-row-per-source) result so the big
+    # pair-score cache can be released — the simhash banded-pairs
+    # pattern (cache the small output, free the large intermediate)
+    out = out.persist()
+    out.count()
+    scores.unpersist()
+    return out

@@ -463,52 +463,65 @@ def attach_drift_maintenance(
     whole stream by construction (which is what makes the gate row
     fully oracle-checkable with no batch-confinement trick).
 
-    Ledger-first write order: the (keys, n_docs) ledger is the source
-    of truth (temp + rename, pure JVM plan — the domain-quota posture);
-    the drift table is derived by RE-READING the renamed ledger, so a
-    crash between the two leaves a stale-but-consistent output that
-    the next batch overwrites. Both tables are group-cardinality-sized
-    — one row per key, never per document."""
+    Crash consistency: BOTH tables are the engine's own
+    :class:`~ariadne_spark.storage.table.ParquetTable` (atomic
+    create-exclusive manifest commits — no delete-then-rename window
+    where state can vanish), and the ledger carries the batch id that
+    produced it, so foreachBatch REPLAY of a committed batch (crash
+    after the ledger commit, before the drift-table commit) skips the
+    additive fold instead of double-counting and only re-derives the
+    output — exactly-once ledger semantics on at-least-once batch
+    delivery. Both tables are group-cardinality-sized — one row per
+    key, never per document. Read them with ``ParquetTable(...,
+    path).read()``."""
+    from ..storage.table import ParquetTable
+
     cols = list(group_cols or ["source", "lang"])
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
-        add = batch_df.groupBy(*[F.col(c) for c in cols]).agg(
-            F.count(F.lit(1)).cast("bigint").alias("__add")
-        )
-        if glob.glob(f"{store_path}/*.parquet"):
-            cur = spark.read.parquet(store_path)
-            new_counts = add.join(cur, cols, "full").select(
-                *cols,
-                (
-                    F.coalesce(F.col("__add"), F.lit(0))
-                    + F.coalesce(F.col("n_docs"), F.lit(0))
-                ).cast("bigint").alias("n_docs"),
-            )
-        else:
-            new_counts = add.select(
-                *cols, F.col("__add").alias("n_docs")
-            )
-        import os
-        import shutil as _sh
-
-        tmp = f"{store_path}.tmp-{batch_id}"
-        new_counts.coalesce(1).write.mode("overwrite").parquet(tmp)
-        _sh.rmtree(store_path, ignore_errors=True)
-        os.rename(tmp, store_path)
-        # derive the drift table from the RENAMED ledger (a lazy plan
-        # over the pre-rename read would re-scan paths that no longer
-        # exist) + the reference histogram
         from ..operators.corpus import drift_from_counts
 
+        ledger = ParquetTable(spark, store_path)
+        out = ParquetTable(spark, out_path)
+        cur = ledger.read()
+        applied = (
+            cur.agg(F.max("last_batch")).first()[0]
+            if cur is not None
+            else None
+        )
+        if applied is not None and applied >= batch_id:
+            # replayed batch: the additive fold already committed —
+            # folding again would double-count every key in the batch
+            counts = cur.select(*cols, "n_docs")
+        else:
+            add = batch_df.groupBy(*[F.col(c) for c in cols]).agg(
+                F.count(F.lit(1)).cast("bigint").alias("__add")
+            )
+            if cur is not None:
+                counts = add.join(
+                    cur.select(*cols, "n_docs"), cols, "full"
+                ).select(
+                    *cols,
+                    (
+                        F.coalesce(F.col("__add"), F.lit(0))
+                        + F.coalesce(F.col("n_docs"), F.lit(0))
+                    ).cast("bigint").alias("n_docs"),
+                )
+            else:
+                counts = add.select(*cols, F.col("__add").alias("n_docs"))
+            ledger.overwrite(
+                counts.withColumn("last_batch", F.lit(batch_id))
+            )
+        # derive the drift table from the COMMITTED ledger version (a
+        # lazy plan over the pre-overwrite read would race the commit)
         ref = spark.read.parquet(ref_counts_path)
-        drift = drift_from_counts(ref, spark.read.parquet(store_path), cols)
-        dtmp = f"{out_path}.tmp-{batch_id}"
-        drift.coalesce(1).write.mode("overwrite").parquet(dtmp)
-        _sh.rmtree(out_path, ignore_errors=True)
-        os.rename(dtmp, out_path)
+        drift = drift_from_counts(
+            ref, ledger.read().select(*cols, "n_docs"), cols
+        )
+        out.overwrite(drift)
         log.info("drift maintenance: batch %d done", batch_id)
 
     writer = stream_df.writeStream.foreachBatch(do_batch)

@@ -207,3 +207,23 @@ def test_threshold_sweep_matches_python_reference_on_random_data(spark):
             assert r["tp"] <= prev_tp  # monotone in the threshold
         prev_tp = r["tp"]
         assert r["tp"] + r["fn"] == pos
+
+
+def test_threshold_sweep_empty_slice_and_nonfinite_guard(spark):
+    """An empty (or filtered-to-empty) slice yields ZERO confusion
+    counts, not NULLs; non-finite thresholds fail fast instead of
+    rendering broken SQL."""
+    import math
+
+    from ariadne_spark.operators.classifier import threshold_sweep
+
+    df = spark.createDataFrame([], "score double, y boolean")
+    rows = threshold_sweep(df, "score", "y", [0.2, 0.8]).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (0, 0, 0, 0)
+        assert r["precision"] is None and r["recall"] is None
+    with pytest.raises(ValueError):
+        threshold_sweep(df, "score", "y", [float("nan")])
+    with pytest.raises(ValueError):
+        threshold_sweep(df, "score", "y", [math.inf])

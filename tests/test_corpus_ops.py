@@ -1483,3 +1483,28 @@ def test_soft_filter_rate_determinism_and_edges(spark):
     # zero-shuffle projection
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_drift_report_null_keyed_group_matches_itself(spark):
+    """A NULL mixture key ('lang unknown') is a real monitoring
+    bucket: identical NULL-group mixes must report ZERO drift, not a
+    spurious full-share alarm on both sides (null-safe join)."""
+    rows = [(1, "a", None), (2, "a", None), (3, "b", "en")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, lang string")
+    out = corpus.drift_report(df, df)
+    assert out.count() == 2  # (a, NULL) matched itself, not 2 rows
+    assert out.where(F.col("tv_ppm") != 0).count() == 0
+    nk = out.where(F.col("lang").isNull()).first()
+    assert nk["n_docs_ref"] == 2 and nk["n_docs_cur"] == 2
+
+
+def test_soft_filter_null_id_never_survives(spark):
+    """NULL ids have no reproducible draw: dropped at EVERY
+    probability, including the p>=1 short-circuit (review finding:
+    the short-circuit used to resurrect them)."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 0.5), (1, 1.0)],
+        "doc_id bigint, p double",
+    )
+    kept = corpus.soft_filter(df, "p").collect()
+    assert [r["doc_id"] for r in kept] == [1]

@@ -1621,3 +1621,30 @@ def test_bitext_mine_recovers_planted_pairs_and_demotes_hub(spark):
     for i in range(20):
         assert got[i]["tgt_id"] == i, (i, got[i])
         assert got[i]["margin"] > 1.0
+
+
+def test_bitext_mine_string_ids_tie_order(spark):
+    """Ids may be strings (review finding: the old negated-id
+    tie-break would CAST-fail under ANSI or invert the order): two
+    identical targets force a margin tie that must break toward the
+    lexicographically smaller target id."""
+    from ariadne_spark.operators.similarity import bitext_mine
+
+    v = [1.0, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0]
+    src = spark.createDataFrame(
+        [("s-1", v)], "src_id string, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        [("t-b", v), ("t-a", v), ("t-z", w)],
+        "tgt_id string, embedding array<double>",
+    )
+    got = bitext_mine(src, tgt, k=2, threshold=0.0).collect()
+    assert len(got) == 1 and got[0]["tgt_id"] == "t-a"
+
+
+def test_diversity_sample_rejects_unknown_centroids_mode(spark, emb):
+    from ariadne_spark.operators.similarity import diversity_sample
+
+    with pytest.raises(ValueError):
+        diversity_sample(emb, n_per_cell=2, n_cells=4, centroids="kmean")

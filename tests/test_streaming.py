@@ -553,17 +553,45 @@ def test_attach_drift_maintenance_accumulates_to_batch_answer(spark, tmp_path):
     )
     q.awaitTermination()
 
-    got = rows_set(spark.read.parquet(out))
+    from ariadne_spark.storage.table import ParquetTable
+
+    out_t = ParquetTable(spark, out)
+    got = rows_set(out_t.read())
     all_rows = spark.createDataFrame(rows_a + rows_b, schema)
     want = rows_set(drift_report(ref_df, all_rows))
     assert got == want
-    # ledger: one row per key with the cumulative counts
+    # ledger: one row per key with the cumulative counts + the batch
+    # id that committed them (the replay guard)
+    ledger_t = ParquetTable(spark, store)
     ledger = {
-        (r["source"], r["lang"]): r["n_docs"]
-        for r in spark.read.parquet(store).collect()
+        (r["source"], r["lang"]): (r["n_docs"], r["last_batch"])
+        for r in ledger_t.read().collect()
     }
-    assert ledger == {("a", "en"): 3, ("b", "en"): 1, ("c", "fr"): 2}
+    assert ledger == {
+        ("a", "en"): (3, 1),
+        ("b", "en"): (1, 1),
+        ("c", "fr"): (2, 1),
+    }
     # hand-check one cell: 'c' absent from ref -> full current share
-    byk = {(r["source"], r["lang"]): r for r in spark.read.parquet(out).collect()}
+    byk = {(r["source"], r["lang"]): r for r in out_t.read().collect()}
     assert byk[("c", "fr")]["n_docs_ref"] == 0
     assert byk[("c", "fr")]["share_ppm_cur"] == 333333
+    # REPLAY idempotency: re-running the whole stream against the
+    # same ledger replays batches 0 and 1 with ids <= last_batch, so
+    # the additive folds are SKIPPED — counts and drift unchanged
+    # (this is the crash-after-ledger-commit recovery path)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q2 = attach_drift_maintenance(
+        stream2, ref_path, store, out, trigger={"availableNow": True}
+    )
+    q2.awaitTermination()
+    ledger2 = {
+        (r["source"], r["lang"]): (r["n_docs"], r["last_batch"])
+        for r in ledger_t.read().collect()
+    }
+    assert ledger2 == ledger
+    assert rows_set(out_t.read()) == want
