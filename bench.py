@@ -161,6 +161,10 @@ BENCH_QUERIES = [
 
 
 def main() -> None:
+    # taken BEFORE the JVM starts: the end-of-run reading includes the
+    # bench's own 32 threads, so the start value is the cleaner
+    # external-contention signal
+    load_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -233,6 +237,7 @@ def main() -> None:
         # timed passes >> the bench's own footprint means the numbers
         # were taken under competition — compare bench_queries.json
         # against the previous round before reading a regression.
+        "load_1m_start": load_start,
         "load_1m_end": round(os.getloadavg()[0], 2),
     }
     # Per-query timings go to a SIDECAR file: the inline map for 113
