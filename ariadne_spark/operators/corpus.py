@@ -567,7 +567,15 @@ def blocklist_filter(
     cand = df.select(
         F.col(id_col), F.explode(host_suffixes(host)).alias("__d")
     )
-    bl = blocklist.select(F.col(domain_col).alias("__d")).distinct()
+    # normalize the list side the same way the host side is: real
+    # UT1-style lists carry stray case, whitespace, and trailing dots,
+    # and a verbatim entry would silently never match the lowercased
+    # host suffixes
+    bl = blocklist.select(
+        F.regexp_replace(
+            F.lower(F.trim(F.col(domain_col))), r"\.$", ""
+        ).alias("__d")
+    ).distinct()
     blocked = (
         cand.join(F.broadcast(bl), "__d", "leftsemi").select(id_col).distinct()
     )

@@ -906,9 +906,16 @@ def bitext_mine(
     :func:`cosine_topk` (both directions), the k-NN means are
     rank-ordered left folds (see :func:`_ranked_avg` — never a
     shuffle-order float sum), the margin is two exact-input IEEE ops,
-    and the best-per-source pick breaks margin ties toward the
-    smaller target id via a struct ``max`` — bit-reproducible in
+    and the best-per-source pick is a ``row_number`` window ordered
+    (margin desc, tgt_id asc) — ties break toward the smaller target
+    id with no id cast (ids may be strings) — bit-reproducible in
     DuckDB, so the whole miner is value-oracled.
+
+    The returned frame is PERSISTED (the large pair-score
+    intermediate is already released before return); callers running
+    many mines in one session should ``unpersist()`` the result when
+    done with it, or storage memory accumulates a cached copy per
+    call.
 
     Scale shape: the exact :func:`cosine_topk` candidate pass
     broadcasts the query side — fine when one language side fits a

@@ -347,6 +347,39 @@ def attach_quality_gate(
     return writer.start()
 
 
+def _quota_batch_survivors(
+    domained: DataFrame,
+    used: DataFrame,
+    n_per_domain: int,
+    id_col: str,
+) -> DataFrame:
+    """One micro-batch's quota survivors against a ``(domain, used)``
+    budget table. Ranks within (batch, domain) by the deterministic
+    md5 rule and pre-filters on the LITERAL bound before the budget
+    join: since ``used >= 0``, ``__rk <= n`` is a correct superset of
+    the final budget predicate, and the literal bound lets Catalyst
+    run the window as WindowGroupLimit (map-side per-domain top-n — a
+    hot domain never sorts its whole batch partition in one task,
+    same plan shape as the batch operator ``quota_sample``;
+    plan-asserted in tests)."""
+    ranked = (
+        domained.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("domain").orderBy(
+                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
+                )
+            ),
+        )
+        .where(F.col("__rk") <= F.lit(n_per_domain))
+        .join(F.broadcast(used), "domain", "left")
+    )
+    return ranked.where(
+        F.col("__rk") + F.coalesce(F.col("used"), F.lit(0))
+        <= F.lit(n_per_domain)
+    ).drop("__rk", "used")
+
+
 def attach_domain_quota_maintenance(
     stream_df: DataFrame,
     store_path: str,
@@ -355,6 +388,7 @@ def attach_domain_quota_maintenance(
     url_col: str = "url",
     id_col: str = "doc_id",
     trigger: dict | None = None,
+    checkpoint_location: str | None = None,
 ):
     """Continuous-crawl per-domain quota as a streaming sink: across
     ALL micro-batches, at most ``n_per_domain`` documents per
@@ -366,45 +400,68 @@ def attach_domain_quota_maintenance(
     one ``(domain, used)`` row per domain. NULL-domain rows are
     dropped (same contract as the batch operator).
 
-    Write ordering is survivors-first, store-last (the url-dedup
-    ledger posture): a crash between the two re-emits a batch on
-    restart but never loses rows; the store upsert is a read-all +
-    overwrite of a domains-cardinality table — tiny by definition
-    (one row per DOMAIN, not per document)."""
+    Crash consistency mirrors :func:`attach_drift_maintenance`: the
+    ``(domain, used)`` store is the engine's own
+    :class:`~ariadne_spark.storage.table.ParquetTable` (atomic
+    create-exclusive manifest commits — no delete-then-rename window
+    where budget state can vanish), and the ledger carries the batch
+    id that committed it, so foreachBatch REPLAY of a committed batch
+    is skipped entirely instead of double-counting ``used`` (which
+    would permanently under-admit those domains). Write ordering is
+    survivors-first, ledger-last: a ledger committed at batch N
+    implies batch N's survivors already landed, so the replay skip
+    never loses rows; a crash between the two re-emits the batch's
+    survivors on restart (at-least-once output, exactly-once budget).
+    The replay guard keys on the micro-batch id, which is only
+    monotone across restarts when the query keeps a STABLE checkpoint
+    — pass ``checkpoint_location`` for any run that may restart (a
+    fresh implicit checkpoint restarts ids at 0 and the guard would
+    then skip genuinely new batches). Read the store with
+    ``ParquetTable(spark, store_path).read()``; it stays
+    domains-cardinality-sized — one row per DOMAIN, not per doc."""
     from ..operators.corpus import registrable_domain
+    from ..storage.table import ParquetTable
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
+        ledger = ParquetTable(spark, store_path)
+        cur = ledger.read()
+        applied = (
+            cur.agg(F.max("last_batch")).first()[0]
+            if cur is not None
+            else None
+        )
+        if applied is not None and applied >= batch_id:
+            # replayed committed batch: survivors-first ordering means
+            # the output already landed, and folding the counts again
+            # would double-spend every domain's budget — skip
+            log.info("domain quota maintenance: batch %d replay skipped", batch_id)
+            return
         domained = batch_df.withColumn(
             "domain", registrable_domain(url_col)
         ).where(F.col("domain").isNotNull())
-        if glob.glob(f"{store_path}/*.parquet"):
-            used = spark.read.parquet(store_path)
-        else:
-            used = spark.createDataFrame([], "domain string, used bigint")
-        # remaining budget per domain joins the batch (left: unseen
-        # domains start at 0); rank within (batch, domain) by the
-        # deterministic md5 rule and keep rows under the budget
-        ranked = domained.withColumn(
-            "__rk",
-            F.row_number().over(
-                Window.partitionBy("domain").orderBy(
-                    F.md5(F.col(id_col).cast("string")), F.col(id_col)
-                )
-            ),
-        ).join(F.broadcast(used), "domain", "left")
+        used = (
+            cur.select("domain", "used")
+            if cur is not None
+            else spark.createDataFrame([], "domain string, used bigint")
+        )
         # cache the survivors: both the sink write and the ledger
         # aggregation read them, and an unpersisted plan would re-run
         # the window + broadcast join per action (measured 2×)
-        kept = ranked.where(
-            F.col("__rk") + F.coalesce(F.col("used"), F.lit(0))
-            <= F.lit(n_per_domain)
-        ).drop("__rk", "used").cache()
+        kept = _quota_batch_survivors(
+            domained, used, n_per_domain, id_col
+        ).cache()
         kept.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(out_path)
+        # domain is non-null by construction on both sides, so a plain
+        # name join is null-safe here (unlike the drift ledger's group
+        # keys); the fold stays a pure JVM plan end to end — a collect
+        # + createDataFrame round-trip would put a Python-RDD source
+        # under the write, costing a fresh Python worker per batch
+        # (measured ~3.7 s per tiny write vs 0.2 s for the JVM plan)
         new_used = (
             kept.groupBy("domain")
             .agg(F.count(F.lit(1)).alias("__add"))
@@ -417,24 +474,13 @@ def attach_domain_quota_maintenance(
                 ).cast("bigint").alias("used"),
             )
         )
-        # ledger swap: write the next (domain, used) table to a temp
-        # dir (the plan still READS the current store, so no
-        # overwrite-own-input hazard), then rename into place. Stays
-        # a pure JVM plan end to end — a collect + createDataFrame
-        # round-trip would put a Python-RDD source under the write,
-        # which costs a fresh Python worker per batch (measured
-        # ~3.7 s per tiny write vs 0.2 s for the JVM plan).
-        import os
-        import shutil as _sh
-
-        tmp = f"{store_path}.tmp-{batch_id}"
-        new_used.coalesce(1).write.mode("overwrite").parquet(tmp)
+        ledger.overwrite(new_used.withColumn("last_batch", F.lit(batch_id)))
         kept.unpersist()
-        _sh.rmtree(store_path, ignore_errors=True)
-        os.rename(tmp, store_path)
         log.info("domain quota maintenance: batch %d done", batch_id)
 
     writer = stream_df.writeStream.foreachBatch(do_batch)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
@@ -447,6 +493,7 @@ def attach_drift_maintenance(
     out_path: str,
     group_cols: list[str] | None = None,
     trigger: dict | None = None,
+    checkpoint_location: str | None = None,
 ):
     """Streaming snapshot-drift monitor: per micro-batch, fold the
     batch's per-key doc counts into a cumulative count ledger, then
@@ -471,8 +518,13 @@ def attach_drift_maintenance(
     after the ledger commit, before the drift-table commit) skips the
     additive fold instead of double-counting and only re-derives the
     output — exactly-once ledger semantics on at-least-once batch
-    delivery. Both tables are group-cardinality-sized — one row per
-    key, never per document. Read them with ``ParquetTable(...,
+    delivery. The guard keys on the micro-batch id, which is only
+    monotone across restarts when the query keeps a STABLE checkpoint:
+    pass ``checkpoint_location`` for any run that may restart (a fresh
+    implicit checkpoint restarts ids at 0, and the guard would then
+    skip genuinely new batches whose ids fall at or under the ledger's
+    ``last_batch``). Both tables are group-cardinality-sized — one row
+    per key, never per document. Read them with ``ParquetTable(...,
     path).read()``."""
     from ..storage.table import ParquetTable
 
@@ -501,10 +553,29 @@ def attach_drift_maintenance(
                 F.count(F.lit(1)).cast("bigint").alias("__add")
             )
             if cur is not None:
-                counts = add.join(
-                    cur.select(*cols, "n_docs"), cols, "full"
-                ).select(
-                    *cols,
+                # NULL-SAFE fold: a NULL-keyed group (e.g. lang
+                # unknown) is a real bucket that drift_from_counts
+                # matches to itself with eqNullSafe — a plain
+                # name-based join would never match it here, appending
+                # a duplicate ledger row per batch that the downstream
+                # null-safe full_outer then fans the reference row
+                # across. Rename-prefix both sides (same pattern as
+                # drift_from_counts) so the condition is unambiguous.
+                a = add.select(
+                    *[F.col(c).alias(f"__a_{c}") for c in cols], "__add"
+                )
+                b = cur.select(
+                    *[F.col(c).alias(f"__b_{c}") for c in cols], "n_docs"
+                )
+                cond = None
+                for c in cols:
+                    eq = a[f"__a_{c}"].eqNullSafe(b[f"__b_{c}"])
+                    cond = eq if cond is None else (cond & eq)
+                counts = a.join(b, cond, "full").select(
+                    *[
+                        F.coalesce(a[f"__a_{c}"], b[f"__b_{c}"]).alias(c)
+                        for c in cols
+                    ],
                     (
                         F.coalesce(F.col("__add"), F.lit(0))
                         + F.coalesce(F.col("n_docs"), F.lit(0))
@@ -525,6 +596,8 @@ def attach_drift_maintenance(
         log.info("drift maintenance: batch %d done", batch_id)
 
     writer = stream_df.writeStream.foreachBatch(do_batch)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
@@ -537,6 +610,7 @@ def attach_url_dedup_maintenance(
     url_col: str = "url",
     id_col: str = "doc_id",
     trigger: dict | None = None,
+    checkpoint_location: str | None = None,
 ):
     """Continuous-crawl URL dedup as a streaming sink: every
     micro-batch keeps one row (smallest id) per
@@ -583,6 +657,8 @@ def attach_url_dedup_maintenance(
         log.info("url dedup maintenance: batch %d done", batch_id)
 
     writer = stream_df.writeStream.foreachBatch(do_batch)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()

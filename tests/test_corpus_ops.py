@@ -1374,6 +1374,15 @@ def test_blocklist_filter_suffix_semantics(spark):
     # empty blocklist keeps everything
     empty = bl.where(F.lit(False))
     assert corpus.blocklist_filter(urls, empty).count() == 8
+    # messy real-list entries (case, padding, trailing dot) are
+    # normalized to match the lowercased host side
+    messy = spark.createDataFrame(
+        [("  Example.COM. ",), ("ADS.example.org",)], ["domain"]
+    )
+    kept_m = sorted(
+        r["doc_id"] for r in corpus.blocklist_filter(urls, messy).collect()
+    )
+    assert kept_m == [3, 6, 7, 8]
 
 
 def test_c4_and_normalize_plans_are_exchange_free(spark, docs):

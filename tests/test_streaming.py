@@ -502,12 +502,59 @@ def test_attach_domain_quota_depletes_across_batches(spark, tmp_path):
     )
     assert 1 in ids_a and 2 in ids_a and len(ids_a) == 3
     assert 3 not in {r["doc_id"] for r in got.collect()}
-    # the store records cumulative usage
+    # the store records cumulative usage + the committing batch id
+    from ariadne_spark.storage.table import ParquetTable
+
+    store_t = ParquetTable(spark, store)
     used = {
-        r["domain"]: r["used"]
-        for r in spark.read.parquet(store).collect()
+        r["domain"]: (r["used"], r["last_batch"])
+        for r in store_t.read().collect()
     }
-    assert used == {"a.com": 3, "b.com": 1}
+    assert used == {"a.com": (3, 1), "b.com": (1, 1)}
+    # REPLAY idempotency: re-running the whole stream sees batch ids
+    # <= the ledger's last_batch, so every batch is skipped entirely —
+    # used is NOT double-counted (which would permanently under-admit
+    # a.com) and no duplicate survivors append (crash-after-ledger
+    # recovery path)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q2 = attach_domain_quota_maintenance(
+        stream2, store, out, n_per_domain=3, trigger={"availableNow": True}
+    )
+    q2.awaitTermination()
+    used2 = {
+        r["domain"]: (r["used"], r["last_batch"])
+        for r in store_t.read().collect()
+    }
+    assert used2 == used
+    assert spark.read.parquet(out).count() == 4
+
+
+def test_quota_sink_survivors_use_window_group_limit(spark):
+    """The sink's per-batch survivor plan must pre-top map-side like
+    the batch operator: the literal __rk <= n bound (a correct
+    superset of the budget predicate since used >= 0) has to compile
+    to WindowGroupLimit so a hot domain never sorts its whole batch
+    partition in one task."""
+    from ariadne_spark.streaming.maintenance import _quota_batch_survivors
+
+    domained = spark.createDataFrame(
+        [(i, "a.com" if i < 40 else "b.com") for i in range(50)],
+        ["doc_id", "domain"],
+    )
+    used = spark.createDataFrame([("a.com", 2)], "domain string, used bigint")
+    kept = _quota_batch_survivors(domained, used, 3, "doc_id")
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    per = {
+        r["domain"]: r["c"]
+        for r in kept.groupBy("domain").agg(F.count("*").alias("c")).collect()
+    }
+    # a.com has 2 of 3 spent -> 1 admitted; b.com fresh -> 3
+    assert per == {"a.com": 1, "b.com": 3}
 
 
 def test_attach_drift_maintenance_accumulates_to_batch_answer(spark, tmp_path):
@@ -595,3 +642,65 @@ def test_attach_drift_maintenance_accumulates_to_batch_answer(spark, tmp_path):
     }
     assert ledger2 == ledger
     assert rows_set(out_t.read()) == want
+
+
+def test_attach_drift_maintenance_null_keyed_group_folds_once(spark, tmp_path):
+    """A NULL-keyed group (lang unknown) spanning micro-batches must
+    fold into ONE cumulative ledger row — the fold join is null-safe
+    like drift_from_counts' own join, so the ledger never grows a
+    duplicate row per batch and the drift table matches the batch
+    answer (mirrors test_drift_report_null_keyed_group_matches_itself
+    for the streaming sink)."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark.operators.corpus import drift_report
+    from ariadne_spark.storage.table import ParquetTable
+    from ariadne_spark.streaming.maintenance import attach_drift_maintenance
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows_a = [(1, "a", None), (2, "a", "en"), (3, "b", None)]
+    rows_b = [(4, "a", None), (5, "a", None), (6, "b", "en")]
+    src = str(tmp_path / "dn_src")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(f"{src}/fa")
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(f"{src}/fb")
+    ref_rows = [(10, "a", None), (11, "a", "en")]
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    ref_path = str(tmp_path / "dn_ref")
+    ref_df.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).coalesce(1).write.parquet(ref_path)
+
+    out = str(tmp_path / "dn_out")
+    store = str(tmp_path / "dn_store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = attach_drift_maintenance(
+        stream, ref_path, store, out, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    ledger = {
+        (r["source"], r["lang"]): r["n_docs"]
+        for r in ParquetTable(spark, store).read().collect()
+    }
+    # ("a", NULL) appears in BOTH batches: one row, count 3 — a
+    # non-null-safe fold would leave two rows for it
+    assert ledger == {
+        ("a", None): 3,
+        ("a", "en"): 1,
+        ("b", None): 1,
+        ("b", "en"): 1,
+    }
+    got = rows_set(ParquetTable(spark, out).read())
+    want = rows_set(
+        drift_report(ref_df, spark.createDataFrame(rows_a + rows_b, schema))
+    )
+    assert got == want
