@@ -2330,17 +2330,44 @@ def describe_stable(df: DataFrame) -> DataFrame:
 
 
 def q_idx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 stats() diagnostics (engine-internal shape: rows-only)."""
+    """A8 stats() diagnostics, fully value-oracled (r08): the orders
+    fixture's file split is a deterministic function of the raw table
+    (4 equal o_orderkey ranges, _split_ranges), so the DuckDB twin
+    recomputes every per-file distinct-value count from orders.parquet
+    and re-derives min/max/avg/stddev/median per index column. Floats
+    are rounded to 6 decimals on BOTH sides (the checker compares
+    exact reprs); median uses discrete (lower) quantile semantics in
+    both engines for even counts."""
     idx = _index(spark, sf_dir, "orders")
-    return idx.stats()
+    return idx.stats().select(
+        "column",
+        "type",
+        "files",
+        "min_values",
+        "max_values",
+        F.round("avg_values", 6).alias("avg_values"),
+        F.round("stddev_values", 6).alias("stddev_values"),
+        "median_values",
+    )
 
 
 def q_idx_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-location planner output as data (rows-only: filenames are
-    environment paths)."""
+    """File-location planner output as data, fully value-oracled
+    (r08): filenames are environment paths, but the fixture's range
+    split makes the part index a pure function of the raw table — the
+    query returns each located file's bucket tag and the twin
+    recomputes which o_orderkey range buckets hold any CUST_KEYS
+    order."""
+    import re as _re
+
     idx = _index(spark, sf_dir, "orders")
     files = idx.locate_files({"o_custkey": CUST_KEYS})
-    return spark.createDataFrame([(f,) for f in sorted(files)] or [("",)], ["filename"])
+    tags = sorted(
+        int(_re.search(r"part(\d+)", f).group(1)) for f in files
+    )
+    return spark.createDataFrame(
+        [(t,) for t in tags], "bucket bigint"
+    )
 
 
 # ------------------------------------------------------------------ contract
@@ -3176,7 +3203,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_join_regular": q_idx_join_regular,
         "idx_filter_computed": q_idx_filter_computed,
         "idx_filter_range": q_idx_filter_range,
-        "idx_filter_band": q_idx_filter_band,
+        # r08 rotation (VERDICT r07 item 3): the six queries displaced
+        # past the window by earlier rotations come BACK through the
+        # gate so every family keeps a periodic hard driver signal —
+        # corpus_ngram_stats, text_fingerprint, corpus_line_dedup,
+        # corpus_budget_sample, sql_tpch_q5, multimodal_decode_wav.
+        # Displaced this round (each family keeps an in-window
+        # representative, all replica-swept at two scales):
+        # idx_filter_band (idx_filter_range stays), dedup_substring
+        # (dedup_exact/fuzzy_keepset stay), sim_ann_lsh (emb_ann_pq,
+        # sim_ann_ivf_pq stay), text_lang_id (c4/normalize/gopher/
+        # mass_classify stay), corpus_contamination (the corpus family
+        # keeps 6+ rows), streaming_quality_gate (streaming_drift,
+        # streaming_latest stay).
+        "corpus_ngram_stats": q_corpus_ngram_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_budget_sample": q_corpus_budget_sample,
+        "sql_tpch_q5": q_sql_tpch_q5,
+        "multimodal_decode_wav": q_multimodal_decode_wav,
         # r07 second rotation: the session's three new oracle-backed
         # operator classes (C4 line cleaning, unicode normalization —
         # a fully value-oracled pandas-UDF op — and the domain
@@ -3220,10 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # still covers all entries.
         "emb_ann_pq": q_emb_ann_pq,
         "dedup_fuzzy_keepset": q_dedup_fuzzy_keepset,
-        "dedup_substring": q_dedup_substring,
-        "sim_ann_lsh": q_sim_ann_lsh,
         "pipeline_clean": q_pipeline_clean,
-        "text_lang_id": q_text_lang_id,
         # r06 (ADVICE): no-oracle entries (BPE learn/encode, pHash)
         # moved PAST the 50-entry gate window so every gate row carries
         # a full value-hash oracle; oracle-backed representatives of
@@ -3235,13 +3277,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_pq": q_sim_ann_ivf_pq,
         "text_mass_classify": q_text_mass_classify,
         "corpus_select_dsir": q_corpus_select_dsir,
-        "corpus_contamination": q_corpus_contamination,
         # r06 second pass: the new oracle-backed operators take gate
         # slots; the displaced entries (same operator families, other
         # in-window representatives remain) move past 50 and stay
         # covered by the full replica sweep
         "text_gopher_filter": q_text_gopher_filter,
-        "streaming_quality_gate": q_streaming_quality_gate,
         "corpus_dedup_cross_indexed": q_corpus_dedup_cross_indexed,
         "corpus_mix_report": q_corpus_mix_report,
         "emb_knn_classify": q_emb_knn_classify,
@@ -3255,6 +3295,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replica sweep at sf0.001 + sf0.01 each round ---
         "idx_footer_range": q_idx_footer_range,
         "dedup_incremental": q_dedup_incremental,
+        # displaced by the r08 rotation (see the window comment above)
+        "idx_filter_band": q_idx_filter_band,
+        "dedup_substring": q_dedup_substring,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "text_lang_id": q_text_lang_id,
+        "corpus_contamination": q_corpus_contamination,
+        "streaming_quality_gate": q_streaming_quality_gate,
         "sim_topk": q_sim_topk,
         "text_quality": q_text_quality,
         "sim_ann_ivf": q_sim_ann_ivf,
@@ -3278,11 +3325,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_json_filter": q_sql_json_filter,
         "datasource_filter": q_datasource_filter,
         "idx_join_reverse": q_idx_join_reverse,
-        "sql_tpch_q5": q_sql_tpch_q5,
-        "multimodal_decode_wav": q_multimodal_decode_wav,
-        "corpus_budget_sample": q_corpus_budget_sample,
-        "corpus_ngram_stats": q_corpus_ngram_stats,
-        "corpus_line_dedup": q_corpus_line_dedup,
         "dedup_simhash": q_dedup_simhash,
         "streaming_url_dedup": q_streaming_url_dedup,
         "streaming_domain_quota": q_streaming_domain_quota,
@@ -3331,7 +3373,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_locate": q_idx_locate,
         "text_bigram_lm": q_text_bigram_lm,
         "dedup_keep_longest": q_dedup_keep_longest,
-        "text_fingerprint": q_text_fingerprint,
     }
 
 
@@ -3964,6 +4005,64 @@ def oracle_sql() -> dict[str, str]:
         "idx_filter_range_bbox": f"""
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey >= {BBOX_KEYS[0]} AND o_orderkey <= {BBOX_KEYS[-1]}
+        """,
+        # r08: the two formerly rows-only diagnostics get full twins —
+        # the fixture's 4-way o_orderkey range split is a deterministic
+        # function of the raw table, so DuckDB re-derives each file's
+        # bucket and recomputes the per-file distinct-value stats /
+        # located-bucket set from orders.parquet alone
+        "idx_stats": f"""
+            WITH lw AS (
+                SELECT min(o_orderkey) AS lo,
+                       ((max(o_orderkey) - min(o_orderkey)) // 4) + 1 AS w
+                FROM orders
+            ),
+            b AS (
+                SELECT o_custkey, o_orderdate,
+                       CAST((o_orderkey - lo) // w AS BIGINT) AS bucket
+                FROM orders, lw
+            ),
+            cust AS (
+                SELECT bucket, CAST(count(DISTINCT o_custkey) AS BIGINT) AS sz
+                FROM b GROUP BY bucket
+            ),
+            yr AS (
+                SELECT bucket,
+                       CAST(count(DISTINCT CAST(year(o_orderdate) AS BIGINT))
+                            AS BIGINT) AS sz
+                FROM b GROUP BY bucket
+            )
+            SELECT 'o_custkey' AS "column", 'regular' AS "type",
+                   CAST(count(*) AS BIGINT) AS files,
+                   CAST(min(sz) AS BIGINT) AS min_values,
+                   CAST(max(sz) AS BIGINT) AS max_values,
+                   round(avg(sz), 6) AS avg_values,
+                   round(stddev_samp(sz), 6) AS stddev_values,
+                   CAST(quantile_disc(sz, 0.5) AS DOUBLE) AS median_values
+            FROM cust
+            UNION ALL
+            SELECT 'order_year', 'computed',
+                   CAST(count(*) AS BIGINT),
+                   CAST(min(sz) AS BIGINT), CAST(max(sz) AS BIGINT),
+                   round(avg(sz), 6), round(stddev_samp(sz), 6),
+                   CAST(quantile_disc(sz, 0.5) AS DOUBLE)
+            FROM yr
+            UNION ALL
+            SELECT 'o_orderkey', 'range',
+                   (SELECT CAST(count(DISTINCT bucket) AS BIGINT) FROM b),
+                   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                   CAST(NULL AS DOUBLE)
+        """,
+        "idx_locate": f"""
+            WITH lw AS (
+                SELECT min(o_orderkey) AS lo,
+                       ((max(o_orderkey) - min(o_orderkey)) // 4) + 1 AS w
+                FROM orders
+            )
+            SELECT DISTINCT CAST((o_orderkey - lo) // w AS BIGINT) AS bucket
+            FROM orders, lw
+            WHERE o_custkey IN ({_sql_list(CUST_KEYS)})
         """,
         "idx_select_pushdown": f"""
             SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
