@@ -3689,11 +3689,18 @@ def _simhash_portable_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from ariadne_spark.operators.corpus import TWO_LEVEL_SUFFIXES
+    from ariadne_spark.operators.corpus import PUBLIC_SUFFIXES
     from ariadne_spark.operators.text import STOPWORDS
 
     stop_list = _sql_list(STOPWORDS)
-    suffix_list = _sql_list(TWO_LEVEL_SUFFIXES)
+    # the twin recomputes eTLD+1 with the SAME snapshot as the engine,
+    # split by label count exactly like registrable_domain
+    suffix_list = _sql_list(
+        [s for s in PUBLIC_SUFFIXES if s.count(".") == 1]
+    )
+    suffix3_list = _sql_list(
+        [s for s in PUBLIC_SUFFIXES if s.count(".") == 2]
+    )
     gopher_sql = r"""
             WITH w AS (
                 SELECT doc_id, text,
@@ -4609,7 +4616,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             d AS (
                 SELECT doc_id, source, lang,
-                       CASE WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN ({sufs})
+                       CASE WHEN len(ls) >= 4 AND (ls[-3] || '.' || ls[-2] || '.' || ls[-1]) IN ({sufs3})
+                            THEN ls[-4] || '.' || ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                            WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN ({sufs})
                             THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
                             WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
                             ELSE host END AS domain
@@ -4624,7 +4633,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM d
             )
             SELECT doc_id, domain, source, lang FROM r WHERE rn <= 10
-        """.format(sufs=suffix_list),
+        """.format(sufs=suffix_list, sufs3=suffix3_list),
 "dedup_simhash": _simhash_portable_sql(),
 # every duplicate-URL group lives in one micro-batch by construction
 # (see q_streaming_url_dedup), so first-batch-wins == global min id

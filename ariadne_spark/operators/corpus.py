@@ -353,19 +353,181 @@ def quota_sample(
     )
 
 
-# Common two-level public suffixes for registrable-domain extraction.
-# Deliberately a SMALL built-in subset of the public suffix list (the
-# full Mozilla PSL is ~9k entries and version-churned; callers with
-# stricter needs pass their own list). Covers the high-traffic ccTLD
-# second levels a crawl actually hits.
-TWO_LEVEL_SUFFIXES: list[str] = [
-    "ac.uk", "co.uk", "gov.uk", "org.uk",
-    "com.au", "net.au", "org.au",
-    "co.jp", "ne.jp", "or.jp",
-    "com.br", "com.cn", "com.mx", "com.tw", "com.tr", "com.ar",
-    "com.sg", "com.hk", "com.my",
-    "co.in", "co.kr", "co.za", "co.nz", "co.id",
+# Curated static snapshot of multi-label public suffixes for
+# registrable-domain extraction: the high-traffic entries of the public
+# suffix list's ICANN section (ccTLD second levels, US state / CA
+# province codes) plus the hosting platforms from the private section a
+# web crawl constantly hits (github.io, blogspot.com, ...). The full
+# Mozilla PSL is ~9k entries and version-churned — callers needing
+# exact-PSL behavior (wildcard rules, exception rules, the long tail)
+# pass their own list through the ``two_level_suffixes`` hook; entries
+# here may have two OR three labels (label count decides which
+# extraction branch they feed).
+_US_STATES = [
+    "al", "ak", "az", "ar", "ca", "co", "ct", "dc", "de", "fl", "ga",
+    "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma", "md", "me",
+    "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne", "nh", "nj", "nm",
+    "nv", "ny", "oh", "ok", "or", "pa", "ri", "sc", "sd", "tn", "tx",
+    "ut", "va", "vt", "wa", "wi", "wv", "wy",
 ]
+
+TWO_LEVEL_SUFFIXES: list[str] = [
+    # uk / ie
+    "ac.uk", "co.uk", "gov.uk", "ltd.uk", "me.uk", "net.uk", "nhs.uk",
+    "org.uk", "plc.uk", "police.uk",
+    # au (types + state codes)
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "act.au", "nsw.au", "nt.au", "qld.au", "sa.au", "tas.au", "vic.au",
+    "wa.au",
+    # nz
+    "ac.nz", "co.nz", "cri.nz", "geek.nz", "gen.nz", "govt.nz",
+    "health.nz", "iwi.nz", "kiwi.nz", "maori.nz", "mil.nz", "net.nz",
+    "org.nz", "parliament.nz", "school.nz",
+    # jp
+    "ac.jp", "ad.jp", "co.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "ne.jp", "or.jp",
+    # kr
+    "ac.kr", "co.kr", "es.kr", "go.kr", "hs.kr", "kg.kr", "mil.kr",
+    "ms.kr", "ne.kr", "or.kr", "pe.kr", "re.kr", "sc.kr", "seoul.kr",
+    "busan.kr", "daegu.kr", "incheon.kr", "gwangju.kr", "daejeon.kr",
+    "ulsan.kr", "gyeonggi.kr", "jeju.kr",
+    # cn (types + provinces)
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "ah.cn", "bj.cn", "cq.cn", "fj.cn", "gd.cn", "gs.cn", "gx.cn",
+    "gz.cn", "ha.cn", "hb.cn", "he.cn", "hi.cn", "hl.cn", "hn.cn",
+    "jl.cn", "js.cn", "jx.cn", "ln.cn", "nm.cn", "nx.cn", "qh.cn",
+    "sc.cn", "sd.cn", "sh.cn", "sn.cn", "sx.cn", "tj.cn", "xj.cn",
+    "xz.cn", "yn.cn", "zj.cn",
+    # tw / hk / sg / my / id / th / ph / vn / in / pk / lk / bd / kh / np
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "mil.tw",
+    "idv.tw", "game.tw", "ebiz.tw", "club.tw",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    "co.id", "net.id", "or.id", "go.id", "ac.id", "sch.id", "web.id",
+    "my.id", "biz.id", "desa.id", "ponpes.id",
+    "co.th", "net.th", "or.th", "go.th", "ac.th", "in.th", "mi.th",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph",
+    "mil.ph", "i.ph",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn", "int.vn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "nic.in", "ac.in", "edu.in", "res.in", "gov.in", "mil.in",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk", "fam.pk",
+    "biz.pk", "web.pk",
+    "com.lk", "net.lk", "org.lk", "gov.lk", "edu.lk", "int.lk",
+    "ac.lk", "sch.lk", "soc.lk", "web.lk", "ltd.lk", "grp.lk",
+    "com.bd", "net.bd", "org.bd", "gov.bd", "edu.bd", "ac.bd",
+    "mil.bd",
+    "com.kh", "net.kh", "org.kh", "gov.kh", "edu.kh", "per.kh",
+    "mil.kh",
+    "com.np", "net.np", "org.np", "gov.np", "edu.np",
+    # il / tr / sa / ae / eg
+    "co.il", "net.il", "org.il", "gov.il", "ac.il", "muni.il",
+    "k12.il", "idf.il",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "k12.tr",
+    "av.tr", "bbs.tr", "bel.tr", "biz.tr", "dr.tr", "gen.tr",
+    "info.tr", "mil.tr", "name.tr", "pol.tr", "tel.tr", "tv.tr",
+    "web.tr", "kep.tr",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "edu.sa", "med.sa",
+    "pub.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "gov.ae", "ac.ae", "sch.ae",
+    "mil.ae",
+    "com.eg", "net.eg", "org.eg", "gov.eg", "edu.eg", "sci.eg",
+    "eun.eg", "mil.eg", "name.eg",
+    # za / ke / ng / gh / tz
+    "ac.za", "co.za", "edu.za", "gov.za", "law.za", "mil.za",
+    "net.za", "nom.za", "org.za", "school.za", "web.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "com.ng", "net.ng", "org.ng", "gov.ng", "edu.ng", "sch.ng",
+    "name.ng", "mobi.ng", "mil.ng", "i.ng",
+    "com.gh", "org.gh", "gov.gh", "edu.gh", "mil.gh",
+    "co.tz", "ne.tz", "or.tz", "go.tz", "ac.tz", "sc.tz", "info.tz",
+    "me.tz", "mil.tz", "mobi.tz", "tv.tz", "hotel.tz",
+    # latam
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br",
+    "art.br", "adv.br", "blog.br", "eco.br", "esp.br", "far.br",
+    "ind.br", "inf.br", "jus.br", "leg.br", "med.br", "mus.br",
+    "pro.br", "rec.br", "srv.br", "tur.br", "tv.br", "vet.br",
+    "wiki.br",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "gov.ar", "edu.ar",
+    "int.ar", "mil.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co",
+    "com.ve", "net.ve", "org.ve", "gob.ve", "edu.ve", "mil.ve",
+    "int.ve", "co.ve", "info.ve", "web.ve",
+    "com.pe", "net.pe", "org.pe", "gob.pe", "edu.pe", "mil.pe",
+    "nom.pe",
+    "gob.cl", "gov.cl", "mil.cl",
+    "com.ec", "net.ec", "org.ec", "gob.ec", "edu.ec", "gov.ec",
+    "mil.ec", "info.ec", "fin.ec", "med.ec", "pro.ec",
+    "com.uy", "net.uy", "org.uy", "gub.uy", "edu.uy", "mil.uy",
+    "com.py", "net.py", "org.py", "gov.py", "edu.py", "mil.py",
+    "coop.py",
+    "com.bo", "net.bo", "org.bo", "gob.bo", "edu.bo", "mil.bo",
+    "int.bo", "tv.bo", "web.bo",
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "gov.do",
+    "mil.do", "sld.do", "art.do", "web.do",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt", "mil.gt",
+    "ind.gt",
+    # europe
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "gov.it", "edu.it",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro",
+    "rec.ro", "arts.ro", "firm.ro", "store.ro", "www.ro",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "mil.pl",
+    "info.pl", "biz.pl", "waw.pl", "wroc.pl", "krakow.pl",
+    "poznan.pl", "lodz.pl", "gda.pl", "gdansk.pl", "szczecin.pl",
+    "lublin.pl", "katowice.pl", "bialystok.pl", "olsztyn.pl",
+    "torun.pl", "rzeszow.pl",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "kiev.ua", "kyiv.ua", "kharkov.ua", "kharkiv.ua", "lviv.ua",
+    "odessa.ua", "odesa.ua", "donetsk.ua",
+    "ac.at", "co.at", "gv.at", "or.at",
+    "ac.be",
+    "com.se", "org.se", "pp.se", "tm.se", "press.se",
+    "mil.no", "priv.no",
+    # canada (provinces + federal)
+    "ab.ca", "bc.ca", "mb.ca", "nb.ca", "nf.ca", "nl.ca", "ns.ca",
+    "nt.ca", "nu.ca", "on.ca", "pe.ca", "qc.ca", "sk.ca", "yk.ca",
+    "gc.ca",
+    # us state codes
+    *[f"{s}.us" for s in _US_STATES],
+    # high-traffic private-section hosting platforms: every user site
+    # is a distinct registrant, so they MUST be suffix boundaries or a
+    # per-domain quota would collapse all of github.io into one owner
+    "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
+    "appspot.com", "herokuapp.com", "netlify.app", "vercel.app",
+    "firebaseapp.com", "web.app", "azurewebsites.net",
+    "cloudfront.net", "wordpress.com", "pages.dev", "workers.dev",
+    "glitch.me", "readthedocs.io", "onrender.com", "surge.sh",
+    "neocities.org", "fly.dev", "deno.dev", "repl.co",
+]
+
+# Three-label suffixes: the last THREE labels form the public suffix,
+# so the registrable domain keeps four (school.k12.ca.us).
+THREE_LEVEL_SUFFIXES: list[str] = [
+    # au education is delegated per state
+    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
+    "tas.edu.au", "vic.edu.au", "wa.edu.au",
+    # us schools / community colleges / libraries per state
+    *[f"k12.{s}.us" for s in _US_STATES],
+    *[f"cc.{s}.us" for s in _US_STATES],
+    *[f"lib.{s}.us" for s in _US_STATES],
+    # aws resource hostnames (private section)
+    "s3.amazonaws.com", "elb.amazonaws.com", "compute.amazonaws.com",
+]
+
+# The default snapshot registrable_domain consults: mixed 2- and
+# 3-label entries (split by label count at build time).
+PUBLIC_SUFFIXES: list[str] = TWO_LEVEL_SUFFIXES + THREE_LEVEL_SUFFIXES
 
 
 def registrable_domain(
@@ -381,9 +543,12 @@ def registrable_domain(
     1. host = first ``[^/:?#]+`` after ``scheme://`` (userinfo
        stripped, port excluded), lowercased,
     2. drop one leading ``www.`` label,
-    3. keep the last two labels — or three when the last two form a
-       known two-level public suffix (``co.uk`` etc.,
-       :data:`TWO_LEVEL_SUFFIXES`).
+    3. longest-suffix match against the snapshot
+       (:data:`PUBLIC_SUFFIXES` by default): keep four labels when the
+       last three form a known 3-label suffix (``k12.ca.us``), three
+       when the last two form a known 2-label suffix (``co.uk``), else
+       two. ``two_level_suffixes`` overrides the snapshot and may mix
+       2- and 3-label entries (label count picks the branch).
 
     The crawl-pipeline key for domain-level dedup, quotas, and
     ownership stats; composes with the engine's computed index
@@ -402,12 +567,24 @@ def registrable_domain(
         F.element_at(labels, -2),
         F.element_at(labels, -1),
     )
-    suffixes = two_level_suffixes or TWO_LEVEL_SUFFIXES
-    in_two_level = last2.isin(suffixes)
+    last4 = F.concat_ws(
+        ".",
+        F.element_at(labels, -4),
+        F.element_at(labels, -3),
+        F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    all_suffixes = two_level_suffixes or PUBLIC_SUFFIXES
+    suf2 = [s for s in all_suffixes if s.count(".") == 1]
+    suf3 = [s for s in all_suffixes if s.count(".") == 2]
+    in_two_level = last2.isin(suf2) if suf2 else F.lit(False)
+    in_three_level = last3.isin(suf3) if suf3 else F.lit(False)
     is_ipv4 = host.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
     dom = (
         # an IPv4 host has no registerable suffix — it IS the identity
         F.when(is_ipv4, host)
+        # longest matching suffix wins (the PSL rule)
+        .when((n >= 4) & in_three_level, last4)
         .when((n >= 3) & in_two_level, last3)
         .when(n >= 2, last2)
         .otherwise(host)
@@ -427,7 +604,11 @@ def registrable_domain_sql(
     domain's files). Same semantics as the Column form
     (parity-tested); the textual expansion repeats subexpressions —
     Catalyst's subexpression elimination handles that at codegen."""
-    sufs = ", ".join(f"'{s}'" for s in (two_level_suffixes or TWO_LEVEL_SUFFIXES))
+    all_suffixes = two_level_suffixes or PUBLIC_SUFFIXES
+    suf2 = [s for s in all_suffixes if s.count(".") == 1]
+    suf3 = [s for s in all_suffixes if s.count(".") == 2]
+    sufs2 = ", ".join(f"'{s}'" for s in suf2) or "''"
+    sufs3 = ", ".join(f"'{s}'" for s in suf3) or "''"
     h0 = (
         f"lower(regexp_extract({url_col}, "
         f"'^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1))"
@@ -439,6 +620,10 @@ def registrable_domain_sql(
         f"concat_ws('.', element_at({ls}, -3), element_at({ls}, -2), "
         f"element_at({ls}, -1))"
     )
+    last4 = (
+        f"concat_ws('.', element_at({ls}, -4), element_at({ls}, -3), "
+        f"element_at({ls}, -2), element_at({ls}, -1))"
+    )
     ipv4 = (
         rf"({host}) RLIKE '^\\d{{1,3}}\\.\\d{{1,3}}\\."
         rf"\\d{{1,3}}\\.\\d{{1,3}}$'"
@@ -448,7 +633,8 @@ def registrable_domain_sql(
         # 'http://www./' strips to an empty host and must yield NULL)
         f"CASE WHEN ({host}) = '' THEN CAST(NULL AS STRING) "
         f"WHEN {ipv4} THEN {host} "
-        f"WHEN size({ls}) >= 3 AND {last2} IN ({sufs}) THEN {last3} "
+        f"WHEN size({ls}) >= 4 AND {last3} IN ({sufs3}) THEN {last4} "
+        f"WHEN size({ls}) >= 3 AND {last2} IN ({sufs2}) THEN {last3} "
         f"WHEN size({ls}) >= 2 THEN {last2} "
         f"ELSE {host} END"
     )

@@ -1075,6 +1075,22 @@ URL_CASES = [
     (4, "ftp://localhost/file", "localhost"),
     (5, "not a url", None),
     (6, None, None),
+    # PSL snapshot samples (r08): private-section hosting platforms —
+    # each user site is its own registrant, so the platform suffix is
+    # a boundary and the USER label survives into the domain
+    (7, "https://someuser.github.io/project/", "someuser.github.io"),
+    (8, "http://My-Blog.blogspot.com/2020/01/post", "my-blog.blogspot.com"),
+    # ccTLD variants the 24-entry r07 subset missed
+    (9, "https://shop.bigstore.com.au/item", "bigstore.com.au"),
+    (10, "http://www.pref-site.ne.jp/x", "pref-site.ne.jp"),
+    (11, "https://portal.uni.ac.in/", "uni.ac.in"),
+    (12, "http://city.gov.uk/", "city.gov.uk"),
+    # 3-label suffixes: keep FOUR labels (longest-match PSL rule)
+    (13, "https://lincoln.k12.ca.us/home", "lincoln.k12.ca.us"),
+    (14, "http://www.west.nsw.edu.au/", "west.nsw.edu.au"),
+    (15, "https://mybucket.s3.amazonaws.com/key", "mybucket.s3.amazonaws.com"),
+    # a bare 2-label host that IS a platform suffix stays itself
+    (16, "https://github.io/", "github.io"),
 ]
 
 
