@@ -104,19 +104,35 @@ class ParquetTable:
         references — the Delta-style retention caveat."""
         return self._versions()
 
-    def _commit(self, build_segments, retries: int = 20) -> None:
+    def _commit(
+        self, build_segments, retries: int = 20, extra: dict | None = None
+    ) -> None:
         """Optimistically commit: recompute segments from the latest
-        manifest, write v+1 create-exclusive, retry on collision."""
+        manifest, write v+1 create-exclusive, retry on collision.
+        ``extra`` is a small JSON-able dict stored in the manifest
+        under ``"extra"`` — application metadata (e.g. a streaming
+        sink's last committed batch id) that versions ATOMICALLY with
+        the data and reads back without any Spark job
+        (:meth:`manifest_extra`)."""
         self.fs.mkdirs(self._manifest_dir())
         for _ in range(retries):
             current = self._read_manifest()
             version = (current["version"] if current else 0) + 1
             segments = build_segments(current["segments"] if current else [])
-            doc = json.dumps({"segments": segments}, indent=0)
+            body: dict = {"segments": segments}
+            if extra:
+                body["extra"] = extra
+            doc = json.dumps(body, indent=0)
             target = _join(self._manifest_dir(), f"v{version:020d}.json")
             if self.fs.create_exclusive(target, doc):
                 return
         raise TableCommitConflictError(self.path)
+
+    def manifest_extra(self) -> dict:
+        """The ``extra`` metadata dict of the latest manifest (empty if
+        none) — one small JSON read, no Spark job."""
+        m = self._read_manifest()
+        return (m or {}).get("extra", {}) or {}
 
     # ------------------------------------------------------------ reads
 
@@ -187,9 +203,9 @@ class ParquetTable:
     # upsert IS append under replace-per-key read semantics
     upsert = append
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, extra: dict | None = None) -> None:
         seg = self._write_segment(df)
-        self._commit(lambda old: [{"seq": 1, "dir": seg}])
+        self._commit(lambda old: [{"seq": 1, "dir": seg}], extra=extra)
 
     def delete_where(self, condition) -> None:
         """Rewrite the table without rows matching ``condition``.

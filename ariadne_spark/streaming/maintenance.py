@@ -428,11 +428,13 @@ def attach_domain_quota_maintenance(
         spark = batch_df.sparkSession
         ledger = ParquetTable(spark, store_path)
         cur = ledger.read()
-        applied = (
-            cur.agg(F.max("last_batch")).first()[0]
-            if cur is not None
-            else None
-        )
+        # replay guard from the manifest's extra metadata — one tiny
+        # JSON read, no Spark job (the guard versions atomically with
+        # the ledger commit). Fallback: scan the last_batch column for
+        # ledgers written before the manifest carried it.
+        applied = ledger.manifest_extra().get("last_batch")
+        if applied is None and cur is not None:
+            applied = cur.agg(F.max("last_batch")).first()[0]
         if applied is not None and applied >= batch_id:
             # replayed committed batch: survivors-first ordering means
             # the output already landed, and folding the counts again
@@ -474,7 +476,12 @@ def attach_domain_quota_maintenance(
                 ).cast("bigint").alias("used"),
             )
         )
-        ledger.overwrite(new_used.withColumn("last_batch", F.lit(batch_id)))
+        # coalesce(1): the ledger is domains-cardinality-sized; one
+        # file per version beats 32 shuffle-partition shards per batch
+        ledger.overwrite(
+            new_used.coalesce(1).withColumn("last_batch", F.lit(batch_id)),
+            extra={"last_batch": batch_id},
+        )
         kept.unpersist()
         log.info("domain quota maintenance: batch %d done", batch_id)
 
@@ -529,6 +536,10 @@ def attach_drift_maintenance(
     from ..storage.table import ParquetTable
 
     cols = list(group_cols or ["source", "lang"])
+    # per-query closure cache: the reference histogram is immutable for
+    # the stream's lifetime — re-planning the parquet read (schema
+    # inference + listing) every micro-batch is pure overhead
+    ref_cache: dict = {}
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -539,11 +550,13 @@ def attach_drift_maintenance(
         ledger = ParquetTable(spark, store_path)
         out = ParquetTable(spark, out_path)
         cur = ledger.read()
-        applied = (
-            cur.agg(F.max("last_batch")).first()[0]
-            if cur is not None
-            else None
-        )
+        # replay guard from the manifest's extra metadata — one tiny
+        # JSON read, no Spark job (it versions atomically with the
+        # ledger commit). Fallback: scan the last_batch column for
+        # ledgers written before the manifest carried it.
+        applied = ledger.manifest_extra().get("last_batch")
+        if applied is None and cur is not None:
+            applied = cur.agg(F.max("last_batch")).first()[0]
         if applied is not None and applied >= batch_id:
             # replayed batch: the additive fold already committed —
             # folding again would double-count every key in the batch
@@ -583,16 +596,24 @@ def attach_drift_maintenance(
                 )
             else:
                 counts = add.select(*cols, F.col("__add").alias("n_docs"))
+            # coalesce(1): group-cardinality table — one file per
+            # version beats 32 shuffle-partition shards per batch
             ledger.overwrite(
-                counts.withColumn("last_batch", F.lit(batch_id))
+                counts.coalesce(1).withColumn("last_batch", F.lit(batch_id)),
+                extra={"last_batch": batch_id},
             )
-        # derive the drift table from the COMMITTED ledger version (a
-        # lazy plan over the pre-overwrite read would race the commit)
-        ref = spark.read.parquet(ref_counts_path)
+        # derive the drift table from the COMMITTED ledger version —
+        # ledger.read() pins the just-committed segment dirs eagerly,
+        # so the small written segment is scanned once instead of
+        # re-running the fold plan
+        ref = ref_cache.get("ref")
+        if ref is None:
+            ref = spark.read.parquet(ref_counts_path)
+            ref_cache["ref"] = ref
         drift = drift_from_counts(
             ref, ledger.read().select(*cols, "n_docs"), cols
         )
-        out.overwrite(drift)
+        out.overwrite(drift.coalesce(1))
         log.info("drift maintenance: batch %d done", batch_id)
 
     writer = stream_df.writeStream.foreachBatch(do_batch)
