@@ -557,3 +557,29 @@ def test_metadata_future_versions_refused(tmp_path):
         IndexMetadata.from_json(
             "x", _json.dumps({**base, "metadata_version": "2.1"})
         )
+
+
+def test_parquet_table_manifest_extra_versions_with_commit(spark, tmp_path):
+    """manifest_extra versions atomically with the data: each commit's
+    extra replaces the previous one (no carry-over), a commit without
+    extra clears it, and a fresh table reports {} — the contract the
+    streaming sinks' replay guards rely on."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.storage.table import ParquetTable
+
+    t = ParquetTable(spark, str(tmp_path / "mx"))
+    assert t.manifest_extra() == {}
+    df = spark.range(3).select(F.col("id"))
+    t.overwrite(df, extra={"last_batch": 0, "note": "a"})
+    assert t.manifest_extra() == {"last_batch": 0, "note": "a"}
+    t.overwrite(df, extra={"last_batch": 1})
+    assert t.manifest_extra() == {"last_batch": 1}
+    # a plain commit does not inherit stale metadata
+    t.overwrite(df)
+    assert t.manifest_extra() == {}
+    # time travel: restore() commits NEW state; extra stays whatever
+    # the restoring commit wrote (none here)
+    t.restore(t.versions()[0])
+    assert t.manifest_extra() == {}
+    assert t.read().count() == 3

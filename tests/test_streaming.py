@@ -644,6 +644,65 @@ def test_attach_drift_maintenance_accumulates_to_batch_answer(spark, tmp_path):
     assert rows_set(out_t.read()) == want
 
 
+def test_attach_drift_maintenance_checkpoint_restart_continues(spark, tmp_path):
+    """With a STABLE checkpoint_location, a restarted stream resumes
+    at the next batch id (monotone across restarts): already-committed
+    files are not re-read, genuinely new files fold in, and the final
+    counts equal the batch answer — the documented contract the replay
+    guard depends on."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark.storage.table import ParquetTable
+    from ariadne_spark.streaming.maintenance import attach_drift_maintenance
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    rows_a = [(1, "a", "en"), (2, "a", "en")]
+    rows_b = [(3, "b", "fr")]
+    src = str(tmp_path / "ck_src")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(f"{src}/fa")
+    ref_path = str(tmp_path / "ck_ref")
+    spark.createDataFrame(rows_a, schema).groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    ).coalesce(1).write.parquet(ref_path)
+    out = str(tmp_path / "ck_out")
+    store = str(tmp_path / "ck_store")
+    ckpt = str(tmp_path / "ck_ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/f*")
+        )
+        q = attach_drift_maintenance(
+            stream, ref_path, store, out,
+            trigger={"availableNow": True},
+            checkpoint_location=ckpt,
+        )
+        q.awaitTermination()
+
+    run()
+    ledger_t = ParquetTable(spark, store)
+    assert ledger_t.manifest_extra()["last_batch"] == 0
+    # a new file lands; the restarted query (same checkpoint) must
+    # process ONLY it, as batch 1 — not renumber from 0 and get
+    # swallowed by the replay guard
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(f"{src}/fb")
+    run()
+    assert ledger_t.manifest_extra()["last_batch"] == 1
+    counts = {
+        (r["source"], r["lang"]): r["n_docs"]
+        for r in ledger_t.read().collect()
+    }
+    assert counts == {("a", "en"): 2, ("b", "fr"): 1}
+
+
 def test_attach_drift_maintenance_null_keyed_group_folds_once(spark, tmp_path):
     """A NULL-keyed group (lang unknown) spanning micro-batches must
     fold into ONE cumulative ledger row — the fold join is null-safe
