@@ -2315,12 +2315,20 @@ def q_datasource_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.11 catalog ops: describe_all over every index at this scale
-    factor (engine-internal shape: rows-only check). Paths are
-    environment-specific, so only stable descriptor columns are
-    returned."""
+    factor, fully value-oracled (r08): ALL preparers run first so the
+    catalog holds the complete fixture set deterministically, and
+    since every index's column/type/file-count is a fixture constant
+    independent of scale factor, the twin is a static VALUES table —
+    a wrong split, a lost index, or a miscounted FileList all
+    hash-mismatch. Only stable descriptor columns are returned (paths
+    are environment-specific)."""
     from ariadne_spark import catalog
 
-    _prepare(spark, sf_dir)
+    _prepare_v2(spark, sf_dir)
+    _prepare_v3(spark, sf_dir)
+    _prepare_ivf(spark, sf_dir)
+    _prepare_ivf_pq(spark, sf_dir)
+    _prepare_fp_index(spark, sf_dir)
     return describe_stable(catalog.describe_all(spark))
 
 
@@ -4070,6 +4078,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT CAST((o_orderkey - lo) // w AS BIGINT) AS bucket
             FROM orders, lw
             WHERE o_custkey IN ({_sql_list(CUST_KEYS)})
+        """,
+        # r08: the full fixture catalog is deterministic and
+        # sf-independent (every index's column/type/split count is a
+        # fixture constant), so the twin is a static VALUES table
+        "catalog_describe": """
+            SELECT * FROM (VALUES
+                ('customer_orc', 'c_nationkey', 'regular', CAST(2 AS BIGINT)),
+                ('doc_tokens', 'token', 'exploded', 3),
+                ('events', 'user_id', 'temporal', 4),
+                ('ivf_embeddings', 'ivf_cell', 'regular', 8),
+                ('ivf_pq_embeddings', 'ivf_cell', 'regular', 8),
+                ('lineitem', 'l_orderkey', 'bloom', 4),
+                ('nation_csv', 'n_regionkey', 'regular', 2),
+                ('orders', 'o_custkey', 'regular', 4),
+                ('orders', 'o_orderkey', 'range', 4),
+                ('orders', 'order_year', 'computed', 4),
+                ('orders_del', 'o_custkey', 'regular', 3),
+                ('orders_footer', 'o_orderkey', 'range', 4),
+                ('orders_inc', 'o_custkey', 'regular', 4),
+                ('orders_large', 'o_custkey', 'regular', 4),
+                ('src0_fingerprints', 'fingerprint', 'bloom', 8),
+                ('supplier_json', 's_nationkey', 'regular', 2)
+            ) AS t("index", "column", "type", num_files)
         """,
         "idx_select_pushdown": f"""
             SELECT o_orderkey, o_orderpriority, o_custkey FROM orders

@@ -433,7 +433,7 @@ def attach_domain_quota_maintenance(
         # the ledger commit). Fallback: scan the last_batch column for
         # ledgers written before the manifest carried it.
         applied = ledger.manifest_extra().get("last_batch")
-        if applied is None and cur is not None:
+        if applied is None and cur is not None and "last_batch" in cur.columns:
             applied = cur.agg(F.max("last_batch")).first()[0]
         if applied is not None and applied >= batch_id:
             # replayed committed batch: survivors-first ordering means
@@ -555,7 +555,7 @@ def attach_drift_maintenance(
         # ledger commit). Fallback: scan the last_batch column for
         # ledgers written before the manifest carried it.
         applied = ledger.manifest_extra().get("last_batch")
-        if applied is None and cur is not None:
+        if applied is None and cur is not None and "last_batch" in cur.columns:
             applied = cur.agg(F.max("last_batch")).first()[0]
         if applied is not None and applied >= batch_id:
             # replayed batch: the additive fold already committed —
