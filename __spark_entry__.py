@@ -3025,6 +3025,67 @@ def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).select("doc_id", "url_key")
 
 
+def q_streaming_url_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine x pipeline: the same streaming URL dedup but with the
+    seen-key ledger behind a bloom file-index (url_ledger_index), so
+    each batch anti-joins only ledger files whose bloom may contain a
+    batch key. Pruning is an optimization, never semantics: the
+    oracle is IDENTICAL to streaming_url_dedup, and a divergence
+    means the index re-admitted or lost a URL. The index is dropped
+    afterwards to keep catalog_describe's fixture set deterministic."""
+    from ariadne_spark import catalog as _cat
+    from ariadne_spark.streaming.maintenance import attach_url_dedup_maintenance
+
+    _prepare(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    src = f"{base}/docs_stream"
+    if not os.path.exists(f"{src}/_DONE"):
+        docs = spark.read.parquet(_t(sf_dir, "documents"))
+        for i in range(3):
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{src}/part{i}")
+        with open(f"{src}/_DONE", "w") as fh:
+            fh.write("ok")
+    schema = spark.read.parquet(f"{src}/part0").schema
+    b = F.col("doc_id") % 3
+    g = F.expr("doc_id div 3") % 55
+    host = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://Crawl")).otherwise(
+            F.lit("http://crawl")
+        ),
+        b.cast("string"), F.lit("x"), g.cast("string"), F.lit(".com"),
+    )
+    url = F.concat(
+        host, F.lit("/p/"), g.cast("string"),
+        F.when(F.col("doc_id") % 5 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 3, F.lit("#f")).otherwise(F.lit("")),
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/part*")
+        .withColumn("url", url)
+    )
+    sink = f"{base}/_stream_sink/url_dedup_idx"
+    store = f"{base}/_stream_sink/url_dedup_idx_store"
+    shutil.rmtree(sink, ignore_errors=True)
+    shutil.rmtree(store, ignore_errors=True)
+    try:
+        q = attach_url_dedup_maintenance(
+            stream, store, sink,
+            trigger={"availableNow": True},
+            ledger_index_name="url_ledger_gate",
+        )
+        q.awaitTermination()
+    finally:
+        try:
+            _cat.remove("url_ledger_gate", spark)
+        except Exception:
+            pass
+    return spark.read.parquet(sink).select("doc_id", "url_key")
+
+
 def q_streaming_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-domain quota (crawl anti-monoculture at ingest):
     3 micro-batches; at most 5 docs per registerable domain survive
@@ -3335,6 +3396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_join_reverse": q_idx_join_reverse,
         "dedup_simhash": q_dedup_simhash,
         "streaming_url_dedup": q_streaming_url_dedup,
+        "streaming_url_dedup_indexed": q_streaming_url_dedup_indexed,
         "streaming_domain_quota": q_streaming_domain_quota,
         "idx_filter_range_bbox": q_idx_filter_range_bbox,
         "idx_select_pushdown": q_idx_select_pushdown,
@@ -4690,6 +4752,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, domain FROM r WHERE rn <= 5
         """,
 "streaming_url_dedup": """
+            WITH k AS (
+                SELECT doc_id % 3 AS b, (doc_id // 3) % 55 AS g, doc_id
+                FROM documents
+            ),
+            m AS (SELECT b, g, min(doc_id) AS doc_id FROM k GROUP BY b, g)
+            SELECT doc_id,
+                   'http://crawl' || CAST(b AS VARCHAR) || 'x' ||
+                   CAST(g AS VARCHAR) || '.com/p/' || CAST(g AS VARCHAR)
+                   AS url_key
+            FROM m
+        """,
+# bloom pruning is an optimization, never semantics — the indexed
+# variant must produce EXACTLY the unindexed sink's survivors
+"streaming_url_dedup_indexed": """
             WITH k AS (
                 SELECT doc_id % 3 AS b, (doc_id // 3) % 55 AS g, doc_id
                 FROM documents

@@ -1299,7 +1299,8 @@ def window_store_index(spark, store_path: str, name: str, fpr: float = 0.01):
 
 
 def _prune_snapshot_with_index(
-    spark, files: list[str], store_index, keys: DataFrame
+    spark, files: list[str], store_index, keys: DataFrame,
+    column: str = "__wk",
 ) -> list[str]:
     """Drop snapshot files the index POSITIVELY vouches cannot contain
     any of ``keys``. Files the index does not know (an append newer
@@ -1310,7 +1311,7 @@ def _prune_snapshot_with_index(
     from ..sources.files import normalize_path
 
     indexed = set(store_index.filelist.filenames())
-    cand = set(store_index.locate_files(keys, columns=["__wk"]))
+    cand = set(store_index.locate_files(keys, columns=[column]))
     return [
         f
         for f in files

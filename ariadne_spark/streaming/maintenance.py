@@ -624,6 +624,34 @@ def attach_drift_maintenance(
     return writer.start()
 
 
+def url_ledger_index(spark, store_path: str, name: str, fpr: float = 0.01):
+    """Maintain a bloom file-index over the URL seen-key ledger — the
+    engine's file-level pruning applied to the crawl front end's
+    largest state table (billions of url_key rows at lake scale).
+    Call after appends: only files not yet indexed are scanned (the
+    engine's J1 left_anti), so steady-state maintenance costs one
+    pass over the NEW batch's ledger file. Pass the index name to
+    :func:`attach_url_dedup_maintenance` as ``ledger_index_name`` and
+    the per-batch anti-join reads only ledger files whose bloom may
+    contain a batch key — O(batch + colliding history) instead of a
+    full ledger scan per batch. Same pattern as
+    :func:`~ariadne_spark.operators.dedup.window_store_index`."""
+    from pyspark.sql import types as T
+
+    from ..index import Index
+    from ..operators.dedup import _snapshot_files
+
+    schema = T.StructType([T.StructField("url_key", T.StringType())])
+    idx = Index.for_name(name, schema=schema, format="parquet", spark=spark)
+    if "url_key" not in idx.indexes:
+        idx.add_bloom_index("url_key", fpr=fpr)
+    files = _snapshot_files(spark, store_path, "url ledger")
+    if files:
+        idx.add_files(files)
+        idx.update()
+    return idx
+
+
 def attach_url_dedup_maintenance(
     stream_df: DataFrame,
     store_path: str,
@@ -632,6 +660,7 @@ def attach_url_dedup_maintenance(
     id_col: str = "doc_id",
     trigger: dict | None = None,
     checkpoint_location: str | None = None,
+    ledger_index_name: str | None = None,
 ):
     """Continuous-crawl URL dedup as a streaming sink: every
     micro-batch keeps one row (smallest id) per
@@ -648,11 +677,14 @@ def attach_url_dedup_maintenance(
     between the two re-emits the batch on restart (at-least-once
     output) but can never LOSE a URL, and duplicate ledger keys are
     harmless (the anti-join treats them as one). At lake scale the
-    anti-join shuffles (key) against the ledger — compose a bloom
-    file-index over the ledger (same pattern as
-    ``attach_substring_dedup_maintenance``'s window store) when it
-    outgrows a plain scan."""
+    anti-join shuffles (key) against the ledger — pass
+    ``ledger_index_name`` to maintain a bloom file-index over the
+    ledger (:func:`url_ledger_index`) so each batch reads only ledger
+    files whose bloom may contain a batch key; files the index has
+    not seen yet are read unconditionally, so a lagging index widens
+    the scan but can never re-admit a seen URL."""
     from ..operators.corpus import normalized_url
+    from ..operators.dedup import _prune_snapshot_with_index, _snapshot_files
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -667,9 +699,20 @@ def attach_url_dedup_maintenance(
             ["url_key", id_col],
             "leftsemi",
         )
-        if glob.glob(f"{store_path}/*.parquet"):
-            seen = spark.read.parquet(store_path)
-            firsts = firsts.join(seen, "url_key", "left_anti")
+        files = sorted(glob.glob(f"{store_path}/*.parquet"))
+        if files:
+            if ledger_index_name:
+                idx = url_ledger_index(spark, store_path, ledger_index_name)
+                files = _prune_snapshot_with_index(
+                    spark,
+                    files,
+                    idx,
+                    firsts.select("url_key").distinct(),
+                    column="url_key",
+                )
+            if files:
+                seen = spark.read.parquet(*files)
+                firsts = firsts.join(seen, "url_key", "left_anti")
         out = firsts.unionByName(null_rows).withColumn(
             "batch_id", F.lit(batch_id)
         )

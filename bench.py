@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "corpus_domain_quota",
     "corpus_url_dedup",
     "streaming_url_dedup",
+    "streaming_url_dedup_indexed",
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_resample",

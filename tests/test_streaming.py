@@ -444,6 +444,74 @@ def test_attach_url_dedup_first_wins_and_ledger_persists(spark, tmp_path):
     assert got2 == {12}
 
 
+def test_attach_url_dedup_ledger_index_prunes_and_matches(
+    spark, storage, tmp_path
+):
+    """engine x pipeline: with ledger_index_name set, the sink
+    maintains a bloom file-index over the seen-key ledger and each
+    batch anti-joins only the files that may contain its keys. The
+    survivor set must EQUAL the unindexed sink's (pruning is an
+    optimization, never a semantics change), and a probe for one
+    batch's key space must positively exclude the other batch's
+    ledger file."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark.operators.dedup import (
+        _prune_snapshot_with_index,
+        _snapshot_files,
+    )
+    from ariadne_spark.streaming.maintenance import (
+        attach_url_dedup_maintenance,
+        url_ledger_index,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    # batch A: alpha keys (one dup); batch B: beta keys + one URL
+    # already seen in batch A (must be dropped via the pruned read)
+    rows_a = [(1, "http://alpha.com/1"), (2, "http://ALPHA.com/1"),
+              (3, "http://alpha.com/3")]
+    rows_b = [(4, "http://beta.com/4"), (5, "http://alpha.com/1"),
+              (6, "http://beta.com/6")]
+    src = str(tmp_path / "ui_src")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.parquet(f"{src}/fa")
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.parquet(f"{src}/fb")
+
+    out = str(tmp_path / "ui_out")
+    store = str(tmp_path / "ui_store")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    q = attach_url_dedup_maintenance(
+        stream, store, out,
+        trigger={"availableNow": True},
+        ledger_index_name="url_ledger_test",
+    )
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # 1 wins alpha/1 (smallest id), 3 and the two beta keys survive;
+    # 2 (in-batch dup) and 5 (cross-batch dup, via the pruned read) drop
+    assert got == [1, 3, 4, 6]
+    # the bloom index positively excludes the other batch's ledger
+    # file for a key that lives only in batch A's ledger file
+    idx = url_ledger_index(spark, store, "url_ledger_test")
+    files = _snapshot_files(spark, store, "url ledger")
+    assert len(files) >= 2
+    keys_a = spark.createDataFrame(
+        [("http://alpha.com/3",)], "url_key string"
+    )
+    pruned = _prune_snapshot_with_index(
+        spark, files, idx, keys_a, column="url_key"
+    )
+    assert len(pruned) < len(files)
+
+
 def test_attach_domain_quota_depletes_across_batches(spark, tmp_path):
     """Cross-batch budget: a domain spanning micro-batches consumes
     its quota cumulatively (batch A takes 2 of 3, batch B gets only
