@@ -624,7 +624,7 @@ def attach_drift_maintenance(
     return writer.start()
 
 
-def url_ledger_index(spark, store_path: str, name: str, fpr: float = 0.01):
+def url_ledger_index(spark, store_path: str, name: str, fpr: float = 1e-6):
     """Maintain a bloom file-index over the URL seen-key ledger — the
     engine's file-level pruning applied to the crawl front end's
     largest state table (billions of url_key rows at lake scale).
@@ -635,7 +635,14 @@ def url_ledger_index(spark, store_path: str, name: str, fpr: float = 0.01):
     the per-batch anti-join reads only ledger files whose bloom may
     contain a batch key — O(batch + colliding history) instead of a
     full ledger scan per batch. Same pattern as
-    :func:`~ariadne_spark.operators.dedup.window_store_index`."""
+    :func:`~ariadne_spark.operators.dedup.window_store_index`, with
+    one key difference: a file survives pruning if ANY batch key hits
+    its bloom, so with K keys per batch the expected false-file rate
+    is ~K*fpr per file — the default 1e-6 keeps that ~1% for a
+    10k-URL batch, where the window store's 1e-2 (probed with a few
+    dozen digests) would keep every file. Bloom size scales with
+    ln(1/fpr): ~29 bits/key here vs ~10 at 1e-2 — the right trade for
+    the table whose whole point is NOT being scanned."""
     from pyspark.sql import types as T
 
     from ..index import Index

@@ -724,6 +724,62 @@ def main() -> None:
     assert dspan % 5 == 0 and dspan % 4 == 0, dspan
     assert nx == base, "ppm shares must be replication-invariant"
 
+    # ---- scenario 15: URL ledger bloom index at NX ------------------
+    # The crawl front end's production ratio: a SMALL batch against a
+    # DEEP seen-key ledger. The NX ledger lands as n_rep range-split
+    # files; the batch's keys live in ONE of them, so the bloom
+    # file-index must prune the per-batch history read to ~1 file
+    # while the anti-join answer stays exact (new keys all survive,
+    # seen keys all drop).
+    from ariadne_spark.operators.dedup import (
+        _prune_snapshot_with_index,
+        _snapshot_files,
+    )
+    from ariadne_spark.streaming.maintenance import url_ledger_index
+
+    led_dir = f"{WORK}/url_ledger"
+    shutil.rmtree(led_dir, ignore_errors=True)
+    keys_nx = drep.select(
+        F.concat(
+            F.lit("http://ledger"),
+            F.expr("doc_id div 1000").cast("string"),
+            F.lit(".com/k/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url_key"),
+        F.expr(f"doc_id div {dspan}").alias("__rep"),
+    )
+    for i in range(n_rep):
+        keys_nx.where(F.col("__rep") == i).select("url_key").coalesce(
+            1
+        ).write.mode("append").parquet(led_dir)
+    t0 = time.time()
+    lidx = url_ledger_index(spark, led_dir, "soak_url_ledger")
+    files = _snapshot_files(spark, led_dir, "url ledger")
+    # batch = 200 seen keys from replica 0 + 200 novel keys
+    batch = spark.range(400).select(
+        F.when(
+            F.col("id") < 200,
+            F.concat(F.lit("http://ledger0.com/k/"), F.col("id").cast("string")),
+        ).otherwise(
+            F.concat(F.lit("http://novel.com/k/"), F.col("id").cast("string"))
+        ).alias("url_key")
+    )
+    pruned = _prune_snapshot_with_index(
+        spark, files, lidx, batch.select("url_key").distinct(),
+        column="url_key",
+    )
+    seen = spark.read.parquet(*pruned)
+    survivors_n = batch.join(seen, "url_key", "left_anti").count()
+    ul_sec = round(time.time() - t0, 2)
+    emit(stage="url_ledger_index_nx", ledger_rows=n_rep * dn,
+         ledger_files=len(files), files_read=len(pruned),
+         survivors=survivors_n, sec=ul_sec,
+         off_expected_survivors=abs(survivors_n - 200))
+    assert survivors_n == 200, survivors_n
+    # replica-0 keys occupy one range file; bloom may keep a stray
+    # file at fpr=1% but must prune the bulk of the ledger
+    assert len(pruned) <= max(2, len(files) // 2), (len(pruned), len(files))
+
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
 
