@@ -2971,18 +2971,15 @@ def q_streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming URL dedup (crawl-firehose front pass): the documents
-    stream in 3 micro-batches; each batch keeps one row per
-    normalized-URL key never seen before (persisted key ledger).
-    URLs synthesize so every duplicate group lives in ONE batch
-    (key = (doc_id%3, doc_id div 3 % 55), batch = doc_id%3), making
-    the survivor set equal to the BATCH operator's global-min-id
-    answer regardless of micro-batch arrival order — fully
-    oracle-checkable. Case/trailing-slash/fragment variants exercise
-    the real normalization."""
-    from ariadne_spark.streaming.maintenance import attach_url_dedup_maintenance
-
+def _url_dedup_stream(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the streaming URL-dedup rows: the documents
+    stream in 3 micro-batches with URLs synthesized so every duplicate
+    group lives in ONE batch (key = (doc_id%3, doc_id div 3 % 55),
+    batch = doc_id%3) — first-wins ≡ global-min-id regardless of
+    arrival order, so one key-grid oracle serves both the plain and
+    the bloom-indexed sink (which must agree by construction).
+    Case/trailing-slash/fragment variants exercise the real
+    normalization. Returns (stream, base)."""
     _prepare(spark, sf_dir)
     base = f"{WORK}/{_tag(sf_dir)}"
     src = f"{base}/docs_stream"
@@ -3014,6 +3011,17 @@ def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(f"{src}/part*")
         .withColumn("url", url)
     )
+    return stream, base
+
+
+def q_streaming_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL dedup (crawl-firehose front pass): each
+    micro-batch keeps one row per normalized-URL key never seen
+    before (persisted key ledger). Fixture + oracle shared with the
+    indexed variant — see :func:`_url_dedup_stream`."""
+    from ariadne_spark.streaming.maintenance import attach_url_dedup_maintenance
+
+    stream, base = _url_dedup_stream(spark, sf_dir)
     sink = f"{base}/_stream_sink/url_dedup"
     store = f"{base}/_stream_sink/url_dedup_store"
     shutil.rmtree(sink, ignore_errors=True)
@@ -3030,43 +3038,14 @@ def q_streaming_url_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     seen-key ledger behind a bloom file-index (url_ledger_index), so
     each batch anti-joins only ledger files whose bloom may contain a
     batch key. Pruning is an optimization, never semantics: the
-    oracle is IDENTICAL to streaming_url_dedup, and a divergence
-    means the index re-admitted or lost a URL. The index is dropped
-    afterwards to keep catalog_describe's fixture set deterministic."""
+    oracle is IDENTICAL to streaming_url_dedup (one shared SQL
+    constant), and a divergence means the index re-admitted or lost a
+    URL. The index is dropped afterwards to keep catalog_describe's
+    fixture set deterministic."""
     from ariadne_spark import catalog as _cat
     from ariadne_spark.streaming.maintenance import attach_url_dedup_maintenance
 
-    _prepare(spark, sf_dir)
-    base = f"{WORK}/{_tag(sf_dir)}"
-    src = f"{base}/docs_stream"
-    if not os.path.exists(f"{src}/_DONE"):
-        docs = spark.read.parquet(_t(sf_dir, "documents"))
-        for i in range(3):
-            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{src}/part{i}")
-        with open(f"{src}/_DONE", "w") as fh:
-            fh.write("ok")
-    schema = spark.read.parquet(f"{src}/part0").schema
-    b = F.col("doc_id") % 3
-    g = F.expr("doc_id div 3") % 55
-    host = F.concat(
-        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP://Crawl")).otherwise(
-            F.lit("http://crawl")
-        ),
-        b.cast("string"), F.lit("x"), g.cast("string"), F.lit(".com"),
-    )
-    url = F.concat(
-        host, F.lit("/p/"), g.cast("string"),
-        F.when(F.col("doc_id") % 5 == 1, F.lit("/")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 7 == 3, F.lit("#f")).otherwise(F.lit("")),
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(f"{src}/part*")
-        .withColumn("url", url)
-    )
+    stream, base = _url_dedup_stream(spark, sf_dir)
     sink = f"{base}/_stream_sink/url_dedup_idx"
     store = f"{base}/_stream_sink/url_dedup_idx_store"
     shutil.rmtree(sink, ignore_errors=True)
@@ -3444,6 +3423,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigram_lm": q_text_bigram_lm,
         "dedup_keep_longest": q_dedup_keep_longest,
     }
+
+
+# Twin of _url_dedup_stream's key grid: every duplicate group lives in
+# one micro-batch by construction, so first-batch-wins == global min id
+# and the survivor set is pure key-grid arithmetic. Shared verbatim by
+# streaming_url_dedup and streaming_url_dedup_indexed.
+_URL_DEDUP_ORACLE = """
+            WITH k AS (
+                SELECT doc_id % 3 AS b, (doc_id // 3) % 55 AS g, doc_id
+                FROM documents
+            ),
+            m AS (SELECT b, g, min(doc_id) AS doc_id FROM k GROUP BY b, g)
+            SELECT doc_id,
+                   'http://crawl' || CAST(b AS VARCHAR) || 'x' ||
+                   CAST(g AS VARCHAR) || '.com/p/' || CAST(g AS VARCHAR)
+                   AS url_key
+            FROM m
+        """
 
 
 def _sql_list(vals) -> str:
@@ -4728,9 +4725,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, domain, source, lang FROM r WHERE rn <= 10
         """.format(sufs=suffix_list, sufs3=suffix3_list),
 "dedup_simhash": _simhash_portable_sql(),
-# every duplicate-URL group lives in one micro-batch by construction
-# (see q_streaming_url_dedup), so first-batch-wins == global min id
-# and the twin is pure arithmetic on the key grid
 # every domain lives in one micro-batch by construction (see
 # q_streaming_domain_quota), so the cross-batch quota equals the
 # single-batch md5-rank quota and the twin is pure key-grid arithmetic
@@ -4751,32 +4745,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, domain FROM r WHERE rn <= 5
         """,
-"streaming_url_dedup": """
-            WITH k AS (
-                SELECT doc_id % 3 AS b, (doc_id // 3) % 55 AS g, doc_id
-                FROM documents
-            ),
-            m AS (SELECT b, g, min(doc_id) AS doc_id FROM k GROUP BY b, g)
-            SELECT doc_id,
-                   'http://crawl' || CAST(b AS VARCHAR) || 'x' ||
-                   CAST(g AS VARCHAR) || '.com/p/' || CAST(g AS VARCHAR)
-                   AS url_key
-            FROM m
-        """,
+"streaming_url_dedup": _URL_DEDUP_ORACLE,
 # bloom pruning is an optimization, never semantics — the indexed
-# variant must produce EXACTLY the unindexed sink's survivors
-"streaming_url_dedup_indexed": """
-            WITH k AS (
-                SELECT doc_id % 3 AS b, (doc_id // 3) % 55 AS g, doc_id
-                FROM documents
-            ),
-            m AS (SELECT b, g, min(doc_id) AS doc_id FROM k GROUP BY b, g)
-            SELECT doc_id,
-                   'http://crawl' || CAST(b AS VARCHAR) || 'x' ||
-                   CAST(g AS VARCHAR) || '.com/p/' || CAST(g AS VARCHAR)
-                   AS url_key
-            FROM m
-        """,
+# variant shares the SAME oracle constant, so the two rows can only
+# drift apart if the index re-admits or loses a URL
+"streaming_url_dedup_indexed": _URL_DEDUP_ORACLE,
 "corpus_url_dedup": """
             WITH d AS (SELECT doc_id, doc_id % 250 AS k FROM documents),
             m AS (SELECT k, min(doc_id) AS doc_id FROM d GROUP BY k)

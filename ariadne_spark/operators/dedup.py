@@ -1268,6 +1268,40 @@ def window_store_compact(
     return n
 
 
+def _bloom_store_index(
+    spark,
+    store_path: str,
+    name: str,
+    schema,
+    column: str,
+    kind: str,
+    fpr: float,
+    files: list[str] | None = None,
+    handle=None,
+):
+    """Shared build-or-refresh of a bloom file-index over a pipeline
+    history store (window counts, URL key ledger, ...): open (or
+    reuse) the engine index, register the bloom column once, and fold
+    in the store's current files — only files not yet indexed are
+    scanned (the engine's J1 left_anti). Pass ``files`` when the
+    caller already listed the store (saves a relisting) and ``handle``
+    to reuse an open Index across micro-batches (saves a metadata
+    reload per batch)."""
+    from ..index import Index
+
+    idx = handle
+    if idx is None:
+        idx = Index.for_name(name, schema=schema, format="parquet", spark=spark)
+        if column not in idx.indexes:
+            idx.add_bloom_index(column, fpr=fpr)
+    if files is None:
+        files = _snapshot_files(spark, store_path, kind)
+    if files:
+        idx.add_files(files)
+        idx.update()
+    return idx
+
+
 def window_store_index(spark, store_path: str, name: str, fpr: float = 0.01):
     """Maintain a bloom file-index over the window-count store — the
     engine's own file-level pruning applied to the pipeline's history
@@ -1280,22 +1314,15 @@ def window_store_index(spark, store_path: str, name: str, fpr: float = 0.01):
     :func:`incremental_substring_dedup` as ``store_index``."""
     from pyspark.sql import types as T
 
-    from ..index import Index
-
     schema = T.StructType(
         [
             T.StructField("__wk", T.StringType()),
             T.StructField("count", T.LongType()),
         ]
     )
-    idx = Index.for_name(name, schema=schema, format="parquet", spark=spark)
-    if "__wk" not in idx.indexes:
-        idx.add_bloom_index("__wk", fpr=fpr)
-    files = _snapshot_files(spark, store_path, "window")
-    if files:
-        idx.add_files(files)
-        idx.update()
-    return idx
+    return _bloom_store_index(
+        spark, store_path, name, schema, "__wk", "window", fpr
+    )
 
 
 def _prune_snapshot_with_index(

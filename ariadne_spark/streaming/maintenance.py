@@ -439,16 +439,38 @@ def attach_domain_quota_maintenance(
             # replayed committed batch: survivors-first ordering means
             # the output already landed, and folding the counts again
             # would double-spend every domain's budget — skip
+            if not checkpoint_location:
+                # without a stable checkpoint the guard can only
+                # distinguish "replay of the same input set" (safe to
+                # skip) from "NEW stream over a grown input set"
+                # (skipping loses data) by trusting the caller — be
+                # loud about which contract is in force
+                log.warning(
+                    "domain quota maintenance: batch %d skipped by the "
+                    "replay guard WITHOUT a stable checkpoint — this is "
+                    "only correct when re-running the same input set; "
+                    "pass checkpoint_location (or clear the store) if "
+                    "this stream carries new data", batch_id,
+                )
             log.info("domain quota maintenance: batch %d replay skipped", batch_id)
             return
         domained = batch_df.withColumn(
             "domain", registrable_domain(url_col)
         ).where(F.col("domain").isNotNull())
-        used = (
-            cur.select("domain", "used")
-            if cur is not None
-            else spark.createDataFrame([], "domain string, used bigint")
-        )
+        if cur is not None:
+            used = cur.select("domain", "used")
+        elif glob.glob(f"{store_path}/*.parquet"):
+            # one-time migration import: an r07-format store is plain
+            # parquet at the root (no manifest) — fold its budgets into
+            # the first ParquetTable commit instead of silently
+            # re-admitting every exhausted domain
+            used = spark.read.parquet(store_path).select("domain", "used")
+            log.info(
+                "domain quota maintenance: importing pre-manifest "
+                "budget store at %s", store_path,
+            )
+        else:
+            used = spark.createDataFrame([], "domain string, used bigint")
         # cache the survivors: both the sink write and the ledger
         # aggregation read them, and an unpersisted plan would re-run
         # the window + broadcast join per action (measured 2×)
@@ -560,6 +582,14 @@ def attach_drift_maintenance(
         if applied is not None and applied >= batch_id:
             # replayed batch: the additive fold already committed —
             # folding again would double-count every key in the batch
+            if not checkpoint_location:
+                log.warning(
+                    "drift maintenance: batch %d fold skipped by the "
+                    "replay guard WITHOUT a stable checkpoint — only "
+                    "correct when re-running the same input set; pass "
+                    "checkpoint_location (or clear the store) if this "
+                    "stream carries new data", batch_id,
+                )
             counts = cur.select(*cols, "n_docs")
         else:
             add = batch_df.groupBy(*[F.col(c) for c in cols]).agg(
@@ -624,7 +654,14 @@ def attach_drift_maintenance(
     return writer.start()
 
 
-def url_ledger_index(spark, store_path: str, name: str, fpr: float = 1e-6):
+def url_ledger_index(
+    spark,
+    store_path: str,
+    name: str,
+    fpr: float = 1e-6,
+    files: list[str] | None = None,
+    handle=None,
+):
     """Maintain a bloom file-index over the URL seen-key ledger — the
     engine's file-level pruning applied to the crawl front end's
     largest state table (billions of url_key rows at lake scale).
@@ -642,21 +679,18 @@ def url_ledger_index(spark, store_path: str, name: str, fpr: float = 1e-6):
     10k-URL batch, where the window store's 1e-2 (probed with a few
     dozen digests) would keep every file. Bloom size scales with
     ln(1/fpr): ~29 bits/key here vs ~10 at 1e-2 — the right trade for
-    the table whose whole point is NOT being scanned."""
+    the table whose whole point is NOT being scanned. ``files`` /
+    ``handle`` let a micro-batch loop skip relisting the store and
+    reloading index metadata every batch."""
     from pyspark.sql import types as T
 
-    from ..index import Index
-    from ..operators.dedup import _snapshot_files
+    from ..operators.dedup import _bloom_store_index
 
     schema = T.StructType([T.StructField("url_key", T.StringType())])
-    idx = Index.for_name(name, schema=schema, format="parquet", spark=spark)
-    if "url_key" not in idx.indexes:
-        idx.add_bloom_index("url_key", fpr=fpr)
-    files = _snapshot_files(spark, store_path, "url ledger")
-    if files:
-        idx.add_files(files)
-        idx.update()
-    return idx
+    return _bloom_store_index(
+        spark, store_path, name, schema, "url_key", "url ledger", fpr,
+        files=files, handle=handle,
+    )
 
 
 def attach_url_dedup_maintenance(
@@ -691,7 +725,11 @@ def attach_url_dedup_maintenance(
     not seen yet are read unconditionally, so a lagging index widens
     the scan but can never re-admit a seen URL."""
     from ..operators.corpus import normalized_url
-    from ..operators.dedup import _prune_snapshot_with_index, _snapshot_files
+    from ..operators.dedup import _prune_snapshot_with_index
+
+    # per-query closure cache: reuse the open Index handle across
+    # micro-batches instead of reloading its metadata per batch
+    idx_cache: dict = {}
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -709,7 +747,11 @@ def attach_url_dedup_maintenance(
         files = sorted(glob.glob(f"{store_path}/*.parquet"))
         if files:
             if ledger_index_name:
-                idx = url_ledger_index(spark, store_path, ledger_index_name)
+                idx = url_ledger_index(
+                    spark, store_path, ledger_index_name,
+                    files=files, handle=idx_cache.get("idx"),
+                )
+                idx_cache["idx"] = idx
                 files = _prune_snapshot_with_index(
                     spark,
                     files,

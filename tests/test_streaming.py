@@ -601,6 +601,51 @@ def test_attach_domain_quota_depletes_across_batches(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
 
 
+def test_quota_sink_imports_pre_manifest_budget_store(spark, tmp_path):
+    """Upgrade path: an r07-format (plain parquet, no manifest)
+    (domain, used) store must be IMPORTED into the first ParquetTable
+    commit, not silently dropped — a domain with exhausted budget
+    stays exhausted across the upgrade."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark.storage.table import ParquetTable
+    from ariadne_spark.streaming.maintenance import (
+        attach_domain_quota_maintenance,
+    )
+
+    store = str(tmp_path / "mig_store")
+    # old-format ledger: a.com already used 3 of 3
+    spark.createDataFrame(
+        [("a.com", 3)], "domain string, used bigint"
+    ).coalesce(1).write.parquet(store)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("url", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "mig_src")
+    spark.createDataFrame(
+        [(10, "http://a.com/x"), (11, "http://b.com/y")], schema
+    ).coalesce(1).write.parquet(f"{src}/fa")
+    out = str(tmp_path / "mig_out")
+    stream = spark.readStream.schema(schema).parquet(f"{src}/f*")
+    q = attach_domain_quota_maintenance(
+        stream, store, out, n_per_domain=3, trigger={"availableNow": True}
+    )
+    q.awaitTermination()
+    # a.com exhausted pre-upgrade: only b.com admitted
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    ) == [11]
+    used = {
+        r["domain"]: r["used"]
+        for r in ParquetTable(spark, store).read().collect()
+    }
+    assert used == {"a.com": 3, "b.com": 1}
+
+
 def test_quota_sink_survivors_use_window_group_limit(spark):
     """The sink's per-batch survivor plan must pre-top map-side like
     the batch operator: the literal __rk <= n bound (a correct

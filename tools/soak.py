@@ -25,6 +25,9 @@ Scenarios
   8c. engine x pipeline: bloom file-index over the window store; a
      novel-content batch must prune the indexed history read entirely
      and still come back clean
+  15. engine x pipeline: URL seen-key ledger behind a bloom
+     file-index at NX — a small mixed batch must read ~1 ledger file
+     with the exact survivor count (fpr sized to batch cardinality)
 
 Usage: python tools/soak.py [N] (default 8; local[16])
 """
@@ -776,8 +779,9 @@ def main() -> None:
          survivors=survivors_n, sec=ul_sec,
          off_expected_survivors=abs(survivors_n - 200))
     assert survivors_n == 200, survivors_n
-    # replica-0 keys occupy one range file; bloom may keep a stray
-    # file at fpr=1% but must prune the bulk of the ledger
+    # replica-0 keys occupy one range file; at url_ledger_index's
+    # default fpr=1e-6 a stray false-positive file is ~0.04% likely
+    # per file, but leave slack rather than flake once a decade
     assert len(pruned) <= max(2, len(files) // 2), (len(pruned), len(files))
 
     spark.stop()
