@@ -3251,25 +3251,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_join_regular": q_idx_join_regular,
         "idx_filter_computed": q_idx_filter_computed,
         "idx_filter_range": q_idx_filter_range,
-        # r08 rotation (VERDICT r07 item 3): the six queries displaced
-        # past the window by earlier rotations come BACK through the
-        # gate so every family keeps a periodic hard driver signal —
-        # corpus_ngram_stats, text_fingerprint, corpus_line_dedup,
-        # corpus_budget_sample, sql_tpch_q5, multimodal_decode_wav.
-        # Displaced this round (each family keeps an in-window
-        # representative, all replica-swept at two scales):
-        # idx_filter_band (idx_filter_range stays), dedup_substring
-        # (dedup_exact/fuzzy_keepset stay), sim_ann_lsh (emb_ann_pq,
-        # sim_ann_ivf_pq stay), text_lang_id (c4/normalize/gopher/
-        # mass_classify stay), corpus_contamination (the corpus family
-        # keeps 6+ rows), streaming_quality_gate (streaming_drift,
-        # streaming_latest stay).
-        "corpus_ngram_stats": q_corpus_ngram_stats,
-        "text_fingerprint": q_text_fingerprint,
-        "corpus_line_dedup": q_corpus_line_dedup,
-        "corpus_budget_sample": q_corpus_budget_sample,
-        "sql_tpch_q5": q_sql_tpch_q5,
-        "multimodal_decode_wav": q_multimodal_decode_wav,
+        # r09 rotation (VERDICT r08 item 3, same cadence as r7->r8):
+        # the six rows the r08 rotation displaced come BACK through
+        # the gate — idx_filter_band, dedup_substring, sim_ann_lsh,
+        # text_lang_id, corpus_contamination, streaming_quality_gate.
+        # Displaced this round are the six r08 returners, which have
+        # now completed their return trip (corpus_ngram_stats,
+        # text_fingerprint, corpus_line_dedup, corpus_budget_sample,
+        # sql_tpch_q5, multimodal_decode_wav); each family keeps an
+        # in-window representative (corpus: blocklist/soft_sample/
+        # drift_report/domain_quota/select_dsir/mix_report/importance
+        # + contamination; text: c4/normalize/pr_curve/gopher/
+        # mass_classify + lang_id; sql: tpch_q1 + join_pruned;
+        # multimodal: fingerprint) and all are replica-swept at two
+        # scales every round.
+        "idx_filter_band": q_idx_filter_band,
+        "dedup_substring": q_dedup_substring,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "text_lang_id": q_text_lang_id,
+        "corpus_contamination": q_corpus_contamination,
+        "streaming_quality_gate": q_streaming_quality_gate,
         # r07 second rotation: the session's three new oracle-backed
         # operator classes (C4 line cleaning, unicode normalization —
         # a fully value-oracled pandas-UDF op — and the domain
@@ -3343,13 +3344,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replica sweep at sf0.001 + sf0.01 each round ---
         "idx_footer_range": q_idx_footer_range,
         "dedup_incremental": q_dedup_incremental,
-        # displaced by the r08 rotation (see the window comment above)
-        "idx_filter_band": q_idx_filter_band,
-        "dedup_substring": q_dedup_substring,
-        "sim_ann_lsh": q_sim_ann_lsh,
-        "text_lang_id": q_text_lang_id,
-        "corpus_contamination": q_corpus_contamination,
-        "streaming_quality_gate": q_streaming_quality_gate,
+        # displaced by the r09 rotation (see the window comment above)
+        "corpus_ngram_stats": q_corpus_ngram_stats,
+        "text_fingerprint": q_text_fingerprint,
+        "corpus_line_dedup": q_corpus_line_dedup,
+        "corpus_budget_sample": q_corpus_budget_sample,
+        "sql_tpch_q5": q_sql_tpch_q5,
+        "multimodal_decode_wav": q_multimodal_decode_wav,
         "sim_topk": q_sim_topk,
         "text_quality": q_text_quality,
         "sim_ann_ivf": q_sim_ann_ivf,

@@ -89,7 +89,12 @@ class Index:
         self.paths = paths
         self.fs = get_fs(spark, paths.root)
         self.filelist = FileList(spark, paths.filelist)
-        self.table = open_table(spark, paths.index, key_cols=("filename",))
+        # segment_unique: every update() batch appends exactly one row
+        # per file (build.py attach_file_sizes frames a unique file
+        # list), so reads take the max_by partial-agg dedup path
+        self.table = open_table(
+            spark, paths.index, key_cols=("filename",), segment_unique=True
+        )
         self._selection: list[str] | None = None
         self._index_df_cache: DataFrame | None = None
         self._index_df_cached = False

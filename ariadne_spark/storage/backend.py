@@ -57,7 +57,9 @@ from .table import ParquetTable
 
 _CONF_KEY = "spark.ariadne.tableBackend"
 
-# name -> factory(spark, path, key_cols, dedup) -> backend instance
+# name -> factory(spark, path, key_cols, dedup[, segment_unique]) ->
+# backend instance (the 5th arg is an optional read-path hint, passed
+# only when the factory's signature declares it)
 _REGISTRY: dict = {}
 
 
@@ -76,6 +78,7 @@ def open_table(
     path: str,
     key_cols: tuple[str, ...] = (),
     dedup: str = "last",
+    segment_unique: bool = False,
 ):
     """Open the index-state table at ``path`` with the configured
     backend (``spark.ariadne.tableBackend``, default ``parquet``).
@@ -102,6 +105,18 @@ def open_table(
                     f"but {_CONF_KEY}={name!r}; refusing to open — switch "
                     f"the conf back or migrate the table explicitly"
                 )
+    # ``segment_unique`` is a read-path hint (ParquetTable picks the
+    # cheaper max_by dedup); factories that resolve upserts at write
+    # time (Delta MERGE) don't need it, and externally registered
+    # factories keep working with the original 4-arg signature.
+    import inspect
+
+    try:
+        takes_hint = "segment_unique" in inspect.signature(factory).parameters
+    except (TypeError, ValueError):  # builtins/C callables: be safe
+        takes_hint = False
+    if takes_hint:
+        return factory(spark, path, key_cols, dedup, segment_unique=segment_unique)
     return factory(spark, path, key_cols, dedup)
 
 

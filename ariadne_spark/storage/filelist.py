@@ -28,7 +28,15 @@ FILELIST_SCHEMA = StructType(
 class FileList:
     def __init__(self, spark: SparkSession, path: str) -> None:
         self.spark = spark
-        self.table = open_table(spark, path, key_cols=("filename",), dedup="first")
+        # segment_unique: add() dedups each batch (sorted(set(...))),
+        # so every segment holds one row per filename -> min_by read
+        self.table = open_table(
+            spark,
+            path,
+            key_cols=("filename",),
+            dedup="first",
+            segment_unique=True,
+        )
 
     @property
     def files(self) -> DataFrame:

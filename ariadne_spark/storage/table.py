@@ -19,11 +19,23 @@ the engine needs, built on plain parquet + an atomic JSON manifest:
 * ``compact()`` folds all segments into one (the analog of staging
   consolidation + OPTIMIZE); ``vacuum()`` deletes unreferenced files.
 
-Scale note: the per-key dedup is a single hash-partitioned window on
-the key columns; index tables are O(files + distinct values), orders
-of magnitude smaller than the data lake they describe, and the
+Scale note (r09, replaces the window dedup): multi-segment reads
+resolve replace-per-key without any Window node. Tables whose
+segments hold at most one row per key (``segment_unique=True`` — the
+main index and the FileList append exactly one row per filename per
+batch) use a ``max_by(struct(...), seq)`` / ``min_by`` partial-agg
+groupBy: map-side combine collapses each partition to one candidate
+row per key, so the single shuffle carries at most one row per key
+per map partition — strictly less than the window's
+every-segment-copy shuffle, and no sort. Multi-row-per-key tables
+(the exploded ``(filename, value)`` large indexes) aggregate the
+per-key winning sequence from a column-pruned scan (filename + seq
+only) and broadcast-semi-join it back: the wide exploded side is
+never shuffled at all. The winner set is O(distinct keys) = O(files)
+— the same file-cardinality driver contract the locate path already
+has (``plans/locate.py`` returns the pruned file list). The
 single-segment fast path (the common state after compaction) skips
-the shuffle entirely.
+all of it.
 
 Storage backends: local paths use POSIX O_EXCL (truly atomic);
 remote URIs (``hdfs:``, ``s3a:``, ``abfs:``) go through the Hadoop
@@ -37,7 +49,7 @@ from __future__ import annotations
 import json
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..exceptions import TableCommitConflictError
@@ -62,6 +74,7 @@ class ParquetTable:
         path: str,
         key_cols: tuple[str, ...] = (),
         dedup: str = "last",
+        segment_unique: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
@@ -69,6 +82,11 @@ class ParquetTable:
         self.key_cols = tuple(key_cols)
         assert dedup in ("last", "first")
         self.dedup = dedup
+        # declared by the owner: every segment holds at most one row
+        # per key (enables the cheaper max_by read path; a multi-row
+        # segment under this flag would silently lose rows, so only
+        # writers that append keyed rows exactly once set it)
+        self.segment_unique = segment_unique
 
     # ------------------------------------------------------------ manifest
 
@@ -175,12 +193,44 @@ class ParquetTable:
         union = dfs[0]
         for d in dfs[1:]:
             union = union.unionByName(d, allowMissingColumns=True)
-        w = Window.partitionBy(*[F.col(c) for c in self.key_cols])
+        keys = list(self.key_cols)
+        data_cols = [c for c in union.columns if c != _SEQ_COL]
+        if self.segment_unique:
+            # ≤1 row per key per segment: a max_by/min_by partial-agg
+            # groupBy resolves replace-per-key in ONE shuffle whose
+            # map-side combine already collapsed each partition to one
+            # candidate row per key — no Window, no sort (same
+            # transform as the W1 dedup in operators/join.py:53-63).
+            pick_fn = F.max_by if self.dedup == "last" else F.min_by
+            others = [c for c in data_cols if c not in self.key_cols]
+            if not others:  # keys-only table: all rows per key equal
+                return union.select(*keys).distinct()
+            packed = union.groupBy(*keys).agg(
+                pick_fn(F.struct(*others), F.col(_SEQ_COL)).alias("__row")
+            )
+            return packed.select(
+                *keys, *[F.col("__row")[c].alias(c) for c in others]
+            ).select(*data_cols)
+        # multi-row-per-key segments (exploded large indexes): find
+        # each key's winning segment from a column-pruned scan (the
+        # agg reads only the key columns; seq is a literal), then
+        # broadcast the O(distinct keys) winner set back over the wide
+        # side — the exploded rows are never shuffled. Winner columns
+        # are renamed to fresh attributes so the self-referential join
+        # resolves unambiguously.
         pick = F.max(_SEQ_COL) if self.dedup == "last" else F.min(_SEQ_COL)
-        return (
-            union.withColumn("_ariadne_pick", pick.over(w))
-            .where(F.col(_SEQ_COL) == F.col("_ariadne_pick"))
-            .drop(_SEQ_COL, "_ariadne_pick")
+        winners = (
+            union.groupBy(*keys)
+            .agg(pick.alias("__pick"))
+            .select(
+                *[F.col(k).alias(f"__w_{k}") for k in keys], "__pick"
+            )
+        )
+        cond = F.col(_SEQ_COL) == F.col("__pick")
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"__w_{k}"))
+        return union.join(F.broadcast(winners), cond, "left_semi").drop(
+            _SEQ_COL
         )
 
     # ------------------------------------------------------------ writes

@@ -201,22 +201,32 @@ def main() -> None:
             qs[name](spark, sf_dir).count()
     warmup_sec = round(time.time() - t0, 3)
 
-    # Two timed passes, keep the min: a single pass is hostage to
-    # driver GC pauses and machine noise (observed 0.6 s -> 4.3 s
-    # swings on an unchanged query); the min of two is a far better
-    # steady-state estimate for a metric that is compared across
-    # rounds. Override with SPARK_GRAFT_PASSES.
-    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "2"))
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        best = None
-        for _ in range(max(1, passes)):
+    # Three timed FULL passes over the registry, reported as the
+    # per-query MEDIAN (r08 verdict #1): a single pass is hostage to
+    # driver GC pauses and shared-host noise (identical code measured
+    # 88-140 s totals and one query at 0.86/1.21/4.61 s across
+    # same-code runs), and a min-of-2 still lets one clean pass hide
+    # a loaded one. The median of three is robust to a single outlier
+    # in EITHER direction, and the sidecar carries the per-query min
+    # plus the three per-pass totals so both the steady-state floor
+    # and the run-to-run spread stay inspectable. Override with
+    # SPARK_GRAFT_PASSES.
+    import statistics
+
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_PASSES", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    pass_totals: list[float] = []
+    for _ in range(passes):
+        t_pass = time.time()
+        for name in BENCH_QUERIES:
             t0 = time.time()
-            fn(spark, sf_dir).count()
-            el = time.time() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
+            qs[name](spark, sf_dir).count()
+            samples[name].append(time.time() - t0)
+        pass_totals.append(round(time.time() - t_pass, 3))
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
+    timings_min = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -225,8 +235,14 @@ def main() -> None:
         sf_num = sf
     summary = {
         "metric": "total_query_sec",
+        # sum of per-query MEDIANS (r09+; r01-r08 reported min-of-2 —
+        # medians read slightly higher on identical code, compare
+        # like-for-like via the sidecar's per-stat maps)
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "stat": "median",
+        "n_passes": passes,
+        "pass_totals": pass_totals,
         "sf": sf_num,
         "build_sec": build_sec,
         "warmup_sec": warmup_sec,
@@ -249,7 +265,16 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
     )
     with open(sidecar, "w") as f:
-        json.dump({**summary, "queries": timings}, f, indent=1, sort_keys=True)
+        json.dump(
+            {
+                **summary,
+                "queries": timings,  # per-query median across passes
+                "queries_min": timings_min,  # steady-state floor
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
     print(json.dumps(summary))
     spark.stop()
 

@@ -990,27 +990,44 @@ class AriadnePruneRule(session: SparkSession)
           // desc nulls last, tie -> lexicographically first file).
           // Only the latest segment row per file counts (same
           // supersede rule as the verdict max_by below). A NULL
-          // array anywhere means a large-spilled value set this
-          // surface cannot see -> no pruning for this constraint.
+          // array means that file's value set SPILLED to the large
+          // side table — union its live spill rows in, exactly like
+          // plans/locate.py:285-290 (r08 verdict #2); pruning stays
+          // refused only when the spill table itself is unreadable.
           if (present.contains(sc)) {
             import org.apache.spark.sql.expressions.{Window => WF}
             val latestSeg = all
               .groupBy("filename")
               .agg(SF.max_by(SF.col(sc), SF.col("__seq")).as(sc))
-            val anyNull =
-              latestSeg.where(SF.col(sc).isNull).limit(1).count() > 0
-            if (!anyNull) {
+            var pairsDf = latestSeg
+              .where(SF.col(sc).isNotNull)
+              .select(SF.col("filename"), SF.explode(SF.col(sc)).as("__s"))
+              .select(
+                SF.col("filename"),
+                SF.col("__s.value").as("__v"),
+                SF.col("__s.max_ts").as("__ts"))
+            val spilled = latestSeg.where(SF.col(sc).isNull).select("filename")
+            var usable = true
+            if (spilled.limit(1).count() > 0) {
+              readLargeTable(entry, colName) match {
+                case Some(ld) =>
+                  // large rows are live only while the main row's
+                  // array is nulled (index.py:large_df semantics)
+                  pairsDf = pairsDf.unionByName(ld
+                    .join(spilled, Seq("filename"), "left_semi")
+                    .select(
+                      SF.col("filename"),
+                      SF.col("value").as("__v"),
+                      SF.col("max_ts").as("__ts")))
+                case None => usable = false
+              }
+            }
+            if (usable) {
               val litArr = SF.array(vs.map(v => SF.lit(v)): _*)
-              val pairsDf = latestSeg
-                .select(SF.col("filename"), SF.explode(SF.col(sc)).as("__s"))
-                .select(
-                  SF.col("filename"),
-                  SF.col("__s.value").as("__v"),
-                  SF.col("__s.max_ts").as("__ts"))
-                .where(SF.array_contains(litArr, SF.col("__v")))
+              val matched = pairsDf.where(SF.array_contains(litArr, SF.col("__v")))
               val w = WF.partitionBy(SF.col("__v"))
                 .orderBy(SF.col("__ts").desc_nulls_last, SF.col("filename"))
-              temporalKeeps ::= pairsDf
+              temporalKeeps ::= matched
                 .withColumn("__rn", SF.row_number().over(w))
                 .where(SF.col("__rn") === 1)
                 .select("filename").distinct()
@@ -1050,6 +1067,36 @@ class AriadnePruneRule(session: SparkSession)
       .map(_.getString(0))
       .toSet
     temporalKeeps.foldLeft(base)(_ intersect _)
+  }
+
+  /** Current state of a column's large spill table
+    * (`<indexRoot>/large_indexes/<col>`, ParquetTable layout:
+    * exploded `(filename, value, max_ts)` rows, replace-per-key by
+    * filename) — None when the table is absent/empty, which the
+    * caller treats as "cannot see the spilled values, refuse to
+    * prune". Multi-row-per-key segments, so the newest segment
+    * holding each filename supersedes ALL of that file's older rows
+    * (the same read semantics as storage/table.py:read). */
+  private def readLargeTable(entry: IndexEntry, col: String): Option[DataFrame] = {
+    val root = new Path(entry.indexTablePath).getParent
+    val lp = new Path(new Path(root, "large_indexes"), col).toString
+    val fs = Manifest.fs(session, lp)
+    val segs = Manifest.segments(fs, lp)
+    if (segs.isEmpty) return None
+    val parts = segs.flatMap { case (seq, dir) =>
+      val files = Manifest.segmentFiles(fs, dir)
+      if (files.isEmpty) None
+      else Some(session.read.parquet(files: _*).withColumn("__lseq", SF.lit(seq)))
+    }
+    if (parts.isEmpty) return None
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (parts.length == 1) return Some(all.drop("__lseq"))
+    import org.apache.spark.sql.expressions.{Window => WF}
+    val w = WF.partitionBy(SF.col("filename"))
+    Some(all
+      .withColumn("__lmx", SF.max(SF.col("__lseq")).over(w))
+      .where(SF.col("__lseq") === SF.col("__lmx"))
+      .drop("__lseq", "__lmx"))
   }
 }
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -48,8 +49,9 @@ _DEMO = os.path.join(WORK, "jvm_ext")
 @pytest.fixture(scope="module")
 def jvm_state(spark):
     """Index state the subprocess will query: orders split into 6
-    custkey-range files, indexed regular + range + computed; plus a
-    temporal-config index that the JVM surface must refuse."""
+    custkey-range files, indexed regular + range + computed; plus
+    temporal-config indexes (plain, versioned, and large-spilled)
+    that the JVM surface resolves with W1 dedup and W2 pruning."""
     shutil.rmtree(_DEMO, ignore_errors=True)
     os.makedirs(_DEMO)
     store = f"{_DEMO}/store"
@@ -174,11 +176,12 @@ def jvm_state(spark):
         )
         # temporal index whose value arrays SPILLED to the large table
         # (largeIndexLimit=5 < per-file distinct keys): in-row arrays
-        # are NULL, which the JVM W2 locate cannot see — it must skip
-        # pruning (conservative) while returning exact rows
+        # are NULL, so the JVM W2 locate must union the live spill
+        # rows from large_indexes/o_custkey and prune with Python-
+        # path parity (r08 verdict #2; before r09 it refused).
         # own file COPIES: entriesFor matches by file set, and the
         # non-spilled jext_temporal2 over the same files would prune
-        # legitimately, masking the NULL-array refusal under test
+        # legitimately, masking the spill-union path under test
         for p in ("p0", "p1"):
             spark.read.parquet(f"{_DEMO}/temporal2/{p}").coalesce(1).write.parquet(
                 f"{_DEMO}/temporal3/{p}"
@@ -205,6 +208,9 @@ def jvm_state(spark):
             .select("o_custkey", "o_orderkey", "o_orderdate")
             .collect()
         )
+        # Python-path pruned file set for the spilled index — the
+        # parity target for the JVM rule's large-table W2 union
+        t3_py_files = t3.locate_files({"o_custkey": probe_keys})
         yield {
             "store": store,
             "data_glob": f"{_DEMO}/orders/p*/*.parquet",
@@ -212,6 +218,8 @@ def jvm_state(spark):
             "t2_py_rows": py_rows,
             "t2_n_files": len(t2_files),
             "t3_py_rows": t3_py_rows,
+            "t3_py_files": sorted(t3_py_files),
+            "t3_n_files": len(t3_files),
         }
     finally:
         if old is not None:
@@ -435,7 +443,9 @@ out["temporal_where"] = {
 }
 
 # large-spilled temporal arrays: the in-row arrays are NULL, so the
-# W2 locate must refuse to prune (conservative) yet stay exact
+# W2 locate must union the live spill rows from the large table and
+# still prune to the per-key latest files (r08 verdict #2), with
+# exact rows and pruned-file parity against Index.locate_files
 ldf = spark.sql(
     "SELECT t.o_custkey, t.o_orderkey, t.o_orderdate "
     "FROM ariadne.jext_temporal3 t JOIN tprobe p "
@@ -447,6 +457,7 @@ out["temporal_large"] = {
         for r in ldf.collect()
     ),
     "scanned": len(ldf.inputFiles()),
+    "scanned_files": sorted(ldf.inputFiles()),
 }
 
 print("JSON:" + json.dumps(out))
@@ -552,16 +563,25 @@ def test_temporal_join_prunes_with_python_parity(report, jvm_state):
     assert all(r[1] >= 10_000_000 for r in rows), rows[:3]
 
 
-def test_temporal_large_spill_refuses_prune_stays_exact(report, jvm_state):
-    """Temporal arrays spilled to the large table leave NULL in-row
-    arrays the JVM locate cannot see: it must skip pruning entirely
-    (scanned == all files — conservative, never wrong) while the rows
-    still match the Python Index.join path exactly."""
+def test_temporal_large_spill_prunes_with_python_parity(report, jvm_state):
+    """r08 verdict #2: temporal arrays spilled to the large table
+    leave NULL in-row arrays; the JVM W2 locate now unions the live
+    spill rows from `<root>/large_indexes/<col>` (the port of
+    plans/locate.py:285-290) and prunes to EXACTLY the files the
+    Python `Index.locate_files` path keeps, with exact rows. Before
+    r09 this surface refused to prune spilled temporal indexes."""
     t = report["temporal_large"]
     assert [tuple(r) for r in t["rows"]] == [
         tuple(r) for r in jvm_state["t3_py_rows"]
     ]
-    assert t["scanned"] == jvm_state["t2_n_files"], t
+    # pruned-file parity with the Python locate (paths normalized:
+    # inputFiles() returns file:-scheme URIs)
+    scanned = sorted(
+        re.sub(r"^file:/+", "/", f) for f in t["scanned_files"]
+    )
+    assert scanned == jvm_state["t3_py_files"], (
+        scanned, jvm_state["t3_py_files"])
+    assert 0 < t["scanned"] < jvm_state["t3_n_files"], t
 
 
 def test_temporal_where_prunes_to_latest_file(report, jvm_state):

@@ -62,6 +62,67 @@ def test_table_schema_evolution(spark, storage):
     assert rows == {(1, "a", None), (2, "b", 9)}
 
 
+def test_table_segment_unique_dedup_paths(spark, storage):
+    """segment_unique tables resolve replace-per-key via max_by/min_by
+    partial agg (r08 verdict #5): same answers as the general path for
+    single-row-per-key segments, for both dedup orders, including a
+    column added mid-history (null-filled in older segments)."""
+    t = ParquetTable(
+        spark, f"{storage}/tsu", key_cols=("k",), segment_unique=True
+    )
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+    t.append(spark.createDataFrame([(2, "B", 9), (3, "c", 7)], ["k", "v", "x"]))
+    t.append(spark.createDataFrame([(3, "C")], ["k", "v"]))
+    assert rows_set(t.read()) == {(1, "a", None), (2, "B", 9), (3, "C", None)}
+
+    f = ParquetTable(
+        spark,
+        f"{storage}/tsuf",
+        key_cols=("k",),
+        dedup="first",
+        segment_unique=True,
+    )
+    f.append(spark.createDataFrame([(1, "orig")], ["k", "v"]))
+    f.append(spark.createDataFrame([(1, "dupe"), (2, "new")], ["k", "v"]))
+    assert rows_set(f.read()) == {(1, "orig"), (2, "new")}
+
+
+def test_table_multisegment_read_has_no_window_node(spark, storage):
+    """r08 verdict #5 plan assertion: an uncompacted 3-segment read
+    plans WITHOUT a Window node on either dedup path — segment_unique
+    tables as a single partial-agg groupBy, multi-row-per-key tables
+    as a broadcast winners semi-join (the wide side is never
+    shuffled)."""
+    su = ParquetTable(
+        spark, f"{storage}/tplan_u", key_cols=("k",), segment_unique=True
+    )
+    multi = ParquetTable(spark, f"{storage}/tplan_m", key_cols=("k",))
+    for t in (su, multi):
+        t.append(spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]))
+        t.append(spark.createDataFrame([(2, 21), (3, 30)], ["k", "v"]))
+        t.append(spark.createDataFrame([(3, 31)], ["k", "v"]))
+        assert t.num_segments == 3
+        plan = t.read()._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan
+    uplan = su.read()._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in uplan or "SortAggregate" in uplan, uplan
+    mplan = multi.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in mplan and "LeftSemi" in mplan, mplan
+    assert rows_set(su.read()) == rows_set(multi.read()) == {
+        (1, 10), (2, 21), (3, 31)
+    }
+
+
+def test_table_keys_only_segment_unique(spark, storage):
+    """A keys-only segment_unique table degenerates to distinct."""
+    t = ParquetTable(
+        spark, f"{storage}/tko", key_cols=("k",), segment_unique=True
+    )
+    t.append(spark.createDataFrame([(1,), (2,)], ["k"]))
+    t.append(spark.createDataFrame([(2,), (3,)], ["k"]))
+    assert rows_set(t.read()) == {(1,), (2,), (3,)}
+
+
 def test_table_delete_where_and_vacuum(spark, storage):
     t = ParquetTable(spark, f"{storage}/t5", key_cols=("k",))
     t.append(spark.createDataFrame([(i, i * 2) for i in range(10)], ["k", "v"]))
