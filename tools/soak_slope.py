@@ -1,0 +1,172 @@
+"""Slope probe for the three history-proportional incrementals
+(r08 verdict #4): incremental near-dup, incremental substring dedup,
+and the bloom-file-indexed URL ledger. Runs ONLY those probes (the
+full matrix lives in tools/soak.py) across a ladder of replication
+factors and prints one JSON line per factor, separating
+
+  * one-time HISTORY costs (signature store build, window-count
+    ingest, ledger index build) — these legitimately grow with N and
+    are paid once per corpus, and
+  * per-BATCH costs (the steady-state crawl-loop path) — the claim
+    under test is O(batch + colliding history): with a constant-size
+    batch, `*_batch_sec` must stay near-flat as N doubles. A
+    superlinear batch slope is the earliest warning the 100 TB story
+    has.
+
+Batch semantics match tools/soak.py: the near-dup/substring batch is
+one replica (constant dn docs, maximally colliding with history);
+the URL batch is a fixed 400-key mix (200 seen / 200 novel), so its
+probe cost is the purest flatness signal.
+
+Usage: python tools/soak_slope.py [factor ...]   (default: 8 16 32 64)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+WORK = "/tmp/ariadne_slope"
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "16g")
+        .appName("ariadne-slope")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from ariadne_spark.operators.dedup import (
+        _prune_snapshot_with_index,
+        _snapshot_files,
+        incremental_near_dup,
+        incremental_substring_dedup,
+        minhash_signatures_fast,
+        signature_store_write,
+    )
+    from ariadne_spark.streaming.maintenance import url_ledger_index
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dn = docs.count()
+    dspan = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+
+    for n_rep in factors:
+        shutil.rmtree(WORK, ignore_errors=True)
+        spark.conf.set("spark.ariadne.storagePath", f"{WORK}/store")
+        row: dict = {"factor": n_rep, "history_docs": (n_rep - 1) * dn,
+                     "batch_docs": dn}
+
+        drep = None
+        for i in range(n_rep):
+            part = docs.select(
+                (F.col("doc_id") + i * dspan).alias("doc_id"), "text"
+            )
+            drep = part if drep is None else drep.unionByName(part)
+        hist = drep.where(F.col("doc_id") < (n_rep - 1) * dspan)
+        newb = drep.where(F.col("doc_id") >= (n_rep - 1) * dspan)
+
+        # near-dup: history store build vs batch probe
+        store = f"{WORK}/sigstore"
+        t0 = time.time()
+        signature_store_write(
+            minhash_signatures_fast(hist, "text", "doc_id"),
+            store,
+            mode="overwrite",
+        )
+        row["neardup_history_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        row["neardup_pairs"] = incremental_near_dup(
+            newb, store, threshold=0.8, update_store=False
+        ).count()
+        row["neardup_batch_sec"] = round(time.time() - t0, 2)
+
+        # substring: window-count ingest vs batch probe
+        wstore = f"{WORK}/winstore"
+        t0 = time.time()
+        incremental_substring_dedup(hist, wstore, k=8)
+        row["substring_history_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        isd = incremental_substring_dedup(
+            newb, wstore, k=8, update_store=False
+        )
+        uncov = isd.where(
+            (F.col("n_tokens") >= 8)
+            & (F.col("n_dup_tokens") != F.col("n_tokens"))
+        ).count()
+        row["substring_batch_sec"] = round(time.time() - t0, 2)
+        row["substring_full_coverage"] = uncov == 0
+
+        # URL ledger: index build (once per corpus) vs fixed-batch probe
+        led_dir = f"{WORK}/url_ledger"
+        keys_nx = drep.select(
+            F.concat(
+                F.lit("http://ledger"),
+                F.expr("doc_id div 1000").cast("string"),
+                F.lit(".com/k/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url_key"),
+            F.expr(f"doc_id div {dspan}").alias("__rep"),
+        )
+        for i in range(n_rep):
+            keys_nx.where(F.col("__rep") == i).select("url_key").coalesce(
+                1
+            ).write.mode("append").parquet(led_dir)
+        t0 = time.time()
+        lidx = url_ledger_index(spark, led_dir, "slope_url_ledger")
+        row["ledger_index_sec"] = round(time.time() - t0, 2)
+        files = _snapshot_files(spark, led_dir, "url ledger")
+        batch = spark.range(400).select(
+            F.when(
+                F.col("id") < 200,
+                F.concat(
+                    F.lit("http://ledger0.com/k/"), F.col("id").cast("string")
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("http://novel.com/k/"), F.col("id").cast("string")
+                )
+            )
+            .alias("url_key")
+        )
+        t0 = time.time()
+        pruned = _prune_snapshot_with_index(
+            spark,
+            files,
+            lidx,
+            batch.select("url_key").distinct(),
+            column="url_key",
+        )
+        seen = spark.read.parquet(*pruned)
+        survivors = batch.join(seen, "url_key", "left_anti").count()
+        row["ledger_probe_sec"] = round(time.time() - t0, 2)
+        row["ledger_files"] = len(files)
+        row["ledger_files_read"] = len(pruned)
+        row["ledger_survivors_exact"] = survivors == 200
+
+        print(json.dumps(row), flush=True)
+
+    spark.stop()
+    shutil.rmtree(WORK, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
