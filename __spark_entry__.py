@@ -623,6 +623,50 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_jaccard_arrays(cand, docs, "text", "doc_id", 5, 0.8)
 
 
+def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine x pipeline (r09): the same incremental near-dup but with
+    the signature store behind a bloom file-index keyed by the DERIVED
+    LSH band keys (signature_store_index — an expression bloom over
+    array(xxhash64(h0..h7), ...)), so the per-batch history read
+    touches only store files whose bloom may contain a batch band key.
+    Pruning is an optimization, never semantics: the oracle is
+    IDENTICAL to dedup_incremental (one shared SQL constant), and a
+    divergence means the index dropped or re-admitted a collision.
+    The index is dropped afterwards to keep catalog_describe's fixture
+    set deterministic."""
+    from ariadne_spark import catalog as _cat
+    from ariadne_spark.operators.dedup import (
+        incremental_near_dup,
+        signature_store_index,
+        verify_jaccard_arrays,
+    )
+
+    _prepare(spark, sf_dir)  # sets spark.ariadne.storagePath
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    cut = 250
+    store = f"{WORK}/{_tag(sf_dir)}/sigstore"
+    if not os.path.isdir(store):
+        # the store write inside q_dedup_incremental is eager (and
+        # lock-guarded); the pair frame it returns stays lazy, so this
+        # builds only the shared fixture
+        q_dedup_incremental(spark, sf_dir)
+    new = docs.where(F.col("doc_id") >= cut)
+    try:
+        idx = signature_store_index(spark, store, "sig_idx_gate")
+        # the pruned file list is resolved eagerly inside the call, so
+        # the returned plan reads pinned parquet files and survives the
+        # index drop below
+        cand = incremental_near_dup(
+            new, store, threshold=0.7, update_store=False, store_index=idx
+        )
+        return verify_jaccard_arrays(cand, docs, "text", "doc_id", 5, 0.8)
+    finally:
+        try:
+            _cat.remove("sig_idx_gate", spark)
+        except Exception:
+            pass
+
+
 def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (RAG / context prep): 32-token
     windows advancing by 24 (8-token overlap), map-only built-ins,
@@ -3340,6 +3384,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_fingerprint": q_multimodal_fingerprint,
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_join_pruned": q_sql_join_pruned,
+        # r09 new operator takes a window slot (policy: each round's
+        # new oracle-backed operators enter the gate): the indexed
+        # signature store shares dedup_incremental's oracle verbatim,
+        # so the gate row proves band-key file pruning changes nothing;
+        # displaced: dedup_incremental (its unindexed twin — identical
+        # oracle, still replica-swept at two scales).
+        "dedup_incremental_indexed": q_dedup_incremental_indexed,
         # --- past the driver gate window: covered by the full
         # replica sweep at sf0.001 + sf0.01 each round ---
         "idx_footer_range": q_idx_footer_range,
@@ -4247,6 +4298,11 @@ def oracle_sql() -> dict[str, str]:
         # Same truth set restricted to pairs touching the "new" half
         # (id >= 250; id_a < id_b makes id_b >= 250 the exact condition)
         "dedup_incremental": _MINHASH_ORACLE_SQL.format(
+            extra_pred="b.doc_id >= 250"
+        ),
+        # identical truth by design: the band-key file index must not
+        # change which pairs the incremental path returns
+        "dedup_incremental_indexed": _MINHASH_ORACLE_SQL.format(
             extra_pred="b.doc_id >= 250"
         ),
         "dedup_ngramset": """

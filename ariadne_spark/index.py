@@ -226,12 +226,17 @@ class Index:
             raise IndexTypeConflictError(
                 f"column {cfg.column!r} already has a {current.type} index"
             )
-        if cfg.type in (REGULAR, BLOOM, TEMPORAL, RANGE):
+        if cfg.type in (REGULAR, TEMPORAL, RANGE) or (
+            cfg.type == BLOOM and cfg.expression is None
+        ):
             self._require_top_level(cfg.column)
             self._require_source_column(cfg.column)
-        if cfg.type in (COMPUTED, EXPLODED) and (
-            cfg.column in self._schema_fields() or "." in cfg.column
-        ):
+        # alias-style configs (computed, exploded, expression blooms)
+        # must not shadow a source column
+        if (
+            cfg.type in (COMPUTED, EXPLODED)
+            or (cfg.type == BLOOM and cfg.expression is not None)
+        ) and (cfg.column in self._schema_fields() or "." in cfg.column):
             raise IndexTypeConflictError(
                 f"alias {cfg.column!r} collides with a source column"
             )
@@ -260,8 +265,19 @@ class Index:
         )
         return self
 
-    def add_bloom_index(self, column: str, fpr: float = 0.01) -> "Index":
-        self._register(IndexConfig(BLOOM, column, fpr=fpr))
+    def add_bloom_index(
+        self, column: str, fpr: float = 0.01, expression: str | None = None
+    ) -> "Index":
+        """Bloom index over ``column``, or — with ``expression`` — over
+        a build-time Spark SQL expression aliased as ``column``. An
+        array-valued expression blooms the distinct ELEMENTS, which
+        lets the index prune files by DERIVED keys the rows don't
+        store (e.g. per-row MinHash band keys — see
+        ``operators.dedup.signature_store_index``). The alias is probe-
+        only: it never appears in read/join output (unlike computed
+        columns), exactly like the reference's bloom columns
+        (BloomFilterOperations.scala:95-173)."""
+        self._register(IndexConfig(BLOOM, column, fpr=fpr, expression=expression))
         return self
 
     def add_temporal_index(self, column: str, timestamp_column: str) -> "Index":

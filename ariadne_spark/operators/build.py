@@ -122,7 +122,18 @@ def build_index_rows(
             )
         elif cfg.type == BLOOM:
             tmp = f"__bloom_vals_{cfg.column}"
-            aggs.append(F.collect_set(F.col(cfg.column)).alias(tmp))
+            # an array-valued source (expression bloom over derived
+            # keys) blooms distinct ELEMENTS — same flatten shape as
+            # the exploded-index aggregate, still one shuffle
+            if isinstance(df.schema[cfg.column].dataType, T.ArrayType):
+                collected = F.array_distinct(
+                    F.flatten(F.collect_set(F.col(cfg.column)))
+                )
+                aggs.append(
+                    F.filter(collected, lambda x: x.isNotNull()).alias(tmp)
+                )
+            else:
+                aggs.append(F.collect_set(F.col(cfg.column)).alias(tmp))
             bloom_tmp.append((cfg, tmp))
 
     if aggs:

@@ -962,6 +962,7 @@ def incremental_near_dup(
     bands: int = 8,
     shingle_len: int = 5,
     update_store: bool = True,
+    store_index=None,
 ) -> DataFrame:
     """Continuous-crawl near-dup: check a NEW batch of documents
     against the persisted signature history WITHOUT recomputing or
@@ -998,9 +999,24 @@ def incremental_near_dup(
     # historical near-duplicate. The read is pinned to the store's
     # CURRENT part files so a recompute of the lazy result after this
     # call's own append cannot band-join the batch against itself.
-    old_sigs = _store_snapshot(
-        spark, store_path, "signature", merge_schema=True
-    )
+    hist_files = _snapshot_files(spark, store_path, "signature")
+    if store_index is not None and hist_files:
+        # engine-over-pipeline-store (see signature_store_index): only
+        # files whose band-key bloom may contain one of the batch's
+        # band keys are read — a novel batch's history read is ~zero
+        # files instead of the whole store. Files the index hasn't
+        # seen (e.g. this loop's own earlier appends before the next
+        # index refresh) are ALWAYS read, so a lagging index widens
+        # the scan, never loses a collision.
+        probe = (
+            band_projection(new_sigs, num_hashes, bands)
+            .select(F.col("sig").alias("band_key"))
+            .distinct()
+        )
+        hist_files = _prune_snapshot_with_index(
+            spark, hist_files, store_index, probe, column="band_key"
+        )
+    old_sigs = _snapshot_read(spark, hist_files, merge_schema=True)
     if old_sigs is not None:
         old_sigs = old_sigs.drop("__seq")
         # re-crawled ids: the NEW signature supersedes the stored one
@@ -1278,6 +1294,7 @@ def _bloom_store_index(
     fpr: float,
     files: list[str] | None = None,
     handle=None,
+    expression: str | None = None,
 ):
     """Shared build-or-refresh of a bloom file-index over a pipeline
     history store (window counts, URL key ledger, ...): open (or
@@ -1293,7 +1310,7 @@ def _bloom_store_index(
     if idx is None:
         idx = Index.for_name(name, schema=schema, format="parquet", spark=spark)
         if column not in idx.indexes:
-            idx.add_bloom_index(column, fpr=fpr)
+            idx.add_bloom_index(column, fpr=fpr, expression=expression)
     if files is None:
         files = _snapshot_files(spark, store_path, kind)
     if files:
@@ -1323,6 +1340,64 @@ def window_store_index(spark, store_path: str, name: str, fpr: float = 0.01):
     return _bloom_store_index(
         spark, store_path, name, schema, "__wk", "window", fpr
     )
+
+
+def signature_store_index(
+    spark,
+    store_path: str,
+    name: str,
+    fpr: float = 1e-6,
+    num_hashes: int = 64,
+    bands: int = 8,
+    files: list[str] | None = None,
+    handle=None,
+):
+    """Maintain a bloom file-index over the MinHash signature store,
+    keyed by the DERIVED LSH band keys (r09; completes the
+    engine-over-pipeline-store series: window counts r07, URL ledger
+    r08). The rows persist raw signatures (``__id``, h0..h{k-1}); the
+    banding join probes band keys, so the index blooms an
+    array-expression column — ``array(xxhash64(h0..h{r-1}), ...)`` —
+    built with EXACTLY :func:`band_projection`'s per-band xxhash64 so
+    probe and build can never diverge. Band/hash params are therefore
+    part of the index identity: reuse one name per (num_hashes, bands)
+    config.
+
+    Call after appends: only files not yet indexed are scanned (the
+    engine's J1 left_anti). Pass the returned index to
+    :func:`incremental_near_dup` as ``store_index`` and the per-batch
+    history read touches only store files whose bloom may contain one
+    of the batch's band keys — O(batch + colliding history) instead of
+    an O(history) scan per batch. A batch probes with
+    ``bands x batch_docs`` distinct keys and a file survives on ANY
+    hit, so the false-file rate is ~K*fpr per file — the default 1e-6
+    keeps it ~4% for a 5k-doc batch (same sizing rule as
+    :func:`~ariadne_spark.streaming.maintenance.url_ledger_index`)."""
+    from pyspark.sql import types as T
+
+    rows_per_band = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = ", ".join(
+            f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        parts.append(f"xxhash64({cols})")
+    expression = f"array({', '.join(parts)})"
+    schema = T.StructType(
+        [T.StructField("__id", _store_id_type(spark, store_path))]
+        + [T.StructField(f"h{i}", T.LongType()) for i in range(num_hashes)]
+        + [T.StructField("__seq", T.LongType())]
+    )
+    return _bloom_store_index(
+        spark, store_path, name, schema, "band_key", "signature", fpr,
+        files=files, handle=handle, expression=expression,
+    )
+
+
+def _store_id_type(spark, store_path: str):
+    """The signature store's ``__id`` type (corpus-dependent: long ids,
+    string urls, ...) — one footer-sampled schema read."""
+    return spark.read.parquet(store_path).schema["__id"].dataType
 
 
 def _prune_snapshot_with_index(

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.files import FILENAME_COL, apply_virtual_columns, read_base, with_filename
 from ..storage.metadata import BLOOM, COMPUTED, EXPLODED, REGULAR, TEMPORAL, IndexConfig, IndexMetadata
@@ -40,24 +41,32 @@ def analyze_files(
     configs: list[IndexConfig],
 ) -> list[FileAnalysis]:
     """Per-file max estimated distinct count over value-indexed columns."""
-    value_cols: list[F.Column] = []
-    for cfg in configs:
-        if cfg.type in (REGULAR, COMPUTED, BLOOM, TEMPORAL):
-            value_cols.append(
-                F.approx_count_distinct(F.col(cfg.column)).alias(cfg.column)
-            )
-        elif cfg.type == EXPLODED:
-            # size of the flattened distinct array ≈ distinct elements;
-            # approximate with sum of array sizes (upper bound, cheap)
-            value_cols.append(
-                F.sum(F.coalesce(F.size(F.col(cfg.column)), F.lit(0))).alias(cfg.column)
-            )
-    if not value_cols:
+    counted = [
+        cfg
+        for cfg in configs
+        if cfg.type in (REGULAR, COMPUTED, BLOOM, TEMPORAL, EXPLODED)
+    ]
+    if not counted:
         return [FileAnalysis(f, 1) for f in files]
 
     df = read_base(spark, files, meta.format, meta.schema, meta.read_options)
     df = with_filename(df, files)
     df = apply_virtual_columns(df, configs, explode_rows=False)
+
+    value_cols: list[F.Column] = []
+    for cfg in counted:
+        # array-shaped columns (exploded aliases, array-expression
+        # blooms): size of the flattened distinct array ≈ distinct
+        # elements; approximate with sum of array sizes (upper bound,
+        # cheap). Scalars: approx_count_distinct.
+        if isinstance(df.schema[cfg.column].dataType, T.ArrayType):
+            value_cols.append(
+                F.sum(F.coalesce(F.size(F.col(cfg.column)), F.lit(0))).alias(cfg.column)
+            )
+        else:
+            value_cols.append(
+                F.approx_count_distinct(F.col(cfg.column)).alias(cfg.column)
+            )
     rows = df.groupBy(FILENAME_COL).agg(*value_cols).collect()
     seen = {}
     for r in rows:

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..exceptions import UnsupportedFormatError
-from ..storage.metadata import COMPUTED, EXPLODED, IndexConfig, IndexMetadata
+from ..storage.metadata import BLOOM, COMPUTED, EXPLODED, IndexConfig, IndexMetadata
 
 SUPPORTED_FORMATS = ("csv", "json", "parquet", "orc")
 FILENAME_COL = "_ariadne_filename"
@@ -114,6 +114,12 @@ def apply_virtual_columns(
                 df = df.withColumn(cfg.column, F.explode(vals))
             else:
                 df = df.withColumn(cfg.column, vals)
+        elif cfg.type == BLOOM and cfg.expression is not None:
+            # probe-only alias: reachable only from the BUILD path —
+            # the data/join read (Index._read_data) filters virtuals
+            # to computed/exploded, so the alias never widens user-
+            # facing schemas
+            df = df.withColumn(cfg.column, F.expr(cfg.expression))
     return df
 
 

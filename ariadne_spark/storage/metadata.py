@@ -43,7 +43,11 @@ class IndexConfig:
               optional struct field path inside the elements; distinct
               element values are indexed under ``column`` (the alias).
     bloom:    serialized bloom filter of string-ized values, stored as
-              ``bloom_{column}``; ``fpr`` false-positive rate.
+              ``bloom_{column}``; ``fpr`` false-positive rate. With
+              ``expression`` the column is an ALIAS for any Spark SQL
+              expression evaluated at build time; an ARRAY-valued
+              expression blooms the distinct ELEMENTS (the file-index-
+              over-derived-keys shape, e.g. per-row LSH band keys).
     temporal: per-value latest ``timestamp_column`` (may be nested),
               stored as array<struct<value,max_ts>> under ``column``.
     range:    struct<min,max> stored as ``range_{column}``.

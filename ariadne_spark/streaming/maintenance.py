@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import glob
 import logging
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Window
@@ -211,6 +212,7 @@ def attach_near_dup_maintenance(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     trigger: dict | None = None,
+    signature_index_name: str | None = None,
 ):
     """Continuous-crawl near-dup as a streaming sink: every micro-batch
     of documents is checked against the persisted minhash signature
@@ -221,12 +223,33 @@ def attach_near_dup_maintenance(
     foreachBatch gives exactly-once-per-batch semantics against the
     store the same way the reference's staging pipeline relies on
     idempotent batch commits; state lives entirely in the store
-    (restart-safe, no in-memory signature state)."""
-    from ..operators.dedup import incremental_near_dup
+    (restart-safe, no in-memory signature state).
+
+    Pass ``signature_index_name`` to maintain a bloom file-index over
+    the signature store keyed by the derived LSH band keys
+    (:func:`~ariadne_spark.operators.dedup.signature_store_index`) so
+    each batch's history read touches only store files whose bloom may
+    contain a batch band key — the same engine-over-pipeline-store
+    pattern as ``ledger_index_name`` on the URL dedup sink. The index
+    refresh scans only files appended since the previous batch (J1
+    left_anti); this batch's own append is picked up by the NEXT
+    refresh and, until then, read unconditionally (lagging index =
+    wider scan, never a lost collision)."""
+    from ..operators.dedup import incremental_near_dup, signature_store_index
+
+    idx_cache: dict = {}
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        spark = batch_df.sparkSession
+        store_index = None
+        if signature_index_name and os.path.isdir(store_path):
+            store_index = signature_store_index(
+                spark, store_path, signature_index_name,
+                handle=idx_cache.get("idx"),
+            )
+            idx_cache["idx"] = store_index
         pairs = incremental_near_dup(
             batch_df,
             store_path,
@@ -234,6 +257,7 @@ def attach_near_dup_maintenance(
             id_col=id_col,
             threshold=threshold,
             update_store=True,
+            store_index=store_index,
         )
         (
             pairs.withColumn("batch_id", F.lit(batch_id))

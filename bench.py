@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "corpus_drift_report",
     "streaming_drift",
     "corpus_soft_sample",
+    # r09: band-key file index over the MinHash signature store
+    "dedup_incremental_indexed",
 ]
 
 

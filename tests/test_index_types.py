@@ -94,6 +94,44 @@ def test_bloom_index_join(spark, storage, orders_files):
     assert len(located) < len(files)
 
 
+def test_bloom_expression_index_over_derived_array_keys(
+    spark, storage, orders_files
+):
+    """r09: a bloom index over a build-time EXPRESSION whose value is
+    an array blooms the distinct ELEMENTS — files prune on derived
+    keys the rows never store. Here each row derives two bucket tags
+    from o_orderkey; probing one tag locates only the files whose key
+    range produces it, and the alias never appears in read output."""
+    df, files = orders_files
+    lo, hi = df.agg(F.min("o_orderkey"), F.max("o_orderkey")).collect()[0]
+    width = ((hi - lo) // 4) + 1
+    expr = (
+        f"array(floor((o_orderkey - {lo}) / {width}), "
+        f"1000 + floor((o_orderkey - {lo}) / {width}))"
+    )
+    idx = Index.for_name(
+        "o_blm_expr", schema=df.schema, format="parquet", spark=spark
+    )
+    idx.add_bloom_index("okbucket", fpr=1e-6, expression=expr)
+    idx.add_files(files).update()
+    # bucket 0 lives only in file 0 (contiguous range split)
+    located = idx.locate_files({"okbucket": [0]})
+    assert len(located) == 1
+    # both derived element families probe the same bloom
+    located2 = idx.locate_files({"okbucket": [1002]})
+    assert len(located2) == 1
+    # conjunction with an impossible tag -> empty
+    assert idx.locate_files({"okbucket": [999999]}) == []
+    # the alias is probe-only: no okbucket column in reads
+    assert "okbucket" not in idx.read_all().columns
+    # alias collision with a source column is refused
+    bad = Index.for_name(
+        "o_blm_expr_bad", schema=df.schema, format="parquet", spark=spark
+    )
+    with pytest.raises(IndexTypeConflictError):
+        bad.add_bloom_index("o_orderkey", expression="array(1)")
+
+
 def test_bloom_prune_beyond_collect_cap(spark, storage, orders_files):
     """>100k distinct join keys (the old driver-collect cap) must still
     prune: values are digested executor-side and only 16-byte hash

@@ -1390,6 +1390,106 @@ def test_window_store_index_prunes_without_changing_results(spark, tmp_path):
     assert out["n_dup_tokens"] == 3 and out["cleaned_text"] == "rest"
 
 
+def test_signature_store_index_prunes_without_changing_results(
+    spark, tmp_path
+):
+    """r09 engine x pipeline composition: a bloom file-index over the
+    MinHash signature store, keyed by the DERIVED band keys (an
+    expression bloom: array(xxhash64(h0..h7), ...)). A batch reads
+    only store files whose bloom may contain one of its band keys —
+    identical pairs, fewer files; a fully novel batch reads ZERO
+    indexed files; files appended after the last index refresh are
+    read unconditionally."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators import dedup as dd
+
+    spark.conf.set(
+        "spark.ariadne.storagePath", str(tmp_path / "ariadne_store")
+    )
+    store = str(tmp_path / "sigstore")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    h1 = spark.createDataFrame(
+        [(i, f"{base} variant {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    h2 = spark.createDataFrame(
+        [
+            (100 + i, f"w{i} x{i+1} y{i+2} z{i+3} q{i+4} r{i+5} s{i+6}")
+            for i in range(20)
+        ],
+        ["doc_id", "text"],
+    )
+    dd.signature_store_write(
+        dd.minhash_signatures_fast(h1, "text", "doc_id"), store,
+        mode="overwrite",
+    )
+    dd.signature_store_write(
+        dd.minhash_signatures_fast(h2, "text", "doc_id"), store,
+        mode="append",
+    )
+    idx = dd.signature_store_index(spark, store, "sigstore_idx_test")
+    all_files = dd._snapshot_files(spark, store, "signature")
+    assert len(idx.filelist.filenames()) == len(all_files)
+
+    # batch near-duplicates h1 only -> h2-only files can prune
+    batch = spark.createDataFrame(
+        [(200, base + " variant 3 ")], ["doc_id", "text"]
+    )
+    plain = {
+        tuple(r)
+        for r in dd.incremental_near_dup(
+            batch, store, threshold=0.5, update_store=False
+        ).collect()
+    }
+    indexed = {
+        tuple(r)
+        for r in dd.incremental_near_dup(
+            batch, store, threshold=0.5, update_store=False, store_index=idx
+        ).collect()
+    }
+    assert indexed == plain and len(plain) > 0
+
+    # novel batch: no band key can hit history -> zero files read and
+    # zero pairs
+    novel = spark.range(5).select(
+        (F.col("id") + 900).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{j}")))
+                for j in range(30)
+            ],
+        ).alias("text"),
+    )
+    nprobe = dd.band_projection(
+        dd.minhash_signatures_fast(novel, "text", "doc_id")
+    ).select(F.col("sig").alias("band_key")).distinct()
+    pruned = dd._prune_snapshot_with_index(
+        spark, all_files, idx, nprobe, column="band_key"
+    )
+    assert pruned == []
+    assert (
+        dd.incremental_near_dup(
+            novel, store, threshold=0.5, update_store=False, store_index=idx
+        ).count()
+        == 0
+    )
+
+    # lagging index: an append the index never saw is still history
+    h3 = spark.createDataFrame([(300, base + " v3")], ["doc_id", "text"])
+    dd.signature_store_write(
+        dd.minhash_signatures_fast(h3, "text", "doc_id"), store, mode="append"
+    )
+    late = spark.createDataFrame([(400, base + " v3 ")], ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.incremental_near_dup(
+            late, store, threshold=0.5, update_store=False, store_index=idx
+        ).collect()
+    }
+    assert (300, 400) in got
+
+
 def test_incremental_substring_orphan_store_fails_loudly(spark, tmp_path):
     import os
 

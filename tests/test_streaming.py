@@ -199,6 +199,56 @@ def test_attach_near_dup_maintenance_flags_cross_batch_dups(spark, tmp_path):
     assert spark.read.parquet(store).count() == 4
 
 
+def test_attach_near_dup_maintenance_with_signature_index(spark, tmp_path):
+    """r09: the near-dup sink with ``signature_index_name`` maintains a
+    band-key bloom file-index over the signature store and must flag
+    exactly the same pairs as the unindexed sink (pruning is an
+    optimization, never semantics)."""
+    from pyspark.sql import types as T
+
+    from ariadne_spark import catalog as _cat
+    from ariadne_spark.streaming.maintenance import attach_near_dup_maintenance
+
+    spark.conf.set(
+        "spark.ariadne.storagePath", str(tmp_path / "ariadne_store")
+    )
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "stream_src")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    spark.createDataFrame(
+        [(0, base), (1, "completely different content here entirely")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/fa")
+    spark.createDataFrame(
+        [(2, base + " "), (3, "another unrelated document body text")], schema
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/fb")
+
+    store = str(tmp_path / "store")
+    flags = str(tmp_path / "flags")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    try:
+        q = attach_near_dup_maintenance(
+            stream, store, flags, trigger={"availableNow": True},
+            signature_index_name="neardup_sig_idx_test",
+        )
+        q.awaitTermination()
+    finally:
+        try:
+            _cat.remove("neardup_sig_idx_test", spark)
+        except Exception:
+            pass
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(flags).collect()
+    }
+    assert (0, 2) in pairs
+    assert spark.read.parquet(store).count() == 4
+
+
 def test_attach_substring_dedup_maintenance_cleans_cross_batch(spark, tmp_path):
     """Streaming substring dedup: a k-token span repeated in a LATER
     micro-batch is cut there against the persisted window history,

@@ -225,9 +225,15 @@ def main() -> None:
     hist_sec = round(time.time() - t0, 2)
     t0 = time.time()
     inc = incremental_near_dup(newb, store, threshold=0.8, update_store=False)
+    # force execution BEFORE stamping batch_sec — kwargs evaluate in
+    # order, so `pairs=inc.count()` inside emit() ran the job AFTER
+    # batch_sec was computed; the old number timed only lazy plan
+    # construction (found by tools/soak_slope.py disagreeing 1.5 vs
+    # 9.8 s at 32x)
+    n_pairs = inc.count()
     emit(stage="incremental_near_dup", history_docs=(n_rep - 1) * dn,
          batch_docs=dn, store_build_sec=hist_sec,
-         batch_sec=round(time.time() - t0, 2), pairs=inc.count())
+         batch_sec=round(time.time() - t0, 2), pairs=n_pairs)
 
     # ---- scenario 5: line dedup + profile over the NX corpus ------
     from ariadne_spark.operators.corpus import line_dedup

@@ -53,13 +53,19 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # the 32 MiB bloom cost floor is a production heuristic (probing
+    # costs more than scanning a tiny ledger); disable it so the toy
+    # ledgers exercise the prune path itself (same as tools/soak.py)
+    spark.conf.set("spark.ariadne.minBloomPruneBytes", "0")
 
     from ariadne_spark.operators.dedup import (
         _prune_snapshot_with_index,
         _snapshot_files,
+        band_projection,
         incremental_near_dup,
         incremental_substring_dedup,
         minhash_signatures_fast,
+        signature_store_index,
         signature_store_write,
     )
     from ariadne_spark.streaming.maintenance import url_ledger_index
@@ -80,6 +86,12 @@ def main() -> None:
                 (F.col("doc_id") + i * dspan).alias("doc_id"), "text"
             )
             drep = part if drep is None else drep.unionByName(part)
+        # materialize the replicated corpus (same as tools/soak.py):
+        # without the cache every probe re-evaluates the N-way union,
+        # and the measured "batch" cost would grow with N for harness
+        # reasons, hiding the operator's own slope
+        drep = drep.repartition(16).cache()
+        drep.count()
         hist = drep.where(F.col("doc_id") < (n_rep - 1) * dspan)
         newb = drep.where(F.col("doc_id") >= (n_rep - 1) * dspan)
 
@@ -97,6 +109,56 @@ def main() -> None:
             newb, store, threshold=0.8, update_store=False
         ).count()
         row["neardup_batch_sec"] = round(time.time() - t0, 2)
+        # the replica batch collides with EVERY replica (worst case:
+        # colliding history == all history), so its cost legitimately
+        # grows with N. The contract is O(batch + COLLIDING history):
+        # a novel batch (unique hex-word docs, zero shingle overlap
+        # with the corpus) against the same history must stay flat.
+        novel = spark.range(dn).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{j}")))
+                    for j in range(30)
+                ],
+            ).alias("text"),
+        )
+        t0 = time.time()
+        row["neardup_novel_pairs"] = incremental_near_dup(
+            novel, store, threshold=0.8, update_store=False
+        ).count()
+        row["neardup_novel_batch_sec"] = round(time.time() - t0, 2)
+        # r09: band-key bloom file-index over the signature store —
+        # the novel batch's history read must prune to ~0 files (flat
+        # regardless of N), and the colliding batch must return the
+        # exact same pair count as the unindexed path
+        t0 = time.time()
+        sidx = signature_store_index(spark, store, f"slope_sig_idx_{n_rep}")
+        row["sigidx_build_sec"] = round(time.time() - t0, 2)
+        sfiles = _snapshot_files(spark, store, "signature")
+        nprobe = (
+            band_projection(minhash_signatures_fast(novel, "text", "doc_id"))
+            .select(F.col("sig").alias("band_key"))
+            .distinct()
+        )
+        row["sigidx_novel_files_read"] = len(
+            _prune_snapshot_with_index(
+                spark, sfiles, sidx, nprobe, column="band_key"
+            )
+        )
+        row["sigidx_store_files"] = len(sfiles)
+        t0 = time.time()
+        row["sigidx_novel_pairs"] = incremental_near_dup(
+            novel, store, threshold=0.8, update_store=False, store_index=sidx
+        ).count()
+        row["sigidx_novel_batch_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        ipairs = incremental_near_dup(
+            newb, store, threshold=0.8, update_store=False, store_index=sidx
+        ).count()
+        row["sigidx_collide_batch_sec"] = round(time.time() - t0, 2)
+        row["sigidx_collide_parity"] = ipairs == row["neardup_pairs"]
 
         # substring: window-count ingest vs batch probe
         wstore = f"{WORK}/winstore"
@@ -163,6 +225,7 @@ def main() -> None:
         row["ledger_survivors_exact"] = survivors == 200
 
         print(json.dumps(row), flush=True)
+        drep.unpersist()
 
     spark.stop()
     shutil.rmtree(WORK, ignore_errors=True)
