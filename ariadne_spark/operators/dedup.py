@@ -1303,7 +1303,9 @@ def _bloom_store_index(
     scanned (the engine's J1 left_anti). Pass ``files`` when the
     caller already listed the store (saves a relisting) and ``handle``
     to reuse an open Index across micro-batches (saves a metadata
-    reload per batch)."""
+    reload per batch). ``files``, when given, must be the store's
+    FULL current listing: indexed files absent from it are treated as
+    compacted-away and dropped from the index."""
     from ..index import Index
 
     idx = handle
@@ -1316,6 +1318,18 @@ def _bloom_store_index(
     if files:
         idx.add_files(files)
         idx.update()
+        # store compaction rewrites part files: the replaced files stay
+        # in the index forever unless dropped here (harmless for
+        # pruning — the prune iterates CURRENT files — but the index
+        # otherwise grows one dead row per compacted file per cycle).
+        # One driver set-diff; the deleteFiles rewrite runs only when a
+        # compaction actually happened.
+        from ..sources.files import normalize_path
+
+        current = {normalize_path(f) for f in files}
+        dead = [f for f in idx.filelist.filenames() if f not in current]
+        if dead:
+            idx.delete_files(dead)
     return idx
 
 

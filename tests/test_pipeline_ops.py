@@ -1490,6 +1490,55 @@ def test_signature_store_index_prunes_without_changing_results(
     assert (300, 400) in got
 
 
+def test_signature_store_index_survives_compaction(spark, tmp_path):
+    """Store compaction rewrites part files: the next index refresh
+    must index the new files, DROP the replaced ones from the index
+    (r09 dead-file cleanup), and keep pruning exact."""
+    from pyspark.sql import functions as F
+
+    from ariadne_spark.operators import dedup as dd
+
+    spark.conf.set(
+        "spark.ariadne.storagePath", str(tmp_path / "ariadne_store")
+    )
+    store = str(tmp_path / "sigstore")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for b in range(3):
+        docs = spark.createDataFrame(
+            [(b * 10 + i, f"{base} batch {b} doc {i}") for i in range(5)],
+            ["doc_id", "text"],
+        )
+        dd.signature_store_write(
+            dd.minhash_signatures_fast(docs, "text", "doc_id"), store,
+            mode="append" if b else "overwrite",
+        )
+    idx = dd.signature_store_index(spark, store, "sigstore_compact_test")
+    n_before = len(idx.filelist.filenames())
+    assert n_before == len(dd._snapshot_files(spark, store, "signature"))
+
+    dd.signature_store_compact(spark, store, rows_per_file=1000)
+    after = dd._snapshot_files(spark, store, "signature")
+    assert set(after).isdisjoint(set(idx.filelist.filenames()))
+
+    idx = dd.signature_store_index(spark, store, "sigstore_compact_test")
+    from ariadne_spark.sources.files import normalize_path
+
+    assert sorted(idx.filelist.filenames()) == sorted(
+        normalize_path(f) for f in after
+    )  # replaced files dropped, new files indexed
+
+    batch = spark.createDataFrame(
+        [(900, base + " batch 1 doc 2 ")], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.incremental_near_dup(
+            batch, store, threshold=0.5, update_store=False, store_index=idx
+        ).collect()
+    }
+    assert (12, 900) in got
+
+
 def test_incremental_substring_orphan_store_fails_loudly(spark, tmp_path):
     import os
 
