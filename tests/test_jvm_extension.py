@@ -459,6 +459,19 @@ out["temporal_large"] = {
     "scanned": len(ldf.inputFiles()),
     "scanned_files": sorted(ldf.inputFiles()),
 }
+# literal WHERE on the spilled temporal key must prune through the
+# same spill-union W2 locate as the join path
+lwdf = spark.sql(
+    "SELECT o_custkey, o_orderkey, o_orderdate FROM ariadne.jext_temporal3 "
+    f"WHERE o_custkey = {int(probe_keys[0])}"
+)
+out["temporal_large_where"] = {
+    "rows": sorted(
+        (r["o_custkey"], r["o_orderkey"], str(r["o_orderdate"]))
+        for r in lwdf.collect()
+    ),
+    "scanned": len(lwdf.inputFiles()),
+}
 
 print("JSON:" + json.dumps(out))
 spark.stop()
@@ -581,6 +594,21 @@ def test_temporal_large_spill_prunes_with_python_parity(report, jvm_state):
     )
     assert scanned == jvm_state["t3_py_files"], (
         scanned, jvm_state["t3_py_files"])
+    assert 0 < t["scanned"] < jvm_state["t3_n_files"], t
+
+
+def test_temporal_large_spill_where_literal_prunes(report, jvm_state):
+    """The literal-WHERE path prunes through the spill-union W2 locate
+    too (the join path is covered above): one probed key above the
+    dedup window on the SPILLED index returns its latest-version rows
+    from a strict file subset."""
+    t = report["temporal_large_where"]
+    rows = [tuple(r) for r in t["rows"]]
+    k = jvm_state["t2_probe_keys"][0]
+    expected = [
+        r for r in (tuple(x) for x in jvm_state["t3_py_rows"]) if r[0] == k
+    ]
+    assert rows == expected
     assert 0 < t["scanned"] < jvm_state["t3_n_files"], t
 
 
