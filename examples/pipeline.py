@@ -174,6 +174,18 @@ signature_store_write(
 inc = incremental_near_dup(batch, store, threshold=0.8, update_store=False)
 print("9) incremental near-dup pairs (batch vs history):", inc.count())
 
+# 9b) same, behind the engine's band-key file index: the batch reads
+#     only signature-store files whose bloom may contain one of its
+#     LSH band keys (identical pairs; at crawl scale a novel batch
+#     reads ~zero history files instead of scanning the store)
+from ariadne_spark.operators.dedup import signature_store_index
+
+sidx = signature_store_index(spark, store, "pipeline_sig_idx")
+inc_idx = incremental_near_dup(
+    batch, store, threshold=0.8, update_store=False, store_index=sidx
+)
+print("9b) same pairs via band-key file index:", inc_idx.count())
+
 # 10) incremental substring dedup: clean the same batch against the
 #     window-count history of everything already ingested ------------
 from ariadne_spark.operators.dedup import incremental_substring_dedup
