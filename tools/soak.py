@@ -11,6 +11,9 @@ Scenarios
      (texts duplicate across replicas, so components must merge
      transitively back to the 1X count)
   4. incremental near-dup against NX history (directed band join)
+  4b. engine x pipeline: band-key bloom file-index over the signature
+     store — a novel batch prunes the history read to ~0 files; the
+     replica batch returns the exact unindexed pair count
   5. line dedup + one-pass profile over the NX corpus
   6. OR-amplified embedding near-dup on the NX mass-duplicated
      vector corpus (complete clone/planted family recall required)
@@ -235,6 +238,54 @@ def main() -> None:
          batch_docs=dn, store_build_sec=hist_sec,
          batch_sec=round(time.time() - t0, 2), pairs=n_pairs)
 
+    # ---- scenario 4b: signature store behind the band-key file index
+    # (r09): a fully NOVEL batch must prune the history read to ~0
+    # files while the replica batch returns the exact same pair count
+    from ariadne_spark.operators.dedup import (
+        _prune_snapshot_with_index,
+        _snapshot_files,
+        band_projection,
+        signature_store_index,
+    )
+
+    # the 32 MiB probe-cost floor correctly skips frame probes on toy
+    # stores (scanning a handful of files is cheaper than probing);
+    # the engine x pipeline scenarios (4b, 8c, 15) exist to exercise
+    # the prune path end-to-end, so disable it from here on (scenario
+    # 2 above keeps the REAL floor to prove the probe fires over it)
+    spark.conf.set("spark.ariadne.minBloomPruneBytes", "0")
+    t0 = time.time()
+    sidx = signature_store_index(spark, store, "soak_sig_idx")
+    sidx_sec = round(time.time() - t0, 2)
+    sfiles = _snapshot_files(spark, store, "signature")
+    novel = spark.range(dn).select(
+        (F.col("id") + 50_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{j}")))
+                for j in range(30)
+            ],
+        ).alias("text"),
+    )
+    nprobe = (
+        band_projection(minhash_signatures_fast(novel, "text", "doc_id"))
+        .select(F.col("sig").alias("band_key"))
+        .distinct()
+    )
+    novel_read = len(_prune_snapshot_with_index(
+        spark, sfiles, sidx, nprobe, column="band_key"))
+    t0 = time.time()
+    ipairs = incremental_near_dup(
+        newb, store, threshold=0.8, update_store=False, store_index=sidx
+    ).count()
+    emit(stage="incremental_near_dup_indexed", store_files=len(sfiles),
+         novel_files_read=novel_read, index_build_sec=sidx_sec,
+         collide_batch_sec=round(time.time() - t0, 2),
+         pairs=ipairs, parity=ipairs == n_pairs)
+    assert ipairs == n_pairs, (ipairs, n_pairs)
+    assert novel_read <= max(2, len(sfiles) // 4), (novel_read, len(sfiles))
+
     # ---- scenario 5: line dedup + profile over the NX corpus ------
     from ariadne_spark.operators.corpus import line_dedup
     from ariadne_spark.operators.profile import profile_table
@@ -389,11 +440,6 @@ def main() -> None:
         window_store_index,
     )
 
-    # the 32 MiB probe-cost floor correctly skips frame probes on a
-    # toy store (scanning 16 files is cheaper than running the probe);
-    # lower it here because the POINT of this scenario is to exercise
-    # the prune path end-to-end
-    spark.conf.set("spark.ariadne.minBloomPruneBytes", "0")
     t0 = time.time()
     widx = window_store_index(spark, wstore, "soak_winstore_idx")
     idx_sec = round(time.time() - t0, 2)
