@@ -651,20 +651,31 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # builds only the shared fixture
         q_dedup_incremental(spark, sf_dir)
     new = docs.where(F.col("doc_id") >= cut)
-    try:
-        idx = signature_store_index(spark, store, "sig_idx_gate")
-        # the pruned file list is resolved eagerly inside the call, so
-        # the returned plan reads pinned parquet files and survives the
-        # index drop below
-        cand = incremental_near_dup(
-            new, store, threshold=0.7, update_store=False, store_index=idx
-        )
-        return verify_jaccard_arrays(cand, docs, "text", "doc_id", 5, 0.8)
-    finally:
+    # serialize the shared index name's build/remove across concurrent
+    # sessions at the same scale tag (the fixture store takes the same
+    # precaution): without it, session A's finally-remove can race
+    # session B's add_files/update mid-flight
+    from ariadne_spark.storage.lock import IndexLock
+
+    with IndexLock(
+        f"{WORK}/{_tag(sf_dir)}/locks", "sig_idx_gate",
+        timeout=1800, max_wait=1800,
+    ):
         try:
-            _cat.remove("sig_idx_gate", spark)
-        except Exception:
-            pass
+            idx = signature_store_index(spark, store, "sig_idx_gate")
+            # the pruned file list is resolved eagerly inside the call,
+            # so the returned plan reads pinned parquet files and
+            # survives the index drop below
+            cand = incremental_near_dup(
+                new, store, threshold=0.7, update_store=False,
+                store_index=idx,
+            )
+            return verify_jaccard_arrays(cand, docs, "text", "doc_id", 5, 0.8)
+        finally:
+            try:
+                _cat.remove("sig_idx_gate", spark)
+            except Exception:
+                pass
 
 
 def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,14 +62,20 @@ def _bloom_udf(fpr: float):
     return F.pandas_udf(make_bloom, T.BinaryType())
 
 
-def _distinct_array_agg(cfg: IndexConfig):
+def _distinct_array_agg(cfg: IndexConfig, array_source: bool | None = None, alias: str | None = None):
     """Aggregate expression producing the distinct-value array for one
-    array-shaped index column (no explode => no row blow-up)."""
-    if cfg.type == EXPLODED:
+    array-shaped index column (no explode => no row blow-up).
+    ``array_source`` overrides the per-type default (array-expression
+    blooms share the EXPLODED flatten shape); ``alias`` overrides the
+    output name (bloom temps)."""
+    if array_source is None:
+        array_source = cfg.type == EXPLODED
+    out = alias or cfg.column
+    if array_source:
         collected = F.collect_set(F.col(cfg.column))
         merged = F.array_distinct(F.flatten(collected))
-        return F.filter(merged, lambda x: x.isNotNull()).alias(cfg.column)
-    return F.collect_set(F.col(cfg.column)).alias(cfg.column)
+        return F.filter(merged, lambda x: x.isNotNull()).alias(out)
+    return F.collect_set(F.col(cfg.column)).alias(out)
 
 
 def _temporal_frame(base: DataFrame, cfg: IndexConfig) -> DataFrame:
@@ -123,17 +129,17 @@ def build_index_rows(
         elif cfg.type == BLOOM:
             tmp = f"__bloom_vals_{cfg.column}"
             # an array-valued source (expression bloom over derived
-            # keys) blooms distinct ELEMENTS — same flatten shape as
-            # the exploded-index aggregate, still one shuffle
-            if isinstance(df.schema[cfg.column].dataType, T.ArrayType):
-                collected = F.array_distinct(
-                    F.flatten(F.collect_set(F.col(cfg.column)))
+            # keys) blooms distinct ELEMENTS — the exploded-index
+            # flatten shape, still one shuffle
+            aggs.append(
+                _distinct_array_agg(
+                    cfg,
+                    array_source=isinstance(
+                        df.schema[cfg.column].dataType, T.ArrayType
+                    ),
+                    alias=tmp,
                 )
-                aggs.append(
-                    F.filter(collected, lambda x: x.isNotNull()).alias(tmp)
-                )
-            else:
-                aggs.append(F.collect_set(F.col(cfg.column)).alias(tmp))
+            )
             bloom_tmp.append((cfg, tmp))
 
     if aggs:

@@ -1001,6 +1001,22 @@ def incremental_near_dup(
     # call's own append cannot band-join the batch against itself.
     hist_files = _snapshot_files(spark, store_path, "signature")
     if store_index is not None and hist_files:
+        # the index is only sound for the banding it bloomed: a
+        # mismatched (num_hashes, bands) — or a name reused across
+        # configs, which Index.for_name would silently keep — probes
+        # keys the blooms never saw and would prune files holding REAL
+        # collisions. Fail loudly instead of silently losing pairs.
+        cfg = store_index.meta.config_for("band_key")
+        expected = _band_key_expression(num_hashes, bands)
+        if cfg is None or cfg.expression != expected:
+            raise ValueError(
+                f"store_index {store_index.name!r} blooms "
+                f"{None if cfg is None else cfg.expression!r} but this "
+                f"call (num_hashes={num_hashes}, bands={bands}) probes "
+                f"{expected!r}; rebuild the index with matching params "
+                "(signature_store_index defaults must match the "
+                "incremental_near_dup call's)"
+            )
         # engine-over-pipeline-store (see signature_store_index): only
         # files whose band-key bloom may contain one of the batch's
         # band keys are read — a novel batch's history read is ~zero
@@ -1322,14 +1338,19 @@ def _bloom_store_index(
         # in the index forever unless dropped here (harmless for
         # pruning — the prune iterates CURRENT files — but the index
         # otherwise grows one dead row per compacted file per cycle).
-        # One driver set-diff; the deleteFiles rewrite runs only when a
-        # compaction actually happened.
+        # Cost control on the hot micro-batch path: a reused handle
+        # remembers the last listing and only re-reads the FileList
+        # when a previously-seen file VANISHED (i.e. a compaction
+        # actually happened); appends-only batches skip the check.
         from ..sources.files import normalize_path
 
         current = {normalize_path(f) for f in files}
-        dead = [f for f in idx.filelist.filenames() if f not in current]
-        if dead:
-            idx.delete_files(dead)
+        prev = getattr(idx, "_ariadne_store_listing", None)
+        if prev is None or not (prev <= current):
+            dead = [f for f in idx.filelist.filenames() if f not in current]
+            if dead:
+                idx.delete_files(dead)
+        idx._ariadne_store_listing = current
     return idx
 
 
@@ -1389,6 +1410,26 @@ def signature_store_index(
     :func:`~ariadne_spark.streaming.maintenance.url_ledger_index`)."""
     from pyspark.sql import types as T
 
+    schema = None
+    if handle is None:
+        # only the cold path needs the schema (a reused handle never
+        # touches it) — don't pay the store footer read per micro-batch
+        schema = T.StructType(
+            [T.StructField("__id", _store_id_type(spark, store_path))]
+            + [T.StructField(f"h{i}", T.LongType()) for i in range(num_hashes)]
+            + [T.StructField("__seq", T.LongType())]
+        )
+    return _bloom_store_index(
+        spark, store_path, name, schema, "band_key", "signature", fpr,
+        files=files, handle=handle,
+        expression=_band_key_expression(num_hashes, bands),
+    )
+
+
+def _band_key_expression(num_hashes: int, bands: int) -> str:
+    """The band-key array expression — shared by the index build and
+    the :func:`incremental_near_dup` probe-compatibility check so the
+    bloomed keys and the probe keys can never diverge."""
     rows_per_band = num_hashes // bands
     parts = []
     for b in range(bands):
@@ -1396,16 +1437,7 @@ def signature_store_index(
             f"h{b * rows_per_band + r}" for r in range(rows_per_band)
         )
         parts.append(f"xxhash64({cols})")
-    expression = f"array({', '.join(parts)})"
-    schema = T.StructType(
-        [T.StructField("__id", _store_id_type(spark, store_path))]
-        + [T.StructField(f"h{i}", T.LongType()) for i in range(num_hashes)]
-        + [T.StructField("__seq", T.LongType())]
-    )
-    return _bloom_store_index(
-        spark, store_path, name, schema, "band_key", "signature", fpr,
-        files=files, handle=handle, expression=expression,
-    )
+    return f"array({', '.join(parts)})"
 
 
 def _store_id_type(spark, store_path: str):

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import glob
 import logging
-import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Window
@@ -235,7 +234,11 @@ def attach_near_dup_maintenance(
     left_anti); this batch's own append is picked up by the NEXT
     refresh and, until then, read unconditionally (lagging index =
     wider scan, never a lost collision)."""
-    from ..operators.dedup import incremental_near_dup, signature_store_index
+    from ..operators.dedup import (
+        _snapshot_files,
+        incremental_near_dup,
+        signature_store_index,
+    )
 
     idx_cache: dict = {}
 
@@ -244,12 +247,17 @@ def attach_near_dup_maintenance(
             return
         spark = batch_df.sparkSession
         store_index = None
-        if signature_index_name and os.path.isdir(store_path):
-            store_index = signature_store_index(
-                spark, store_path, signature_index_name,
-                handle=idx_cache.get("idx"),
-            )
-            idx_cache["idx"] = store_index
+        if signature_index_name:
+            # fs-abstracted listing (os.path would silently disable the
+            # index on hdfs:/s3a: stores); the listing is reused by the
+            # index refresh, so the first-batch case costs one probe
+            sfiles = _snapshot_files(spark, store_path, "signature")
+            if sfiles:
+                store_index = signature_store_index(
+                    spark, store_path, signature_index_name,
+                    files=sfiles, handle=idx_cache.get("idx"),
+                )
+                idx_cache["idx"] = store_index
         pairs = incremental_near_dup(
             batch_df,
             store_path,

@@ -994,6 +994,12 @@ class AriadnePruneRule(session: SparkSession)
           // side table — union its live spill rows in, exactly like
           // plans/locate.py:285-290 (r08 verdict #2); pruning stays
           // refused only when the spill table itself is unreadable.
+          // Exact parity with the Python engine, including its known
+          // transient: a reader catching the one mid-backfill index
+          // snapshot where SOME files carry the new temporal column
+          // and others null-fill it could prune an un-backfilled
+          // file; post-update snapshots only have null arrays for
+          // empty files (exact to prune) or true spills.
           if (present.contains(sc)) {
             import org.apache.spark.sql.expressions.{Window => WF}
             val latestSeg = all

@@ -1490,6 +1490,43 @@ def test_signature_store_index_prunes_without_changing_results(
     assert (300, 400) in got
 
 
+def test_signature_store_index_rejects_banding_mismatch(spark, tmp_path):
+    """A store_index built for one (num_hashes, bands) must be refused
+    by a probe with another: mismatched band keys would 'positively'
+    prune files holding real collisions — silent pair loss. The check
+    compares the index's persisted bloom expression against the one
+    this call would generate."""
+    from ariadne_spark.operators import dedup as dd
+
+    spark.conf.set(
+        "spark.ariadne.storagePath", str(tmp_path / "ariadne_store")
+    )
+    store = str(tmp_path / "sigstore")
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i}") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    dd.signature_store_write(
+        dd.minhash_signatures_fast(docs, "text", "doc_id"), store,
+        mode="overwrite",
+    )
+    idx = dd.signature_store_index(spark, store, "sigstore_mismatch_test")
+    batch = spark.createDataFrame(
+        [(100, "some shared text body number 3 ")], ["doc_id", "text"]
+    )
+    with pytest.raises(ValueError, match="band"):
+        dd.incremental_near_dup(
+            batch, store, bands=16, update_store=False, store_index=idx
+        )
+    # matching params still work
+    assert (
+        dd.incremental_near_dup(
+            batch, store, threshold=0.5, update_store=False, store_index=idx
+        ).count()
+        >= 0
+    )
+
+
 def test_signature_store_index_survives_compaction(spark, tmp_path):
     """Store compaction rewrites part files: the next index refresh
     must index the new files, DROP the replaced ones from the index
