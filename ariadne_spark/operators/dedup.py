@@ -999,13 +999,14 @@ def incremental_near_dup(
     # historical near-duplicate. The read is pinned to the store's
     # CURRENT part files so a recompute of the lazy result after this
     # call's own append cannot band-join the batch against itself.
-    hist_files = _snapshot_files(spark, store_path, "signature")
-    if store_index is not None and hist_files:
+    if store_index is not None:
         # the index is only sound for the banding it bloomed: a
         # mismatched (num_hashes, bands) — or a name reused across
         # configs, which Index.for_name would silently keep — probes
         # keys the blooms never saw and would prune files holding REAL
-        # collisions. Fail loudly instead of silently losing pairs.
+        # collisions. Fail loudly instead of silently losing pairs —
+        # and fail on the FIRST call even when the store is still
+        # empty, so a misconfigured pipeline never starts quiet.
         cfg = store_index.meta.config_for("band_key")
         expected = _band_key_expression(num_hashes, bands)
         if cfg is None or cfg.expression != expected:
@@ -1017,6 +1018,8 @@ def incremental_near_dup(
                 "(signature_store_index defaults must match the "
                 "incremental_near_dup call's)"
             )
+    hist_files = _snapshot_files(spark, store_path, "signature")
+    if store_index is not None and hist_files:
         # engine-over-pipeline-store (see signature_store_index): only
         # files whose band-key bloom may contain one of the batch's
         # band keys are read — a novel batch's history read is ~zero

@@ -272,7 +272,16 @@ def _temporal_candidates(
     values_df: DataFrame,
 ) -> DataFrame:
     """Keep only the file holding the LATEST version of each query value
-    (reference W2: IndexQueryOperations.scala:546-554, 784-791)."""
+    (reference W2: IndexQueryOperations.scala:546-554, 784-791).
+
+    A null value array with no LIVE spill rows is ambiguous: it is
+    either an empty file (exact to prune) or a mid-backfill null-fill
+    for a newly added temporal column (pruning would LOSE that file's
+    possibly-latest rows). Such *orphan* files stay candidates —
+    W2 is pure file pruning, the read path's W1 row dedup
+    (operators/join.py) still picks the latest row per key, so
+    over-inclusion is row-exact and the steady state (every null
+    array backed by spill rows) adds nothing."""
     pairs = (
         index_df.where(F.col(column).isNotNull())
         .select("filename", F.explode(F.col(column)).alias("__s"))
@@ -282,11 +291,15 @@ def _temporal_candidates(
             F.col("__s").getField("max_ts").alias("__ts"),
         )
     )
+    orphans = index_df.where(F.col(column).isNull()).select("filename")
     if large_df is not None:
         pairs = pairs.unionByName(
             large_df.select(
                 "filename", F.col("value").alias(_VAL), F.col("max_ts").alias("__ts")
             )
+        )
+        orphans = orphans.join(
+            large_df.select("filename").distinct(), "filename", "left_anti"
         )
     matched = pairs.join(values_df, _VAL, "left_semi")
     w = Window.partitionBy(_VAL).orderBy(
@@ -296,6 +309,7 @@ def _temporal_candidates(
         matched.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select("filename")
+        .unionByName(orphans)
         .distinct()
     )
 

@@ -31,7 +31,12 @@ every-segment-copy shuffle, and no sort. Multi-row-per-key tables
 (the exploded ``(filename, value)`` large indexes) aggregate the
 per-key winning sequence from a column-pruned scan (filename + seq
 only) and broadcast-semi-join it back: the wide exploded side is
-never shuffled at all. The winner set is O(distinct keys) = O(files)
+never shuffled at all. The broadcast hint is forced only while the
+table's on-disk bytes stay under
+``spark.ariadne.winnerBroadcastMaxBytes`` (default 256 MiB); above
+it AQE decides from the agg's actual output size, so a huge
+uncompacted store degrades to a shuffle join instead of a driver
+OOM. The winner set is O(distinct keys) = O(files)
 — the same file-cardinality driver contract the locate path already
 has (``plans/locate.py`` returns the pruned file list). The
 single-segment fast path (the common state after compaction) skips
@@ -47,6 +52,7 @@ accepts for its Hadoop-FS lock files, IndexLock.scala:396-411).
 from __future__ import annotations
 
 import json
+import sys
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -229,9 +235,42 @@ class ParquetTable:
         cond = F.col(_SEQ_COL) == F.col("__pick")
         for k in keys:
             cond = cond & F.col(k).eqNullSafe(F.col(f"__w_{k}"))
-        return union.join(F.broadcast(winners), cond, "left_semi").drop(
-            _SEQ_COL
+        # the winner set is O(distinct keys) with no a-priori cap, so
+        # FORCING the broadcast is only safe while the underlying data
+        # is provably small; above the threshold drop the hint and let
+        # AQE pick at runtime from the agg's ACTUAL output size (it
+        # still broadcasts when the winner set turns out small, and
+        # degrades to a shuffle join instead of an executor/driver OOM
+        # when it doesn't).
+        if self._bytes_of(segments) <= self._winner_broadcast_max_bytes():
+            winners = F.broadcast(winners)
+        return union.join(winners, cond, "left_semi").drop(_SEQ_COL)
+
+    def _bytes_of(self, segments: list[dict]) -> int:
+        """Total on-disk bytes of the referenced segments (driver-side
+        listing, O(files)); conservative ``maxsize`` on any failure so
+        an unlistable store never forces a broadcast."""
+        try:
+            total = 0
+            for s in segments:
+                files = self.fs.list_files(_join(self.path, s["dir"]))
+                total += sum(
+                    sz
+                    for f, sz in zip(files, self.fs.sizes(files))
+                    if f.endswith(".parquet") and sz
+                )
+            return total
+        except Exception:
+            return sys.maxsize
+
+    def _winner_broadcast_max_bytes(self) -> int:
+        raw = self.spark.conf.get(
+            "spark.ariadne.winnerBroadcastMaxBytes", str(256 << 20)
         )
+        try:
+            return int(raw)
+        except (TypeError, ValueError):
+            return 256 << 20
 
     # ------------------------------------------------------------ writes
 
@@ -242,6 +281,7 @@ class ParquetTable:
 
     def append(self, df: DataFrame) -> None:
         """Append a segment; per-key replacement resolves at read time."""
+        self._check_segment_unique(df)
         seg = self._write_segment(df)
 
         def build(old):
@@ -252,6 +292,35 @@ class ParquetTable:
 
     # upsert IS append under replace-per-key read semantics
     upsert = append
+
+    def _check_segment_unique(self, df: DataFrame) -> None:
+        """Opt-in invariant check (``spark.ariadne.debugInvariants``):
+        ``segment_unique=True`` promises at most one row per key per
+        appended segment — a violating writer would silently LOSE rows
+        at read time (the max_by path keeps one candidate per key).
+        The check costs one aggregation job, so it is off by default
+        and enabled in tests/debug runs to fail loudly instead."""
+        if not (self.segment_unique and self.key_cols):
+            return
+        if str(
+            self.spark.conf.get("spark.ariadne.debugInvariants", "false")
+        ).lower() != "true":
+            return
+        dup = (
+            df.groupBy(*self.key_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {k: dup[0][k] for k in self.key_cols}
+            raise ValueError(
+                f"segment_unique table {self.path} got an append with "
+                f">1 row for key {key}; replace-per-key reads would "
+                "silently drop rows — fix the writer or create the "
+                "table with segment_unique=False"
+            )
 
     def overwrite(self, df: DataFrame, extra: dict | None = None) -> None:
         seg = self._write_segment(df)

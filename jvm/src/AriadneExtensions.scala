@@ -994,12 +994,16 @@ class AriadnePruneRule(session: SparkSession)
           // side table — union its live spill rows in, exactly like
           // plans/locate.py:285-290 (r08 verdict #2); pruning stays
           // refused only when the spill table itself is unreadable.
-          // Exact parity with the Python engine, including its known
-          // transient: a reader catching the one mid-backfill index
-          // snapshot where SOME files carry the new temporal column
-          // and others null-fill it could prune an un-backfilled
-          // file; post-update snapshots only have null arrays for
-          // empty files (exact to prune) or true spills.
+          // ORPHANS (r10, mirrors plans/locate.py): a null-array
+          // file with no live spill rows is either an empty file
+          // (exact to prune) or a mid-backfill null-fill for a newly
+          // added temporal column (pruning would LOSE its
+          // possibly-latest rows) — such files stay CANDIDATES. W2
+          // is pure file pruning here too: the rewrite's W1 row
+          // dedup (applyTemporalDedup above) still ranks every row,
+          // so over-inclusion is row-exact, and in the steady state
+          // (every null array backed by live spill rows) the orphan
+          // set is empty and no extra files are kept.
           if (present.contains(sc)) {
             import org.apache.spark.sql.expressions.{Window => WF}
             val latestSeg = all
@@ -1013,7 +1017,7 @@ class AriadnePruneRule(session: SparkSession)
                 SF.col("__s.value").as("__v"),
                 SF.col("__s.max_ts").as("__ts"))
             val spilled = latestSeg.where(SF.col(sc).isNull).select("filename")
-            var usable = true
+            var orphans: Set[String] = Set.empty
             if (spilled.limit(1).count() > 0) {
               readLargeTable(entry, colName) match {
                 case Some(ld) =>
@@ -1025,20 +1029,26 @@ class AriadnePruneRule(session: SparkSession)
                       SF.col("filename"),
                       SF.col("value").as("__v"),
                       SF.col("max_ts").as("__ts")))
-                case None => usable = false
+                  orphans = spilled
+                    .join(ld.select("filename").distinct(),
+                      Seq("filename"), "left_anti")
+                    .collect().map(_.getString(0)).toSet
+                case None =>
+                  // no spill table at all: every null-array file is
+                  // an orphan (an UNREADABLE table throws instead and
+                  // the NonFatal handler above aborts the prune)
+                  orphans = spilled.collect().map(_.getString(0)).toSet
               }
             }
-            if (usable) {
-              val litArr = SF.array(vs.map(v => SF.lit(v)): _*)
-              val matched = pairsDf.where(SF.array_contains(litArr, SF.col("__v")))
-              val w = WF.partitionBy(SF.col("__v"))
-                .orderBy(SF.col("__ts").desc_nulls_last, SF.col("filename"))
-              temporalKeeps ::= matched
-                .withColumn("__rn", SF.row_number().over(w))
-                .where(SF.col("__rn") === 1)
-                .select("filename").distinct()
-                .collect().map(_.getString(0)).toSet
-            }
+            val litArr = SF.array(vs.map(v => SF.lit(v)): _*)
+            val matched = pairsDf.where(SF.array_contains(litArr, SF.col("__v")))
+            val w = WF.partitionBy(SF.col("__v"))
+              .orderBy(SF.col("__ts").desc_nulls_last, SF.col("filename"))
+            temporalKeeps ::= (matched
+              .withColumn("__rn", SF.row_number().over(w))
+              .where(SF.col("__rn") === 1)
+              .select("filename").distinct()
+              .collect().map(_.getString(0)).toSet ++ orphans)
           }
         case _ => // unknown: conservative
       }

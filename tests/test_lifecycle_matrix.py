@@ -115,6 +115,47 @@ def test_backfill_with_new_files_simultaneously(spark, storage, orders_files):
     )
 
 
+def test_temporal_mid_backfill_null_stays_candidate(spark, storage, events_files):
+    """r10 (ADVICE): a file whose temporal value array is NULL with no
+    live spill rows is ambiguous — an empty file (exact to prune) or a
+    mid-backfill null-fill for a newly added temporal column (pruning
+    would LOSE its possibly-latest rows). W2 must keep such orphan
+    files as candidates; the W1 read-time dedup keeps the final rows
+    exact either way."""
+    df, files = events_files
+    idx = Index.for_name(
+        "bf_orphan", schema=df.schema, format="parquet", spark=spark
+    )
+    idx.add_temporal_index("user_id", "ts").add_files(files).update()
+    users = sorted(
+        r[0] for r in df.select("user_id").distinct().limit(3).collect()
+    )
+    probe = spark.createDataFrame([(u,) for u in users], ["user_id"])
+    before = set(idx.locate_files({"user_id": users}))
+    assert before
+    expected = {tuple(r) for r in idx.join(probe, on=["user_id"]).collect()}
+
+    # simulate the mid-backfill snapshot: null one candidate file's
+    # value array WITHOUT writing spill rows
+    victim = sorted(before)[0]
+    cfg = idx.meta.config_for("user_id")
+    main = idx.table.read()
+    null_arr = F.lit(None).cast(main.schema[cfg.stored_column].dataType)
+    idx.table.overwrite(
+        main.withColumn(
+            cfg.stored_column,
+            F.when(F.col("filename") == victim, null_arr).otherwise(
+                F.col(cfg.stored_column)
+            ),
+        )
+    )
+    idx._invalidate()
+    after = set(idx.locate_files({"user_id": users}))
+    assert victim in after, (victim, after)
+    got = {tuple(r) for r in idx.join(probe, on=["user_id"]).collect()}
+    assert got == expected
+
+
 # ----------------------------------------------------------- compaction
 
 def test_compact_large_index_tables(spark, storage, orders_files):

@@ -1527,6 +1527,37 @@ def test_signature_store_index_rejects_banding_mismatch(spark, tmp_path):
     )
 
 
+def test_signature_store_index_mismatch_rejected_on_empty_store(
+    spark, tmp_path
+):
+    """r10 (ADVICE): the banding-compat check runs BEFORE the history
+    read, so a mismatched store_index is rejected on the very first
+    call of a pipeline — when the store is still empty — instead of
+    passing silently and only failing once history exists."""
+    from ariadne_spark.operators import dedup as dd
+
+    spark.conf.set(
+        "spark.ariadne.storagePath", str(tmp_path / "ariadne_store")
+    )
+    store = str(tmp_path / "sigstore_real")
+    docs = spark.createDataFrame(
+        [(i, f"some shared text body number {i}") for i in range(4)],
+        ["doc_id", "text"],
+    )
+    dd.signature_store_write(
+        dd.minhash_signatures_fast(docs, "text", "doc_id"), store,
+        mode="overwrite",
+    )
+    idx = dd.signature_store_index(spark, store, "sigstore_empty_test")
+    batch = spark.createDataFrame([(9, "fresh text")], ["doc_id", "text"])
+    empty_store = str(tmp_path / "sigstore_empty")  # never written
+    with pytest.raises(ValueError, match="band"):
+        dd.incremental_near_dup(
+            batch, empty_store, bands=16, update_store=False,
+            store_index=idx,
+        )
+
+
 def test_signature_store_index_survives_compaction(spark, tmp_path):
     """Store compaction rewrites part files: the next index refresh
     must index the new files, DROP the replaced ones from the index

@@ -113,6 +113,59 @@ def test_table_multisegment_read_has_no_window_node(spark, storage):
     }
 
 
+def test_winner_broadcast_gated_by_table_bytes(spark, storage):
+    """r10 (ADVICE): the winner-set broadcast on multi-row-per-key
+    reads is FORCED only while the table's on-disk bytes stay under
+    spark.ariadne.winnerBroadcastMaxBytes; above the threshold the
+    hint is dropped (AQE may still broadcast at runtime from the
+    agg's actual size) and the answers are identical — a huge
+    uncompacted exploded table degrades to a shuffle join instead of
+    a driver OOM."""
+    t = ParquetTable(spark, f"{storage}/tgate", key_cols=("k",))
+    t.append(spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]))
+    t.append(spark.createDataFrame([(2, 21), (3, 30)], ["k", "v"]))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = t.read()
+        fplan = forced._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in fplan, fplan
+        spark.conf.set("spark.ariadne.winnerBroadcastMaxBytes", "0")
+        gated = t.read()
+        gplan = gated._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in gplan, gplan
+        assert rows_set(gated) == rows_set(forced) == {
+            (1, 10), (2, 21), (3, 30)
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.unset("spark.ariadne.winnerBroadcastMaxBytes")
+
+
+def test_segment_unique_append_debug_invariant(spark, storage):
+    """r10 (ADVICE): with spark.ariadne.debugInvariants=true an append
+    violating the segment_unique promise (two rows, one key) fails
+    loudly instead of silently dropping a row at read time; off by
+    default, the append is accepted unchecked."""
+    spark.conf.set("spark.ariadne.debugInvariants", "true")
+    try:
+        t = ParquetTable(
+            spark, f"{storage}/tinv", key_cols=("k",), segment_unique=True
+        )
+        t.append(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]))
+        with pytest.raises(ValueError, match="segment_unique"):
+            t.append(
+                spark.createDataFrame([(3, "x"), (3, "y")], ["k", "v"])
+            )
+        spark.conf.set("spark.ariadne.debugInvariants", "false")
+        t2 = ParquetTable(
+            spark, f"{storage}/tinv2", key_cols=("k",), segment_unique=True
+        )
+        t2.append(spark.createDataFrame([(3, "x"), (3, "y")], ["k", "v"]))
+    finally:
+        spark.conf.unset("spark.ariadne.debugInvariants")
+
+
 def test_table_keys_only_segment_unique(spark, storage):
     """A keys-only segment_unique table degenerates to distinct."""
     t = ParquetTable(
