@@ -39,9 +39,22 @@ def apply_temporal_dedup(df: DataFrame, configs: list[IndexConfig]) -> DataFrame
     non-null one (desc_nulls_last parity) while an all-null key still
     keeps a row. Ties on the timestamp pick an arbitrary row in both
     forms (row_number over a non-total order is equally tie-arbitrary).
-    The conjunctive multi-config case keeps the window form — each
-    rank is defined against the ORIGINAL rows, which an iterated
-    groupBy cannot express."""
+
+    Multi-config path (r10, replaces the last hot-path Window): each
+    config's winner set is the SAME partial-agg ``max_by`` computed
+    against the ORIGINAL rows — never against another config's
+    filtered output — and the conjunction intersects the winner
+    frames by null-safe full-row semi-joins. The semi-joins touch
+    only the already-collapsed winner frames (≤ distinct keys per
+    config), so the data itself is shuffled once per config with
+    map-side combine and never sorted — a hot key costs the same as
+    any other, where the window form serialized it into one task.
+    Tie envelope: when two DISTINCT rows tie on a config's
+    ``(key, ts)`` order, both forms pick arbitrarily (the window
+    per physical row, the agg per value); conjunction outcomes for
+    such ties are non-deterministic in both. Map-typed columns
+    cannot be join keys, so schemas containing maps keep the window
+    form."""
     applicable = [
         c
         for c in configs
@@ -50,17 +63,52 @@ def apply_temporal_dedup(df: DataFrame, configs: list[IndexConfig]) -> DataFrame
     ]
     if not applicable:
         return df
-    if len(applicable) == 1:
-        cfg = applicable[0]
+
+    def _winners(cfg: IndexConfig) -> DataFrame:
         ts = F.col(cfg.timestamp_column)
-        order_key = F.struct(
-            ts.isNotNull().alias("nn"), ts.alias("ts")
-        )
+        order_key = F.struct(ts.isNotNull().alias("nn"), ts.alias("ts"))
         return (
             df.groupBy(F.col(cfg.column).alias("__ariadne_key"))
             .agg(F.max_by(F.struct("*"), order_key).alias("__ariadne_row"))
             .select("__ariadne_row.*")
         )
+
+    if len(applicable) == 1:
+        return _winners(applicable[0])
+    if any(_contains_map(f.dataType) for f in df.schema.fields):
+        return _window_temporal_dedup(df, applicable)
+    cols = df.columns
+    out = _winners(applicable[0])
+    for j, cfg in enumerate(applicable[1:]):
+        right = _winners(cfg).select(
+            *[F.col(c).alias(f"__ariadne_w{j}_{c}") for c in cols]
+        )
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__ariadne_w{j}_{c}"))
+        out = out.join(right, cond, "left_semi")
+    return out
+
+
+def _contains_map(dtype) -> bool:
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
+def _window_temporal_dedup(
+    df: DataFrame, applicable: list[IndexConfig]
+) -> DataFrame:
+    """The original conjunctive window form — kept only for schemas
+    with map-typed columns (maps are not comparable, so the full-row
+    semi-join intersection cannot engage). Rank columns are computed
+    against the original rows and filtered conjunctively."""
     rank_cols = []
     out = df
     for i, cfg in enumerate(applicable):

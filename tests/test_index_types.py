@@ -411,6 +411,90 @@ def test_temporal_dedup_multi_config_keeps_window_semantics(spark):
     assert got == {(1, 20, 200.0)}, got
 
 
+def test_temporal_dedup_multi_config_is_window_free_and_parity(spark):
+    """r10 (verdict #3): the multi-config conjunction now runs as
+    per-config partial-agg winner sets intersected by full-row
+    semi-joins — NO Window node over the data — and returns exactly
+    the window form's rows on tie-free data (randomized, two configs,
+    null timestamps and an all-null key included)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from ariadne_spark.operators.join import apply_temporal_dedup
+    from ariadne_spark.storage.metadata import TEMPORAL, IndexConfig
+
+    rnd = random.Random(11)
+    rows = []
+    seq = 0
+    for _ in range(120):
+        seq += 1
+        a, b = rnd.randint(0, 15), rnd.randint(0, 9)
+        # seq-seconds keep every (key, ts) order total per config
+        tsa = (
+            None
+            if rnd.random() < 0.15
+            else f"2024-01-{rnd.randint(1, 28):02d} 00:{seq // 60:02d}:{seq % 60:02d}"
+        )
+        tsb = f"2024-02-{rnd.randint(1, 28):02d} 00:{seq // 60:02d}:{seq % 60:02d}"
+        rows.append((a, b, float(seq), tsa, tsb))
+    rows.append((99, 99, -1.0, None, "2024-03-01 00:00:00"))
+    df = spark.createDataFrame(
+        rows, "A int, B int, Value double, tsA string, tsB string"
+    ).select(
+        "A", "B", "Value",
+        F.col("tsA").cast("timestamp").alias("tsA"),
+        F.col("tsB").cast("timestamp").alias("tsB"),
+    )
+    cfgs = [
+        IndexConfig(column="A", type=TEMPORAL, timestamp_column="tsA"),
+        IndexConfig(column="B", type=TEMPORAL, timestamp_column="tsB"),
+    ]
+    got = apply_temporal_dedup(df, cfgs)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan, plan  # map-side combine, skew-safe
+    wa = Window.partitionBy("A").orderBy(F.col("tsA").desc_nulls_last())
+    wb = Window.partitionBy("B").orderBy(F.col("tsB").desc_nulls_last())
+    want = (
+        df.withColumn("__ra", F.row_number().over(wa))
+        .withColumn("__rb", F.row_number().over(wb))
+        .where("__ra = 1 AND __rb = 1")
+        .drop("__ra", "__rb")
+    )
+    assert_same_rows(got, want)
+
+
+def test_temporal_dedup_map_schema_keeps_window_form(spark):
+    """Map-typed columns cannot be semi-join keys: the multi-config
+    path must fall back to the window form and still return the
+    conjunctive rows."""
+    from ariadne_spark.operators.join import apply_temporal_dedup
+    from ariadne_spark.storage.metadata import TEMPORAL, IndexConfig
+
+    df = spark.createDataFrame(
+        [
+            (1, 10, {"k": "v1"}, "2024-01-01", "2024-06-01"),
+            (1, 20, {"k": "v2"}, "2024-02-01", "2024-01-01"),
+            (2, 10, {"k": "v3"}, "2024-03-01", "2024-01-01"),
+        ],
+        "A int, B int, M map<string,string>, tsA string, tsB string",
+    ).select(
+        "A", "B", "M",
+        F.col("tsA").cast("timestamp").alias("tsA"),
+        F.col("tsB").cast("timestamp").alias("tsB"),
+    )
+    cfgs = [
+        IndexConfig(column="A", type=TEMPORAL, timestamp_column="tsA"),
+        IndexConfig(column="B", type=TEMPORAL, timestamp_column="tsB"),
+    ]
+    got = {
+        (r["A"], r["B"], r["M"]["k"])
+        for r in apply_temporal_dedup(df, cfgs).collect()
+    }
+    assert got == {(1, 20, "v2")}, got
+
+
 def test_bloom_dataframe_source_over_probe_cap(spark, storage, orders_files, monkeypatch):
     """A DataFrame query source with more distinct values than
     BLOOM_PROBE_CAP must fall back to a conservative no-prune — with
