@@ -203,27 +203,34 @@ def main() -> None:
             qs[name](spark, sf_dir).count()
     warmup_sec = round(time.time() - t0, 3)
 
-    # Three timed FULL passes over the registry, reported as the
-    # per-query MEDIAN (r08 verdict #1): a single pass is hostage to
-    # driver GC pauses and shared-host noise (identical code measured
-    # 88-140 s totals and one query at 0.86/1.21/4.61 s across
-    # same-code runs), and a min-of-2 still lets one clean pass hide
-    # a loaded one. The median of three is robust to a single outlier
-    # in EITHER direction, and the sidecar carries the per-query min
-    # plus the three per-pass totals so both the steady-state floor
-    # and the run-to-run spread stay inspectable. Override with
-    # SPARK_GRAFT_PASSES.
+    # One discarded burn-in pass, then three timed FULL passes over
+    # the registry, reported as the per-query MEDIAN (r08 verdict #1,
+    # r09 verdict #5): a single pass is hostage to driver GC pauses
+    # and shared-host noise (identical code measured 88-140 s totals
+    # and one query at 0.86/1.21/4.61 s across same-code runs), and
+    # the r09 artifact showed the FIRST timed pass running ~25%
+    # hotter than the third on identical code even after the per-plan
+    # warmup above — residual JIT tiering and page-cache fill. The
+    # burn-in pass absorbs that so the three timed passes are drawn
+    # from the steady state; its total is still recorded
+    # (pass_totals[0], burnin_passes=1) so the warm-up cost stays
+    # inspectable. The sidecar carries the per-query min plus every
+    # per-pass total so both the steady-state floor and the
+    # run-to-run spread stay visible. Override with
+    # SPARK_GRAFT_PASSES / SPARK_GRAFT_BURNIN.
     import statistics
 
     passes = max(1, int(os.environ.get("SPARK_GRAFT_PASSES", "3")))
+    burnin = max(0, int(os.environ.get("SPARK_GRAFT_BURNIN", "1")))
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     pass_totals: list[float] = []
-    for _ in range(passes):
+    for i in range(burnin + passes):
         t_pass = time.time()
         for name in BENCH_QUERIES:
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            samples[name].append(time.time() - t0)
+            if i >= burnin:
+                samples[name].append(time.time() - t0)
         pass_totals.append(round(time.time() - t_pass, 3))
     timings = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
@@ -244,6 +251,9 @@ def main() -> None:
         "unit": "sec",
         "stat": "median",
         "n_passes": passes,
+        # pass_totals[0..burnin_passes-1] are DISCARDED burn-in passes
+        # (r09 verdict #5); stats cover only the later timed passes
+        "burnin_passes": burnin,
         "pass_totals": pass_totals,
         "sf": sf_num,
         "build_sec": build_sec,
