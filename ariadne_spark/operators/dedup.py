@@ -868,6 +868,64 @@ def _read_signature_store(spark, store_path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(store_path)
 
 
+def _compact_store(
+    spark,
+    store_path: str,
+    kind: str,
+    compacted,
+    rows_per_file: int,
+    cluster_by: list[str] | None = None,
+) -> int:
+    """Shared crash-safe compaction swap for append-per-batch history
+    stores (signature store, window-count store, URL ledger):
+    pre-check a crashed-swap ``.__old`` sibling, write ``compacted``
+    to ``.__compact`` in ``ceil(rows / rows_per_file)`` files, rename
+    the live store ASIDE, rename the compacted copy into place,
+    delete the old copy. At every intermediate state the history
+    exists under a well-known name, and the read paths refuse to
+    treat a missing store with an ``.__old`` sibling as 'first
+    batch'. Single-writer by contract. Returns rows kept.
+
+    ``cluster_by``: range-partition the rewrite on these columns
+    instead of hash — a store probed through a per-file bloom index
+    keeps its pruning power only if related keys stay CO-LOCATED;
+    a hash rewrite smears every key range across every file and the
+    next probe reads the whole store."""
+    import math
+
+    from ..storage.fs import get_fs
+
+    fs = get_fs(spark, store_path)
+    old = store_path.rstrip("/") + ".__old"
+    tmp = store_path.rstrip("/") + ".__compact"
+    if fs.exists(old):
+        if not fs.exists(store_path):
+            raise OSError(
+                f"{kind} {store_path} missing but {old} exists: "
+                "a prior compact crashed mid-swap; rename it back before "
+                "compacting"
+            )
+        fs.delete(old, recursive=True)  # stale leftover, store is whole
+
+    n = compacted.count()
+    files = max(1, math.ceil(n / rows_per_file))
+    if cluster_by:
+        laid_out = compacted.repartitionByRange(
+            files, *[F.col(c) for c in cluster_by]
+        )
+    else:
+        laid_out = compacted.repartition(files)
+    laid_out.write.mode("overwrite").parquet(tmp)
+    if not fs.rename(store_path, old):
+        raise OSError(f"rename {store_path} -> {old} failed")
+    if not fs.rename(tmp, store_path):
+        # roll back so the store is readable again
+        fs.rename(old, store_path)
+        raise OSError(f"rename {tmp} -> {store_path} failed")
+    fs.delete(old, recursive=True)
+    return n
+
+
 def signature_store_compact(
     spark, store_path: str, rows_per_file: int = 2_000_000
 ) -> int:
@@ -898,22 +956,6 @@ def signature_store_compact(
     re-admit every historical near-duplicate). A leftover ``.__old``
     WITH the store present means a crash after the swap completed —
     safe to discard, done here on the next compact."""
-    import math
-
-    from ..storage.fs import get_fs
-
-    fs = get_fs(spark, store_path)
-    old = store_path.rstrip("/") + ".__old"
-    tmp = store_path.rstrip("/") + ".__compact"
-    if fs.exists(old):
-        if not fs.exists(store_path):
-            raise OSError(
-                f"signature store {store_path} missing but {old} exists: "
-                "a prior compact crashed mid-swap; rename it back before "
-                "compacting"
-            )
-        fs.delete(old, recursive=True)  # stale leftover, store is whole
-
     df = _read_signature_store(spark, store_path)
     sig_cols = [c for c in df.columns if c not in ("__id", "__seq")]
     # newest-wins per id, keyed on the explicit batch sequence stamp;
@@ -939,17 +981,9 @@ def signature_store_compact(
         )
         .select("__id", "__s.*", "__seq")
     )
-    n = latest.count()
-    files = max(1, math.ceil(n / rows_per_file))
-    latest.repartition(files).write.mode("overwrite").parquet(tmp)
-    if not fs.rename(store_path, old):
-        raise OSError(f"rename {store_path} -> {old} failed")
-    if not fs.rename(tmp, store_path):
-        # roll back so the store is readable again
-        fs.rename(old, store_path)
-        raise OSError(f"rename {tmp} -> {store_path} failed")
-    fs.delete(old, recursive=True)
-    return n
+    return _compact_store(
+        spark, store_path, "signature store", latest, rows_per_file
+    )
 
 
 def incremental_near_dup(
@@ -1270,37 +1304,14 @@ def window_store_compact(
     ``incremental_substring_dedup`` result first — compaction deletes
     the part files its snapshot pins. Returns the number of distinct
     digests kept."""
-    import math
-
-    from ..storage.fs import get_fs
-
-    fs = get_fs(spark, store_path)
-    old = store_path.rstrip("/") + ".__old"
-    tmp = store_path.rstrip("/") + ".__compact"
-    if fs.exists(old):
-        if not fs.exists(store_path):
-            raise OSError(
-                f"window store {store_path} missing but {old} exists: "
-                "a prior compact crashed mid-swap; rename it back before "
-                "compacting"
-            )
-        fs.delete(old, recursive=True)  # stale leftover, store is whole
-
     merged = (
         spark.read.parquet(store_path)
         .groupBy("__wk")
         .agg(F.sum("count").alias("count"))
     )
-    n = merged.count()
-    files = max(1, math.ceil(n / rows_per_file))
-    merged.repartition(files).write.mode("overwrite").parquet(tmp)
-    if not fs.rename(store_path, old):
-        raise OSError(f"rename {store_path} -> {old} failed")
-    if not fs.rename(tmp, store_path):
-        fs.rename(old, store_path)
-        raise OSError(f"rename {tmp} -> {store_path} failed")
-    fs.delete(old, recursive=True)
-    return n
+    return _compact_store(
+        spark, store_path, "window store", merged, rows_per_file
+    )
 
 
 def _bloom_store_index(

@@ -686,6 +686,33 @@ def attach_drift_maintenance(
     return writer.start()
 
 
+def url_ledger_compact(
+    spark, store_path: str, rows_per_file: int = 20_000_000
+) -> int:
+    """Fold the append-per-batch URL seen-key ledger into few large
+    files, deduplicating ``url_key`` (re-crawl batches append keys the
+    ledger already holds — harmless for the anti-join semantics, pure
+    waste on disk). Same single-writer contract and crash-safe
+    rename-aside swap as
+    :func:`~ariadne_spark.operators.dedup.signature_store_compact`;
+    stop the streaming query (or run inside its maintenance window)
+    first, and refresh the ledger index afterwards —
+    :func:`url_ledger_index` drops the replaced files from the index
+    and scans only the new ones. The rewrite RANGE-clusters on
+    ``url_key``: the whole point of this table is being probed
+    through per-file blooms, and a hash rewrite would smear every
+    key range across every file (measured: a post-hash-compaction
+    probe read 4 of 4 files where the range layout reads 1).
+    Returns distinct keys kept."""
+    from ..operators.dedup import _compact_store
+
+    distinct = spark.read.parquet(store_path).select("url_key").distinct()
+    return _compact_store(
+        spark, store_path, "url ledger", distinct, rows_per_file,
+        cluster_by=["url_key"],
+    )
+
+
 def url_ledger_index(
     spark,
     store_path: str,

@@ -561,6 +561,29 @@ def test_attach_url_dedup_ledger_index_prunes_and_matches(
     )
     assert len(pruned) < len(files)
 
+    # r10: compact the ledger (distinct url_key, crash-safe swap),
+    # refresh the index — the replaced files must drop out of the
+    # index and the anti-join semantics must be unchanged
+    from ariadne_spark.streaming.maintenance import url_ledger_compact
+
+    before = {r["url_key"] for r in spark.read.parquet(store).collect()}
+    kept = url_ledger_compact(spark, store, rows_per_file=2)
+    after = {r["url_key"] for r in spark.read.parquet(store).collect()}
+    assert after == before and kept == len(after)
+    idx2 = url_ledger_index(spark, store, "url_ledger_test")
+    files2 = _snapshot_files(spark, store, "url ledger")
+    assert set(idx2.filelist.filenames()) == set(files2)
+    seen = spark.read.parquet(*files2)
+    probe = spark.createDataFrame(
+        [("http://alpha.com/1",), ("http://nowhere.com/9",)],
+        "url_key string",
+    )
+    survivors = {
+        r["url_key"]
+        for r in probe.join(seen, "url_key", "left_anti").collect()
+    }
+    assert survivors == {"http://nowhere.com/9"}
+
 
 def test_attach_domain_quota_depletes_across_batches(spark, tmp_path):
     """Cross-batch budget: a domain spanning micro-batches consumes

@@ -65,10 +65,14 @@ def main() -> None:
         incremental_near_dup,
         incremental_substring_dedup,
         minhash_signatures_fast,
+        signature_store_compact,
         signature_store_index,
         signature_store_write,
     )
-    from ariadne_spark.streaming.maintenance import url_ledger_index
+    from ariadne_spark.streaming.maintenance import (
+        url_ledger_compact,
+        url_ledger_index,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     dn = docs.count()
@@ -223,6 +227,58 @@ def main() -> None:
         row["ledger_files"] = len(files)
         row["ledger_files_read"] = len(pruned)
         row["ledger_survivors_exact"] = survivors == 200
+
+        # r10 (r09 verdict #4): compact BOTH stores mid-ladder, refresh
+        # their indexes (the r09 dead-file cleanup must drop every
+        # replaced file), and verify files-read counts and answers stay
+        # exact POST-compaction. rows_per_file is sized to leave ~4
+        # files so pruning still has something to prune.
+        hist_rows = (n_rep - 1) * dn
+        t0 = time.time()
+        signature_store_compact(
+            spark, store, rows_per_file=max(1, hist_rows // 4)
+        )
+        row["sig_compact_sec"] = round(time.time() - t0, 2)
+        sidx = signature_store_index(spark, store, f"slope_sig_idx_{n_rep}")
+        sfiles = _snapshot_files(spark, store, "signature")
+        row["sigidx_files_post_compact"] = len(sfiles)
+        row["sigidx_indexed_post_compact"] = len(sidx.filelist.filenames())
+        row["sigidx_novel_files_read_post_compact"] = len(
+            _prune_snapshot_with_index(
+                spark, sfiles, sidx, nprobe, column="band_key"
+            )
+        )
+        row["sigidx_novel_pairs_post_compact"] = incremental_near_dup(
+            novel, store, threshold=0.8, update_store=False, store_index=sidx
+        ).count()
+        row["sigidx_collide_parity_post_compact"] = (
+            incremental_near_dup(
+                newb, store, threshold=0.8, update_store=False,
+                store_index=sidx,
+            ).count()
+            == row["neardup_pairs"]
+        )
+
+        t0 = time.time()
+        url_ledger_compact(
+            spark, led_dir, rows_per_file=max(1, (n_rep * dn) // 4)
+        )
+        row["ledger_compact_sec"] = round(time.time() - t0, 2)
+        lidx = url_ledger_index(spark, led_dir, "slope_url_ledger")
+        files = _snapshot_files(spark, led_dir, "url ledger")
+        row["ledger_files_post_compact"] = len(files)
+        pruned = _prune_snapshot_with_index(
+            spark,
+            files,
+            lidx,
+            batch.select("url_key").distinct(),
+            column="url_key",
+        )
+        row["ledger_files_read_post_compact"] = len(pruned)
+        seen = spark.read.parquet(*pruned)
+        row["ledger_survivors_exact_post_compact"] = (
+            batch.join(seen, "url_key", "left_anti").count() == 200
+        )
 
         print(json.dumps(row), flush=True)
         drep.unpersist()
