@@ -3292,6 +3292,111 @@ def q_corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(with_url).select("doc_id", "url_key")
 
 
+def q_link_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join / record linkage (operators/linkage.py):
+    customer names against a deterministically-typoed copy. Blocking
+    key = lowercased 16-char prefix (the name stem + high digits —
+    ~100-name blocks, so the equi-join compares ~100x fewer pairs
+    than all-pairs); verify = levenshtein <= 2 on the raw strings.
+    Typo classes by c_custkey % 4: last char -> 'X' (1 edit),
+    appended 'Z' (1), swap of the last two chars (<= 2), last three
+    chars -> 'XYZ' (3 edits — a defined non-match). Blocking is part
+    of the match contract, so the DuckDB twin replays the identical
+    block + verify predicate and the value hash is exact."""
+    from ariadne_spark.operators.linkage import fuzzy_join
+
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    left = cust.select(
+        F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname")
+    )
+    typo = F.expr(
+        "CASE CAST(c_custkey % 4 AS INT)"
+        " WHEN 0 THEN concat(substring(c_name, 1, length(c_name)-1), 'X')"
+        " WHEN 1 THEN concat(c_name, 'Z')"
+        " WHEN 2 THEN concat(substring(c_name, 1, length(c_name)-2),"
+        "   substring(c_name, length(c_name), 1),"
+        "   substring(c_name, length(c_name)-1, 1))"
+        " ELSE concat(substring(c_name, 1, length(c_name)-3), 'XYZ')"
+        " END"
+    )
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rid"), typo.alias("rname")
+    )
+    return fuzzy_join(
+        left, right, "lname", "rname", max_distance=2, block_prefix=16
+    ).select("lid", "lname", "rid", "rname")
+
+
+def q_profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters with exact verification
+    (operators/profile.py): a synthetic 30/30/40 skew over documents
+    (doc_id arithmetic: 'hot_a', 'hot_b', per-doc cold singletons),
+    k=4 -> threshold n/4 -> exactly the two hot values with EXACT
+    counts. The sketch pass shuffles only partition-local candidates
+    (O(capacity x partitions)), never one record per distinct value;
+    the oracle is the plain GROUP BY ... HAVING count > n/k."""
+    from ariadne_spark.operators.profile import heavy_hitters
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    v = (
+        F.when(F.col("doc_id") % 10 < 3, F.lit("hot_a"))
+        .when(F.col("doc_id") % 10 < 6, F.lit("hot_b"))
+        .otherwise(F.concat(F.lit("cold"), F.col("doc_id").cast("string")))
+    )
+    return heavy_hitters(
+        docs.select(v.alias("v")).repartition(8), "v", 4
+    )
+
+
+def q_ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized point-in-interval join (operators/timeseries.py):
+    events against per-type daily maintenance windows (day d at
+    08:00 + a type-dependent 2-6 h length). A bare inequality join
+    plans as a nested loop; this explodes intervals to 6 h grid
+    cells and equi-joins on (event_type, cell) with the containment
+    predicate as a residual — each qualifying pair meets exactly
+    once. The twin replays the window arithmetic and the plain theta
+    join in SQL."""
+    from ariadne_spark.operators.timeseries import interval_join
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    days = spark.range(30).select(F.col("id").cast("int").alias("window_day"))
+    iv = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(days)
+        .select(
+            "event_type",
+            "window_day",
+            F.expr(
+                "timestamp'2024-01-01 08:00:00'"
+                " + make_interval(0, 0, 0, window_day)"
+            ).alias("ts_start"),
+            F.expr(
+                "timestamp'2024-01-01 08:00:00'"
+                " + make_interval(0, 0, 0, window_day)"
+                " + make_interval(0, 0, 0, 0,"
+                "   CASE event_type WHEN 'click' THEN 2 WHEN 'view' THEN 3"
+                "   WHEN 'signup' THEN 4 WHEN 'error' THEN 5 ELSE 6 END)"
+            ).alias("ts_end"),
+        )
+    )
+    out = interval_join(
+        ev.select("event_id", "event_type", "ts"),
+        iv,
+        "ts",
+        "ts_start",
+        "ts_end",
+        on=["event_type"],
+        bucket_seconds=21600,
+    )
+    return out.select(
+        "event_id", "event_type", F.col("window_day_iv").alias("window_day")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: index-pruned join."""
     return q_idx_join_regular(spark, "/root/testdata/sf0.001")
@@ -3535,6 +3640,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idx_locate": q_idx_locate,
         "text_bigram_lm": q_text_bigram_lm,
         "dedup_keep_longest": q_dedup_keep_longest,
+        # r10 operators (never gated -> the schedule pulls them into
+        # the next window automatically)
+        "link_fuzzy_join": q_link_fuzzy_join,
+        "profile_heavy_hitters": q_profile_heavy_hitters,
+        "ts_interval_join": q_ts_interval_join,
     }
 
 
@@ -5722,5 +5832,58 @@ def oracle_sql() -> dict[str, str]:
                        AS frame_mean_byte
             FROM px
             GROUP BY doc_id, frame_ts_ms, f, w, h
+        """
+    oracles["link_fuzzy_join"] = """
+            WITH t AS (
+                SELECT c_custkey + 1000000 AS rid,
+                       CASE CAST(c_custkey % 4 AS INT)
+                         WHEN 0 THEN substr(c_name, 1, length(c_name)-1) || 'X'
+                         WHEN 1 THEN c_name || 'Z'
+                         WHEN 2 THEN substr(c_name, 1, length(c_name)-2)
+                              || substr(c_name, length(c_name), 1)
+                              || substr(c_name, length(c_name)-1, 1)
+                         ELSE substr(c_name, 1, length(c_name)-3) || 'XYZ'
+                       END AS rname
+                FROM customer
+            )
+            SELECT l.c_custkey AS lid, l.c_name AS lname, t.rid, t.rname
+            FROM customer l JOIN t
+              ON lower(substr(trim(l.c_name), 1, 16))
+                 = lower(substr(trim(t.rname), 1, 16))
+             AND levenshtein(l.c_name, t.rname) <= 2
+        """
+    oracles["profile_heavy_hitters"] = """
+            WITH v AS (
+                SELECT CASE WHEN doc_id % 10 < 3 THEN 'hot_a'
+                            WHEN doc_id % 10 < 6 THEN 'hot_b'
+                            ELSE 'cold' || CAST(doc_id AS VARCHAR) END AS v
+                FROM documents
+            ),
+            n AS (SELECT count(*) AS n FROM v)
+            SELECT v.v, count(*) AS "count"
+            FROM v, n
+            GROUP BY v.v, n.n
+            HAVING count(*) > n.n / 4.0
+        """
+    oracles["ts_interval_join"] = """
+            WITH iv AS (
+                SELECT t.event_type, CAST(d.d AS INT) AS window_day,
+                       TIMESTAMP '2024-01-01 08:00:00'
+                         + d.d * INTERVAL 1 DAY AS ts_start,
+                       TIMESTAMP '2024-01-01 08:00:00'
+                         + d.d * INTERVAL 1 DAY
+                         + (CASE t.event_type WHEN 'click' THEN 2
+                            WHEN 'view' THEN 3 WHEN 'signup' THEN 4
+                            WHEN 'error' THEN 5 ELSE 6 END)
+                           * INTERVAL 1 HOUR AS ts_end
+                FROM (SELECT DISTINCT event_type FROM events
+                      WHERE event_type IS NOT NULL) t
+                CROSS JOIN (SELECT range AS d FROM range(0, 30)) d
+            )
+            SELECT e.event_id, e.event_type, iv.window_day
+            FROM events e JOIN iv
+              ON e.event_type = iv.event_type
+             AND e.ts >= iv.ts_start AND e.ts < iv.ts_end
+            WHERE e.ts IS NOT NULL
         """
     return oracles

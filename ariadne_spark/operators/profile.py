@@ -255,3 +255,102 @@ def profile_from_footers(
         ]
     )
     return spark.createDataFrame(rows_out, out_schema)
+
+
+def heavy_hitters(
+    df: DataFrame, column: str, k: int, capacity: int | None = None
+) -> DataFrame:
+    """All values of ``column`` occurring MORE than ``n/k`` times
+    (n = non-null rows), with exact counts — ``(value, count)`` rows.
+
+    Two-phase Misra-Gries: each partition streams its rows through a
+    summary of ``capacity`` (default ``4*k``) counters — any value
+    with partition frequency > partition_rows/capacity survives
+    locally, and by pigeonhole every GLOBAL heavy hitter exceeds that
+    threshold in at least one partition, so the union of local
+    candidates is a guaranteed superset. Phase two semi-joins the
+    (broadcast, <= capacity x partitions) candidate set back over the
+    data and counts exactly, so the final groupBy shuffles only
+    candidate-valued rows instead of every distinct value. n comes
+    from the same pass as the candidates (a per-partition total row),
+    not a separate count job.
+
+    100 TB story: a full ``groupBy(column).count()`` over a
+    high-cardinality column shuffles one record per distinct value;
+    this shuffles one record per partition-candidate (bounded by
+    ``capacity x partitions``) plus the candidate-matching rows of
+    the exact pass. Memory per task is O(capacity). The Arrow batches
+    are merged with vectorized ``value_counts`` — the per-batch trim
+    is the only Python-side loop and runs over <= capacity + batch
+    distincts.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    if k < 2:
+        raise ValueError(f"heavy_hitters: k must be >= 2, got {k}")
+    cap = int(capacity or 4 * k)
+    if cap < k:
+        raise ValueError(f"heavy_hitters: capacity {cap} < k {k}")
+    src = df.select(F.col(column).cast("string").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+
+    out_schema = StructType(
+        [
+            StructField("v", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        total = 0
+        for pdf in batches:
+            vc = pdf["v"].value_counts()
+            total += int(vc.sum())
+            for v, c in vc.items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                # Misra-Gries decrement: subtract the (cap+1)-th
+                # largest count from everyone, drop non-positives —
+                # any value with true partition frequency above
+                # partition_rows/cap survives every trim
+                cut = sorted(counters.values(), reverse=True)[cap]
+                counters = {
+                    v: c - cut for v, c in counters.items() if c - cut > 0
+                }
+        rows = [(v, int(c)) for v, c in counters.items()]
+        rows.append((None, total))  # per-partition total marker
+        yield pd.DataFrame(rows, columns=["v", "n"])
+
+    local = src.mapInPandas(mg, schema=out_schema).cache()
+    try:
+        n_total = (
+            local.where(F.col("v").isNull()).agg(F.sum("n")).collect()[0][0]
+            or 0
+        )
+        if n_total == 0:
+            return (
+                src.limit(0)
+                .select(
+                    F.col("v").alias(column),
+                    F.lit(0).cast("long").alias("count"),
+                )
+            )
+        threshold = n_total / k
+        cands = local.where(F.col("v").isNotNull()).select("v").distinct()
+        exact = (
+            src.join(F.broadcast(cands), "v", "left_semi")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("count"))
+            .where(F.col("count") > F.lit(threshold))
+            .select(F.col("v").alias(column), "count")
+        )
+        # < k values can each exceed n/k, so the result is tiny BY
+        # CONSTRUCTION — materialize it driver-side before releasing
+        # the candidate cache (no lingering cache entry)
+        rows = exact.collect()
+        return df.sparkSession.createDataFrame(rows, exact.schema)
+    finally:
+        local.unpersist()

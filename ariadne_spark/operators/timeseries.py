@@ -287,3 +287,68 @@ def asof_join(
     for c in right_cols:
         cols.append(matched[c].alias(f"{c}{suffix}"))
     return out.select(*cols)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    on: list[str] | None = None,
+    bucket_seconds: int | None = None,
+    end_inclusive: bool = False,
+    suffix: str = "_iv",
+) -> DataFrame:
+    """Point-in-interval join: pair each point row with every interval
+    row satisfying ``start <= ts < end`` (``<= end`` with
+    ``end_inclusive``) and, when ``on`` is given, matching those equi
+    keys too. Overlapping intervals emit one output row per
+    containing interval. Interval columns come back suffixed.
+
+    Spark executes a bare inequality join as a nested loop —
+    O(points x intervals) comparisons, the classic scale cliff. This
+    plans it as an EQUI-join instead: intervals explode to the time
+    grid cells they span (``bucket_seconds`` wide), points map to
+    exactly one cell, and the join runs on (keys..., cell) with the
+    exact containment predicate as a residual filter. A point lives
+    in one cell, so every qualifying pair meets exactly once — no
+    dedup pass. Cost is interval_rows x avg_cells_per_interval
+    exploded rows; ``bucket_seconds`` defaults to the average
+    interval length (one agg job), the classic ~2-cells-per-interval
+    sweet spot. Skewed cells (a hot hour) split via AQE like any
+    equi-join shuffle.
+    """
+    on = list(on or [])
+    for c in on + [ts_col]:
+        if c not in points.columns:
+            raise ValueError(f"interval_join: {c!r} missing from points")
+    for c in on + [start_col, end_col]:
+        if c not in intervals.columns:
+            raise ValueError(f"interval_join: {c!r} missing from intervals")
+    s, e = _epoch_seconds(F.col(start_col)), _epoch_seconds(F.col(end_col))
+    if bucket_seconds is None:
+        avg = intervals.agg(F.avg(e - s)).collect()[0][0]
+        bucket_seconds = max(1, int(avg or 1))
+    w = F.lit(int(bucket_seconds))
+    cell_l = F.floor(_epoch_seconds(F.col(ts_col)) / w)
+    # sequence over cell ids is (len/bucket + 2)-long at most; empty
+    # or inverted intervals (end before start) emit no cells
+    cells = F.when(
+        e >= s, F.sequence(F.floor(s / w), F.floor(e / w))
+    ).otherwise(F.array())
+    ivc = [c for c in intervals.columns]
+    r = intervals.select(
+        *[F.col(c).alias(f"{c}{suffix}" if c not in on else c) for c in ivc],
+        F.explode(cells).alias("__ariadne_cell"),
+    )
+    l = points.withColumn("__ariadne_cell", cell_l)
+    s_r = _epoch_seconds(F.col(f"{start_col}{suffix}"))
+    e_r = _epoch_seconds(F.col(f"{end_col}{suffix}"))
+    ts_l = _epoch_seconds(F.col(ts_col))
+    contain = (ts_l >= s_r) & (
+        (ts_l <= e_r) if end_inclusive else (ts_l < e_r)
+    )
+    return l.join(r, on + ["__ariadne_cell"], "inner").where(contain).drop(
+        "__ariadne_cell"
+    )

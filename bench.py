@@ -160,6 +160,10 @@ BENCH_QUERIES = [
     "corpus_soft_sample",
     # r09: band-key file index over the MinHash signature store
     "dedup_incremental_indexed",
+    # r10: record linkage, MG heavy hitters, bucketized interval join
+    "link_fuzzy_join",
+    "profile_heavy_hitters",
+    "ts_interval_join",
 ]
 
 
