@@ -3397,6 +3397,75 @@ def q_ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """engine x pipeline #4 (r10): the same fuzzy linkage, but the
+    reference side is a persisted entity store behind a bloom
+    file-index over its DERIVED blocking keys
+    (reference_store_index — an expression bloom over
+    substring(lower(trim(name)),1,16)), so a batch reads only
+    reference files holding a colliding block. Pruning is an
+    optimization, never semantics: the oracle is IDENTICAL to
+    link_fuzzy_join (one shared SQL constant) — the blocking
+    predicate is symmetric, so linking typos->reference returns
+    exactly the reference->typos pair set. The index is dropped
+    afterwards to keep catalog_describe's fixture set
+    deterministic."""
+    from ariadne_spark import catalog as _cat
+    from ariadne_spark.operators.linkage import (
+        incremental_fuzzy_link,
+        reference_store_index,
+    )
+    from ariadne_spark.storage.lock import IndexLock
+
+    _prepare(spark, sf_dir)  # sets spark.ariadne.storagePath
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    store = f"{WORK}/{_tag(sf_dir)}/refstore"
+    if not os.path.isdir(store):
+        cust.select(
+            F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname")
+        ).repartitionByRange(6, "lid").write.mode("overwrite").parquet(
+            store + ".__tmp"
+        )
+        try:
+            os.rename(store + ".__tmp", store)
+        except OSError:
+            pass  # a concurrent session won the rename; use its copy
+    typo = F.expr(
+        "CASE CAST(c_custkey % 4 AS INT)"
+        " WHEN 0 THEN concat(substring(c_name, 1, length(c_name)-1), 'X')"
+        " WHEN 1 THEN concat(c_name, 'Z')"
+        " WHEN 2 THEN concat(substring(c_name, 1, length(c_name)-2),"
+        "   substring(c_name, length(c_name), 1),"
+        "   substring(c_name, length(c_name)-1, 1))"
+        " ELSE concat(substring(c_name, 1, length(c_name)-3), 'XYZ')"
+        " END"
+    )
+    batch = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rid"), typo.alias("rname")
+    )
+    with IndexLock(
+        f"{WORK}/{_tag(sf_dir)}/locks", "ref_idx_gate",
+        timeout=1800, max_wait=1800,
+    ):
+        try:
+            idx = reference_store_index(
+                spark, store, "ref_idx_gate", "lname", block_prefix=16
+            )
+            # the pruned file list is resolved eagerly inside the
+            # call, so the returned plan reads pinned parquet files
+            # and survives the index drop below
+            out = incremental_fuzzy_link(
+                batch, store, "rname", "lname",
+                max_distance=2, block_prefix=16, store_index=idx,
+            )
+            return out.select("lid", "lname", "rid", "rname")
+        finally:
+            try:
+                _cat.remove("ref_idx_gate", spark)
+            except Exception:
+                pass
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: index-pruned join."""
     return q_idx_join_regular(spark, "/root/testdata/sf0.001")
@@ -3643,6 +3712,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 operators (never gated -> the schedule pulls them into
         # the next window automatically)
         "link_fuzzy_join": q_link_fuzzy_join,
+        "link_fuzzy_indexed": q_link_fuzzy_indexed,
         "profile_heavy_hitters": q_profile_heavy_hitters,
         "ts_interval_join": q_ts_interval_join,
     }
@@ -5852,6 +5922,11 @@ def oracle_sql() -> dict[str, str]:
                  = lower(substr(trim(t.rname), 1, 16))
              AND levenshtein(l.c_name, t.rname) <= 2
         """
+    # identical by construction: linking typos -> reference through the
+    # block-key file index returns exactly the reference -> typos pair
+    # set (symmetric predicate); any divergence means the index pruned
+    # a file holding a real match
+    oracles["link_fuzzy_indexed"] = oracles["link_fuzzy_join"]
     oracles["profile_heavy_hitters"] = """
             WITH v AS (
                 SELECT CASE WHEN doc_id % 10 < 3 THEN 'hot_a'

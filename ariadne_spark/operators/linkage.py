@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["blocking_key", "fuzzy_join"]
+__all__ = [
+    "blocking_key",
+    "fuzzy_join",
+    "reference_store_index",
+    "incremental_fuzzy_link",
+]
 
 
 def blocking_key(col: str | Column, block_prefix: int = 3) -> Column:
@@ -82,3 +87,107 @@ def fuzzy_join(
     )
     joined = l.join(r, cond, how)
     return joined.drop(lb, rb)
+
+
+def _block_expression(ref_col: str, block_prefix: int) -> str:
+    """The blocking key as a Spark SQL string — must generate the
+    exact expression :func:`blocking_key` builds, because the store
+    index blooms THIS and probes compare against it."""
+    return f"substring(lower(trim({ref_col})), 1, {int(block_prefix)})"
+
+
+def reference_store_index(
+    spark,
+    store_path: str,
+    name: str,
+    ref_col: str,
+    block_prefix: int = 3,
+    fpr: float = 1e-6,
+    files: list[str] | None = None,
+    handle=None,
+):
+    """Maintain a bloom file-index over a reference-entity store's
+    BLOCKING keys — engine-over-pipeline-store #4 (window counts r07,
+    URL ledger r08, LSH band keys r09, linkage blocks r10). The store
+    rows persist raw entities; the index blooms the DERIVED
+    ``blocking_key(ref_col, block_prefix)`` per file (an expression
+    bloom), so a dirty batch probes with its own blocking keys and
+    reads only the reference files holding a colliding block.
+
+    Call after appends: only files not yet indexed are scanned (the
+    engine's J1 left_anti) and files compacted away are dropped.
+    ``files`` / ``handle`` serve a micro-batch loop exactly like
+    :func:`~ariadne_spark.operators.dedup.signature_store_index`."""
+    from .dedup import _bloom_store_index
+
+    schema = spark.read.parquet(store_path).schema
+    return _bloom_store_index(
+        spark, store_path, name, schema, "block_key", "reference", fpr,
+        files=files, handle=handle,
+        expression=_block_expression(ref_col, block_prefix),
+    )
+
+
+def incremental_fuzzy_link(
+    new_df: DataFrame,
+    store_path: str,
+    new_col: str,
+    ref_col: str,
+    max_distance: int = 2,
+    block_prefix: int = 3,
+    how: str = "inner",
+    store_index=None,
+) -> DataFrame:
+    """Link a batch of dirty keys against a persisted reference store
+    WITHOUT scanning it: snapshot-pin the store's current part files,
+    prune them to the batch's blocking keys through ``store_index``
+    (when given), and :func:`fuzzy_join` the batch against only the
+    surviving files' rows. Per-batch cost is O(batch +
+    colliding-block reference) — the crawl-loop shape every
+    entity-reconciliation pipeline needs at lake scale.
+
+    Files the index has not seen (appends after the last
+    :func:`reference_store_index` refresh) are always read, so a
+    lagging index widens the scan, never loses a match. A
+    ``store_index`` built for a different blocking function is
+    rejected loudly — even on the first call — because probing alien
+    blocks would silently prune files holding real matches.
+    """
+    from .dedup import _prune_snapshot_with_index, _snapshot_files
+
+    spark = new_df.sparkSession
+    if store_index is not None:
+        cfg = store_index.meta.config_for("block_key")
+        expected = _block_expression(ref_col, block_prefix)
+        if cfg is None or cfg.expression != expected:
+            raise ValueError(
+                f"store_index {store_index.name!r} blooms "
+                f"{None if cfg is None else cfg.expression!r} but this "
+                f"call (ref_col={ref_col!r}, block_prefix={block_prefix}) "
+                f"probes {expected!r}; rebuild the index with matching "
+                "params"
+            )
+    files = _snapshot_files(spark, store_path, "reference")
+    if not files:
+        raise FileNotFoundError(
+            f"incremental_fuzzy_link: reference store {store_path} is "
+            "missing or empty — a linkage reference is provisioned, not "
+            "accumulated, so an empty store is a configuration error"
+        )
+    if store_index is not None:
+        probe = new_df.select(
+            blocking_key(new_col, block_prefix).alias("block_key")
+        ).distinct()
+        files = _prune_snapshot_with_index(
+            spark, files, store_index, probe, column="block_key"
+        )
+    if not files:
+        # every reference file positively excluded: no matches by the
+        # blocking contract; emit the empty joined shape
+        ref = spark.read.parquet(store_path).limit(0)
+    else:
+        ref = spark.read.parquet(*files)
+    return fuzzy_join(
+        new_df, ref, new_col, ref_col,
+        max_distance=max_distance, block_prefix=block_prefix, how=how,
+    )

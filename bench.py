@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "dedup_incremental_indexed",
     # r10: record linkage, MG heavy hitters, bucketized interval join
     "link_fuzzy_join",
+    "link_fuzzy_indexed",
     "profile_heavy_hitters",
     "ts_interval_join",
 ]

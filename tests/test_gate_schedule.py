@@ -68,7 +68,7 @@ def test_pinned_repays_are_in_current_window():
 
 def test_every_oracle_backed_row_gated_within_three_rounds():
     """Stalest-first guarantees re-entry within ceil(N/50) rounds;
-    with 131 oracle-backed rows that is 3."""
+    with 132 oracle-backed rows that is 3."""
     entry = _entry()
     reg = list(entry._registry())
     ob = set(entry.oracle_sql())

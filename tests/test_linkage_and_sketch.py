@@ -265,3 +265,128 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+# ------------------------------------------------ incremental linkage
+
+def test_incremental_fuzzy_link_prunes_without_changing_results(
+    spark, tmp_path
+):
+    """Engine x pipeline #4: a bloom file-index over the reference
+    store's BLOCKING keys. A batch reads only reference files holding
+    a colliding block — identical matches, fewer files; a
+    novel-prefix batch reads zero files; an append the index never
+    saw is still matched (lagging index widens, never loses)."""
+    from ariadne_spark.operators.linkage import (
+        incremental_fuzzy_link,
+        reference_store_index,
+    )
+
+    spark.conf.set(
+        "spark.ariadne.storagePath", str(tmp_path / "ariadne_store")
+    )
+    store = str(tmp_path / "refstore")
+    regions = {
+        "alpha": ["alpha widget one", "alpha widget two", "alpha gadget"],
+        "beta": ["beta widget one", "beta tool nine"],
+        "gamma": ["gamma fixture", "gamma gizmo"],
+    }
+    rid = 0
+    for names in regions.values():
+        rows = [(rid + i, n) for i, n in enumerate(names)]
+        rid += 100
+        spark.createDataFrame(rows, ["rid", "rname"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(store)
+    idx = reference_store_index(spark, store, "ref_idx_test", "rname")
+
+    batch = spark.createDataFrame(
+        [(1, "alpha widget onn"), (2, "alpha gadget!")], ["bid", "bname"]
+    )
+    plain = {
+        (r["bid"], r["rid"])
+        for r in incremental_fuzzy_link(
+            batch, store, "bname", "rname"
+        ).collect()
+    }
+    indexed = {
+        (r["bid"], r["rid"])
+        for r in incremental_fuzzy_link(
+            batch, store, "bname", "rname", store_index=idx
+        ).collect()
+    }
+    assert indexed == plain and len(plain) > 0
+
+    # the prune itself: an alpha-only batch excludes beta/gamma files
+    from ariadne_spark.operators.dedup import (
+        _prune_snapshot_with_index,
+        _snapshot_files,
+    )
+    from ariadne_spark.operators.linkage import blocking_key
+    from pyspark.sql import functions as F
+
+    files = _snapshot_files(spark, store, "reference")
+    probe = batch.select(
+        blocking_key("bname", 3).alias("block_key")
+    ).distinct()
+    pruned = _prune_snapshot_with_index(
+        spark, files, idx, probe, column="block_key"
+    )
+    assert 0 < len(pruned) < len(files)
+
+    # novel prefix: zero files read, zero matches
+    novel = spark.createDataFrame([(9, "omega thing")], ["bid", "bname"])
+    nprobe = novel.select(
+        blocking_key("bname", 3).alias("block_key")
+    ).distinct()
+    assert (
+        _prune_snapshot_with_index(
+            spark, files, idx, nprobe, column="block_key"
+        )
+        == []
+    )
+    out = incremental_fuzzy_link(
+        novel, store, "bname", "rname", store_index=idx
+    )
+    assert out.count() == 0
+    assert "rid_r" in out.columns or "rid" in out.columns  # joined shape
+
+    # lagging index: an append the index never saw is still matched
+    spark.createDataFrame(
+        [(900, "delta machine")], ["rid", "rname"]
+    ).coalesce(1).write.mode("append").parquet(store)
+    late = spark.createDataFrame([(5, "delta machina")], ["bid", "bname"])
+    got = {
+        (r["bid"], r["rid"])
+        for r in incremental_fuzzy_link(
+            late, store, "bname", "rname", store_index=idx
+        ).collect()
+    }
+    assert got == {(5, 900)}
+
+
+def test_incremental_fuzzy_link_validations(spark, tmp_path):
+    from ariadne_spark.operators.linkage import (
+        incremental_fuzzy_link,
+        reference_store_index,
+    )
+
+    spark.conf.set(
+        "spark.ariadne.storagePath", str(tmp_path / "ariadne_store")
+    )
+    store = str(tmp_path / "refstore")
+    spark.createDataFrame(
+        [(1, "alpha widget")], ["rid", "rname"]
+    ).write.parquet(store)
+    idx = reference_store_index(spark, store, "ref_idx_val", "rname")
+    batch = spark.createDataFrame([(1, "alpha widgets")], ["bid", "bname"])
+    # mismatched blocking function is rejected loudly
+    with pytest.raises(ValueError, match="block"):
+        incremental_fuzzy_link(
+            batch, store, "bname", "rname", block_prefix=5, store_index=idx
+        )
+    # a missing reference store is a configuration error, not "no match"
+    with pytest.raises(FileNotFoundError, match="reference store"):
+        incremental_fuzzy_link(
+            batch, str(tmp_path / "nope"), "bname", "rname"
+        )
