@@ -872,14 +872,17 @@ def _compact_store(
     spark,
     store_path: str,
     kind: str,
-    compacted,
+    build_compacted,
     rows_per_file: int,
     cluster_by: list[str] | None = None,
 ) -> int:
     """Shared crash-safe compaction swap for append-per-batch history
     stores (signature store, window-count store, URL ledger):
-    pre-check a crashed-swap ``.__old`` sibling, write ``compacted``
-    to ``.__compact`` in ``ceil(rows / rows_per_file)`` files, rename
+    pre-check a crashed-swap ``.__old`` sibling, THEN build the
+    compacted frame (``build_compacted()`` — deferred so a
+    missing-store crash state raises the contractual mid-swap error,
+    not a path-not-found from the read), write it to ``.__compact``
+    in ``ceil(rows / rows_per_file)`` files, rename
     the live store ASIDE, rename the compacted copy into place,
     delete the old copy. At every intermediate state the history
     exists under a well-known name, and the read paths refuse to
@@ -907,6 +910,7 @@ def _compact_store(
             )
         fs.delete(old, recursive=True)  # stale leftover, store is whole
 
+    compacted = build_compacted()
     n = compacted.count()
     files = max(1, math.ceil(n / rows_per_file))
     if cluster_by:
@@ -956,33 +960,40 @@ def signature_store_compact(
     re-admit every historical near-duplicate). A leftover ``.__old``
     WITH the store present means a crash after the swap completed —
     safe to discard, done here on the next compact."""
-    df = _read_signature_store(spark, store_path)
-    sig_cols = [c for c in df.columns if c not in ("__id", "__seq")]
-    # newest-wins per id, keyed on the explicit batch sequence stamp;
-    # pre-__seq batches fall back to source-file modification time
-    # (coarse, but the best available for legacy rows), rescaled to
-    # the same nanosecond unit so mixed stores order correctly
-    from pyspark.sql.functions import col, struct
 
-    has_seq = "__seq" in df.columns
-    meta = df.withColumn(
-        "__mt",
-        F.unix_micros(F.col("_metadata.file_modification_time")) * F.lit(1000),
-    )
-    order_key = F.coalesce(col("__seq"), col("__mt")) if has_seq else col("__mt")
-    latest = (
-        meta.withColumn("__ord", order_key)
-        .groupBy("__id")
-        .agg(
-            F.max_by(
-                struct(*[col(c) for c in sig_cols]), col("__ord")
-            ).alias("__s"),
-            F.max("__ord").alias("__seq"),
+    def build():
+        df = _read_signature_store(spark, store_path)
+        sig_cols = [c for c in df.columns if c not in ("__id", "__seq")]
+        # newest-wins per id, keyed on the explicit batch sequence
+        # stamp; pre-__seq batches fall back to source-file
+        # modification time (coarse, but the best available for
+        # legacy rows), rescaled to the same nanosecond unit so mixed
+        # stores order correctly
+        from pyspark.sql.functions import col, struct
+
+        has_seq = "__seq" in df.columns
+        meta = df.withColumn(
+            "__mt",
+            F.unix_micros(F.col("_metadata.file_modification_time"))
+            * F.lit(1000),
         )
-        .select("__id", "__s.*", "__seq")
-    )
+        order_key = (
+            F.coalesce(col("__seq"), col("__mt")) if has_seq else col("__mt")
+        )
+        return (
+            meta.withColumn("__ord", order_key)
+            .groupBy("__id")
+            .agg(
+                F.max_by(
+                    struct(*[col(c) for c in sig_cols]), col("__ord")
+                ).alias("__s"),
+                F.max("__ord").alias("__seq"),
+            )
+            .select("__id", "__s.*", "__seq")
+        )
+
     return _compact_store(
-        spark, store_path, "signature store", latest, rows_per_file
+        spark, store_path, "signature store", build, rows_per_file
     )
 
 
@@ -1304,13 +1315,16 @@ def window_store_compact(
     ``incremental_substring_dedup`` result first — compaction deletes
     the part files its snapshot pins. Returns the number of distinct
     digests kept."""
-    merged = (
-        spark.read.parquet(store_path)
-        .groupBy("__wk")
-        .agg(F.sum("count").alias("count"))
-    )
+
+    def build():
+        return (
+            spark.read.parquet(store_path)
+            .groupBy("__wk")
+            .agg(F.sum("count").alias("count"))
+        )
+
     return _compact_store(
-        spark, store_path, "window store", merged, rows_per_file
+        spark, store_path, "window store", build, rows_per_file
     )
 
 

@@ -706,9 +706,11 @@ def url_ledger_compact(
     Returns distinct keys kept."""
     from ..operators.dedup import _compact_store
 
-    distinct = spark.read.parquet(store_path).select("url_key").distinct()
+    def build():
+        return spark.read.parquet(store_path).select("url_key").distinct()
+
     return _compact_store(
-        spark, store_path, "url ledger", distinct, rows_per_file,
+        spark, store_path, "url ledger", build, rows_per_file,
         cluster_by=["url_key"],
     )
 
