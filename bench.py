@@ -168,11 +168,24 @@ BENCH_QUERIES = [
 ]
 
 
+def _host_canary() -> float:
+    """Fixed single-thread pure-Python work unit (~2 s on this class
+    of host): a host-speed reference independent of Spark, the JVM,
+    and this repo's code, so slow-host days are attributable from the
+    bench artifact alone."""
+    t0 = time.time()
+    s = 0
+    for i in range(20_000_000):
+        s += i
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     # taken BEFORE the JVM starts: the end-of-run reading includes the
     # bench's own 32 threads, so the start value is the cleaner
     # external-contention signal
     load_start = round(os.getloadavg()[0], 2)
+    canary_start = _host_canary()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -273,6 +286,14 @@ def main() -> None:
         # against the previous round before reading a regression.
         "load_1m_start": load_start,
         "load_1m_end": round(os.getloadavg()[0], 2),
+        # host-speed canary (r10): a fixed single-thread pure-Python
+        # loop timed before the JVM starts and after the passes end.
+        # Load averages only catch CONCURRENT competition; this
+        # catches a slower host state (throttling, co-tenant days,
+        # governor) — cross-round bench deltas should be read against
+        # the canary ratio before anything else.
+        "canary_sec_start": canary_start,
+        "canary_sec_end": _host_canary(),
     }
     # Per-query timings go to a SIDECAR file: the inline map for 113
     # queries is ~3.5 KB and overflows the driver's ~2.2 KB stdout
