@@ -92,6 +92,10 @@ def _prepare(spark: SparkSession, sf_dir: str) -> None:
         "orders_large", "orders_inc", "orders_del", "orders_footer",
         "ivf_embeddings", "ivf_pq_embeddings", "customer_orc",
         "src0_fingerprints",
+        # r10: the persistent gate-fixture store indexes (see
+        # _prepare_gate_store_indexes) are part of the expected
+        # catalog set — the stray self-heal must not remove them
+        "sig_idx_gate", "ref_idx_gate",
     }
     if os.path.exists(marker):
         # self-heal: drop any foreign index another session parked in
@@ -596,31 +600,111 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(_t(sf_dir, "documents"))
     cut = 250
-    store = f"{WORK}/{_tag(sf_dir)}/sigstore"
-    hist = docs.where(F.col("doc_id") < cut)
+    store = _ensure_sigstore(spark, sf_dir)
     new = docs.where(F.col("doc_id") >= cut)
-    # the store persists across batches in production — build it once
-    # per scale factor (deterministic content), measure only the
-    # per-batch path; locked like every other shared prepare step so
-    # concurrent sessions can't race overlapping overwrites
-    if not os.path.isdir(store):
+    # est>=0.7 keeps every true 0.8-pair in the candidate set (k=64
+    # sampling sigma at t=0.8 is ~0.05; 0.7 is a 2-sigma margin), then
+    # the exact shingle verify applies the real threshold
+    cand = incremental_near_dup(new, store, threshold=0.7, update_store=False)
+    return verify_jaccard_arrays(cand, docs, "text", "doc_id", 5, 0.8)
+
+
+def _ensure_sigstore(spark: SparkSession, sf_dir: str) -> str:
+    """The shared incremental-near-dup history store (signatures of
+    doc_id < 250), built once per scale factor — deterministic
+    content pinned to exactly 2 part files so sig_idx_gate's
+    num_files is a scale-independent catalog fixture constant. The
+    store persists across batches in production; queries measure only
+    the per-batch path. Locked so concurrent sessions can't race
+    overlapping overwrites."""
+    import glob as _glob
+
+    from ariadne_spark.operators.dedup import (
+        minhash_signatures_fast,
+        signature_store_write,
+    )
+
+    store = f"{WORK}/{_tag(sf_dir)}/sigstore"
+
+    def _ok() -> bool:
+        return len(_glob.glob(f"{store}/*.parquet")) == 2
+
+    if not (os.path.isdir(store) and _ok()):
         from ariadne_spark.storage.lock import IndexLock
 
         with IndexLock(
             f"{WORK}/{_tag(sf_dir)}/locks", "sigstore",
             timeout=1800, max_wait=1800,
         ):
-            if not os.path.isdir(store):
+            if not (os.path.isdir(store) and _ok()):
+                import shutil as _sh
+
+                _sh.rmtree(store, ignore_errors=True)
+                docs = spark.read.parquet(_t(sf_dir, "documents"))
+                hist = docs.where(F.col("doc_id") < 250)
                 signature_store_write(
-                    minhash_signatures_fast(hist, "text", "doc_id"),
+                    minhash_signatures_fast(
+                        hist, "text", "doc_id"
+                    ).repartition(2),
                     store,
                     mode="overwrite",
                 )
-    # est>=0.7 keeps every true 0.8-pair in the candidate set (k=64
-    # sampling sigma at t=0.8 is ~0.05; 0.7 is a 2-sigma margin), then
-    # the exact shingle verify applies the real threshold
-    cand = incremental_near_dup(new, store, threshold=0.7, update_store=False)
-    return verify_jaccard_arrays(cand, docs, "text", "doc_id", 5, 0.8)
+    return store
+
+
+def _ensure_refstore(spark: SparkSession, sf_dir: str) -> str:
+    """The shared fuzzy-linkage reference-entity store (customer
+    names), built once per scale factor as exactly 6 range-clustered
+    part files (ref_idx_gate's num_files fixture constant)."""
+    store = f"{WORK}/{_tag(sf_dir)}/refstore"
+    if not os.path.isdir(store):
+        cust = spark.read.parquet(_t(sf_dir, "customer"))
+        cust.select(
+            F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname")
+        ).repartitionByRange(6, "lid").write.mode("overwrite").parquet(
+            store + ".__tmp"
+        )
+        try:
+            os.rename(store + ".__tmp", store)
+        except OSError:
+            pass  # a concurrent session won the rename; use its copy
+    return store
+
+
+# per-session cache of the persistent gate-fixture index handles:
+# (spark id, scale tag, name) -> Index. With a cached handle and an
+# unchanged store listing the refresh is one directory listing.
+_GATE_IDX_HANDLES: dict = {}
+
+
+def _prepare_gate_store_indexes(spark: SparkSession, sf_dir: str) -> None:
+    """Build-or-refresh the two PERSISTENT gate-fixture store indexes
+    (r10; replaces the r09 per-call build+drop): sig_idx_gate over
+    the incremental-near-dup signature store's band keys and
+    ref_idx_gate over the linkage reference store's blocking keys.
+    Both are part of catalog_describe's deterministic fixture set, so
+    the indexed gate rows pay steady-state cost — a no-op J1 check —
+    instead of a full rebuild per call."""
+    from ariadne_spark import catalog as _cat
+    from ariadne_spark.operators.dedup import signature_store_index
+    from ariadne_spark.operators.linkage import reference_store_index
+    from ariadne_spark.storage.lock import IndexLock
+
+    _prepare(spark, sf_dir)
+    sig = _ensure_sigstore(spark, sf_dir)
+    ref = _ensure_refstore(spark, sf_dir)
+    base = f"{WORK}/{_tag(sf_dir)}"
+    if not (
+        _cat.exists("sig_idx_gate", spark)
+        and _cat.exists("ref_idx_gate", spark)
+    ):
+        with IndexLock(
+            f"{base}/locks", "gate_store_idx", timeout=1800, max_wait=1800
+        ):
+            signature_store_index(spark, sig, "sig_idx_gate")
+            reference_store_index(
+                spark, ref, "ref_idx_gate", "lname", block_prefix=16
+            )
 
 
 def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,50 +716,32 @@ def q_dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pruning is an optimization, never semantics: the oracle is
     IDENTICAL to dedup_incremental (one shared SQL constant), and a
     divergence means the index dropped or re-admitted a collision.
-    The index is dropped afterwards to keep catalog_describe's fixture
-    set deterministic."""
-    from ariadne_spark import catalog as _cat
+    r10: the index is a PERSISTENT catalog fixture
+    (_prepare_gate_store_indexes) instead of a per-call build+drop —
+    this row now measures the steady state a production loop pays (a
+    no-op J1 refresh + the pruned band join), the r09 verdict's
+    'What's wrong #2'."""
     from ariadne_spark.operators.dedup import (
         incremental_near_dup,
         signature_store_index,
         verify_jaccard_arrays,
     )
 
-    _prepare(spark, sf_dir)  # sets spark.ariadne.storagePath
+    _prepare_gate_store_indexes(spark, sf_dir)
     docs = spark.read.parquet(_t(sf_dir, "documents"))
-    cut = 250
     store = f"{WORK}/{_tag(sf_dir)}/sigstore"
-    if not os.path.isdir(store):
-        # the store write inside q_dedup_incremental is eager (and
-        # lock-guarded); the pair frame it returns stays lazy, so this
-        # builds only the shared fixture
-        q_dedup_incremental(spark, sf_dir)
-    new = docs.where(F.col("doc_id") >= cut)
-    # serialize the shared index name's build/remove across concurrent
-    # sessions at the same scale tag (the fixture store takes the same
-    # precaution): without it, session A's finally-remove can race
-    # session B's add_files/update mid-flight
-    from ariadne_spark.storage.lock import IndexLock
-
-    with IndexLock(
-        f"{WORK}/{_tag(sf_dir)}/locks", "sig_idx_gate",
-        timeout=1800, max_wait=1800,
-    ):
-        try:
-            idx = signature_store_index(spark, store, "sig_idx_gate")
-            # the pruned file list is resolved eagerly inside the call,
-            # so the returned plan reads pinned parquet files and
-            # survives the index drop below
-            cand = incremental_near_dup(
-                new, store, threshold=0.7, update_store=False,
-                store_index=idx,
-            )
-            return verify_jaccard_arrays(cand, docs, "text", "doc_id", 5, 0.8)
-        finally:
-            try:
-                _cat.remove("sig_idx_gate", spark)
-            except Exception:
-                pass
+    new = docs.where(F.col("doc_id") >= 250)
+    # steady-state refresh: with a cached handle and an unchanged
+    # store listing this is one directory listing, zero Spark jobs
+    key = (id(spark), _tag(sf_dir), "sig_idx_gate")
+    idx = signature_store_index(
+        spark, store, "sig_idx_gate", handle=_GATE_IDX_HANDLES.get(key)
+    )
+    _GATE_IDX_HANDLES[key] = idx
+    cand = incremental_near_dup(
+        new, store, threshold=0.7, update_store=False, store_index=idx
+    )
+    return verify_jaccard_arrays(cand, docs, "text", "doc_id", 5, 0.8)
 
 
 def q_corpus_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2384,6 +2450,7 @@ def q_catalog_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prepare_ivf(spark, sf_dir)
     _prepare_ivf_pq(spark, sf_dir)
     _prepare_fp_index(spark, sf_dir)
+    _prepare_gate_store_indexes(spark, sf_dir)
     return describe_stable(catalog.describe_all(spark))
 
 
@@ -3407,29 +3474,18 @@ def q_link_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     optimization, never semantics: the oracle is IDENTICAL to
     link_fuzzy_join (one shared SQL constant) — the blocking
     predicate is symmetric, so linking typos->reference returns
-    exactly the reference->typos pair set. The index is dropped
-    afterwards to keep catalog_describe's fixture set
-    deterministic."""
-    from ariadne_spark import catalog as _cat
+    exactly the reference->typos pair set. r10: the index is a
+    PERSISTENT catalog fixture (_prepare_gate_store_indexes), so
+    this row measures the steady state — a no-op J1 refresh + the
+    pruned fuzzy join — not a per-call build+drop."""
     from ariadne_spark.operators.linkage import (
         incremental_fuzzy_link,
         reference_store_index,
     )
-    from ariadne_spark.storage.lock import IndexLock
 
-    _prepare(spark, sf_dir)  # sets spark.ariadne.storagePath
+    _prepare_gate_store_indexes(spark, sf_dir)
     cust = spark.read.parquet(_t(sf_dir, "customer"))
     store = f"{WORK}/{_tag(sf_dir)}/refstore"
-    if not os.path.isdir(store):
-        cust.select(
-            F.col("c_custkey").alias("lid"), F.col("c_name").alias("lname")
-        ).repartitionByRange(6, "lid").write.mode("overwrite").parquet(
-            store + ".__tmp"
-        )
-        try:
-            os.rename(store + ".__tmp", store)
-        except OSError:
-            pass  # a concurrent session won the rename; use its copy
     typo = F.expr(
         "CASE CAST(c_custkey % 4 AS INT)"
         " WHEN 0 THEN concat(substring(c_name, 1, length(c_name)-1), 'X')"
@@ -3443,27 +3499,19 @@ def q_link_fuzzy_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = cust.select(
         (F.col("c_custkey") + 1000000).alias("rid"), typo.alias("rname")
     )
-    with IndexLock(
-        f"{WORK}/{_tag(sf_dir)}/locks", "ref_idx_gate",
-        timeout=1800, max_wait=1800,
-    ):
-        try:
-            idx = reference_store_index(
-                spark, store, "ref_idx_gate", "lname", block_prefix=16
-            )
-            # the pruned file list is resolved eagerly inside the
-            # call, so the returned plan reads pinned parquet files
-            # and survives the index drop below
-            out = incremental_fuzzy_link(
-                batch, store, "rname", "lname",
-                max_distance=2, block_prefix=16, store_index=idx,
-            )
-            return out.select("lid", "lname", "rid", "rname")
-        finally:
-            try:
-                _cat.remove("ref_idx_gate", spark)
-            except Exception:
-                pass
+    # steady-state refresh: with a cached handle and an unchanged
+    # store listing this is one directory listing, zero Spark jobs
+    key = (id(spark), _tag(sf_dir), "ref_idx_gate")
+    idx = reference_store_index(
+        spark, store, "ref_idx_gate", "lname", block_prefix=16,
+        handle=_GATE_IDX_HANDLES.get(key),
+    )
+    _GATE_IDX_HANDLES[key] = idx
+    out = incremental_fuzzy_link(
+        batch, store, "rname", "lname",
+        max_distance=2, block_prefix=16, store_index=idx,
+    )
+    return out.select("lid", "lname", "rid", "rname")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -4450,6 +4498,8 @@ def oracle_sql() -> dict[str, str]:
                 ('orders_footer', 'o_orderkey', 'range', 4),
                 ('orders_inc', 'o_custkey', 'regular', 4),
                 ('orders_large', 'o_custkey', 'regular', 4),
+                ('ref_idx_gate', 'block_key', 'bloom', 6),
+                ('sig_idx_gate', 'band_key', 'bloom', 2),
                 ('src0_fingerprints', 'fingerprint', 'bloom', 8),
                 ('supplier_json', 's_nationkey', 'regular', 2)
             ) AS t("index", "column", "type", num_files)

@@ -1359,6 +1359,17 @@ def _bloom_store_index(
             idx.add_bloom_index(column, fpr=fpr, expression=expression)
     if files is None:
         files = _snapshot_files(spark, store_path, kind)
+    if handle is not None:
+        # steady-state fast path: a reused handle whose remembered
+        # listing exactly matches the store's current files has
+        # nothing to do — no appends to fold in, no compacted files
+        # to drop — so skip the J1 round trip entirely
+        from ..sources.files import normalize_path as _np
+
+        if getattr(idx, "_ariadne_store_listing", None) == {
+            _np(f) for f in files
+        }:
+            return idx
     if files:
         idx.add_files(files)
         idx.update()
