@@ -58,23 +58,62 @@ _DESCRIBE_SCHEMA = T.StructType(
 
 
 def _file_counts(spark: SparkSession, names: list[str]) -> dict[str, int]:
-    """FileList row counts for all named indexes in ONE Spark job:
-    union the (tiny) filelist tables tagged by index name, one
-    groupBy-count, one collect — instead of a count() job per index
-    (500 indexes would otherwise mean 500 jobs)."""
+    """FileList row counts for all named indexes in ONE Spark job.
+
+    Manifest-backed filelists are counted from a single parquet scan
+    over every live segment of every index (explicit schema, so no
+    per-table schema-inference job; the per-table ``read()`` plan
+    union previously cost one listing/inference job per index — 500
+    indexes would mean 500 jobs before the count even ran). Rows are
+    attributed to their index from the file path. ``count_distinct``
+    over raw segment rows equals each table's replace-per-key read
+    count because the FileList keys on ``filename`` (re-adds append
+    duplicate keys that the read collapses). Non-manifest backends
+    fall back to the unioned per-table read."""
     from pyspark.sql import functions as F
 
-    counted = None
+    from .storage.table import ParquetTable
+
+    counts: dict[str, int] = {name: 0 for name in names}
+    seg_dirs: list[str] = []
+    fallback: list[str] = []
     for name in names:
-        fl = Index.for_name(name, spark=spark).files.select(
-            F.lit(name).alias("__index")
+        tbl = Index.for_name(name, spark=spark).filelist.table
+        if isinstance(tbl, ParquetTable):
+            m = tbl._read_manifest()
+            seg_dirs.extend(
+                f"{tbl.path}/{s['dir']}" for s in (m["segments"] if m else [])
+            )
+        else:
+            fallback.append(name)
+    if seg_dirs:
+        rows = (
+            spark.read.schema("filename string")
+            .parquet(*seg_dirs)
+            .select(
+                F.regexp_extract(
+                    F.input_file_name(), r"/indexes/([^/]+)/filelist/", 1
+                ).alias("__index"),
+                "filename",
+            )
+            .groupBy("__index")
+            .agg(F.count_distinct("filename").alias("n"))
+            .collect()
         )
-        counted = fl if counted is None else counted.unionByName(fl)
-    if counted is None:
-        return {}
-    rows = counted.groupBy("__index").agg(F.count("*").alias("n")).collect()
-    found = {r["__index"]: r["n"] for r in rows}
-    return {name: found.get(name, 0) for name in names}
+        for r in rows:
+            if r["__index"] in counts:
+                counts[r["__index"]] = r["n"]
+    if fallback:
+        counted = None
+        for name in fallback:
+            fl = Index.for_name(name, spark=spark).files.select(
+                F.lit(name).alias("__index")
+            )
+            counted = fl if counted is None else counted.unionByName(fl)
+        rows = counted.groupBy("__index").agg(F.count("*").alias("n")).collect()
+        for r in rows:
+            counts[r["__index"]] = r["n"]
+    return counts
 
 
 def _describe_rows(name: str, meta, n_files: int) -> list[tuple]:
