@@ -92,9 +92,13 @@ def connected_components(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    # Non-eager checkpoints: the fingerprint collect right after is the
+    # round's FIRST action, so it materializes the checkpoint and
+    # computes the convergence stat in ONE Spark job — an eager
+    # checkpoint plus a separate collect cost two full jobs per round.
     e = _dedupe_edges(
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # Rounds are deterministic, so an unchanged edge-set fingerprint
     # means a fixpoint. Seeding from the (identically-normalized)
@@ -103,7 +107,7 @@ def connected_components(
     # ONE round instead of two.
     prev_fp = _fp(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         fp = _fp(e)
         if fp == prev_fp:
             break
