@@ -60,6 +60,18 @@ def _set_session(spark: SparkSession, sf_dir: str) -> None:
         pass
 
 
+def _stream_state_partitions(spark: SparkSession) -> str:
+    """Shuffle-partition count for the stateful streaming rows =
+    state-store instance count (fixed per checkpoint lifetime). Sized
+    to the STATE (a few hundred windows / ~1.5k keys), not the core
+    count: every instance pays a fixed per-batch load+commit and
+    concurrent commits contend superlinearly (r10 measurements in
+    OPTIMIZATION_r10.md). Deployments with large state raise
+    ``spark.ariadne.streamStatePartitions`` before the first run of a
+    checkpoint."""
+    return str(spark.conf.get("spark.ariadne.streamStatePartitions", "8"))
+
+
 def _split_ranges(spark, df, col, n, out_dir) -> list[str]:
     if not os.path.isdir(out_dir):
         import datetime
@@ -406,13 +418,17 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a lazy read (no collect/createDataFrame round trip)
     sink = f"{WORK}/{_tag(sf_dir)}/_stream_sink/latest"
     shutil.rmtree(sink, ignore_errors=True)
-    # State partitions trade per-partition store overhead against
-    # Arrow-batch parallelism in the stateful fn; measured at sf0.1
-    # (100k rows / 1.5k keys) 16 beats 8/32 by ~25%. Each run uses a
-    # fresh checkpoint, so the partition count is free to pick here
-    # (a real deployment sizes it to key cardinality once).
+    # State-store instance count should track STATE size (1.5k keys
+    # here), not core count: each instance pays a fixed per-batch
+    # load+commit, and concurrent commits contend superlinearly (r10:
+    # commitTimeMs sum 23s at 16 instances vs 8s at 8 on identical
+    # input). Conf-driven so a real deployment with large state sizes
+    # it up once per checkpoint lifetime; each bench run uses a fresh
+    # checkpoint, so the default applies.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _stream_state_partitions(spark)
+    )
     try:
         q = (
             latest.writeStream.foreachBatch(
@@ -480,8 +496,13 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window set; returned frame is a lazy distributed read
     sink = f"{WORK}/{_tag(sf_dir)}/_stream_sink/window"
     shutil.rmtree(sink, ignore_errors=True)
+    # see q_streaming_latest: state instances sized to state (~150
+    # window rows), not cores; 8 instances measured 1.6s vs 2.3s (16)
+    # and 4.7s (32) end to end at sf0.1
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", _stream_state_partitions(spark)
+    )
     try:
         q = (
             agged.writeStream.foreachBatch(
