@@ -371,7 +371,36 @@ class Index:
         return df
 
     def unindexed_files(self) -> list[str]:
-        """FileList ∖ index (reference J1: Index.scala:166-183)."""
+        """FileList ∖ index (reference J1: Index.scala:166-183).
+
+        Manifest-backed tables take a two-scan fast path: raw
+        filename-only reads of the live segments (explicit schema, so
+        parquet prunes to one tiny column and no shuffle runs) with
+        the set difference on the driver — exact because both tables
+        key on filename (see ``ParquetTable.segment_dirs``), and
+        driver-sized because ``update()`` materializes this list
+        anyway. The replace-per-key read + anti-join plan this
+        replaces cost 5 Spark jobs per update against 2."""
+        from .storage.table import ParquetTable
+
+        fl_tbl = self.filelist.table
+        if isinstance(fl_tbl, ParquetTable) and isinstance(
+            self.table, ParquetTable
+        ):
+            fl_dirs = fl_tbl.segment_dirs()
+            if not fl_dirs:
+                return []
+            reader = self.spark.read.schema("filename string")
+            fl_names = {
+                r[0] for r in reader.parquet(*fl_dirs).collect()
+            }
+            ix_dirs = self.table.segment_dirs()
+            ix_names = (
+                {r[0] for r in reader.parquet(*ix_dirs).collect()}
+                if ix_dirs
+                else set()
+            )
+            return sorted(fl_names - ix_names)
         files = self.filelist.files.select("filename")
         idx = self.index_df
         if idx is None:
@@ -428,9 +457,14 @@ class Index:
                 and self.meta.indexes
                 and all(c.type == RANGE for c in self.meta.indexes)
             )
-            if use_footers:
+            if use_footers or len(todo) == 1:
                 # range structs hold no collect_set state, so batch
-                # packing (and its HLL analysis scan) is unnecessary
+                # packing (and its HLL analysis scan) is unnecessary;
+                # a single file likewise always forms exactly one
+                # batch (oversize files get their own batch anyway),
+                # so the analysis scan would only re-derive that —
+                # skipping it saves 2 jobs on the steady-state
+                # one-new-file micro-batch path
                 batches = [sorted(todo)]
             else:
                 analyses = analyze_files(

@@ -1371,7 +1371,18 @@ def _bloom_store_index(
         }:
             return idx
     if files:
-        idx.add_files(files)
+        from ..sources.files import normalize_path as _np2
+
+        prev_listing = getattr(idx, "_ariadne_store_listing", None) or set()
+        # register only files the handle hasn't successfully indexed
+        # yet (the listing is remembered only after add+update
+        # completed, so a crashed update re-registers — harmless, the
+        # FileList is insert-if-absent). Re-adding the full listing
+        # every micro-batch appended one duplicate FileList segment
+        # per batch, growing every later read's plan for no data.
+        new_files = [f for f in files if _np2(f) not in prev_listing]
+        if new_files:
+            idx.add_files(new_files)
         idx.update()
         # store compaction rewrites part files: the replaced files stay
         # in the index forever unless dropped here (harmless for

@@ -46,6 +46,21 @@ class FileList:
         return df
 
     def filenames(self) -> list[str]:
+        from .table import ParquetTable
+
+        if isinstance(self.table, ParquetTable):
+            # one filename-only scan of the live segments (explicit
+            # schema, no shuffle); the driver set() collapses re-adds
+            # exactly like the replace-per-key read would
+            dirs = self.table.segment_dirs()
+            if not dirs:
+                return []
+            rows = (
+                self.spark.read.schema("filename string")
+                .parquet(*dirs)
+                .collect()
+            )
+            return sorted({r[0] for r in rows})
         return [r[0] for r in self.files.select("filename").collect()]
 
     def add(self, filenames: list[str]) -> None:

@@ -421,3 +421,16 @@ class ParquetTable:
     def num_segments(self) -> int:
         m = self._read_manifest()
         return len(m["segments"]) if m else 0
+
+    def segment_dirs(self) -> list[str]:
+        """Absolute paths of the LIVE segment directories (empty when
+        the table has never been written). Lets key-only readers scan
+        every live segment in one pruned pass with an explicit schema:
+        for replace-per-key tables the distinct key set across raw
+        segment rows equals the post-dedup key set (dedup only picks
+        which ROW wins per key; deletes rewrite segments), so "which
+        keys exist" never needs the full replace-per-key read plan."""
+        m = self._read_manifest()
+        if m is None:
+            return []
+        return [_join(self.path, s["dir"]) for s in m["segments"]]
