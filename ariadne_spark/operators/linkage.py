@@ -120,7 +120,11 @@ def reference_store_index(
     :func:`~ariadne_spark.operators.dedup.signature_store_index`."""
     from .dedup import _bloom_store_index
 
-    schema = spark.read.parquet(store_path).schema
+    schema = None
+    if handle is None:
+        # only the cold path needs the schema (a reused handle never
+        # touches it) — don't pay the store footer read per refresh
+        schema = spark.read.parquet(store_path).schema
     return _bloom_store_index(
         spark, store_path, name, schema, "block_key", "reference", fpr,
         files=files, handle=handle,

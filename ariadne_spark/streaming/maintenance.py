@@ -823,11 +823,17 @@ def attach_url_dedup_maintenance(
             if files:
                 seen = spark.read.parquet(*files)
                 firsts = firsts.join(seen, "url_key", "left_anti")
+        # cache the survivors: both the sink write and the ledger-key
+        # write read them, and an unpersisted plan would re-run the
+        # batch scan + min-id semi-join + ledger anti-join per action
+        # (the same 2× the quota sink measured for its `kept`)
+        firsts = firsts.cache()
         out = firsts.unionByName(null_rows).withColumn(
             "batch_id", F.lit(batch_id)
         )
         out.write.mode("append").parquet(out_path)
         firsts.select("url_key").write.mode("append").parquet(store_path)
+        firsts.unpersist()
         log.info("url dedup maintenance: batch %d done", batch_id)
 
     writer = stream_df.writeStream.foreachBatch(do_batch)
