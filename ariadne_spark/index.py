@@ -874,7 +874,20 @@ class Index:
         metadata v9's total_indexed_file_size). Recomputed exactly from
         the index table: one tiny aggregation beats incremental
         bookkeeping that can drift."""
-        idx = self.index_df
+        from .storage.table import ParquetTable
+
+        if isinstance(self.table, ParquetTable):
+            # column-pruned replace-per-key read: the default plan
+            # packs every index column into the max_by struct, so this
+            # one SUM would otherwise rescan every bloom blob and
+            # value array after each update
+            idx = (
+                self.table.read(columns=["file_size"])
+                if self.table.exists
+                else None
+            )
+        else:
+            idx = self.index_df
         if idx is None:
             self.meta.total_indexed_bytes = 0
             return

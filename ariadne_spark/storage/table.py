@@ -164,11 +164,21 @@ class ParquetTable:
     def exists(self) -> bool:
         return self._latest_version() is not None
 
-    def read(self, version: int | None = None) -> DataFrame | None:
+    def read(
+        self, version: int | None = None, columns: list[str] | None = None
+    ) -> DataFrame | None:
         """Table state as of ``version`` (default: latest), or None if
         the table doesn't exist. Unknown versions raise with the
         available range; versions older than the last vacuum may
-        reference reclaimed segments and fail at scan time."""
+        reference reclaimed segments and fail at scan time.
+
+        ``columns`` narrows the result to those columns (keys are
+        still read internally to resolve replace-per-key). Pass it
+        when only a few columns matter: the default multi-segment plan
+        packs EVERY non-key column into the ``max_by`` struct, which
+        defeats parquet column pruning — a caller summing one numeric
+        column would otherwise scan every bloom blob and value array
+        in the table."""
         if version is not None:
             vs = self._versions()  # one listing for check + message
             if version not in vs:
@@ -190,7 +200,7 @@ class ParquetTable:
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d, allowMissingColumns=True)
-            return out
+            return out.select(*columns) if columns is not None else out
         dfs = [
             self.spark.read.parquet(_join(self.path, s["dir"]))
             .withColumn(_SEQ_COL, F.lit(s["seq"]))
@@ -200,7 +210,18 @@ class ParquetTable:
         for d in dfs[1:]:
             union = union.unionByName(d, allowMissingColumns=True)
         keys = list(self.key_cols)
+        if columns is not None:
+            # prune BEFORE the agg so the parquet scan reads only the
+            # requested columns (+ keys); replace-per-key semantics
+            # are unchanged — dedup picks the same winning row/segment
+            keep = list(
+                dict.fromkeys(keys + list(columns) + [_SEQ_COL])
+            )
+            union = union.select(
+                *[c for c in union.columns if c in keep]
+            )
         data_cols = [c for c in union.columns if c != _SEQ_COL]
+        out_cols = list(columns) if columns is not None else data_cols
         if self.segment_unique:
             # ≤1 row per key per segment: a max_by/min_by partial-agg
             # groupBy resolves replace-per-key in ONE shuffle whose
@@ -210,13 +231,13 @@ class ParquetTable:
             pick_fn = F.max_by if self.dedup == "last" else F.min_by
             others = [c for c in data_cols if c not in self.key_cols]
             if not others:  # keys-only table: all rows per key equal
-                return union.select(*keys).distinct()
+                return union.select(*keys).distinct().select(*out_cols)
             packed = union.groupBy(*keys).agg(
                 pick_fn(F.struct(*others), F.col(_SEQ_COL)).alias("__row")
             )
             return packed.select(
                 *keys, *[F.col("__row")[c].alias(c) for c in others]
-            ).select(*data_cols)
+            ).select(*out_cols)
         # multi-row-per-key segments (exploded large indexes): find
         # each key's winning segment from a column-pruned scan (the
         # agg reads only the key columns; seq is a literal), then
@@ -244,7 +265,8 @@ class ParquetTable:
         # when it doesn't).
         if self._bytes_of(segments) <= self._winner_broadcast_max_bytes():
             winners = F.broadcast(winners)
-        return union.join(winners, cond, "left_semi").drop(_SEQ_COL)
+        out = union.join(winners, cond, "left_semi").drop(_SEQ_COL)
+        return out.select(*out_cols) if columns is not None else out
 
     def _bytes_of(self, segments: list[dict]) -> int:
         """Total on-disk bytes of the referenced segments (driver-side

@@ -697,3 +697,44 @@ def test_parquet_table_manifest_extra_versions_with_commit(spark, tmp_path):
     t.restore(t.versions()[0])
     assert t.manifest_extra() == {}
     assert t.read().count() == 3
+
+
+def test_table_column_pruned_read(spark, storage):
+    """r10: read(columns=...) returns the same per-key winners as the
+    full read restricted to those columns, on every dedup path, and
+    the pruned plan's parquet scan reads only keys + requested columns
+    (the full multi-segment plan packs every column into the max_by
+    struct, defeating parquet column pruning)."""
+    su = ParquetTable(
+        spark, f"{storage}/tprune_u", key_cols=("k",), segment_unique=True
+    )
+    multi = ParquetTable(spark, f"{storage}/tprune_m", key_cols=("k",))
+    for t in (su, multi):
+        t.append(
+            spark.createDataFrame(
+                [(1, 10, "x"), (2, 20, "y")], ["k", "v", "w"]
+            )
+        )
+        t.append(
+            spark.createDataFrame(
+                [(2, 21, "Y"), (3, 30, "z")], ["k", "v", "w"]
+            )
+        )
+        full = {(r["k"], r["v"]) for r in t.read().select("k", "v").collect()}
+        pruned = t.read(columns=["k", "v"])
+        assert pruned.columns == ["k", "v"]
+        assert {tuple(r) for r in pruned.collect()} == full
+        # value-only projection (no key in the output)
+        vals = sorted(r[0] for r in t.read(columns=["v"]).collect())
+        assert vals == sorted(v for _, v in full)
+        plan = (
+            t.read(columns=["v"])._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "w#" not in plan, plan  # unrequested column never scanned
+    # keys-only segment_unique projection
+    assert sorted(
+        r[0] for r in su.read(columns=["k"]).collect()
+    ) == [1, 2, 3]
+    # single-segment fast path honors columns too
+    su.compact()
+    assert su.read(columns=["v"]).columns == ["v"]
