@@ -38,33 +38,49 @@ def _symmetric(e: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every strictly-larger neighbor of u to min(Γ(u) ∪ u)."""
-    sym = _dedupe_edges(_symmetric(e))
+def _ls_ss_round(e: DataFrame) -> DataFrame:
+    """One large-star + small-star round, fused.
+
+    Input invariant (established at entry and re-established by every
+    round): ``e`` is duplicate-free and strictly oriented ``src > dst``.
+    That invariant makes two of the naive composition's four distincts
+    and the small star's greatest/least re-orientation provably no-ops:
+
+    - ``_symmetric(e)`` of an oriented duplicate-free edge set is
+      itself duplicate-free (the two orientations cannot collide), so
+      the large star needs no input distinct — and even when the join
+      below re-emits a duplicate, the small-star distinct right after
+      removes it before it can compound.
+    - The large star only emits ``(dst, m)`` with ``m ≤ src < dst``,
+      so its output is ALREADY strictly oriented: the small star's
+      large→small re-orientation is the identity and one distinct
+      covers both the large star's output dedupe and the small star's
+      input dedupe.
+
+    Fusing also keeps the middle of the round keyed by the same
+    ``src`` column, so the distinct → groupBy → join run reuses one
+    hash partitioning instead of re-exchanging per operator.
+    """
+    # Large star: per-node min over the symmetrized neighborhood, then
+    # connect every strictly-larger neighbor to min(Γ(u) ∪ u).
+    sym = _symmetric(e)
     mins = sym.groupBy("src").agg(
         F.least(F.min("dst"), F.col("src")).alias("m")
     )
-    return _dedupe_edges(
+    ls = (
         sym.join(mins, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
     )
-
-
-def _small_star(e: DataFrame) -> DataFrame:
-    """Orient edges large→small, then connect each node's smaller
-    neighbors (and the node itself) to its minimum neighbor."""
-    o = _dedupe_edges(
-        e.select(
-            F.greatest("src", "dst").alias("src"),
-            F.least("src", "dst").alias("dst"),
-        )
-    )
-    mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+    # Small star over the (strictly-oriented) large-star output:
+    # connect each node's smaller neighbors and the node itself to its
+    # minimum neighbor.
+    o = ls.distinct()
+    mins2 = o.groupBy("src").agg(F.min("dst").alias("m"))
     return _dedupe_edges(
-        o.join(mins, "src")
+        o.join(mins2, "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .union(mins.select("src", F.col("m").alias("dst")))
+        .union(mins2.select("src", F.col("m").alias("dst")))
     )
 
 
@@ -96,8 +112,15 @@ def connected_components(
     # round's FIRST action, so it materializes the checkpoint and
     # computes the convergence stat in ONE Spark job — an eager
     # checkpoint plus a separate collect cost two full jobs per round.
+    # Entry normalization orients edges large→small, establishing the
+    # _ls_ss_round invariant (and collapsing (a,b)/(b,a) duplicates).
+    # NULL ids collapse to src == dst under greatest/least and are
+    # dropped, exactly as src != dst dropped them before.
     e = _dedupe_edges(
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        pairs.select(
+            F.greatest(F.col(src), F.col(dst)).alias("src"),
+            F.least(F.col(src), F.col(dst)).alias("dst"),
+        )
     ).localCheckpoint(eager=False)
 
     # Rounds are deterministic, so an unchanged edge-set fingerprint
@@ -107,7 +130,7 @@ def connected_components(
     # ONE round instead of two.
     prev_fp = _fp(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        e = _ls_ss_round(e).localCheckpoint(eager=False)
         fp = _fp(e)
         if fp == prev_fp:
             break

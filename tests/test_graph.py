@@ -163,6 +163,66 @@ def test_near_dup_clusters_transitive_chain(spark):
     assert comp == {1: 1, 4: 4}
 
 
+def test_fused_round_matches_naive_star_composition(spark):
+    """The fused large+small-star round (_ls_ss_round) must emit the
+    exact edge set of the naive composition small_star(large_star(e))
+    on an oriented duplicate-free input — the invariant that lets the
+    fused form drop two distincts and the re-orientation."""
+    from ariadne_spark.operators.graph import (
+        _dedupe_edges,
+        _ls_ss_round,
+        _symmetric,
+    )
+
+    def naive_large_star(e):
+        sym = _dedupe_edges(_symmetric(e))
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.col("src")).alias("m")
+        )
+        return _dedupe_edges(
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+
+    def naive_small_star(e):
+        o = _dedupe_edges(
+            e.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+        )
+        mins = o.groupBy("src").agg(F.min("dst").alias("m"))
+        return _dedupe_edges(
+            o.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mins.select("src", F.col("m").alias("dst")))
+        )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 40
+        raw = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(10, 60))
+        ]
+        pairs = spark.createDataFrame(raw, "a long, b long")
+        e = _dedupe_edges(
+            pairs.select(
+                F.greatest("a", "b").alias("src"),
+                F.least("a", "b").alias("dst"),
+            )
+        )
+        fused = {(r["src"], r["dst"]) for r in _ls_ss_round(e).collect()}
+        naive = {
+            (r["src"], r["dst"])
+            for r in naive_small_star(naive_large_star(e)).collect()
+        }
+        assert fused == naive, (trial, fused ^ naive)
+        # fused output re-establishes the round invariant
+        assert all(s > d for s, d in fused)
+
+
 def test_star_edges_plan_is_partial_aggregatable(spark):
     """star_edges must not contain a Window over the key (hot-key
     serialization); the min side partial-aggregates map-side and
