@@ -1125,32 +1125,34 @@ def _dup_star_pairs(spark: SparkSession, sf_dir: str):
     duplicate stars over the documents table — the edge construction
     shared by ``dedup_cluster`` and ``corpus_cluster_split``.
 
-    Digest both keys so the window shuffle carries 32-byte keys, and
-    spread the single-file read before the Arrow gram UDF (same
-    vectorized digest the oracle-green dedup_ngramset query uses — a
-    built-in char_ngrams expression is a per-element HOF, ~50x slower
-    at this gram volume). Both relations' star edges come from ONE
-    pass (two window shuffles chained in a single plan; the gram UDF
-    runs once because connected_components checkpoints the pair frame
-    eagerly)."""
-    from pyspark.sql import Window
-
+    Digest both keys so the shuffles carry 32-byte keys, and spread
+    the single-file read before the Arrow gram UDF (same vectorized
+    digest the oracle-green dedup_ngramset query uses — a built-in
+    char_ngrams expression is a per-element HOF, ~50x slower at this
+    gram volume). r10: per-key mins come from star_edges (partial-agg
+    groupBy min + duplicate-keys-only join) instead of two chained
+    Window.partitionBy shuffles — a mass-duplicated key no longer
+    serializes through one window task, the exact hazard star_edges
+    exists for. The keyed projection is localCheckpoint'd (lazily;
+    materialized by the CC entry fingerprint job) so the gram UDF
+    still runs ONCE even though both star_edges calls scan it."""
     from ariadne_spark.operators.dedup import _gram_set_key_udf
+    from ariadne_spark.operators.graph import star_edges
     from ariadne_spark.operators.util import ensure_parallelism
 
     docs = ensure_parallelism(spark.read.parquet(_t(sf_dir, "documents")))
     tkey = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
     gkey = _gram_set_key_udf(3)(F.col("text"))
-    keyed = docs.select("doc_id", tkey.alias("__tk"), gkey.alias("__gk"))
-    mins = keyed.select(
-        "doc_id",
-        F.min("doc_id").over(Window.partitionBy("__tk")).alias("__tm"),
-        F.min("doc_id").over(Window.partitionBy("__gk")).alias("__gm"),
+    keyed = docs.select(
+        "doc_id", tkey.alias("__tk"), gkey.alias("__gk")
+    ).localCheckpoint(eager=False)
+    # identical edge relation to the window form: every row points at
+    # its key-group min, singletons (min == self) drop out — the
+    # window form filtered them with src != dst, star_edges never
+    # emits them
+    pairs = star_edges(keyed, "__tk", "doc_id").union(
+        star_edges(keyed, "__gk", "doc_id")
     )
-    pairs = mins.select(
-        F.col("doc_id").alias("src"),
-        F.explode(F.array("__tm", "__gm")).alias("dst"),
-    ).where(F.col("src") != F.col("dst"))
     return docs, pairs
 
 
