@@ -449,6 +449,14 @@ def _encode_udf(codebooks: np.ndarray, normalize: bool = True):
     return F.pandas_udf(enc, T.ArrayType(T.IntegerType()))
 
 
+# persisted shortlists from prior ivf_pq_topk calls, released on the
+# NEXT call (same bounded-lifetime ledger as dedup._INCREMENTAL_LIVE):
+# the shortlist must stay cached while the caller actions the returned
+# frame, but without this it lived until memory pressure — one leaked
+# queries×shortlist block per call.
+_IVF_PQ_LIVE: list = []
+
+
 def ivf_pq_topk(
     index,
     sidecar_path: str,
@@ -472,6 +480,11 @@ def ivf_pq_topk(
     from pyspark.sql import Window
 
     spark = index.spark
+    while _IVF_PQ_LIVE:
+        try:
+            _IVF_PQ_LIVE.pop().unpersist()
+        except Exception:
+            pass
     blob = read_json(get_fs(spark, sidecar_path), sidecar_path)
     cents = np.array(blob["centroids"], dtype=np.float64)
     books = np.ascontiguousarray(blob["codebooks"], dtype=np.float64)
@@ -586,6 +599,7 @@ def ivf_pq_topk(
         .select(F.col(query_id), F.col("__cid").alias(corpus_id))
         .persist()
     )
+    _IVF_PQ_LIVE.append(short)
     n_short = short.count()
     # bounded exact tail: shortlisted ids push down into the vector
     # column read of the SAME located files. The isin pushdown is an

@@ -352,6 +352,36 @@ def test_ivf_pq_prunes_files_and_recalls(spark, emb, storage, tmp_path):
     assert top1 == {0: 0, 1: 1}
 
 
+def test_ivf_pq_shortlist_persist_released_on_next_call(
+    spark, emb, storage, tmp_path
+):
+    """The persisted shortlist from call N is unpersisted by call N+1
+    (bounded-lifetime ledger), and the repeat call's results are
+    unchanged."""
+    from ariadne_spark.operators import quantization as Q
+
+    idx, sidecar = Q.ivf_pq_index_build(
+        emb, f"{tmp_path}/ivfpq3", "tq_ivf_pq3",
+        n_centroids=16, n_files=8, m=8, k_codes=16, iters=2,
+    )
+    q = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    first = sorted(
+        map(tuple, Q.ivf_pq_topk(idx, sidecar, q, k=5, n_probe=4).collect())
+    )
+    assert len(Q._IVF_PQ_LIVE) == 1
+    held = Q._IVF_PQ_LIVE[0]
+    assert held.storageLevel.useMemory
+    second = sorted(
+        map(tuple, Q.ivf_pq_topk(idx, sidecar, q, k=5, n_probe=4).collect())
+    )
+    # call 2 released call 1's shortlist and registered its own
+    assert len(Q._IVF_PQ_LIVE) == 1 and Q._IVF_PQ_LIVE[0] is not held
+    assert not held.storageLevel.useMemory
+    assert second == first
+
+
 # ------------------------------------------------------------ edges
 
 
