@@ -299,20 +299,23 @@ def main() -> None:
     # queries is ~3.5 KB and overflows the driver's ~2.2 KB stdout
     # tail buffer, truncating the artifact (r06 finding #2). The final
     # stdout line stays < 500 bytes so BENCH_r{N}.json always parses.
-    sidecar = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_queries.json"
+    # r11 (additions only, VERDICT r10 item #8): ALSO write a
+    # core-count-suffixed copy (bench_queries_c{cpus}.json) — the c8
+    # and c32 driver runs previously overwrote the same sidecar, so
+    # per-query scaling could never be computed from the artifacts.
+    # SPARK_GRAFT_QUERIES_OUT overrides the primary sidecar path.
+    body = {
+        **summary,
+        "queries": timings,  # per-query median across passes
+        "queries_min": timings_min,  # steady-state floor
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_QUERIES_OUT", os.path.join(here, "bench_queries.json")
     )
-    with open(sidecar, "w") as f:
-        json.dump(
-            {
-                **summary,
-                "queries": timings,  # per-query median across passes
-                "queries_min": timings_min,  # steady-state floor
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+    for path in {sidecar, os.path.join(here, f"bench_queries_c{cpus}.json")}:
+        with open(path, "w") as f:
+            json.dump(body, f, indent=1, sort_keys=True)
     print(json.dumps(summary))
     spark.stop()
 

@@ -54,7 +54,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("PROFILE_ROUND", "r11"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 
