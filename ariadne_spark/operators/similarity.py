@@ -45,21 +45,21 @@ def _norm(a):
     )
 
 
-def cosine_scores(
+def _cosine_scores_expr(
     corpus: DataFrame,
     queries: DataFrame,
     corpus_id: str = "vec_id",
     query_id: str = "query_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All (query, corpus) cosine similarities: broadcast the query
-    side, score JVM-side.
+    """The original JVM-expression pair scorer (broadcast crossJoin,
+    per-pair array fold) — kept verbatim as the semantics REFERENCE
+    and the fallback for query sides the Arrow fast path does not
+    cover (empty/null/ragged/non-finite/zero-norm query vectors).
 
     Norms are materialized per ROW before the join (one array fold
     per vector), not inside the pair projection (which would re-fold
-    both norms once per PAIR — measured 2.6× slower at 331k pairs).
-    Identical float ops in identical order, so ranks and rounded
-    cosines are unchanged."""
+    both norms once per PAIR — measured 2.6× slower at 331k pairs)."""
     q = queries.select(
         F.col(query_id),
         F.col(vec_col).alias("__qv"),
@@ -79,6 +79,267 @@ def cosine_scores(
     )
 
 
+def _collected_queries(queries: DataFrame, query_id: str, vec_col: str):
+    """Driver-collected query side for the Arrow scorer, or None when
+    any query row needs the expression path's per-pair semantics
+    (empty set, NULL/ragged/null-element/non-finite/zero-norm query
+    vectors — all produce NULL/NaN cosines whose exact placement the
+    expression fallback reproduces for free). Queries are the SMALL
+    side by module contract (the crossJoin already collected them to
+    the driver to broadcast), so this is not a new driver burden."""
+    rows = queries.select(F.col(query_id), F.col(vec_col)).collect()
+    if not rows:
+        return None
+    qids, vecs = [], []
+    dim = None
+    for r in rows:
+        v = r[1]
+        if v is None or any(x is None for x in v):
+            return None
+        if dim is None:
+            dim = len(v)
+        elif len(v) != dim:
+            return None
+        qids.append(r[0])
+        vecs.append(v)
+    if dim == 0:
+        return None
+    qmat = np.array(vecs, dtype=np.float64)
+    if not np.isfinite(qmat).all():
+        return None
+    # query norms via the same sequential left fold as _norm:
+    # acc = 0.0; acc += x_i * x_i in element order; sqrt — every op
+    # IEEE double, bit-identical to the JVM expression
+    qn = np.zeros(len(qids), dtype=np.float64)
+    for i in range(dim):
+        qn = qn + qmat[:, i] * qmat[:, i]
+    qn = np.sqrt(qn)
+    if (qn == 0.0).any():
+        return None
+    return qids, qmat, qn
+
+
+def _mask_null_elements(corpus: DataFrame, corpus_id: str, vec_col: str) -> DataFrame:
+    """Rows whose vector CONTAINS a null element score NULL against
+    every query (a null product poisons the _dot fold), exactly like
+    rows whose vector IS null — collapse the former onto the latter
+    JVM-side so the Arrow scorer only ever sees fully-populated
+    vectors (Arrow→pandas would silently turn null elements into NaN,
+    which ranks differently)."""
+    vec = F.col(vec_col)
+    masked = F.when(
+        F.exists(vec, lambda x: x.isNull()), F.lit(None)
+    ).otherwise(vec)
+    return corpus.select(F.col(corpus_id), masked.alias(vec_col))
+
+
+def _arrow_pair_scores(
+    corpus: DataFrame,
+    qids: list,
+    qmat: "np.ndarray",
+    qn: "np.ndarray",
+    corpus_id: str,
+    query_id: str,
+    query_id_type: T.DataType,
+    vec_col: str,
+    topk: int | None = None,
+) -> DataFrame:
+    """All (query, corpus) cosines as ONE Arrow-batched corpus scan —
+    the guide §4 move replacing the crossJoin's per-pair JVM array
+    folds (zip_with + aggregate allocate a fresh array per pair) with
+    vectorized numpy over whole record batches.
+
+    Bit-exactness contract (what makes this a pure optimization): the
+    scorer replays the expression path's EXACT IEEE op sequence —
+    float→double widening per element, per-pair products left-folded
+    from 0.0 in element order (a dim-step vectorized loop, never a
+    BLAS matmul, whose blocked summation would round differently),
+    norms as the same fold under sqrt, and dot/(qn*cn) in that
+    association. NaN cosines (NaN inputs) cannot cross Arrow (pandas
+    NaN → null), so they travel as a ``__nan`` flag and are
+    reconstructed as literal NaN doubles JVM-side; NULL cosines
+    (null vector / dim mismatch) travel as genuine nulls. Zero-norm
+    CORPUS rows are outside the parity domain: the expression path
+    raises ANSI DIVIDE_BY_ZERO on them (Spark 4 default), so no
+    previously-computable query contains one; here they score NaN.
+
+    ``topk``: per-batch partial top-k per query under the full
+    (NaN first, cosine desc, corpus_id asc) order — only candidate
+    rows leave Python, the blocked-top-k shape of guide §3. Rows the
+    batch cannot rank exactly (NULL cosines, null corpus ids) are
+    passed through untruncated for the final window to place."""
+    import pandas as pd
+
+    dim = qmat.shape[1]
+    nq = len(qids)
+    qid_arr = np.empty(nq, dtype=object)
+    qid_arr[:] = qids
+    cid_type = corpus.schema[corpus_id].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, query_id_type),
+            T.StructField(corpus_id, cid_type),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("__nan", T.BooleanType()),
+        ]
+    )
+    cols = [query_id, corpus_id, "cosine", "__nan"]
+
+    def scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            vecs = pdf[vec_col]
+            cids = pdf[corpus_id]
+            lens = np.fromiter(
+                ((-1 if v is None else len(v)) for v in vecs),
+                dtype=np.int64,
+                count=n,
+            )
+            clean = lens == dim
+            out_frames = []
+            n_clean = int(clean.sum())
+            if n_clean:
+                pos = np.flatnonzero(clean)
+                mat = np.stack([np.asarray(vecs.iloc[i]) for i in pos]).astype(
+                    np.float64
+                )
+                # the same sequential fold as the JVM expression —
+                # see the bit-exactness contract above
+                acc = np.zeros((n_clean, nq), dtype=np.float64)
+                cn = np.zeros(n_clean, dtype=np.float64)
+                for i in range(dim):
+                    ci = mat[:, i]
+                    acc = acc + ci[:, None] * qmat[None, :, i]
+                    cn = cn + ci * ci
+                cn = np.sqrt(cn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (cn[:, None] * qn[None, :])
+                nan = np.isnan(cos)
+                cid_clean = cids.iloc[pos]
+                if topk is None or n_clean <= topk:
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                query_id: np.tile(qid_arr, n_clean),
+                                corpus_id: cid_clean.iloc[
+                                    np.repeat(np.arange(n_clean), nq)
+                                ].reset_index(drop=True),
+                                "cosine": cos.ravel(),
+                                "__nan": nan.ravel(),
+                            }
+                        )
+                    )
+                elif cid_clean.isna().any():
+                    # null corpus ids tie-break by Spark null ordering,
+                    # which numpy cannot replay — ship the batch whole
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                query_id: np.tile(qid_arr, n_clean),
+                                corpus_id: cid_clean.iloc[
+                                    np.repeat(np.arange(n_clean), nq)
+                                ].reset_index(drop=True),
+                                "cosine": cos.ravel(),
+                                "__nan": nan.ravel(),
+                            }
+                        )
+                    )
+                else:
+                    ids_np = cid_clean.to_numpy()
+                    take_rows: list[np.ndarray] = []
+                    take_q: list[int] = []
+                    sort_cos = np.where(nan, -np.inf, cos)
+                    for j in range(nq):
+                        order = np.lexsort(
+                            # keys read last-first: NaN rows first
+                            # (Spark: NaN > everything in desc), then
+                            # cosine desc, then corpus id asc
+                            (ids_np, -sort_cos[:, j], ~nan[:, j])
+                        )[:topk]
+                        take_rows.append(order)
+                        take_q.extend([j] * len(order))
+                    rows_idx = np.concatenate(take_rows)
+                    qpos = np.asarray(take_q, dtype=np.int64)
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                query_id: qid_arr[qpos],
+                                corpus_id: cid_clean.iloc[rows_idx].reset_index(
+                                    drop=True
+                                ),
+                                "cosine": cos[rows_idx, qpos],
+                                "__nan": nan[rows_idx, qpos],
+                            }
+                        )
+                    )
+            n_dirty = n - n_clean
+            if n_dirty:
+                # NULL-cosine pairs (null vector / dim mismatch):
+                # never truncated — the final window places them
+                dpos = np.flatnonzero(~clean)
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id: np.tile(qid_arr, n_dirty),
+                            corpus_id: cids.iloc[dpos]
+                            .iloc[np.repeat(np.arange(n_dirty), nq)]
+                            .reset_index(drop=True),
+                            "cosine": np.full(n_dirty * nq, np.nan),
+                            "__nan": np.zeros(n_dirty * nq, dtype=bool),
+                        }
+                    )
+                )
+            if out_frames:
+                yield pd.concat(out_frames, ignore_index=True)[cols]
+
+    raw = corpus.select(corpus_id, vec_col).mapInPandas(scan, out_schema)
+    return raw.select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.when(F.col("__nan"), F.lit(float("nan")))
+        .otherwise(F.col("cosine"))
+        .alias("cosine"),
+    )
+
+
+def cosine_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, corpus) cosine similarities.
+
+    Fast path (r11): ONE Arrow-batched corpus scan scoring whole
+    record batches against the driver-collected query matrix — the
+    guide §4 replacement for the broadcast crossJoin whose per-pair
+    ``aggregate(zip_with(...))`` folds allocate a fresh array per
+    pair. Values are bit-identical to the expression form (see
+    :func:`_arrow_pair_scores` for the exact-IEEE argument); query
+    sides the fast path cannot cover verbatim (empty, NULL/ragged/
+    non-finite/zero-norm vectors) fall back to the original
+    expression plan, unchanged."""
+    if corpus_id == query_id:
+        return _cosine_scores_expr(corpus, queries, corpus_id, query_id, vec_col)
+    q = _collected_queries(queries, query_id, vec_col)
+    if q is None:
+        return _cosine_scores_expr(corpus, queries, corpus_id, query_id, vec_col)
+    qids, qmat, qn = q
+    return _arrow_pair_scores(
+        _mask_null_elements(corpus, corpus_id, vec_col),
+        qids,
+        qmat,
+        qn,
+        corpus_id,
+        query_id,
+        queries.schema[query_id].dataType,
+        vec_col,
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -88,11 +349,33 @@ def cosine_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k per query with deterministic tie-break (higher
-    cosine first, then smaller corpus id)."""
-    scores = cosine_scores(corpus, queries, corpus_id, query_id, vec_col)
+    cosine first, then smaller corpus id).
+
+    r11: on the Arrow fast path the scorer emits only each batch's
+    top-k candidates per query (blocked top-k — a globally-top-k row
+    is top-k in its own batch, so truncation is lossless); the final
+    window ranks candidates instead of the full pair set."""
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
     )
+    q = None
+    if corpus_id != query_id:
+        q = _collected_queries(queries, query_id, vec_col)
+    if q is None:
+        scores = _cosine_scores_expr(corpus, queries, corpus_id, query_id, vec_col)
+    else:
+        qids, qmat, qn = q
+        scores = _arrow_pair_scores(
+            _mask_null_elements(corpus, corpus_id, vec_col),
+            qids,
+            qmat,
+            qn,
+            corpus_id,
+            query_id,
+            queries.schema[query_id].dataType,
+            vec_col,
+            topk=k,
+        )
     return (
         scores.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -1865,3 +1865,61 @@ def test_diversity_sample_rejects_unknown_centroids_mode(spark, emb):
 
     with pytest.raises(ValueError):
         diversity_sample(emb, n_per_cell=2, n_cells=4, centroids="kmean")
+
+
+def test_cosine_scores_arrow_matches_expression_exactly(spark, emb):
+    """r11: cosine_scores/cosine_topk route clean query sides through
+    an Arrow-batched scorer (one mapInPandas scan replacing the
+    broadcast-crossJoin per-pair JVM folds). The contract is
+    BIT-identical floats — pin repr-level equality against the
+    retained expression path on fixture data plus every corpus edge
+    class the fast path must reproduce (null vector, ragged dim,
+    null element, duplicate vector ties)."""
+    from ariadne_spark.operators.similarity import (
+        _cosine_scores_expr,
+        cosine_scores,
+        cosine_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    edge = spark.createDataFrame(
+        [
+            (900001, None),                     # null vector -> NULL cosine
+            (900002, [1.0] * (dim - 1)),        # ragged dim  -> NULL cosine
+            (900003, [1.0] + [None] * (dim - 1)),  # null element -> NULL
+            # NaN element -> NaN cosine via BOTH paths (the __nan
+            # Arrow flag). Zero-norm corpus rows are NOT a parity
+            # case: the expression reference itself raises ANSI
+            # DIVIDE_BY_ZERO on them (Spark 4 default), so no prior
+            # query could compute them.
+            (900004, [float("nan")] + [1.0] * (dim - 1)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(edge)
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["vec_id"], repr(r["cosine"]))
+            for r in df.collect()
+        )
+
+    got = canon(cosine_scores(corpus, queries))
+    want = canon(_cosine_scores_expr(corpus, queries))
+    assert got == want
+
+    topk_got = canon(cosine_topk(corpus, queries, k=7).select(
+        "query_id", "vec_id", "cosine"))
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy(
+        "query_id"
+    ).orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    topk_want = canon(
+        _cosine_scores_expr(corpus, queries)
+        .withColumn("rank", F.row_number().over(w))
+        .where("rank <= 7")
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+    assert topk_got == topk_want
