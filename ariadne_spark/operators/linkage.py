@@ -82,8 +82,14 @@ def fuzzy_join(
         r = r.withColumnRenamed(c, f"{c}_r")
     r_col = f"{right_col}_r" if right_col in overlap else right_col
     r = r.withColumn(rb, blocking_key(r_col, block_prefix))
+    # threshold form of levenshtein (Spark 3.5+): banded DP that
+    # early-exits past the bound (and on length delta alone), instead
+    # of filling the full |l|x|r| matrix per candidate pair. Returns
+    # the distance when <= bound, -1 otherwise, so ">= 0" is exactly
+    # the old "distance <= max_distance" predicate — same pair set.
     cond = (F.col(lb) == F.col(rb)) & (
-        F.levenshtein(F.col(left_col), F.col(r_col)) <= F.lit(max_distance)
+        F.levenshtein(F.col(left_col), F.col(r_col), int(max_distance))
+        >= F.lit(0)
     )
     joined = l.join(r, cond, how)
     return joined.drop(lb, rb)

@@ -91,6 +91,46 @@ def test_fuzzy_join_left_keeps_unmatched(spark):
     assert 3 in unmatched
 
 
+def test_fuzzy_join_bounded_levenshtein_matches_unbounded(spark):
+    """r11: the verify predicate uses the THRESHOLD form of
+    levenshtein (banded DP, early exit) — the pair set must equal the
+    unbounded `levenshtein(l, r) <= d` form on every edge class:
+    exact match, at-threshold, one-past-threshold, big length deltas,
+    empty strings, and unicode."""
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(
+            ["abc", "abcd", "abcdefgh", "", "café", "abXY"]
+        )],
+        ["lid", "lname"],
+    )
+    right = spark.createDataFrame(
+        [(100 + i, s) for i, s in enumerate(
+            ["abc", "abZ", "abZZ", "abZZZ", "abcdefghijkl", "cafés",
+             "ab", "a"]
+        )],
+        ["rid", "rname"],
+    )
+    for d in (0, 1, 2, 3):
+        got = {
+            (r["lid"], r["rid"])
+            for r in fuzzy_join(
+                left, right, "lname", "rname",
+                max_distance=d, block_prefix=1,
+            ).collect()
+        }
+        want = {
+            (r["lid"], r["rid"])
+            for r in left.withColumn("b", F.substring(F.lower(F.trim("lname")), 1, 1))
+            .join(
+                right.withColumn("b", F.substring(F.lower(F.trim("rname")), 1, 1)),
+                "b",
+            )
+            .where(F.levenshtein("lname", "rname") <= F.lit(d))
+            .collect()
+        }
+        assert got == want, f"max_distance={d}"
+
+
 def test_fuzzy_join_validates_inputs(spark):
     left, right = _names(spark)
     with pytest.raises(ValueError, match="how"):
