@@ -296,6 +296,21 @@ def pq_ann_topk(
     )
 
 
+def _pq_luts(qmat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Per-query (m, k_codes) ADC lookup tables:
+    LUT[q, s, c] = ||q_sub - books[s, c]||^2."""
+    m, kc, dsub = books.shape
+    luts = np.empty((qmat.shape[0], m, kc), dtype=np.float64)
+    for s in range(m):
+        sub = qmat[:, s * dsub : (s + 1) * dsub]
+        luts[:, s, :] = (
+            (sub**2).sum(axis=1)[:, None]
+            - 2.0 * (sub @ books[s].T)
+            + (books[s] ** 2).sum(axis=1)[None, :]
+        )
+    return luts
+
+
 def pq_ann_topk_rerank(
     codes: DataFrame,
     vectors: DataFrame,
@@ -318,15 +333,111 @@ def pq_ann_topk_rerank(
 
     At 100 TB the raw-vector join touches ``queries × shortlist`` rows
     (a broadcast-able id set), not the corpus: the expensive column is
-    read ~0% of the time, which is the entire point of PQ."""
+    read ~0% of the time, which is the entire point of PQ.
+
+    r11 (guide §2.5): the shortlist selection no longer runs
+    :func:`pq_ann_topk`'s rank window unconditionally. Candidates are
+    persisted once and a driver-sized per-query count decides whether
+    the shortlist bound even binds — when every query has at most
+    ``shortlist`` candidates (always true in full-shortlist exactness
+    runs, where the old plan paid a whole-corpus-per-query sort for a
+    no-op filter) the window is skipped outright; otherwise it runs
+    over the CACHED candidates, so the ADC scan never re-executes.
+    The kept set is identical by construction: row_number ≤ shortlist
+    keeps every row of a group that is not larger than the bound."""
     from .similarity import _dot, _norm
     from pyspark.sql import Window
 
-    short = pq_ann_topk(
-        codes, queries, codebooks, k=shortlist,
-        corpus_id=corpus_id, query_id=query_id,
-        vec_col=vec_col, code_col=code_col,
-    ).select(query_id, corpus_id)
+    while _IVF_PQ_LIVE:
+        try:
+            _IVF_PQ_LIVE.pop().unpersist()
+        except Exception:
+            pass
+    books = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, kc, dsub = books.shape
+    qrows = queries.select(
+        F.col(query_id), F.col(vec_col).cast("array<double>")
+    ).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = [r[0] for r in qrows]
+    luts = _pq_luts(_normalize_rows(_stack([r[1] for r in qrows])), books)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__qpos", T.IntegerType()),
+            T.StructField("__cid", codes.schema[corpus_id].dataType),
+            T.StructField("__adc", T.DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cmat = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf[code_col]]
+            )  # (n, m)
+            ids = pdf[corpus_id].to_numpy()
+            n = len(ids)
+            rows_q, rows_id, rows_d = [], [], []
+            for qi in range(len(qids)):
+                lut = luts[qi]
+                d = lut[np.arange(m)[None, :], cmat].sum(axis=1)
+                if n <= shortlist:
+                    # covering batch: the cut keeps every row — skip
+                    # the per-batch sort (row order is set-irrelevant
+                    # downstream)
+                    keep = np.arange(n)
+                else:
+                    # partial top-`shortlist` under the FULL
+                    # deterministic (adc, id) order (see pq_ann_topk:
+                    # argpartition would split ADC ties by position)
+                    keep = np.lexsort((ids, d))[:shortlist]
+                rows_q.append(np.full(len(keep), qi, dtype=np.int64))
+                rows_id.append(ids[keep])
+                rows_d.append(d[keep])
+            yield pd.DataFrame(
+                {
+                    "__qpos": np.concatenate(rows_q),
+                    "__cid": np.concatenate(rows_id),
+                    "__adc": np.concatenate(rows_d),
+                }
+            )
+
+    cand = (
+        codes.select(corpus_id, code_col)
+        .where(F.col(code_col).isNotNull())
+        .mapInPandas(scan, out_schema)
+        .persist()
+    )
+    _IVF_PQ_LIVE.append(cand)
+    # one driver-sized agg (|queries| rows) materializes the cache and
+    # tells us whether the shortlist bound binds at all
+    per_q = cand.groupBy("__qpos").agg(F.count(F.lit(1)).alias("n")).collect()
+    max_n = max((r["n"] for r in per_q), default=0)
+    qdt = queries.schema[query_id].dataType.simpleString()
+    qpos_df = codes.sparkSession.createDataFrame(
+        list(enumerate(qids)), f"__qpos int, {query_id} {qdt}"
+    )
+    if max_n <= shortlist:
+        # the bound never binds: row_number <= shortlist keeps every
+        # row of every group — no window, no sort, no extra shuffle
+        short = cand.join(F.broadcast(qpos_df), "__qpos").select(
+            F.col(query_id), F.col("__cid").alias(corpus_id)
+        )
+    else:
+        wshort = Window.partitionBy("__qpos").orderBy(
+            F.col("__adc").asc(), F.col("__cid").asc()
+        )
+        short = (
+            cand.withColumn("__r", F.row_number().over(wshort))
+            .where(F.col("__r") <= shortlist)
+            .join(F.broadcast(qpos_df), "__qpos")
+            .select(F.col(query_id), F.col("__cid").alias(corpus_id))
+        )
     q = queries.select(
         F.col(query_id), F.col(vec_col).cast("array<double>").alias("__qv")
     )

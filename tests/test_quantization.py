@@ -593,3 +593,52 @@ def test_nb_log_scores_keeps_short_docs(spark):
         (9, "x", 0.0),
         (9, "y", 0.0),
     }
+
+
+def test_pq_rerank_binding_shortlist_matches_old_composition(emb, books):
+    """r11: pq_ann_topk_rerank persists the ADC candidates and skips
+    the rank window when the shortlist bound cannot bind. When it DOES
+    bind (shortlist < per-query candidates), the kept set and the
+    final reranked rows must equal the pre-r11 composition:
+    pq_ann_topk(k=shortlist) -> exact cosine rerank."""
+    from pyspark.sql import Window
+
+    from ariadne_spark.operators.quantization import _IVF_PQ_LIVE
+    from ariadne_spark.operators.similarity import _dot, _norm
+
+    codes = pq_encode(emb.repartition(7), books)
+    q = emb.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    shortlist = 23
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+        for r in pq_ann_topk_rerank(
+            codes, emb, q, books, k=10, shortlist=shortlist
+        ).collect()
+    )
+    # the committed pre-r11 plan, reproduced verbatim
+    old_short = pq_ann_topk(codes, q, books, k=shortlist).select(
+        "query_id", "vec_id"
+    )
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__cv"))
+    qq = q.select("query_id", F.col("embedding").cast("array<double>").alias("__qv"))
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (
+        _norm(F.col("__qv")) * _norm(F.col("__cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["rank"], r["cosine"])
+        for r in old_short.join(v, "vec_id")
+        .join(F.broadcast(qq), "query_id")
+        .select("query_id", "vec_id", sim.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine"))
+        .collect()
+    )
+    assert got == want
+    # ledger hygiene: at most the current call's candidate frame cached
+    assert len(_IVF_PQ_LIVE) <= 1
