@@ -1,6 +1,7 @@
 """Host-calibrated before/after bench comparison.
 
 Usage: python tools/calibrated_compare.py <before.json> <after.json>
+       [--stat=queries|queries_min] [--touched=q1,q2,...]
 
 The sandbox host's speed drifts 1.5-3x between runs (see NOTES.md
 round-10 host-noise dossier), so raw cross-run deltas conflate code and
@@ -33,10 +34,26 @@ TOUCHED = {
 
 
 def main() -> None:
-    before = json.load(open(sys.argv[1]))["queries"]
-    after = json.load(open(sys.argv[2]))["queries"]
+    # --stat queries_min reproduces the min-stat tables published in
+    # OPTIMIZATION_r10.md (r10 advice: the tool hard-coded medians)
+    args = [
+        a
+        for a in sys.argv[1:]
+        if not a.startswith(("--stat", "--touched"))
+    ]
+    stat = "queries"
+    touched_set = TOUCHED
+    for a in sys.argv[1:]:
+        if a.startswith("--stat="):
+            stat = a.split("=", 1)[1]
+        elif a.startswith("--touched="):
+            # CSV override for rounds after r10 (the module constant
+            # is the r10 set)
+            touched_set = set(a.split("=", 1)[1].split(","))
+    before = json.load(open(args[0]))[stat]
+    after = json.load(open(args[1]))[stat]
     common = set(before) & set(after)
-    calib = sorted(common - TOUCHED)
+    calib = sorted(common - touched_set)
     ratios = [after[k] / before[k] for k in calib if before[k] >= 0.05]
     host = statistics.median(ratios)
     print(f"calibration set: {len(calib)} untouched rows, "
@@ -45,12 +62,15 @@ def main() -> None:
           f"p75={sorted(ratios)[3*len(ratios)//4]:.3f})")
     print(f"\n{'touched query':40s} {'before':>7s} {'after':>7s} "
           f"{'raw':>6s} {'normed':>7s}")
-    for k in sorted(TOUCHED & common, key=lambda k: after[k] / before[k]):
+    # same >=0.05 floor as the calibration set (r10 advice: a
+    # near-zero before row would blow up the ratio or divide by zero)
+    touched = [k for k in touched_set & common if before[k] >= 0.05]
+    for k in sorted(touched, key=lambda k: after[k] / before[k]):
         r = after[k] / before[k]
         print(f"{k:40s} {before[k]:7.2f} {after[k]:7.2f} "
               f"{r:6.2f}x {r / host:6.2f}x")
-    tb = sum(before[k] for k in TOUCHED & common)
-    ta = sum(after[k] for k in TOUCHED & common)
+    tb = sum(before[k] for k in touched_set & common)
+    ta = sum(after[k] for k in touched_set & common)
     print(f"\ntouched sum: {tb:.1f} -> {ta:.1f} raw "
           f"({ta/tb:.3f}x), host-normalized {ta/tb/host:.3f}x")
     ub = sum(before[k] for k in calib)

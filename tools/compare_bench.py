@@ -18,9 +18,13 @@ def main() -> None:
     after = json.load(open(sys.argv[2]))
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     qb, qa = before["queries"], after["queries"]
-    common = sorted(set(qb) & set(qa), key=lambda k: qa[k] - qb[k])
+    # largest |delta| first so top_n keeps the biggest movers in BOTH
+    # directions (r10 advice: the old signed-ascending sort silently
+    # dropped the largest regressions past top_n)
+    common = sorted(set(qb) & set(qa), key=lambda k: -abs(qa[k] - qb[k]))
     print(f"{'query':42s} {'before':>8s} {'after':>8s} {'delta':>8s}")
     shown = [k for k in common if abs(qa[k] - qb[k]) >= 0.15][:top_n]
+    shown.sort(key=lambda k: qa[k] - qb[k])
     for k in shown:
         print(f"{k:42s} {qb[k]:8.2f} {qa[k]:8.2f} {qa[k]-qb[k]:+8.2f}")
     tb = sum(qb[k] for k in common)
