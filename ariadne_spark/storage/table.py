@@ -57,6 +57,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..exceptions import TableCommitConflictError
 from .fs import get_fs, join as _join
@@ -160,6 +161,20 @@ class ParquetTable:
 
     # ------------------------------------------------------------ reads
 
+    def _read_segment(self, s: dict) -> DataFrame:
+        """One segment as a DataFrame. Segments committed since r11
+        carry their writer's schema in the manifest, so the read runs
+        with an EXPLICIT schema — without it every
+        ``spark.read.parquet`` pays a footer schema-inference job, one
+        per segment per read call, which dominated the per-micro-batch
+        fixed cost of the streaming/incremental paths (guide §6.2).
+        Pre-r11 manifests (no stored schema) fall back to inference."""
+        reader = self.spark.read
+        sch = s.get("schema")
+        if sch:
+            reader = reader.schema(T.StructType.fromJson(json.loads(sch)))
+        return reader.parquet(_join(self.path, s["dir"]))
+
     @property
     def exists(self) -> bool:
         return self._latest_version() is not None
@@ -193,17 +208,13 @@ class ParquetTable:
         if not segments:
             return None
         if len(segments) == 1 or not self.key_cols:
-            dfs = [
-                self.spark.read.parquet(_join(self.path, s["dir"]))
-                for s in segments
-            ]
+            dfs = [self._read_segment(s) for s in segments]
             out = dfs[0]
             for d in dfs[1:]:
                 out = out.unionByName(d, allowMissingColumns=True)
             return out.select(*columns) if columns is not None else out
         dfs = [
-            self.spark.read.parquet(_join(self.path, s["dir"]))
-            .withColumn(_SEQ_COL, F.lit(s["seq"]))
+            self._read_segment(s).withColumn(_SEQ_COL, F.lit(s["seq"]))
             for s in segments
         ]
         union = dfs[0]
@@ -305,10 +316,11 @@ class ParquetTable:
         """Append a segment; per-key replacement resolves at read time."""
         self._check_segment_unique(df)
         seg = self._write_segment(df)
+        sch = df.schema.json()
 
         def build(old):
             next_seq = max([s["seq"] for s in old], default=0) + 1
-            return old + [{"seq": next_seq, "dir": seg}]
+            return old + [{"seq": next_seq, "dir": seg, "schema": sch}]
 
         self._commit(build)
 
@@ -346,7 +358,10 @@ class ParquetTable:
 
     def overwrite(self, df: DataFrame, extra: dict | None = None) -> None:
         seg = self._write_segment(df)
-        self._commit(lambda old: [{"seq": 1, "dir": seg}], extra=extra)
+        sch = df.schema.json()
+        self._commit(
+            lambda old: [{"seq": 1, "dir": seg, "schema": sch}], extra=extra
+        )
 
     def delete_where(self, condition) -> None:
         """Rewrite the table without rows matching ``condition``.

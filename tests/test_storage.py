@@ -738,3 +738,42 @@ def test_table_column_pruned_read(spark, storage):
     # single-segment fast path honors columns too
     su.compact()
     assert su.read(columns=["v"]).columns == ["v"]
+
+
+def test_segment_schema_in_manifest_and_inference_fallback(spark, storage):
+    """r11: append/overwrite store the writer's schema per segment so
+    reads run with an explicit schema (no per-segment footer
+    schema-inference job per read — the cost that GREW with table
+    history on every micro-batch path). Pin: (a) the manifest carries
+    the schema and the read round-trips exactly, including timestamp
+    and array types; (b) a pre-r11 manifest (schema keys stripped)
+    still reads identically via the inference fallback."""
+    import datetime
+    import glob as _glob
+    import json as _json
+
+    t = ParquetTable(spark, f"{storage}/tschema", key_cols=("k",))
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), [1.5, 2.5], "a")],
+        "k long, ts timestamp, vec array<double>, s string",
+    )
+    t.append(df)
+    t.append(
+        spark.createDataFrame(
+            [(2, datetime.datetime(2024, 2, 2), [3.5], None)],
+            "k long, ts timestamp, vec array<double>, s string",
+        )
+    )
+    m = t._read_manifest()
+    assert all(s.get("schema") for s in m["segments"])
+    with_schema = t.read()
+    assert with_schema.schema == df.schema
+    rows = sorted(map(tuple, with_schema.collect()))
+    # strip the stored schemas -> the pre-r11 manifest shape
+    for mf in _glob.glob(f"{storage}/tschema/_manifest/v*.json"):
+        doc = _json.loads(open(mf).read())
+        for s in doc.get("segments", []):
+            s.pop("schema", None)
+        open(mf, "w").write(_json.dumps(doc))
+    t2 = ParquetTable(spark, f"{storage}/tschema", key_cols=("k",))
+    assert sorted(map(tuple, t2.read().collect())) == rows
