@@ -295,8 +295,44 @@ class Index:
     def add_file(self, path: str) -> "Index":
         return self.add_files([path])
 
+    def _tables_fingerprint(self) -> tuple:
+        """(filelist version, index-table version) — two manifest
+        directory listings, no Spark job. Any committed write to
+        either table changes it, including writes by OTHER handles or
+        processes, so state keyed on it can never go stale silently."""
+        return (
+            self.filelist.table._latest_version(),
+            self.table._latest_version(),
+        )
+
     def add_files(self, paths: list[str]) -> "Index":
-        self.filelist.add([normalize_path(p) for p in paths])
+        """Register files with the FileList.
+
+        r11 (guide §1.3/§6.2): a handle whose last ``update()``
+        verified the index fully synced tracks the files added since
+        as ``_pending_files``, fingerprint-guarded — the steady-state
+        one-new-file micro-batch ``update()`` then skips the two
+        filename set-diff read jobs entirely. Any fingerprint mismatch
+        (another writer, a crash, a fresh handle) falls back to the
+        exact FileList ∖ index computation, so the fast path can never
+        hide an unindexed file."""
+        names = [normalize_path(p) for p in paths]
+        cur = self._tables_fingerprint()
+        if cur == getattr(self, "_synced_fingerprint", None):
+            base: set | None = set()
+        elif (
+            getattr(self, "_pending_files", None) is not None
+            and cur == getattr(self, "_pending_fingerprint", None)
+        ):
+            base = set(self._pending_files)
+        else:
+            base = None
+        self.filelist.add(names)
+        if base is not None and names:
+            self._pending_files = base | set(names)
+            self._pending_fingerprint = self._tables_fingerprint()
+        elif base is None:
+            self._pending_files = None
         return self
 
     def has_file(self, path: str) -> bool:
@@ -446,10 +482,23 @@ class Index:
             fs=self.fs,
         )
         with lock, lock.heartbeat():
-            todo = set(self.unindexed_files()) | set(
-                self._files_needing_column_update()
-            )
+            # pending fast path (see add_files): when the only writes
+            # since the last verified-synced update are this handle's
+            # own add_files calls — proven by the version fingerprint,
+            # re-checked here UNDER the lock — the unindexed set is
+            # exactly the pending set, no read jobs needed.
+            pend = getattr(self, "_pending_files", None)
+            if pend is not None and (
+                self._tables_fingerprint()
+                == getattr(self, "_pending_fingerprint", None)
+            ):
+                unindexed = set(pend)
+            else:
+                unindexed = set(self.unindexed_files())
+            todo = unindexed | set(self._files_needing_column_update())
             if not todo:
+                self._pending_files = None
+                self._synced_fingerprint = self._tables_fingerprint()
                 return self
             use_footers = (
                 footer_stats
@@ -538,6 +587,11 @@ class Index:
                 self._compact_tables()
                 self.meta.batches_since_compact = 0
             save_metadata(self.paths.metadata, self.meta, fs=self.fs)
+            # every registered file is now indexed: record the synced
+            # fingerprint (taken AFTER all appends/compactions) so the
+            # next add_files→update pair can take the pending fast path
+            self._pending_files = None
+            self._synced_fingerprint = self._tables_fingerprint()
         return self
 
     # ------------------------------------------------------------ query

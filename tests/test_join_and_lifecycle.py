@@ -57,6 +57,7 @@ def test_selection_restricts_columns(spark, orders_idx):
     idx.select()  # reset
 
 
+@pytest.mark.slow
 def test_large_index_and_auto_bloom(spark, storage, orders_files):
     """With largeIndexLimit lowered, value arrays spill to the large
     table, an auto_bloom column appears, and queries still answer
@@ -81,6 +82,7 @@ def test_large_index_and_auto_bloom(spark, storage, orders_files):
         spark.conf.unset("spark.ariadne.largeIndexLimit")
 
 
+@pytest.mark.slow
 def test_large_index_superseded_when_file_shrinks(spark, storage, orders_files):
     """A file re-indexed under the limit must stop serving large rows
     (the delete-analog via main-row validity)."""
@@ -129,6 +131,7 @@ def test_column_backfill(spark, storage, orders_files):
     assert idx._files_needing_column_update() == []
 
 
+@pytest.mark.slow
 def test_compaction_folds_segments(spark, storage, orders_files):
     df, files = orders_files
     idx = Index.for_name("o_cmp", schema=df.schema, format="parquet", spark=spark)
@@ -169,6 +172,7 @@ def test_catalog_and_stats(spark, storage, orders_files):
     assert "o_cat" not in catalog.list_indexes(spark)
 
 
+@pytest.mark.slow
 def test_temporal_large_index_spill(spark, storage, events_files):
     """Temporal struct arrays spill to (filename, value, max_ts) rows
     when per-file cardinality crosses the limit; latest-version joins
@@ -261,3 +265,56 @@ def test_join_repartition_invariance(spark, orders_idx):
         assert rows_set(idx2.join(cust, on=["o_custkey"])) == base
     finally:
         spark.conf.unset("spark.ariadne.indexRepartitionCount")
+
+
+def test_incremental_update_pending_fast_path(spark, storage, orders_files):
+    """r11: a handle whose last update() verified sync skips the
+    filename set-diff read jobs on the next add_files→update pair
+    (fingerprint-guarded pending set). Pin: (a) the fast path actually
+    fires on the steady-state micro-batch loop, (b) it degrades to the
+    exact computation when another writer commits in between, and
+    (c) index content equals a from-scratch build either way."""
+    df, files = orders_files
+    idx = Index.for_name(
+        "orders_pend", schema=df.schema, format="parquet", spark=spark
+    )
+    idx.add_index("o_custkey")
+    idx.add_files(files[:1]).update()
+    assert getattr(idx, "_synced_fingerprint", None) is not None
+
+    calls = {"n": 0}
+    orig = Index.unindexed_files
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    Index.unindexed_files = counting
+    try:
+        # steady state: one new file per "batch" — no set-diff reads
+        idx.add_files([files[1]])
+        assert idx._pending_files is not None
+        idx.update()
+        idx.add_files([files[2]])
+        idx.update()
+        assert calls["n"] == 0
+        # foreign commit between add and update (here: a re-add from
+        # another handle — any FileList version bump) → fallback to
+        # the exact computation
+        other = Index.for_name("orders_pend", spark=spark)
+        idx.add_files([files[3]])
+        other.add_files([files[0]])
+        idx.update()
+        assert calls["n"] == 1
+    finally:
+        Index.unindexed_files = orig
+    # content parity vs a from-scratch build over the same files
+    fresh = Index.for_name(
+        "orders_pend_fresh", schema=df.schema, format="parquet", spark=spark
+    )
+    fresh.add_index("o_custkey").add_files(files).update()
+    a = idx.table.read().select("filename", "o_custkey")
+    b = fresh.table.read().select("filename", "o_custkey")
+    ra = {(r[0].rsplit("/", 1)[-1], tuple(sorted(r[1]))) for r in a.collect()}
+    rb = {(r[0].rsplit("/", 1)[-1], tuple(sorted(r[1]))) for r in b.collect()}
+    assert ra == rb
