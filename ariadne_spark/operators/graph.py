@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dedupe_edges(e: DataFrame) -> DataFrame:
@@ -84,6 +85,49 @@ def _ls_ss_round(e: DataFrame) -> DataFrame:
     )
 
 
+def _finish_local(edges: DataFrame) -> DataFrame:
+    """Driver union-find finish over a CONTRACTED edge set.
+
+    Both star operations preserve the connectivity of the non-isolated
+    node set (Kiveris et al. 2014, correctness lemma), so at any point
+    mid-loop the current edge set has exactly the original components.
+    Once a round has contracted the graph under the conf-bounded edge
+    limit, a single O(E α(E)) union-find replaces the remaining
+    O(log n) Spark rounds (each of which pays two shuffles plus a
+    fingerprint job over an already-tiny frame) — the same
+    small-side-to-the-driver trade as a broadcast join, with the same
+    explicit size bound. Union-by-min keeps every set's root equal to
+    its minimum member, so labels are IDENTICAL to the distributed
+    fixpoint's (node, min component member) contract."""
+    rows = edges.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        ra, rb = find(row[0]), find(row[1])
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra  # attach larger root under smaller: root = min
+    node_t = edges.schema["src"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("node", node_t),
+            T.StructField("component", node_t),
+        ]
+    )
+    out_rows = [(n, find(n)) for n in list(parent)]
+    return edges.sparkSession.createDataFrame(out_rows, out_schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "src",
@@ -123,32 +167,52 @@ def connected_components(
         )
     ).localCheckpoint(eager=False)
 
+    # r11 (guide §1.2 "remove unnecessary passes"): the fingerprint
+    # already reports the edge count, so once the graph is (or
+    # contracts) under this bound, finish on the driver instead of
+    # running more distributed rounds — see _finish_local. 0 disables.
+    local_limit = int(
+        pairs.sparkSession.conf.get("spark.ariadne.ccLocalEdgeLimit", "200000")
+    )
+
     # Rounds are deterministic, so an unchanged edge-set fingerprint
     # means a fixpoint. Seeding from the (identically-normalized)
     # input lets an already-star-shaped graph — e.g. a union of
     # per-key dedup stars with no cross-relation overlap — finish in
     # ONE round instead of two.
+    assign = None
     prev_fp = _fp(e)
-    for _ in range(max_iter):
-        e = _ls_ss_round(e).localCheckpoint(eager=False)
-        fp = _fp(e)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+    if prev_fp[0] <= local_limit:
+        assign = _finish_local(e)
     else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
+        for _ in range(max_iter):
+            e = _ls_ss_round(e).localCheckpoint(eager=False)
+            fp = _fp(e)
+            if fp == prev_fp:
+                break
+            if fp[0] <= local_limit:
+                assign = _finish_local(e)
+                break
+            prev_fp = fp
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
 
-    # At the fixpoint every edge points node → component min, and
-    # component minima appear only as dst. Re-add them as self-rows.
-    assign = e.select(
-        F.col("src").alias("node"), F.col("dst").alias("component")
-    ).union(
-        e.select(F.col("dst").alias("node"), F.col("dst").alias("component"))
-        .distinct()
-    )
-    assign = assign.groupBy("node").agg(F.min("component").alias("component"))
+    if assign is None:
+        # At the fixpoint every edge points node → component min, and
+        # component minima appear only as dst. Re-add them as
+        # self-rows.
+        assign = e.select(
+            F.col("src").alias("node"), F.col("dst").alias("component")
+        ).union(
+            e.select(
+                F.col("dst").alias("node"), F.col("dst").alias("component")
+            ).distinct()
+        )
+        assign = assign.groupBy("node").agg(
+            F.min("component").alias("component")
+        )
 
     if nodes is not None:
         ncol = node_col or nodes.columns[0]

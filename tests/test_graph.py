@@ -138,6 +138,7 @@ def test_cc_two_relation_star_union(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
 
 
+@pytest.mark.slow
 def test_near_dup_clusters_transitive_chain(spark):
     """A~B and B~C near-dups (A≁C directly) must collapse to ONE
     survivor via the transitive closure — the property pairwise dedup
@@ -163,6 +164,7 @@ def test_near_dup_clusters_transitive_chain(spark):
     assert comp == {1: 1, 4: 4}
 
 
+@pytest.mark.slow
 def test_fused_round_matches_naive_star_composition(spark):
     """The fused large+small-star round (_ls_ss_round) must emit the
     exact edge set of the naive composition small_star(large_star(e))
@@ -237,3 +239,41 @@ def test_star_edges_plan_is_partial_aggregatable(spark):
     assert "partial_min" in plan, plan
     got = {(r["src"], r["dst"]) for r in edges.collect()}
     assert got == {(i, 0) for i in range(1, 50)}
+
+
+@pytest.mark.slow
+def test_cc_local_finish_matches_distributed(spark):
+    """r11: under the conf-bounded edge limit connected_components
+    finishes with a driver union-find instead of more star rounds.
+    Labels must be IDENTICAL to the distributed fixpoint's on every
+    graph shape — random, path (worst case), star union — and for
+    string ids; and a mid-loop handoff (limit between the contracted
+    and the input edge count) must agree too."""
+    rng = random.Random(11)
+    cases = []
+    edges = [(rng.randrange(400), rng.randrange(400)) for _ in range(700)]
+    cases.append(spark.createDataFrame(edges, ["src", "dst"]))
+    cases.append(
+        spark.createDataFrame([(i, i + 1) for i in range(200)], ["src", "dst"])
+    )
+    cases.append(
+        spark.createDataFrame(
+            [(f"n{rng.randrange(300):03d}", f"n{rng.randrange(300):03d}")
+             for _ in range(500)],
+            ["src", "dst"],
+        )
+    )
+    for pairs in cases:
+        results = []
+        for limit in ("0", "200000", "300"):
+            spark.conf.set("spark.ariadne.ccLocalEdgeLimit", limit)
+            try:
+                results.append(
+                    sorted(
+                        (r["node"], r["component"])
+                        for r in connected_components(pairs).collect()
+                    )
+                )
+            finally:
+                spark.conf.unset("spark.ariadne.ccLocalEdgeLimit")
+        assert results[0] == results[1] == results[2]
