@@ -681,37 +681,56 @@ def ivf_pq_topk(
             )
             yield out
 
+    # PERSIST the (query, candidate) ADC output instead of collecting
+    # it: it stays on the executors (queries × shortlist rows — which
+    # in full-shortlist exactness runs is queries × corpus, far too
+    # big for a driver round-trip, the r06 advice finding). The
+    # persist is what stops the rerank join from re-running the
+    # located-files read + ADC scan per downstream action; the
+    # per-query count agg materializes it (giving AQE real sizes for
+    # the join strategy below) AND decides whether the shortlist
+    # bound binds at all — in full-shortlist exactness runs (the gate
+    # configuration) it never does, so the global row_number window
+    # and its queries×corpus sort are skipped outright (r11, guide
+    # §2.5; same restructure as pq_ann_topk_rerank). Kept set
+    # identical by construction: row_number <= shortlist keeps every
+    # row of a group within the bound.
     cand = (
         pairs.select(corpus_id, "pq_code", "__qpos")
         # NULL codes carry no distance (pq_encode's NULL-embedding
         # contract) — drop, don't crash np.asarray in the scan
         .where(F.col("pq_code").isNotNull())
         .mapInPandas(adc_scan, out_schema)
+        .persist()
     )
-    wshort = Window.partitionBy("__qpos").orderBy(
-        F.col("__adc").asc(), F.col("__cid").asc()
-    )
-    # PERSIST the (query, candidate) shortlist instead of collecting
-    # it: it stays on the executors (queries × shortlist rows — which
-    # in full-shortlist exactness runs is queries × corpus, far too
-    # big for a driver round-trip, the r06 advice finding). The
-    # persist is what stops the rerank join from re-running the
-    # located-files read + ADC scan + window (the re-execution
-    # pattern importance_weights hit); count() materializes it and
-    # gives AQE real sizes for the join strategy below.
+    _IVF_PQ_LIVE.append(cand)
+    per_q = cand.groupBy("__qpos").agg(F.count(F.lit(1)).alias("n")).collect()
     qdt = queries.schema[query_id].dataType.simpleString()
     qpos_df = spark.createDataFrame(
         list(enumerate(qids)), f"__qpos int, {query_id} {qdt}"
     )
-    short = (
-        cand.withColumn("__r", F.row_number().over(wshort))
-        .where(F.col("__r") <= shortlist)
-        .join(F.broadcast(qpos_df), "__qpos")
-        .select(F.col(query_id), F.col("__cid").alias(corpus_id))
-        .persist()
-    )
-    _IVF_PQ_LIVE.append(short)
-    n_short = short.count()
+    if max((r["n"] for r in per_q), default=0) <= shortlist:
+        short = cand.join(F.broadcast(qpos_df), "__qpos").select(
+            F.col(query_id), F.col("__cid").alias(corpus_id)
+        )
+    else:
+        wshort = Window.partitionBy("__qpos").orderBy(
+            F.col("__adc").asc(), F.col("__cid").asc()
+        )
+        short = (
+            cand.withColumn("__r", F.row_number().over(wshort))
+            .where(F.col("__r") <= shortlist)
+            .join(F.broadcast(qpos_df), "__qpos")
+            .select(F.col(query_id), F.col("__cid").alias(corpus_id))
+            # the window re-runs per downstream action (the id
+            # collect + the final execution) — cache the cut too;
+            # both frames ride the same bounded-lifetime ledger
+            .persist()
+        )
+        _IVF_PQ_LIVE.append(short)
+    # exact row count of the cut without another job: the bound caps
+    # each group at `shortlist`
+    n_short = sum(min(r["n"], shortlist) for r in per_q)
     # bounded exact tail: shortlisted ids push down into the vector
     # column read of the SAME located files. The isin pushdown is an
     # optimization only (the join below already restricts rows), so
