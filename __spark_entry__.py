@@ -60,16 +60,37 @@ def _set_session(spark: SparkSession, sf_dir: str) -> None:
         pass
 
 
-def _stream_state_partitions(spark: SparkSession) -> str:
+def _stream_state_partitions(spark: SparkSession, src_dir: str | None = None) -> str:
     """Shuffle-partition count for the stateful streaming rows =
     state-store instance count (fixed per checkpoint lifetime). Sized
-    to the STATE (a few hundred windows / ~1.5k keys), not the core
-    count: every instance pays a fixed per-batch load+commit and
+    to the STATE (a few hundred windows / ~1.5k keys here), not the
+    core count: every instance pays a fixed per-batch load+commit and
     concurrent commits contend superlinearly (r10 measurements in
-    OPTIMIZATION_r10.md). Deployments with large state raise
-    ``spark.ariadne.streamStatePartitions`` before the first run of a
-    checkpoint."""
-    return str(spark.conf.get("spark.ariadne.streamStatePartitions", "8"))
+    OPTIMIZATION_r10.md).
+
+    r11 (VERDICT r10 #9): instead of a bare constant, the default now
+    DERIVES from the input size feeding the stream — one local
+    listing, no Spark job: ceil(input bytes / 256 MiB), floored at 8.
+    Key cardinality (state size) is bounded by input rows ∝ input
+    bytes, so the instance count scales with the state while a
+    100 TB source gets thousands of instances and the local fixtures
+    keep the measured-optimal 8 (bench numbers unchanged by
+    construction). ``spark.ariadne.streamStatePartitions`` still
+    overrides outright; it must be set before the first run of a
+    checkpoint (the count is a checkpoint property)."""
+    explicit = spark.conf.get("spark.ariadne.streamStatePartitions", None)
+    if explicit is not None:
+        return str(explicit)
+    nbytes = 0
+    if src_dir:
+        for root, _dirs, names in os.walk(src_dir):
+            for n in names:
+                if n.endswith(".parquet"):
+                    try:
+                        nbytes += os.path.getsize(os.path.join(root, n))
+                    except OSError:
+                        pass
+    return str(max(8, -(-nbytes // (256 * 1024 * 1024))))
 
 
 def _split_ranges(spark, df, col, n, out_dir) -> list[str]:
@@ -439,7 +460,7 @@ def q_streaming_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint, so the default applies.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", _stream_state_partitions(spark)
+        "spark.sql.shuffle.partitions", _stream_state_partitions(spark, base)
     )
     try:
         q = (
@@ -522,7 +543,7 @@ def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and 4.7s (32) end to end at sf0.1
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", _stream_state_partitions(spark)
+        "spark.sql.shuffle.partitions", _stream_state_partitions(spark, base)
     )
     try:
         q = (
