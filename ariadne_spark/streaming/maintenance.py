@@ -793,7 +793,10 @@ def attach_url_dedup_maintenance(
     idx_cache: dict = {}
 
     def do_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sjd = batch_df.sparkSession.sparkContext.setJobDescription
+        sjd(f"url-dedup b{batch_id}: batch guard")
         if not batch_df.take(1):
+            sjd(None)
             return
         spark = batch_df.sparkSession
         keyed = batch_df.withColumn("url_key", normalized_url(url_col))
@@ -808,11 +811,13 @@ def attach_url_dedup_maintenance(
         files = sorted(glob.glob(f"{store_path}/*.parquet"))
         if files:
             if ledger_index_name:
+                sjd(f"url-dedup b{batch_id}: ledger index refresh")
                 idx = url_ledger_index(
                     spark, store_path, ledger_index_name,
                     files=files, handle=idx_cache.get("idx"),
                 )
                 idx_cache["idx"] = idx
+                sjd(f"url-dedup b{batch_id}: bloom prune")
                 files = _prune_snapshot_with_index(
                     spark,
                     files,
@@ -821,7 +826,11 @@ def attach_url_dedup_maintenance(
                     column="url_key",
                 )
             if files:
-                seen = spark.read.parquet(*files)
+                # explicit schema: the ledger is (url_key string) by
+                # construction (written 10 lines below) — inferring it
+                # from footers again costs a driver listing + footer
+                # read per batch for a schema that never changes
+                seen = spark.read.schema("url_key string").parquet(*files)
                 firsts = firsts.join(seen, "url_key", "left_anti")
         # cache the survivors: both the sink write and the ledger-key
         # write read them, and an unpersisted plan would re-run the
@@ -831,8 +840,11 @@ def attach_url_dedup_maintenance(
         out = firsts.unionByName(null_rows).withColumn(
             "batch_id", F.lit(batch_id)
         )
+        sjd(f"url-dedup b{batch_id}: sink write")
         out.write.mode("append").parquet(out_path)
+        sjd(f"url-dedup b{batch_id}: ledger append")
         firsts.select("url_key").write.mode("append").parquet(store_path)
+        sjd(None)
         firsts.unpersist()
         log.info("url dedup maintenance: batch %d done", batch_id)
 
