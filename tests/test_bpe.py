@@ -83,6 +83,7 @@ def _py_word_counts(docs):
     return dict(wc)
 
 
+@pytest.mark.slow
 def test_learn_matches_reference(spark, docs):
     got = [
         (r["rank"], r["left"], r["right"], r["pair_count"])
@@ -92,6 +93,7 @@ def test_learn_matches_reference(spark, docs):
     assert got == want and len(got) == 20
 
 
+@pytest.mark.slow
 def test_encode_matches_reference_and_roundtrips(spark, docs):
     merges_df = learn_bpe(docs, 20)
     merges = [

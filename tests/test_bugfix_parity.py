@@ -42,6 +42,7 @@ def users_files(spark):
     shutil.rmtree(out, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_two_exploded_fields_same_array_no_collision(
     spark, storage, users_files
 ):

@@ -553,6 +553,7 @@ def test_numeric_quantiles_approx_close(spark, docs):
 # --- incremental_near_dup ------------------------------------------------
 
 
+@pytest.mark.slow
 def test_incremental_near_dup_matches_full_banding(spark, docs, tmp_path):
     """Two-batch incremental run finds exactly the (new × all) pairs the
     full-corpus banding + estimate would, without rescanning history."""

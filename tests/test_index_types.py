@@ -81,6 +81,7 @@ def test_range_bounding_box_degradation(spark, storage, orders_files):
     assert located >= truth
 
 
+@pytest.mark.slow
 def test_bloom_index_join(spark, storage, orders_files):
     df, files = orders_files
     idx = Index.for_name("o_blm", schema=df.schema, format="parquet", spark=spark)
@@ -132,6 +133,7 @@ def test_bloom_expression_index_over_derived_array_keys(
         bad.add_bloom_index("o_orderkey", expression="array(1)")
 
 
+@pytest.mark.slow
 def test_bloom_prune_beyond_collect_cap(spark, storage, orders_files):
     """>100k distinct join keys (the old driver-collect cap) must still
     prune: values are digested executor-side and only 16-byte hash
@@ -173,6 +175,7 @@ def test_bloom_fpr_acceptable():
     assert all(bloomfn.might_contain(blob, v) for v in range(0, 5000, 97))
 
 
+@pytest.mark.slow
 def test_temporal_index_latest_version(spark, storage, events_files):
     df, files = events_files
     idx = Index.for_name("ev_tmp", schema=df.schema, format="parquet", spark=spark)
@@ -193,6 +196,7 @@ def test_temporal_index_latest_version(spark, storage, events_files):
     assert len(located) < len(files)
 
 
+@pytest.mark.slow
 def test_exploded_index(spark, storage, tagged_files):
     df, files = tagged_files
     idx = Index.for_name("tags", schema=df.schema, format="parquet", spark=spark)
@@ -245,6 +249,7 @@ def test_index_type_exclusivity(spark, storage, orders_files):
         idx.add_computed_index("o_totalprice", "1+1")  # collides with source col
 
 
+@pytest.mark.slow
 def test_exploded_index_does_not_multiply_other_joins(spark, storage, tagged_files):
     """An index carrying an exploded config must NOT explode (and so
     duplicate) rows when the query targets a different column."""
@@ -262,6 +267,7 @@ def test_exploded_index_does_not_multiply_other_joins(spark, storage, tagged_fil
     assert r2.where(F.col("tag_key") != "key3").count() == 0 and r2.count() > 0
 
 
+@pytest.mark.slow
 def test_two_exploded_fields_same_array_no_collision(spark, storage, tagged_files):
     """Two exploded-field indexes from the SAME array column must not
     collide (reference regression BugFixTests H2)."""
@@ -284,6 +290,7 @@ def test_two_exploded_fields_same_array_no_collision(spark, storage, tagged_file
     assert_same_rows(rv.select("id", "tag_val"), expected_v.select("id", "tag_val"))
 
 
+@pytest.mark.slow
 def test_temporal_null_timestamps_rank_last(spark, storage):
     """Rows with null timestamps lose to any timestamped row
     (reference: TemporalIndexTests.scala:295)."""
@@ -309,6 +316,7 @@ def test_temporal_null_timestamps_rank_last(spark, storage):
     assert got == {(1, 100.0), (2, 300.0)}
 
 
+@pytest.mark.slow
 def test_temporal_nested_timestamp_column(spark, storage):
     """Temporal timestamp columns may be nested (e.g. meta.updatedAt —
     reference: Index.scala:443-470)."""
@@ -378,6 +386,7 @@ def test_temporal_dedup_maxby_matches_window_form(spark):
     assert "partial_max_by" in plan, plan  # map-side combine, skew-safe
 
 
+@pytest.mark.slow
 def test_temporal_dedup_multi_config_keeps_window_semantics(spark):
     """Two temporal configs filter conjunctively against ranks computed
     on the ORIGINAL rows (reference CHANGELOG 0.1.5/0.1.8) — the max_by
@@ -411,6 +420,7 @@ def test_temporal_dedup_multi_config_keeps_window_semantics(spark):
     assert got == {(1, 20, 200.0)}, got
 
 
+@pytest.mark.slow
 def test_temporal_dedup_multi_config_is_window_free_and_parity(spark):
     """r10 (verdict #3): the multi-config conjunction now runs as
     per-config partial-agg winner sets intersected by full-row
@@ -495,6 +505,7 @@ def test_temporal_dedup_map_schema_keeps_window_form(spark):
     assert got == {(1, 20, "v2")}, got
 
 
+@pytest.mark.slow
 def test_bloom_dataframe_source_over_probe_cap(spark, storage, orders_files, monkeypatch):
     """A DataFrame query source with more distinct values than
     BLOOM_PROBE_CAP must fall back to a conservative no-prune — with
@@ -514,6 +525,7 @@ def test_bloom_dataframe_source_over_probe_cap(spark, storage, orders_files, mon
     assert got.count() > 0
 
 
+@pytest.mark.slow
 def test_bloom_cost_floor_skips_probe(spark, storage, orders_files):
     """The minBloomPruneBytes cost floor (default 32 MiB; pinned to 0
     in conftest) must skip probing on a too-small index — visibly, via
@@ -538,6 +550,7 @@ def test_bloom_cost_floor_skips_probe(spark, storage, orders_files):
         spark.conf.set("spark.ariadne.minBloomPruneBytes", "0")
 
 
+@pytest.mark.slow
 def test_footer_stats_build_matches_scan_build(spark, storage, orders_files):
     """RANGE index rows built from parquet footer statistics equal the
     scan build exactly for numeric columns, and queries answer
@@ -578,6 +591,7 @@ def test_footer_stats_ineligible_falls_back(spark, storage, orders_files):
     assert res.count() == df.where(F.col("o_custkey") == 5).count()
 
 
+@pytest.mark.slow
 def test_footer_stats_missing_statistics_falls_back(spark, storage, tmp_path):
     """Files written WITHOUT parquet statistics must not produce null
     ranges (which locate would read as prune-everything): the footer
@@ -599,6 +613,7 @@ def test_footer_stats_missing_statistics_falls_back(spark, storage, tmp_path):
     assert len(idx.locate_files({"k": [150]})) == 1
 
 
+@pytest.mark.slow
 def test_multiple_bloom_columns_and_intersection(spark, storage, orders_files):
     """Two bloom columns on one index AND-intersect their candidate
     sets (reference: BloomFilterOperationsTests.scala:170-217,
@@ -628,6 +643,7 @@ def test_multiple_bloom_columns_and_intersection(spark, storage, orders_files):
     ) == []
 
 
+@pytest.mark.slow
 def test_band_query_prunes_and_matches(spark, storage, orders_files):
     """Band(lo, hi) on a range index prunes at file grain and the row
     filter restores exactness — the SQL >=/< shape without value
@@ -656,6 +672,7 @@ def test_band_query_prunes_and_matches(spark, storage, orders_files):
         reg.locate_files({"o_custkey": Band(lo=1)})
 
 
+@pytest.mark.slow
 def test_keyword_search_ranks_and_prunes(spark, storage, tmp_path):
     """keyword_search over an exploded-token index: deterministic
     integer ranking (distinct terms, then tf, then id), file pruning

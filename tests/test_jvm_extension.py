@@ -38,10 +38,15 @@ from .conftest import WORK
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JAR = os.path.join(REPO, "jvm", "ariadne-spark-ext.jar")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(JAR),
-    reason="jvm extension jar not built (run jvm/build.sh)",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(JAR),
+        reason="jvm extension jar not built (run jvm/build.sh)",
+    ),
+    # spawns a separate JVM per test over an 86s session fixture:
+    # depth, not breadth — out of the default (driver-window) run
+    pytest.mark.slow,
+]
 
 _DEMO = os.path.join(WORK, "jvm_ext")
 

@@ -115,6 +115,7 @@ def test_backfill_with_new_files_simultaneously(spark, storage, orders_files):
     )
 
 
+@pytest.mark.slow
 def test_temporal_mid_backfill_null_stays_candidate(spark, storage, events_files):
     """r10 (ADVICE): a file whose temporal value array is NULL with no
     live spill rows is ambiguous — an empty file (exact to prune) or a
@@ -158,6 +159,7 @@ def test_temporal_mid_backfill_null_stays_candidate(spark, storage, events_files
 
 # ----------------------------------------------------------- compaction
 
+@pytest.mark.slow
 def test_compact_large_index_tables(spark, storage, orders_files):
     df, files = orders_files
     spark.conf.set("spark.ariadne.largeIndexLimit", "50")
@@ -246,6 +248,7 @@ def test_no_auto_bloom_under_limit(spark, storage, orders_files):
     )
 
 
+@pytest.mark.slow
 def test_multiple_auto_bloom_columns(spark, storage, orders_files):
     df, files = orders_files
     spark.conf.set("spark.ariadne.largeIndexLimit", "50")

@@ -309,6 +309,7 @@ def test_interval_join_is_equi_not_nested_loop(spark):
 
 # ------------------------------------------------ incremental linkage
 
+@pytest.mark.slow
 def test_incremental_fuzzy_link_prunes_without_changing_results(
     spark, tmp_path
 ):

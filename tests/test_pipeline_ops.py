@@ -421,6 +421,7 @@ def test_cluster_files_improves_range_pruning(spark, tmp_path):
     assert [(r["k"], r["v"]) for r in got] == [(1234, 1234 % 97)]
 
 
+@pytest.mark.slow
 def test_simhash_block_cap_preserves_results(spark):
     """Capped two-level blocking returns EXACTLY the uncapped pairs
     (pigeonhole completeness over the 12-bit sub-chunks)."""
@@ -546,6 +547,7 @@ def test_bmp_codec_decodes_real_image(spark):
     assert r["content_hash"] == hashlib.md5(rgb.tobytes()).hexdigest()
 
 
+@pytest.mark.slow
 def test_image_phash_near_dup_finds_perturbed_clones(spark):
     """Perceptual image dedup: a slightly perturbed re-encode of an
     image (different content_hash — byte-exact dedup misses it) must
@@ -941,6 +943,7 @@ def test_embedding_near_dup_bucket_cap_preserves_results(spark):
     assert as_set(capped) == want
     assert len(want) >= 60  # the planted cluster was found
 
+@pytest.mark.slow
 def test_ivf_index_prunes_files_and_recalls(spark, emb, tmp_path):
     """The persisted IVF path must (a) locate a strict subset of the
     clustered files for a probe, and (b) recover most of the exact
@@ -973,6 +976,7 @@ def test_ivf_index_prunes_files_and_recalls(spark, emb, tmp_path):
         assert len(hits) >= 2  # recall floor for 4/16 probed cells
 
 
+@pytest.mark.slow
 def test_zorder_clustering_prunes_both_columns(spark, tmp_path):
     """Z-order layout: point-band queries on EITHER clustered column
     prune to a fraction of files; single-column range clustering only
@@ -1283,6 +1287,7 @@ def test_window_store_compact_sum_merges_and_swaps(spark, tmp_path):
     assert out["n_dup_tokens"] == 3 and out["cleaned_text"] == "z"
 
 
+@pytest.mark.slow
 def test_incremental_results_recompute_safe_after_own_append(spark, tmp_path):
     """A recompute of the batch result AFTER the call's own store
     append (cache eviction / executor loss in production) must read
@@ -1323,6 +1328,7 @@ def test_incremental_results_recompute_safe_after_own_append(spark, tmp_path):
     assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(0, 1)}
 
 
+@pytest.mark.slow
 def test_window_store_index_prunes_without_changing_results(spark, tmp_path):
     """Engine × pipeline composition: a bloom file-index over the
     window store prunes history files that cannot contain any batch
@@ -1390,6 +1396,7 @@ def test_window_store_index_prunes_without_changing_results(spark, tmp_path):
     assert out["n_dup_tokens"] == 3 and out["cleaned_text"] == "rest"
 
 
+@pytest.mark.slow
 def test_signature_store_index_prunes_without_changing_results(
     spark, tmp_path
 ):
@@ -1558,6 +1565,7 @@ def test_signature_store_index_mismatch_rejected_on_empty_store(
         )
 
 
+@pytest.mark.slow
 def test_signature_store_index_survives_compaction(spark, tmp_path):
     """Store compaction rewrites part files: the next index refresh
     must index the new files, DROP the replaced ones from the index

@@ -61,6 +61,7 @@ def _index(spark, storage, df, files, name=None):
     return idx
 
 
+@pytest.mark.slow
 def test_mixed_locate_across_three_index_types(spark, storage, mixed_files):
     """reference: IndexQueryOperationsTests.scala:252-305 — regular +
     computed + exploded indexes queried singly and AND-combined."""
@@ -121,6 +122,7 @@ def test_stats_empty_index_zero_rows(spark, storage, mixed_files):
     assert "column" in st.columns and "files" in st.columns
 
 
+@pytest.mark.slow
 def test_stats_includes_computed_and_counts_files(
     spark, storage, mixed_files
 ):
@@ -147,6 +149,7 @@ def test_metadata_missing_required_fields_rejected():
         IndexMetadata.from_json("x", "not json {")
 
 
+@pytest.mark.slow
 def test_large_index_incremental_merge(spark, storage):
     """reference: ConsolidatedLargeIndexTests.scala:91-165 — a column
     over largeIndexLimit spills to the large table; a second update

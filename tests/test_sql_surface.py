@@ -802,6 +802,7 @@ def test_analysis_trial_emits_no_error_logs(spark, orders_view):
     assert not records, [r.getMessage() for r in records]
 
 
+@pytest.mark.slow
 def test_concurrent_sql_pruning_is_isolated(spark, orders_view):
     """Two threads racing pruned SQL on ONE session must each see their
     own (correct) answer: pruned reads live under per-call unique view
@@ -867,6 +868,7 @@ def test_sql_leaves_no_unique_views_behind(spark, orders_view):
     assert leftovers == [], leftovers
 
 
+@pytest.mark.slow
 def test_swap_cache_invalidated_by_index_update(spark, storage, orders_files):
     """The memoized rewrite keys on every index view's manifest
     fingerprint: adding files to the index between two identical

@@ -5,6 +5,8 @@ driver gate and timed in bench)."""
 
 from __future__ import annotations
 
+import pytest
+
 import uuid
 
 from pyspark.sql import functions as F
@@ -160,6 +162,7 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     spark.catalog.dropTempView(qname)
 
 
+@pytest.mark.slow
 def test_attach_near_dup_maintenance_flags_cross_batch_dups(spark, tmp_path):
     """Streaming near-dup: duplicates arriving in a LATER micro-batch
     than their originals are flagged against the persisted store."""
@@ -199,6 +202,7 @@ def test_attach_near_dup_maintenance_flags_cross_batch_dups(spark, tmp_path):
     assert spark.read.parquet(store).count() == 4
 
 
+@pytest.mark.slow
 def test_attach_near_dup_maintenance_with_signature_index(spark, tmp_path):
     """r09: the near-dup sink with ``signature_index_name`` maintains a
     band-key bloom file-index over the signature store and must flag
@@ -423,6 +427,7 @@ def test_attach_quality_gate_splits_keeps_and_rejects(spark, tmp_path):
     assert "failed_rules" not in cols and "batch_id" in cols
 
 
+@pytest.mark.slow
 def test_attach_url_dedup_first_wins_and_ledger_persists(spark, tmp_path):
     """Streaming URL dedup: within a batch the smallest id per
     normalized key survives; keys already in the ledger are
@@ -494,6 +499,7 @@ def test_attach_url_dedup_first_wins_and_ledger_persists(spark, tmp_path):
     assert got2 == {12}
 
 
+@pytest.mark.slow
 def test_attach_url_dedup_ledger_index_prunes_and_matches(
     spark, storage, tmp_path
 ):
@@ -585,6 +591,7 @@ def test_attach_url_dedup_ledger_index_prunes_and_matches(
     assert survivors == {"http://nowhere.com/9"}
 
 
+@pytest.mark.slow
 def test_attach_domain_quota_depletes_across_batches(spark, tmp_path):
     """Cross-batch budget: a domain spanning micro-batches consumes
     its quota cumulatively (batch A takes 2 of 3, batch B gets only
@@ -674,6 +681,7 @@ def test_attach_domain_quota_depletes_across_batches(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4
 
 
+@pytest.mark.slow
 def test_quota_sink_imports_pre_manifest_budget_store(spark, tmp_path):
     """Upgrade path: an r07-format (plain parquet, no manifest)
     (domain, used) store must be IMPORTED into the first ParquetTable
@@ -830,6 +838,7 @@ def test_attach_drift_maintenance_accumulates_to_batch_answer(spark, tmp_path):
     assert rows_set(out_t.read()) == want
 
 
+@pytest.mark.slow
 def test_attach_drift_maintenance_checkpoint_restart_continues(spark, tmp_path):
     """With a STABLE checkpoint_location, a restarted stream resumes
     at the next batch id (monotone across restarts): already-committed

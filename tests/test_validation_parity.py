@@ -130,6 +130,7 @@ def test_temporal_dedup_when_select_drops_timestamp(
     assert_same_rows(res, expected, "event_id", "user_id", "event_type")
 
 
+@pytest.mark.slow
 def test_temporal_keeps_timestamp_when_selected(spark, storage, events_files):
     """reference: TemporalIndexTests.scala:408-430."""
     df, files = events_files
