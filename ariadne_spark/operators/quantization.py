@@ -447,8 +447,18 @@ def pq_ann_topk_rerank(
     sim = _dot(F.col("__qv"), F.col("__cv")) / (
         _norm(F.col("__qv")) * _norm(F.col("__cv"))
     )
+    # build-side control (guide §3.1, same as ivf_pq_topk): the
+    # shortlist is (id, id) rows with an exactly-known driver-side
+    # count; without the hint the planner's estimate over the cached
+    # candidates flips the build side to the WIDE raw-vector side
+    # (collect + rebroadcast of the embedding column). Hint only
+    # under an explicit row bound so lake-scale runs keep the
+    # planner's runtime choice.
+    sh = short
+    if sum(min(r["n"], shortlist) for r in per_q) <= 2_000_000:
+        sh = F.broadcast(short)
     scored = (
-        short.join(v, corpus_id)
+        sh.join(v, corpus_id)
         .join(F.broadcast(q), query_id)
         .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
     )
@@ -751,8 +761,20 @@ def ivf_pq_topk(
     sim = _dot(F.col("__qv"), F.col("__cv")) / (
         _norm(F.col("__qv")) * _norm(F.col("__cv"))
     )
+    # build-side control (guide §3.1): the shortlist is (id, id) rows
+    # and its EXACT row count is already known driver-side, while the
+    # vecs side re-reads the heavy vector column — without the hint
+    # the planner's join-cardinality estimate over the cached
+    # candidates flipped the build side to the WIDE vector scan
+    # (collect + rebroadcast of every located embedding; measured
+    # ~+1 s on the sf0.1 gate row). Hint only under an explicit row
+    # bound: a lake-scale full-shortlist run keeps the planner's
+    # runtime choice.
+    sh = short
+    if n_short <= 2_000_000:
+        sh = F.broadcast(short)
     scored = (
-        short.join(vecs, corpus_id)
+        sh.join(vecs, corpus_id)
         .join(F.broadcast(qv), query_id)
         .select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
     )
